@@ -1,0 +1,49 @@
+"""Table catalog over the driver-provided parquet fixtures.
+
+Tables (TESTDATA.md / FIXTURES.md): TPC-H-ish star schema plus the
+RAG-domain tables (documents / embeddings / events). At 100 TB these
+would be partitioned external tables; locally they are single parquet
+files, so readers below go straight through the DataFrame reader and
+rely on Catalyst for column pruning + predicate pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Column pruning / filter pushdown happen
+    automatically because this is a plain parquet scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so operators can be
+    expressed in pure Spark SQL when that is clearer than DataFrame ops."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

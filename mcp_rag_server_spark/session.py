@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine is a single-threaded JS event loop with zero
+partitioning (reference src/indexer.ts:22, src/index.ts:21); this module
+is where the new engine's execution model diverges deliberately: AQE,
+Arrow, broadcast-join thresholds and sane shuffle partitioning are set
+once so every operator inherits them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Shuffle partitions default. On the test rig we size to the CPU count;
+#: on a real cluster this is overridden (rule of thumb: 2-3x total cores,
+#: or rely on AQE coalescing from a higher initial number).
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "mcp-rag-server-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession used by every operator.
+
+    Scale notes (100 TB design):
+      - AQE on: runtime coalescing of shuffle partitions, skew-join
+        splitting, and dynamic join-strategy switching.
+      - Arrow on: all pandas_udf boundaries (embedding, PDF extract,
+        multimodal decode) move data in columnar batches, not rows.
+      - Broadcast threshold raised: dimension tables (region/nation/
+        supplier at TPC-H shape) must broadcast, never shuffle.
+      - Session timezone pinned to UTC so timestamp semantics are
+        engine-independent (parquet NTZ data compares bit-equal against
+        the DuckDB oracle).
+    """
+    cpus = str(cpus or _DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

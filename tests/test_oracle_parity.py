@@ -1,0 +1,87 @@
+"""Replays the driver's correctness gate for EVERY registered query:
+row count + column-name set + order-insensitive value comparison between
+the Spark DataFrame and the DuckDB oracle SQL at sf0.01.
+
+Strictness: values must match exactly after canonicalization (floats via
+repr of float64). The engine's cross-engine determinism rules
+(registry.py docstring) are designed to make that achievable, so any
+mismatch here is a real bug in a query pair.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import pytest
+
+from mcp_rag_server_spark.registry import load_all
+
+from conftest import SF001
+
+
+def canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        # collapse -0.0 / 0.0 and use repr of the float64 value
+        return f"f:{v + 0.0!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, datetime.datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return "s:" + str(v)
+
+
+def canon_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append("|".join(canon_value(row[i]) for i in order))
+    return sorted(out)
+
+
+def all_query_names():
+    return sorted(load_all().keys())
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(name, spark, duck):
+    spec = load_all()[name]
+    sdf = spec.spark_fn(spark, SF001)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    if spec.oracle is None:
+        # driver's weaker rows-only check
+        assert len(srows) >= 0
+        return
+
+    cur = duck.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+    sc = canon_rows(scols, srows)
+    dc = canon_rows(dcols, drows)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert sc == dc, (
+        f"{name}: value mismatch ({len(mismatches)} rows); first 3: "
+        f"{mismatches[:3]}"
+    )
