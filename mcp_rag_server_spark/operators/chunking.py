@@ -1,1 +1,145 @@
-"""chunking operators (filled in incrementally)."""
+"""Chunking operators — the reference's ingest core, Spark-first.
+
+Reference: ``Indexer.splitChunks`` (src/indexer.ts:201-215) feeds the
+chunk table build loop (src/indexer.ts:263-287). Here chunking is a pure
+SQL expression exploded with ``posexplode`` — one narrow scan stage, no
+Python, no shuffle; at 100 TB this parallelizes per input split.
+
+``read_file``'s line-range slice (reference src/index.ts:307-312;
+1-based inclusive, clamped to bounds) is expressed over the documents
+fixture as a token-range slice (the fixture text has no newlines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.text import (
+    chunk_array,
+    duckdb_chunk_sql,
+)
+from mcp_rag_server_spark.registry import register
+
+#: Chunk geometry used for the fixture queries. Reference defaults are
+#: 800/120 (src/config.ts:114-127); fixture documents average ~300 chars,
+#: so we use 200/30 to actually exercise multi-chunk explosion.
+DOC_CHUNK_SIZE = 200
+DOC_CHUNK_OVERLAP = 30
+
+
+def explode_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 800,
+    overlap: int = 120,
+) -> DataFrame:
+    """documents → chunk rows (id, chunk ordinal, chunk_text).
+
+    ``posexplode`` assigns the 0-based per-document ordinal — the
+    reference's ``chunk`` field (src/types.ts:11) — without any window
+    function or shuffle.
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunk_array(F.col(text_col), size, overlap)).alias(
+            "chunk", "chunk_text"
+        ),
+    ).select(F.col(id_col), F.col("chunk").cast("int"), "chunk_text")
+
+
+@register(
+    "chunk_split",
+    oracle=duckdb_chunk_sql(
+        "documents", "doc_id", "text", DOC_CHUNK_SIZE, DOC_CHUNK_OVERLAP
+    ),
+    description="splitChunks parity: overlapping char windows via posexplode"
+    " (reference src/indexer.ts:201-215)",
+    tags=("chunking", "ingest"),
+    bench=True,
+)
+def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return explode_chunks(docs, size=DOC_CHUNK_SIZE, overlap=DOC_CHUNK_OVERLAP)
+
+
+@register(
+    "chunks_table",
+    oracle=f"""
+WITH c AS ({duckdb_chunk_sql("documents", "doc_id", "text",
+                             DOC_CHUNK_SIZE, DOC_CHUNK_OVERLAP)})
+SELECT row_number() OVER (ORDER BY c.doc_id, c.chunk) AS id,
+       c.doc_id, c.chunk, c.chunk_text,
+       d.n_chars AS file_size,
+       d.lang, d.source
+FROM c JOIN documents d USING (doc_id)
+""",
+    description="full chunks-table build: ids + denormalized file metadata"
+    " (reference Doc record, src/types.ts:5-20)",
+    tags=("chunking", "ingest"),
+)
+def chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core `Doc` table (id, path→doc_id, chunk, text,
+    file_size denormalized; src/types.ts:5-20). Ids are a deterministic
+    ``row_number`` over (doc_id, chunk) — NOT ``monotonically_increasing_id``,
+    which is partition-dependent and breaks golden reproducibility.
+
+    Scale note: the unpartitioned window is a single-reducer sort, fine
+    for an id-assignment step that runs once per ingest at ~chunks/350B
+    rows; at true 100 TB you'd switch to a deterministic composite key
+    (dense file_rank * 1e6 + chunk) or zipWithIndex on sorted partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = explode_chunks(docs, size=DOC_CHUNK_SIZE, overlap=DOC_CHUNK_OVERLAP)
+    w = Window.orderBy("doc_id", "chunk")
+    return (
+        chunks.join(
+            F.broadcast(docs.select("doc_id", "n_chars", "lang", "source")),
+            "doc_id",
+        )
+        .withColumn("id", F.row_number().over(w))
+        .select(
+            "id",
+            "doc_id",
+            "chunk",
+            "chunk_text",
+            F.col("n_chars").alias("file_size"),
+            "lang",
+            "source",
+        )
+    )
+
+
+@register(
+    "read_range",
+    oracle="""
+SELECT doc_id,
+       array_to_string(
+         list_slice(string_split(text, ' '), 3, 10), ' ') AS excerpt,
+       least(greatest(len(string_split(text, ' ')) - 2, 0), 8) AS n_tokens
+FROM documents
+WHERE doc_id % 50 = 0
+""",
+    description="read_file line-range analog: clamped 1-based inclusive token"
+    " slice (reference src/index.ts:307-312)",
+    tags=("read_file",),
+)
+def read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-range slice [3, 10] (1-based inclusive, clamped to bounds),
+    mirroring the reference's line slice semantics: s = max(0, start-1),
+    e = min(len, end) (src/index.ts:307-312). The fixture text is a
+    single line, so tokens stand in for lines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    toks = F.split(F.col("text"), " ")
+    start, end = 3, 10
+    # slice(start, length): length = min(len, end) - (start-1), floored at 0
+    length = F.greatest(
+        F.least(F.size(toks), F.lit(end)) - F.lit(start - 1), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, start, length), " ").alias("excerpt"),
+        length.cast("bigint").alias("n_tokens"),
+    )

@@ -1,1 +1,612 @@
-"""relational operators (filled in incrementally)."""
+"""Relational operator surface — TPC-H-style query pack.
+
+The reference has NO general joins/aggregations/windows/set-ops
+(SURVEY.md §2.3-§2.7: its only "joins" are two hash-map key matchings in
+the incremental updater, src/indexer.ts:413-511). BASELINE.json directs
+the new engine to expose the standard relational surface; this module
+does so with vanilla Spark DataFrame plans over the TPC-H-ish fixture
+star schema, tuned the way a 100 TB deployment would be:
+
+  - dimension tables (region/nation/customer/supplier/part) are
+    broadcast — fact-table joins never shuffle the big side on a dim key;
+  - aggregates are partial (map-side combine) by construction;
+  - top-k = orderBy().limit() → TakeOrderedAndProject (no global sort);
+  - float aggregates follow the decimal-sum determinism discipline
+    (functions/numeric.py) so results hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import (
+    davg,
+    dsum,
+    duckdb_davg,
+    duckdb_dsum,
+)
+from mcp_rag_server_spark.registry import register
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {duckdb_dsum('l_quantity', 4)} AS sum_qty,
+       {duckdb_dsum('l_extendedprice', 4)} AS sum_base_price,
+       {duckdb_dsum(_REVENUE, 6)} AS sum_disc_price,
+       {duckdb_dsum(_REVENUE + ' * (1 + l_tax)', 6)} AS sum_charge,
+       {duckdb_davg('l_quantity', 6)} AS avg_qty,
+       {duckdb_davg('l_extendedprice', 6)} AS avg_price,
+       {duckdb_davg('l_discount', 6)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 pricing summary: wide aggregate with map-side combine",
+    tags=("relational", "agg"),
+    bench=True,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    )
+    charge = _revenue() * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 4).alias("sum_qty"),
+            dsum("l_extendedprice", 4).alias("sum_base_price"),
+            dsum(_revenue(), 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity", 6).alias("avg_qty"),
+            davg("l_extendedprice", 6).alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {duckdb_dsum(_REVENUE, 6)} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+    description="TPC-H Q3 shipping priority: broadcast dim join + top-k",
+    tags=("relational", "join", "topk"),
+    bench=True,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: lineitem scan (filter pushed to parquet) ⋈ broadcast
+    (customer⋈orders filtered) → partial agg → TakeOrderedAndProject(10)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue(), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+SELECT n.n_name, {duckdb_dsum(_REVENUE, 6)} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""",
+    description="TPC-H Q5 local supplier volume: 6-way star join, all dims broadcast",
+    tags=("relational", "join", "agg"),
+    bench=True,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+SELECT {duckdb_dsum('l_extendedprice * l_discount', 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6 forecast revenue: pure pushed-down filter + scalar agg",
+    tags=("relational", "filter", "agg"),
+    bench=True,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates are parquet-pushable; the plan is scan→agg with
+    no shuffle beyond the final single-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q4_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="TPC-H Q4-style EXISTS: left-semi join with residual predicate",
+    tags=("relational", "join", "semi"),
+)
+def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, {duckdb_dsum(_REVENUE, 6)} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+    description="TPC-H Q10 returned-item reporting: top-20 lossy customers",
+    tags=("relational", "join", "topk"),
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue(), 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "window_topn_per_nation",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_name, c_acctbal, rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer)
+WHERE rn <= 3
+ORDER BY c_nationkey, rn
+""",
+    description="ranking window: top-3 customers per nation (row_number)",
+    tags=("relational", "window"),
+)
+def window_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rn")
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@register(
+    "window_lag_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       o_totalprice - lag(o_totalprice) OVER w AS price_delta
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    description="analytic window: lag + delta per customer order history",
+    tags=("relational", "window"),
+)
+def window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       (o_totalprice
+        + coalesce(lag(o_totalprice, 1) OVER w, 0)
+        + coalesce(lag(o_totalprice, 2) OVER w, 0))
+       / (1 + CASE WHEN lag(o_totalprice, 1) OVER w IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN lag(o_totalprice, 2) OVER w IS NULL THEN 0 ELSE 1 END)
+       AS mavg3
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    description="frame window: 3-order moving average (lag-composed for"
+    " cross-engine float determinism)",
+    tags=("relational", "window"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A rows-frame AVG would be engine-dependent in summation order
+    (DuckDB uses segment trees for sliding frames); composing the same
+    3-term expression from lag() pins the float op order in both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    l1, l2 = F.lag("o_totalprice", 1).over(w), F.lag("o_totalprice", 2).over(w)
+    num = F.col("o_totalprice") + F.coalesce(l1, F.lit(0)) + F.coalesce(l2, F.lit(0))
+    den = (
+        F.lit(1)
+        + F.when(l1.isNull(), 0).otherwise(1)
+        + F.when(l2.isNull(), 0).otherwise(1)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice", (num / den).alias("mavg3")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "rollup_sales_by_region",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_orders,
+       {duckdb_dsum('o.o_totalprice', 4)} AS total_sales
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+    description="ROLLUP hierarchy totals (region→nation→grand total)",
+    tags=("relational", "agg", "rollup"),
+)
+def rollup_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 4).alias("total_sales"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    description="CUBE grouping sets over lineitem status flags",
+    tags=("relational", "agg", "cube"),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "set_intersect_status",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+""",
+    description="INTERSECT: customers with both pending and fulfilled orders",
+    tags=("relational", "setop"),
+)
+def set_intersect_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    f_ = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return p.intersect(f_).orderBy("o_custkey")
+
+
+@register(
+    "set_except_customers",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+ORDER BY c_custkey
+""",
+    description="EXCEPT: customers who never ordered",
+    tags=("relational", "setop"),
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.subtract(o).orderBy("c_custkey")
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS idle_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    description="left-anti join: customers without orders, per nation"
+    " (generalizes the reference's deleted-file anti join, indexer.ts:431-443)",
+    tags=("relational", "join", "anti"),
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("idle_customers"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    description="left outer join preserving order-less customers",
+    tags=("relational", "join", "outer"),
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "distinct_agg_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="multi-distinct aggregation (expand + two-phase agg in Spark)",
+    tags=("relational", "agg", "distinct"),
+)
+def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "correlated_max_price_part",
+    oracle="""
+SELECT p.p_brand, p.p_partkey, p.p_retailprice
+FROM part p
+JOIN (SELECT p_brand, max(p_retailprice) AS max_price
+      FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.p_brand AND p.p_retailprice = m.max_price
+ORDER BY p.p_brand, p.p_partkey
+""",
+    description="correlated-subquery shape: priciest part(s) per brand",
+    tags=("relational", "join", "subquery"),
+)
+def correlated_max_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").alias("p")
+    m = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("m_brand"))
+        .agg(F.max("p_retailprice").alias("max_price"))
+        .alias("m")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (F.col("p.p_brand") == F.col("m.m_brand"))
+            & (F.col("p.p_retailprice") == F.col("m.max_price")),
+        )
+        .select("p.p_brand", "p.p_partkey", "p.p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@register(
+    "top_parts_by_revenue",
+    oracle=f"""
+SELECT l.l_partkey, p.p_name, p.p_brand,
+       {duckdb_dsum(_REVENUE, 6)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY l.l_partkey, p.p_name, p.p_brand
+ORDER BY revenue DESC, l.l_partkey ASC
+LIMIT 15
+""",
+    description="fact-side aggregation + broadcast dim join + top-k",
+    tags=("relational", "join", "topk", "agg"),
+    bench=True,
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate lineitem BEFORE joining part (pre-aggregation shrinks the
+    join input from |lineitem| to |parts| rows — at 100 TB this is the
+    difference between shuffling 100 TB and broadcasting a dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    agg = li.groupBy("l_partkey").agg(
+        dsum(_revenue(), 6).alias("revenue"), F.count("*").alias("n_lines")
+    )
+    return (
+        agg.join(F.broadcast(p), agg["l_partkey"] == p["p_partkey"])
+        .select("l_partkey", "p_name", "p_brand", "revenue", "n_lines")
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .limit(15)
+    )
