@@ -1,0 +1,60 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headline set = every registry entry tagged bench=True (one per operator
+family: vector top-k, LSH dedup, TPC-H aggregates/joins, sessionization,
+token stats), so a regression in any family moves the headline number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mcp_rag_server_spark.registry import load_all
+from mcp_rag_server_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    bench_specs = {n: s for n, s in registry.items() if s.bench}
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bring-up (the driver's interest is throughput).
+    bench_specs["rag_topk"].spark_fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(bench_specs):
+        t0 = time.perf_counter()
+        df = bench_specs[name].spark_fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

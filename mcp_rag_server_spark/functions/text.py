@@ -83,19 +83,31 @@ def tokens(text: Column | str) -> Column:
 DUCKDB_TOKENS = r"string_split_regex({c}, '\s+')"
 
 
-def word_shingles(toks: Column | str, k: int = 3) -> Column:
-    """k-word shingles (array<string>); fewer than k tokens → empty array.
+def word_shingles_sql(toks_sql: str, k: int = 3, var: str = "shi") -> str:
+    """k-word shingles (array<string>) as SQL text; fewer than k tokens →
+    empty array. Built from ``slice`` + ``array_join`` over an ordinal
+    ``sequence`` — no UDF, no shuffle.
 
-    Built from ``slice`` + ``array_join`` over an ordinal ``sequence`` —
-    no UDF, no shuffle.
+    SQL text with an explicit lambda variable (``var``) rather than a
+    Python-lambda HOF: nested lambda-built HOFs mis-bind variables after
+    projection collapse (see functions/vector.py docstring). Callers that
+    nest this inside another HOF must pass distinct variable names.
+
+    The ``greatest(..., 1)`` + outer ``slice`` dance avoids an untyped
+    empty-array literal: sequence(1, max(n,1)) always has ≥1 element, and
+    slice(..., 1, n) trims to the true (possibly zero) shingle count.
     """
-    toks = _col(toks)
-    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    n = f"greatest(size({toks_sql}) - {k - 1}, 0)"
+    return (
+        f"slice(transform(sequence(1, greatest({n}, 1)), "
+        f"{var} -> array_join(slice({toks_sql}, {var}, {k}), ' ')), 1, {n})"
     )
-    return F.when(n_sh > 0, sh).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(toks_sql: str, k: int = 3, var: str = "shi") -> Column:
+    """Column form of :func:`word_shingles_sql` (input is SQL text, e.g.
+    ``\"split(text, ' ')\"``)."""
+    return F.expr(word_shingles_sql(toks_sql, k, var))
 
 
 def duckdb_word_shingles(toks: str, k: int = 3) -> str:

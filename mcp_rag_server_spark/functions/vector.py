@@ -6,6 +6,15 @@ scores 0. Implemented as pure Spark SQL higher-order functions
 (``zip_with`` + ``aggregate``) so the hot path stays inside whole-stage
 codegen; no Python is involved per row.
 
+IMPORTANT implementation note: every expression here is built from SQL
+text (``F.expr``) with explicit, distinct lambda-variable names. Building
+nested higher-order functions from Python lambdas (``F.transform(...,
+lambda x: ...)``) is NOT safe: PySpark auto-generates lambda variable
+names, and when Catalyst's CollapseProject folds two lambda-built
+projections together the generated names can collide, silently rebinding
+variables and producing wrong, session-state-dependent results (observed
+empirically; regression-tested in tests/test_hof_stability.py).
+
 Determinism discipline: all products/sums are computed in float64 with a
 left-to-right fold over the array, which is exactly what the DuckDB
 oracle SQL does, so scores are bit-identical across engines before the
@@ -21,66 +30,77 @@ from pyspark.sql import functions as F
 COSINE_EPSILON = 1e-10
 
 
-def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
-
-
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Float64 dot product of two array<float> columns (left-to-right fold).
-
-    Truncates to the shorter length via ``zip_with`` — which pads with
-    NULL on length mismatch, handled by ``coalesce(x*y, 0)`` — matching
-    the reference's min-length loop (src/embeddings.ts:82).
-    """
-    a, b = _col(a), _col(b)
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(
-        prods,
-        F.lit(0.0),
-        lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
+def dot_sql(a: str, b: str, var_prefix: str = "d") -> str:
+    """Float64 dot product of two array<float> SQL expressions
+    (left-to-right fold; NULL-padded tail from zip_with counts as 0,
+    matching the reference's min-length loop, src/embeddings.ts:82)."""
+    x, y, acc, v = (f"{var_prefix}_x", f"{var_prefix}_y", f"{var_prefix}_acc",
+                    f"{var_prefix}_v")
+    return (
+        f"aggregate(zip_with({a}, {b}, ({x}, {y}) -> "
+        f"CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), ({acc}, {v}) -> {acc} + coalesce({v}, CAST(0 AS DOUBLE)))"
     )
 
 
-def l2_norm(a: Column | str) -> Column:
-    """Float64 L2 norm of an array<float> column."""
-    a = _col(a)
-    sq = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def l2_norm_sql(a: str, var_prefix: str = "n") -> str:
+    """Float64 L2 norm of an array<float> SQL expression."""
+    x, acc, v = f"{var_prefix}_x", f"{var_prefix}_acc", f"{var_prefix}_v"
+    return (
+        f"sqrt(aggregate(transform({a}, {x} -> "
+        f"CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), ({acc}, {v}) -> {acc} + {v}))"
     )
-    return F.sqrt(sq)
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
+def cosine_sql(a: str, b: str) -> str:
     """Reference-parity cosine similarity (src/embeddings.ts:77-92).
 
     - empty a or b  -> 0.0
-    - lengths differ -> compare up to min length (zip_with truncation)
-    - denominator   -> sqrt(na)*sqrt(nb) + 1e-10
-    Norms are computed over the *truncated* prefix, like the reference loop.
+    - lengths differ -> compare up to min length
+    - denominator   -> sqrt(na)*sqrt(nb) + 1e-10 over the truncated prefix
     """
-    a, b = _col(a), _col(b)
-    n = F.least(F.size(a), F.size(b))
-    ta = F.slice(a, 1, n)
-    tb = F.slice(b, 1, n)
-    num = dot(ta, tb)
-    den = l2_norm(ta) * l2_norm(tb) + F.lit(COSINE_EPSILON)
-    return F.when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0)).otherwise(num / den)
+    n = f"least(size({a}), size({b}))"
+    ta = f"slice({a}, 1, {n})"
+    tb = f"slice({b}, 1, {n})"
+    num = dot_sql(ta, tb, "c")
+    den = f"({l2_norm_sql(ta, 'ca')} * {l2_norm_sql(tb, 'cb')} + {COSINE_EPSILON!r})"
+    return (
+        f"CASE WHEN size({a}) = 0 OR size({b}) = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE {num} / {den} END"
+    )
 
 
-def cosine_score(a: Column | str, b: Column | str, decimals: int = 4) -> Column:
+def dot(a: str, b: str) -> Column:
+    return F.expr(dot_sql(a, b))
+
+
+def l2_norm(a: str) -> Column:
+    return F.expr(l2_norm_sql(a))
+
+
+def cosine(a: str, b: str) -> Column:
+    return F.expr(cosine_sql(a, b))
+
+
+def cosine_score(a: str, b: str, decimals: int = 4) -> Column:
     """Cosine rounded to ``decimals`` — the reference's result contract
     rounds to 4 (src/index.ts:271). Rounding is also our cross-engine
     determinism boundary: order-by keys use the rounded value."""
     return F.round(cosine(a, b), decimals)
 
 
-def dot_score(a: Column | str, b: Column | str, decimals: int = 4) -> Column:
+def dot_score(a: str, b: str, decimals: int = 4) -> Column:
     """Rounded dot product — for pre-normalized vectors dot == cosine and
     skips two norm computations per row (the fixture embeddings are
     L2-normalized, FIXTURES.md A1)."""
     return F.round(dot(a, b), decimals)
+
+
+def array_float_literal(vec) -> str:
+    """SQL literal for a float32 vector (for driver-side embedded query
+    vectors, reference src/index.ts:266)."""
+    return "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in vec) + ")"
 
 
 # --- DuckDB oracle SQL fragments (kept beside the Spark expressions so the

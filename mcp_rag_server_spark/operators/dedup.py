@@ -1,1 +1,342 @@
-"""dedup operators (filled in incrementally)."""
+"""Deduplication operators — exact and near-dup, every flavor a 100 TB
+training-data pipeline needs (BASELINE.json directive).
+
+Engine-portability note: numeric hash functions differ per engine
+(Spark murmur3 vs DuckDB's), so every hash here is md5-hex — identical
+strings everywhere — and MinHash signatures are *lexicographic* mins of
+md5 strings, which is a valid uniform permutation family for LSH.
+
+Scale shapes:
+  - exact dedup: groupBy(md5(text)) — one shuffle on a uniform key.
+  - MinHash LSH: per-doc signature (narrow) → band join (shuffle on
+    band hash = the LSH bucket join) → verify candidates with exact
+    Jaccard. Candidate count, not corpus size², bounds the join.
+  - SimHash: per-token sign votes aggregated per doc — explode +
+    partial agg; the 16-bit simhash becomes a bucket key for Hamming
+    candidate search.
+  - embedding near-dup: blocked self-join (label blocks here; at 100 TB
+    the blocks come from LSH/IVF cells, see operators/similarity.py) —
+    never an unblocked N² cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.text import (
+    duckdb_word_shingles,
+    word_shingles_sql,
+)
+from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
+from mcp_rag_server_spark.registry import register
+
+N_MINHASH = 8
+N_BANDS = 2  # 2 bands x 4 rows: P(candidate) = 1-(1-j^4)^2
+JACCARD_THRESHOLD = 0.5
+COSINE_NEARDUP_THRESHOLD = 0.35
+
+
+@register(
+    "dd_exact_stats",
+    oracle="""
+WITH h AS (SELECT md5(text) AS th, COUNT(*) AS n, MIN(doc_id) AS keep_id
+           FROM documents GROUP BY md5(text))
+SELECT COUNT(*) AS n_distinct,
+       SUM(n) AS n_docs,
+       SUM(n) - COUNT(*) AS n_exact_dups,
+       COUNT(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups
+FROM h
+""",
+    description="exact dedup stats: hash-groupBy on md5(text), keep-first"
+    " representative",
+    tags=("dedup", "exact"),
+)
+def dd_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy(F.md5("text").alias("th")).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("keep_id")
+    )
+    return h.agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("n").alias("n_docs"),
+        (F.sum("n") - F.count("*")).alias("n_exact_dups"),
+        F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+def _spark_minhash_signature(docs: DataFrame) -> DataFrame:
+    """doc_id + N_MINHASH lexicographic-min md5 values over 3-word shingles,
+    folded into N_BANDS band keys.
+
+    Built as SQL text with distinct lambda variables (shi for the shingle
+    builder, mh{j}v for each minhash transform): Python-lambda HOFs
+    mis-bind when Catalyst collapses the shingle projection into the
+    minhash projection (functions/vector.py docstring; regression test in
+    tests/test_hof_stability.py caught exactly this here).
+    """
+    toks_sql = "split(text, ' ')"
+    sh_sql = f"array_distinct({word_shingles_sql(toks_sql, 3, var='shi')})"
+    out = docs.select("doc_id", F.expr(sh_sql).alias("sh")).filter(F.size("sh") > 0)
+    mh = [
+        F.expr(
+            f"array_min(transform(sh, mh{j}v -> md5(concat('{j}:', mh{j}v))))"
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    out = out.select("doc_id", *mh)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return out.select("doc_id", *bands)
+
+
+def _duckdb_minhash_cte() -> str:
+    sh_expr = duckdb_word_shingles("string_split(text, ' ')", 3)
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}"
+        for j in range(N_MINHASH)
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+shingled AS (
+  SELECT doc_id, list_distinct({sh_expr}) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+  WHERE len({sh_expr}) > 0
+),
+sigs AS (SELECT doc_id, {mh} FROM shingled),
+bands AS (SELECT doc_id, {bands} FROM sigs)
+""".strip()
+
+
+@register(
+    "dd_minhash_lsh",
+    oracle=f"""
+WITH {_duckdb_minhash_cte()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1)
+),
+toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+  FROM cands c
+  JOIN toksets ta ON ta.doc_id = c.doc_a
+  JOIN toksets tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+    description="MinHash LSH near-dup: shingle→minhash→band→bucket-join→"
+    "exact-Jaccard verify",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH pipeline. The band join shuffles on the band hash (the
+    LSH bucket), so cost is Σ bucket² over colliding buckets — the
+    candidate set — never corpus². Token sets are joined back only for
+    candidates (two broadcast-able sides at this selectivity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Long-format LSH buckets: (doc_id, band_idx, band_key). A single
+    # equi-join on (band_idx, band_key) covers every band in ONE shuffle —
+    # the idiomatic LSH bucket join. An OR of band equalities would force
+    # a nested-loop join (quadratic, exactly what LSH exists to avoid).
+    # The signature subtree (8 md5-min-hashes per doc) is cached: it is
+    # referenced by both join sides and recomputing it dominates runtime
+    # otherwise; at 100 TB you'd checkpoint signatures to parquet instead.
+    bands_long = (
+        _spark_minhash_signature(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        .cache()
+    )
+    a, b_ = bands_long.alias("a"), bands_long.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    ta, tb = toksets.alias("ta"), toksets.alias("tb")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast("double")
+        / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks"))),
+        6,
+    )
+    return (
+        cands.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dd_jaccard_same_source",
+    oracle="""
+WITH t AS (SELECT doc_id, source,
+                  list_distinct(string_split(text, ' ')) AS toks
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+ORDER BY doc_a, doc_b
+""",
+    description="blocked n-gram Jaccard near-dup (source blocks bound the"
+    " pair space)",
+    tags=("dedup", "jaccard"),
+)
+def dd_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.9)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.source").alias("source"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql(dialect: str) -> str:
+    """Generate the 16-bit SimHash aggregation for either engine.
+
+    Per distinct token: v_p = hex digit p of md5(token) (p=1..4, 16 bits
+    total); bit i votes +1/-1; the doc's simhash sets bit i iff the vote
+    sum is positive. Pure integer arithmetic (%/>=) — no engine-specific
+    bit operators.
+    """
+    if dialect == "spark":
+        tok_src = (
+            "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS token "
+            "FROM documents"
+        )
+        digit = "(instr('0123456789abcdef', substring(md5(token), {p}, 1)) - 1)"
+    else:
+        tok_src = (
+            "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token "
+            "FROM documents"
+        )
+        digit = "(strpos('0123456789abcdef', substring(md5(token), {p}, 1)) - 1)"
+
+    votes = []
+    for i in range(16):
+        p = i // 4 + 1  # hex digit position 1..4
+        b = i % 4  # bit within the digit
+        v = digit.format(p=p)
+        votes.append(
+            f"SUM(CASE WHEN ({v} % {2 ** (b + 1)}) >= {2 ** b} "
+            f"THEN 1 ELSE -1 END) AS vote{i}"
+        )
+    bits = " + ".join(
+        f"CASE WHEN vote{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)
+    )
+    return f"""
+WITH toks AS ({tok_src}),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+FROM votes
+ORDER BY doc_id
+""".strip()
+
+
+@register(
+    "dd_simhash",
+    oracle=_simhash_sql("duckdb"),
+    description="16-bit SimHash per document (sign-vote aggregation over"
+    " token hashes)",
+    tags=("dedup", "simhash"),
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash = sign-aggregated token-hash bits; near-dups differ in few
+    bits, so the value buckets Hamming-ball candidate search. Shape:
+    explode → 16 conditional partial sums per doc — one shuffle on
+    doc_id."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+@register(
+    "dd_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       round({duckdb_cosine('a.embedding', 'b.embedding')}, 4) AS score
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({duckdb_cosine('a.embedding', 'b.embedding')}, 4)
+      >= {COSINE_NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    description="embedding-cosine near-dup pairs within label blocks"
+    " (blocked self-join, no unbounded N²)",
+    tags=("dedup", "vector"),
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    score = cosine_score("a.embedding", "b.embedding")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= COSINE_NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

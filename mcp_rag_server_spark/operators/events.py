@@ -1,1 +1,271 @@
-"""events operators (filled in incrementally)."""
+"""Event analytics over the event-time `events` fixture (batch side).
+
+The reference is batch-only with restart-time incremental refresh
+(SURVEY.md §2.9 — no watermarks, no windows); BASELINE.json directs the
+new engine to provide event-time analytics as first-class capability.
+The batch expressions here (tumbling windows via date_trunc,
+sessionization via gaps-and-islands, funnel via conditional min-agg)
+have streaming twins in mcp_rag_server_spark/streaming/ built on
+Structured Streaming with watermarks.
+
+Scale notes: every query below groups on bounded-cardinality keys
+(hour buckets, user_id) and aggregates with map-side combine; the
+sessionize window partitions by user_id, which at 100 TB shuffles once
+on a well-distributed key (150 users per 10k events here; in a real
+corpus user_id cardinality is huge, so no skew concern — a hot user
+would be handled by AQE skew-split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import (
+    davg,
+    dsum,
+    duckdb_davg,
+    duckdb_dsum,
+)
+from mcp_rag_server_spark.registry import register
+
+#: Session gap threshold (microseconds) — 30 minutes.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "ev_hourly_windows",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {duckdb_dsum('value', 4)} AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+""",
+    description="tumbling 1h event-time windows (batch twin of the streaming"
+    " window() aggregation)",
+    tags=("events", "window", "agg"),
+    bench=True,
+)
+def ev_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "ev_json_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+""",
+    description="semi-structured JSON prop extraction + bucket aggregation"
+    " (events.props is a JSON string column, FIXTURES.md A1)",
+    tags=("events", "json"),
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "ev_sessionize",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       1 + SUM(new_session) AS n_sessions
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="sessionization (30-min inactivity gap) via gaps-and-islands"
+    " — batch twin of session_window() in streaming/",
+    tags=("events", "session", "window"),
+    bench=True,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection uses integer epoch-microseconds so the comparison is
+    exact in both engines (no interval/float coercion)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        us - F.lag(us).over(w) > SESSION_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.select("user_id", "event_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (1 + F.sum("new_session")).alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS saw_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS view_then_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+         AS full_funnel
+FROM stages
+""",
+    description="ordered funnel (view→click→purchase) via conditional min-agg",
+    tags=("events", "funnel"),
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("saw_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "ev_top_users_by_value",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       {duckdb_dsum('value', 4)} AS total_value,
+       {duckdb_davg('value', 6)} AS avg_value
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 20
+""",
+    description="top-k users by accumulated value (TakeOrderedAndProject)",
+    tags=("events", "agg", "topk"),
+)
+def ev_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+            davg("value", 6).alias("avg_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "ev_dedup_by_second",
+    oracle="""
+WITH keyed AS (
+  SELECT user_id, event_type, date_trunc('second', ts) AS ts_sec,
+         MIN(event_id) AS keep_event_id, COUNT(*) AS n_copies
+  FROM events
+  GROUP BY user_id, event_type, date_trunc('second', ts)
+)
+SELECT COUNT(*) AS n_unique,
+       SUM(n_copies) AS n_raw,
+       SUM(n_copies) - COUNT(*) AS n_dropped
+FROM keyed
+""",
+    description="event dedup on (user, type, second) keeping first event_id"
+    " — exact-dedup building block",
+    tags=("events", "dedup"),
+)
+def ev_dedup_by_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.groupBy(
+        "user_id", "event_type", F.date_trunc("second", F.col("ts")).alias("ts_sec")
+    ).agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("n_copies"))
+    return keyed.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n_copies").alias("n_raw"),
+        (F.sum("n_copies") - F.count("*")).alias("n_dropped"),
+    )
+
+
+@register(
+    "ev_type_value_stats",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {duckdb_dsum('value', 4)} AS total_value,
+       {duckdb_davg('value', 6)} AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="per-type value stats (min/max exact, sum/avg via decimal)",
+    tags=("events", "agg"),
+)
+def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value", 4).alias("total_value"),
+            davg("value", 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
-from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
+from mcp_rag_server_spark.functions.vector import (
+    array_float_literal,
+    cosine_score,
+    duckdb_cosine,
+)
 from mcp_rag_server_spark.registry import register
 
 #: Reference src/index.ts:62-64
@@ -53,12 +57,12 @@ def topk_by_vector(
     k = clamp_top_k(k)
     if isinstance(query_vec, DataFrame):
         scored = emb.crossJoin(F.broadcast(query_vec))
-        qv = F.col("qv")
+        qv_sql = "qv"
     else:
         scored = emb
-        qv = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+        qv_sql = array_float_literal(query_vec)
     return (
-        scored.withColumn("score", cosine_score(F.col(vec_col), qv))
+        scored.withColumn("score", cosine_score(vec_col, qv_sql))
         .drop("qv")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -1,1 +1,184 @@
-"""similarity operators (filled in incrementally)."""
+"""Similarity search over the embeddings table.
+
+Brute-force cosine top-k is the correctness baseline (the reference's
+only strategy — O(N·d) scan per query, src/index.ts:264-268). The scale
+path adds:
+  - batched multi-query top-k (one scan amortized over Q queries — a
+    broadcast nested-loop join + per-query window, not Q scans);
+  - IVF-style partition pruning: nearest-centroid selection first, then
+    exact search within the chosen cell only. Here cells are the label
+    blocks; in production they'd be k-means cells — the plan shape
+    (tiny centroid agg → argmax → pruned blocked scan) is identical.
+
+A nice identity makes IVF oracle-friendly: dot(centroid_c, q) =
+avg over members of dot(member, q), since centroid = element-mean. The
+nearest-centroid stage is therefore an exact relational aggregation —
+no array materialization, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import duckdb_dsum
+from mcp_rag_server_spark.functions.vector import (
+    cosine_score,
+    duckdb_cosine,
+)
+from mcp_rag_server_spark.registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+@register(
+    "sim_ann_topk",
+    oracle=f"""
+SELECT q_id, vec_id, label, score, rn
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id, e.label,
+         round({duckdb_cosine('e.embedding', 'q.embedding')}, 4) AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({duckdb_cosine('e.embedding', 'q.embedding')}, 4) DESC,
+                    e.vec_id ASC) AS rn
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+""",
+    description="batched multi-query exact top-k: one corpus scan amortized"
+    " over Q queries (brute-force ANN baseline)",
+    tags=("similarity", "vector", "topk"),
+    bench=True,
+)
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q queries broadcast against the corpus: BroadcastNestedLoopJoin →
+    codegen cosine → per-query window top-k. One pass over the big side
+    regardless of Q; the window partitions by query id so the top-k heap
+    state is per-query and small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+        )
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            cosine_score("embedding", "q_embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("q_id", "rn")
+    )
+
+
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+SELECT label, dim,
+       {duckdb_dsum("CAST(v AS DOUBLE)", 8)} / COUNT(*) AS centroid_val,
+       COUNT(*) AS n_members
+FROM (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+    description="per-label element-wise centroid (IVF coarse quantizer"
+    " training shape)",
+    tags=("similarity", "vector", "centroid"),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean via posexplode + partial agg — the distributed
+    way to average vectors (no collect, no UDAF): 64·N rows shuffle as
+    (label, dim) partials only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                # float32 → double BEFORE decimal: engines disagree on
+                # direct float→decimal rendering, but share the IEEE
+                # float→double widening.
+                F.sum(F.col("v").cast("double").cast("decimal(18,8)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("centroid_val"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS score
+  FROM embeddings e CROSS JOIN q
+),
+cell AS (
+  SELECT label
+  FROM scored
+  GROUP BY label
+  ORDER BY {duckdb_dsum("score", 6)} / COUNT(*) DESC, label ASC
+  LIMIT 1
+)
+SELECT s.vec_id, s.label, s.score
+FROM scored s JOIN cell c ON s.label = c.label
+ORDER BY s.score DESC, s.vec_id ASC
+LIMIT {TOP_K}
+""",
+    description="IVF-style search: nearest centroid cell (nprobe=1) then"
+    " exact top-k within the cell — the 100 TB partition-pruning path",
+    tags=("similarity", "vector", "ivf", "topk"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest-centroid = argmax over cells of avg member score (exact,
+    because dot(mean(v), q) == mean(dot(v, q))). In production the cell
+    id is a partition column, so stage 2 is partition-pruned I/O — this
+    plan only reads the winning cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        cosine_score("embedding", "qv").alias("score"),
+    )
+    cell = (
+        scored.groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_score")
+        )
+        .orderBy(F.desc("avg_score"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    return (
+        scored.join(F.broadcast(cell), "label")
+        .select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

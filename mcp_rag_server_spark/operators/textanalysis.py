@@ -1,1 +1,287 @@
-"""textanalysis operators (filled in incrementally)."""
+"""Text-analysis operators over the documents table.
+
+BASELINE.json's LLM-data-pipeline directive: token counting, quality
+scoring, language profiling, document fingerprinting, n-gram statistics.
+All pure Spark SQL expressions — per-row array math stays in codegen;
+global aggregations (term frequencies) are partial-aggregated explodes,
+which is the shape that survives 100 TB (explode is narrow; the groupBy
+shuffles only (token, count) partials, not documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import dsum, duckdb_dsum
+from mcp_rag_server_spark.functions.text import (
+    duckdb_word_shingles,
+    word_shingles,
+    word_shingles_sql,
+)
+from mcp_rag_server_spark.registry import register
+
+#: Tiny English stopword list for ratio features (the fixture vocabulary
+#: is shared word soup, FIXTURES.md A1 — the *ratios* are what matters).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "ta_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       n_chars,
+       CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+""",
+    description="token counting per document (whitespace tokenizer)",
+    tags=("text", "tokens"),
+    bench=True,
+)
+def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        "n_chars",
+        (F.col("n_chars").cast("double") / n_tokens).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ta_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(0.5 * distinct_ratio + 0.3 * stop_ratio
+             + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality
+FROM (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
+           / len(toks) AS stop_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+ORDER BY doc_id
+""",
+    description="heuristic document quality score (stopword ratio, lexical"
+    " diversity, length saturation)",
+    tags=("text", "quality"),
+)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality = 0.5*lexical_diversity + 0.3*stopword_ratio +
+    0.2*min(len/100, 1). The fixture text is lowercase word soup, so
+    punctuation/case features would be constant; the chosen features
+    exercise the array-filter/distinct machinery that real quality
+    classifiers (Gopher rules, C4 filters) are built from."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        0.5 * distinct_ratio
+        + 0.3 * stop_ratio
+        + 0.2 * F.least(n / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ta_lang_profile",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       {duckdb_dsum('n_chars', 0)} AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    description="per-language corpus profile (language-ID downstream shape)",
+    tags=("text", "lang"),
+)
+def ta_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            dsum("n_chars", 0).alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "ta_langid_heuristic",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['the', 'a', 'of', 'value', 'fast'])) AS en_score,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             ['query', 'data', 'stream', 'group', 'filter'])) AS tech_score
+  FROM documents
+)
+SELECT doc_id, lang,
+       en_score, tech_score,
+       CASE WHEN en_score >= tech_score THEN 'en-like' ELSE 'tech-like' END
+         AS pred_class
+FROM scored
+ORDER BY doc_id
+""",
+    description="n-gram/lexicon language-ID heuristic (set-overlap scoring;"
+    " deterministic argmax tie-break)",
+    tags=("text", "lang"),
+)
+def ta_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap scoring — the shape of fastText-style langid's
+    feature stage. The fixture vocabulary is shared across langs, so the
+    *labels* here are synthetic classes; the operator (distinct-token set
+    ∩ lexicon, argmax with deterministic tie-break) is the real thing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    en_lex = F.array(*[F.lit(w) for w in ("the", "a", "of", "value", "fast")])
+    tech_lex = F.array(
+        *[F.lit(w) for w in ("query", "data", "stream", "group", "filter")]
+    )
+    en_score = F.size(F.array_intersect(toks, en_lex))
+    tech_score = F.size(F.array_intersect(toks, tech_lex))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en_score.alias("en_score"),
+        tech_score.alias("tech_score"),
+        F.when(en_score >= tech_score, F.lit("en-like"))
+        .otherwise(F.lit("tech-like"))
+        .alias("pred_class"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ta_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN len(sh) > 0
+            THEN list_min(list_transform(sh, s -> md5(s)))
+            ELSE md5(text) END AS fingerprint
+FROM (SELECT doc_id, text,
+             {duckdb_word_shingles("string_split(text, ' ')", 3)} AS sh
+      FROM documents)
+ORDER BY doc_id
+""",
+    description="document fingerprint: min-hash over 3-word shingles"
+    " (rolling-hash fingerprinting / MinHash k=1)",
+    tags=("text", "fingerprint", "dedup"),
+)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint is the lexicographic min of md5 over the document's
+    3-word shingles — a 1-permutation MinHash: equal fingerprints ⇒ high
+    shingle overlap. md5-hex min is engine-portable (pure string order),
+    unlike numeric hash() which differs per engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Nested HOF (md5-transform over the shingle-transform) — built as SQL
+    # text with distinct lambda vars (shi/fpv); see functions/vector.py.
+    sh_sql = word_shingles_sql("split(text, ' ')", 3, var="shi")
+    fp = F.expr(
+        f"CASE WHEN size({sh_sql}) > 0 "
+        f"THEN array_min(transform({sh_sql}, fpv -> md5(fpv))) "
+        f"ELSE md5(text) END"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+@register(
+    "ta_bigram_top",
+    oracle=f"""
+SELECT bigram, COUNT(*) AS freq
+FROM (
+  SELECT unnest({duckdb_word_shingles("string_split(text, ' ')", 2)}) AS bigram
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+""",
+    description="global top-20 word bigrams (explode → partial agg → top-k)",
+    tags=("text", "ngram", "agg"),
+    bench=True,
+)
+def ta_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles("split(text, ' ')", 2)
+    return (
+        docs.select(F.explode(sh).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "ta_tfidf_top",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+df AS (
+  SELECT token, COUNT(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+  GROUP BY token
+)
+SELECT token, doc_freq,
+       round(ln(CAST(n.n_docs AS DOUBLE) / doc_freq), 6) AS idf
+FROM df CROSS JOIN n
+ORDER BY idf DESC, token ASC
+LIMIT 25
+""",
+    description="document-frequency + IDF table (TF-IDF building block)",
+    tags=("text", "tfidf"),
+)
+def ta_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF = ln(N/df), rounded to 6dp (ln is libm-dependent in the last
+    ulp; rounding is the cross-engine determinism boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    df = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+        )
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return (
+        df.withColumn(
+            "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
+        )
+        .orderBy(F.desc("idf"), F.asc("token"))
+        .limit(25)
+    )
