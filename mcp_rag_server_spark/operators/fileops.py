@@ -1,0 +1,182 @@
+"""read_file and list_files — the reference's tools #2/#3 as DataFrame
+queries over an ingested corpus.
+
+Reference:
+  - ``read_file`` (src/index.ts:286-314): traversal guard, PDF branch
+    (cached text), UTF-8 read, optional 1-based inclusive line range
+    clamped to file bounds (src/index.ts:307-312).
+  - ``list_files`` (src/index.ts:316-413): dir normalization
+    (src/index.ts:330-341), recursive walk with maxDepth, extension
+    filter (suppresses dir rows, still recurses, src/index.ts:377-388),
+    dirs-first alphabetical sort (src/index.ts:400-404), entry limit
+    default 500 / cap 5000 (src/index.ts:66-68).
+
+Deliberate divergences (SURVEY.md §2.10 quirks):
+  - the reference truncates at ``limit`` in traversal order *before*
+    sorting (src/index.ts:362-370 vs 401-404); we sort, then limit —
+    the returned set is the alphabetically-first N, which is
+    deterministic and saner.
+  - the reference's ``localeCompare`` sort is locale-dependent; we use
+    binary (codepoint) ordering.
+
+Scale shape: both queries are catalog lookups. ``read_file`` filters one
+path (partition/file pruning if the store is partitioned by path
+prefix) then slices lines with array ops — no shuffle. ``list_files``
+is filter → orderBy → limit over a file-catalog DataFrame; Spark plans
+TakeOrderedAndProject, so a 100M-file catalog returns N rows without a
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.functions.text import chunk_stride
+from mcp_rag_server_spark.sources.files import normalize_rel_path
+
+#: Reference src/index.ts:66-68.
+LIST_FILES_DEFAULT_LIMIT = 500
+LIST_FILES_MAX_LIMIT = 5000
+
+
+def file_texts(chunks: DataFrame, chunk_size: int, chunk_overlap: int) -> DataFrame:
+    """Reassemble full file text from the chunk store: each chunk after
+    the first contributes its suffix past the overlap (stride chars of
+    new text per chunk, except the final chunk which may be short).
+    Inverse of splitChunks for stride = size - overlap >= 1."""
+    stride = chunk_stride(chunk_size, chunk_overlap)
+    piece = F.when(F.col("chunk") == 0, F.col("text")).otherwise(
+        F.substring(F.col("text"), chunk_size - stride + 1, 0x7FFFFFFF)
+    )
+    return (
+        chunks.withColumn("piece", piece)
+        .groupBy("rel_path", "file_size", "line_count")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk", F.col("piece").alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+                "",
+            ).alias("text")
+        )
+    )
+
+
+def read_file(
+    texts: DataFrame,
+    path: str,
+    start_line: int | None = None,
+    end_line: int | None = None,
+) -> DataFrame:
+    """Line-range read (reference src/index.ts:286-314) over a
+    (rel_path, text) DataFrame.
+
+    1-based inclusive [start_line, end_line], clamped to the file's
+    bounds (src/index.ts:307-312); no range → whole text. Returns a
+    1-row DataFrame (rel_path, text, total_lines)."""
+    path = normalize_rel_path(path)
+    one = texts.filter(F.col("rel_path") == path)
+    lines = F.split("text", r"\r?\n")
+    total = F.size(lines)
+    if start_line is None and end_line is None:
+        return one.select("rel_path", "text", total.alias("total_lines"))
+    s = F.greatest(F.lit(start_line or 1), F.lit(1))
+    e = F.least(F.lit(end_line) if end_line is not None else total, total)
+    n = F.greatest(e - s + 1, F.lit(0))
+    return one.select(
+        "rel_path",
+        F.array_join(F.slice(lines, s, n), "\n").alias("text"),
+        total.alias("total_lines"),
+    )
+
+
+def file_catalog(files: DataFrame) -> DataFrame:
+    """Derive the directory tree from a file listing (rel_path, file_size):
+    one row per file + one per ancestor directory.
+
+    Columns: path, parent, depth (root children = 1), type ('dir'|'file'
+    — sorts dirs first, matching src/index.ts:401-402), size (files
+    only), ext (lowercased last suffix, '' when none, src/index.ts:387).
+    """
+    f = files.select(
+        F.col("rel_path").alias("path"),
+        F.lit("file").alias("type"),
+        F.col("file_size").alias("size"),
+    )
+    # Ancestor dirs: prefixes of each file path.
+    parts = F.split(F.col("rel_path"), "/")
+    # sequence(1, n) DESCENDS when n < 1, so top-level files (one path
+    # segment) must yield an empty ancestor array, not [1, 0].
+    ancestors = F.when(
+        F.size(parts) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dirs = (
+        files.select(F.explode(ancestors).alias("path"))
+        .distinct()
+        .select("path", F.lit("dir").alias("type"), F.lit(None).cast("long").alias("size"))
+    )
+    cat = f.unionByName(dirs)
+    return cat.select(
+        "path",
+        "type",
+        "size",
+        F.when(
+            F.col("path").contains("/"),
+            F.regexp_replace("path", "/[^/]*$", ""),
+        )
+        .otherwise(F.lit(""))
+        .alias("parent"),
+        F.size(F.split("path", "/")).alias("depth"),
+        F.when(F.col("type") == "file", F.lower(F.regexp_extract("path", r"\.([^.]+)$", 1)))
+        .otherwise(F.lit(""))
+        .alias("ext"),
+    )
+
+
+def list_files(
+    catalog: DataFrame,
+    dir: str | None = None,
+    recursive: bool = False,
+    max_depth: int | None = None,
+    include_extensions: list[str] | None = None,
+    limit: int = LIST_FILES_DEFAULT_LIMIT,
+) -> DataFrame:
+    """Reference ``list_files`` (src/index.ts:316-413) over the catalog.
+
+    - ``dir`` normalized per src/index.ts:330-341; listing is of entries
+      *under* dir.
+    - non-recursive → direct children only; recursive → bounded by
+      ``max_depth`` levels below dir (src/index.ts:361-373).
+    - ``include_extensions``: lowercase, strip leading dot; when active,
+      dir rows are suppressed (src/index.ts:377-388).
+    - sort: dirs first, then path (src/index.ts:400-404; binary order).
+    - limit: default 500, capped 5000 (src/index.ts:66-68), applied
+      after the sort (deliberate divergence, module docstring).
+    """
+    base = normalize_rel_path(dir)
+    limit = max(1, min(LIST_FILES_MAX_LIMIT, limit))
+    base_depth = 0 if base == "" else len(base.split("/"))
+    df = catalog
+    if base:
+        df = df.filter(F.col("path").startswith(base + "/"))
+    rel_depth = F.col("depth") - base_depth
+    if not recursive:
+        df = df.filter(rel_depth == 1)
+    elif max_depth is not None:
+        df = df.filter(rel_depth <= max_depth)
+    if include_extensions:
+        exts = [e.lower().lstrip(".") for e in include_extensions]
+        df = df.filter((F.col("type") == "file") & F.col("ext").isin(exts))
+    return (
+        df.select("path", "type", "size")
+        .orderBy(F.col("type"), F.col("path"))
+        .limit(limit)
+    )

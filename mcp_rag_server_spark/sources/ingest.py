@@ -1,0 +1,289 @@
+"""Chunk-store ingest, persistence, and incremental refresh.
+
+This is the reference's startup build (src/indexer.ts:226-317) and
+incremental maintenance (src/indexer.ts:413-511) as two Spark batch
+jobs over a Parquet chunk store.
+
+Chunk table schema (reference ``Doc``, src/types.ts:5-20, minus the
+embedding, which the embed stage adds —
+mcp_rag_server_spark/functions/embedding.py):
+
+    id: long           -- dense ordinal, deterministic (see below)
+    rel_path: string   -- path relative to corpus root (types.ts:9)
+    chunk: int         -- 0-based chunk index in file (types.ts:11)
+    text: string       -- chunk content (types.ts:13)
+    file_size: long    -- whole-file size, denormalized (types.ts:15)
+    line_count: int    -- whole-file line count, denormalized (types.ts:17)
+
+Id discipline: the reference assigns ids from a session counter in
+traversal order (indexer.ts:263, 473) — nondeterministic across file
+systems. We define ids as ``row_number() over (order by rel_path, chunk)
+- 1`` on cold build; incremental inserts continue from ``max(id)+1``
+(reference ``getMaxId()+1``, indexer.ts:393-400) ordered the same way.
+NOT ``monotonically_increasing_id`` — that varies with partitioning and
+would break golden tests (SURVEY.md §1.5).
+
+Scale shape: chunking is ``posexplode`` over a pure SQL chunk expression
+— a narrow, shuffle-free scan stage. The only shuffle on the cold path
+is the global ``row_number`` (a single total-order window); at 100 TB
+you'd switch ids to ``(hash(rel_path), chunk)`` or zipWithIndex-per-
+partition + offset to avoid the single-partition window — documented
+here, kept exact for golden parity. The refresh path touches only the
+changed-file delta: two path-key joins (J1 anti, J2 outer) against a
+listing that read no file bodies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.functions.text import chunk_array
+from mcp_rag_server_spark.sources.files import (
+    DEFAULT_ALLOWED_EXT,
+    DEFAULT_EXCLUDED_FOLDERS,
+    decode_text,
+    discover_files,
+)
+
+STORE_VERSION = 1
+META_FILE = "_meta.json"
+
+
+@dataclass(frozen=True)
+class IngestParams:
+    """The knobs that participate in store compatibility (reference
+    persistence.ts:91-100: chunkSize, chunkOverlap, modelName)."""
+
+    chunk_size: int = 800
+    chunk_overlap: int = 120
+    model_name: str = "fixture"
+    allowed_ext: tuple[str, ...] = DEFAULT_ALLOWED_EXT
+    excluded_folders: tuple[str, ...] = DEFAULT_EXCLUDED_FOLDERS
+    #: Change detection: the reference compares file size only
+    #: (indexer.ts:453-454) and documents that same-size edits are missed
+    #: (indexer.ts:410-411). content_hash=True strengthens detection with
+    #: sha2(content) — a deliberate, flagged divergence (SURVEY.md §5.2).
+    content_hash: bool = False
+
+
+def chunk_files(texts: DataFrame, params: IngestParams) -> DataFrame:
+    """(rel_path, file_size, text) → chunk rows without ids.
+
+    Parity: splitChunks windows (indexer.ts:201-215) via the SQL chunk
+    expression; per-file line_count = split on /\\r?\\n/ length
+    (indexer.ts:272)."""
+    return (
+        texts.withColumn(
+            "line_count", F.size(F.split("text", r"\r?\n")).cast("int")
+        )
+        .select(
+            "rel_path",
+            "file_size",
+            "line_count",
+            F.posexplode(
+                chunk_array("text", params.chunk_size, params.chunk_overlap)
+            ).alias("chunk", "chunk_text"),
+        )
+        .select(
+            "rel_path",
+            F.col("chunk").cast("int").alias("chunk"),
+            F.col("chunk_text").alias("text"),
+            "file_size",
+            "line_count",
+        )
+    )
+
+
+def _assign_ids(chunks: DataFrame, start_id: int = 0) -> DataFrame:
+    base = ["id", "rel_path", "chunk", "text", "file_size", "line_count"]
+    extra = [c for c in chunks.columns if c not in base]
+    w = Window.orderBy("rel_path", "chunk")
+    return chunks.withColumn(
+        "id", (F.row_number().over(w) - 1 + F.lit(start_id)).cast("long")
+    ).select(*base, *extra)
+
+
+def _meta_path(store_path: str) -> str:
+    return os.path.join(store_path, META_FILE)
+
+
+def save_store(chunks: DataFrame, store_path: str, params: IngestParams) -> None:
+    """Reference ``Persistence.save`` (persistence.ts:151-185): the docs
+    array + meta envelope become a Parquet table + JSON sidecar. The
+    base64-f32 embedding encoding (persistence.ts:175-177) has no
+    analog — Parquet stores array<float> natively."""
+    chunks.write.mode("overwrite").parquet(os.path.join(store_path, "chunks"))
+    with open(_meta_path(store_path), "w", encoding="utf-8") as f:
+        json.dump(_meta_dict(params), f)
+
+
+def _meta_dict(params: IngestParams) -> dict:
+    return {
+        "version": STORE_VERSION,
+        "chunk_size": params.chunk_size,
+        "chunk_overlap": params.chunk_overlap,
+        "model_name": params.model_name,
+        "content_hash": params.content_hash,
+        "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+
+def load_store(
+    spark: SparkSession, store_path: str, params: IngestParams
+) -> DataFrame | None:
+    """Reference ``Persistence.load`` (persistence.ts:78-148): missing or
+    meta-incompatible store → None → caller does a cold rebuild
+    (persistence.ts:91-100)."""
+    meta_path = _meta_path(store_path)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    compatible = (
+        meta.get("version") == STORE_VERSION
+        and meta.get("chunk_size") == params.chunk_size
+        and meta.get("chunk_overlap") == params.chunk_overlap
+        and meta.get("model_name") == params.model_name
+        and meta.get("content_hash", False) == params.content_hash
+    )
+    if not compatible:
+        return None
+    return spark.read.parquet(os.path.join(store_path, "chunks"))
+
+
+def _discover_texts(
+    spark: SparkSession,
+    root: str,
+    params: IngestParams,
+    pdf_extractor: Callable[[pd.Series], pd.Series] | None,
+) -> DataFrame:
+    files = discover_files(
+        spark,
+        root,
+        allowed_ext=params.allowed_ext,
+        excluded_folders=params.excluded_folders,
+        with_content=True,
+    )
+    texts = decode_text(files, pdf_extractor=pdf_extractor)
+    if params.content_hash:
+        texts = texts.withColumn("content_sha", F.sha2(F.col("text"), 256))
+    return texts
+
+
+def cold_build(
+    spark: SparkSession,
+    root: str,
+    params: IngestParams = IngestParams(),
+    pdf_extractor: Callable[[pd.Series], pd.Series] | None = None,
+) -> DataFrame:
+    """Full rebuild (reference cold path, indexer.ts:257-316):
+    discover → read/extract → chunk → assign ids."""
+    texts = _discover_texts(spark, root, params, pdf_extractor)
+    chunks = chunk_files(texts, params)
+    if params.content_hash:
+        # content_sha rides along in the store: it IS the change-detection
+        # key on the next refresh.
+        chunks = chunks.join(texts.select("rel_path", "content_sha"), "rel_path")
+    return _assign_ids(chunks)
+
+
+def incremental_update(
+    spark: SparkSession,
+    old_chunks: DataFrame,
+    root: str,
+    params: IngestParams = IngestParams(),
+    pdf_extractor: Callable[[pd.Series], pd.Series] | None = None,
+) -> DataFrame:
+    """Reference ``incrementalUpdate`` (indexer.ts:413-511) as delta joins:
+
+    J1 (deleted):  old chunk paths LEFT ANTI current listing → dropped
+                   (indexer.ts:431-443).
+    J2 (changed):  current listing vs old per-path file_size; new path or
+                   size mismatch → re-ingest that file (indexer.ts:446-462);
+                   with ``content_hash`` the key is sha2(text) instead,
+                   catching same-size edits the reference misses
+                   (indexer.ts:410-411).
+
+    New chunk ids continue from max(old id)+1 (getMaxId()+1,
+    indexer.ts:393-400), ordered by (rel_path, chunk) for determinism.
+    Only changed files are re-read/re-chunked; survivors pass through
+    untouched — at scale this is a MERGE keyed on rel_path.
+    """
+    texts = _discover_texts(spark, root, params, pdf_extractor)
+
+    change_key = "content_sha" if params.content_hash else "file_size"
+    old_by_path = old_chunks.groupBy("rel_path").agg(
+        F.first(change_key).alias(f"old_{change_key}")
+    )
+    listing = texts.select("rel_path", change_key).distinct()
+
+    # J1: chunks of files that no longer exist are dropped.
+    survivors = old_chunks.join(listing.select("rel_path"), "rel_path", "left_semi")
+
+    # J2: new files + changed files (key mismatch) are re-ingested.
+    delta_paths = (
+        listing.join(old_by_path, "rel_path", "left_outer")
+        .filter(
+            F.col(f"old_{change_key}").isNull()
+            | (F.col(change_key) != F.col(f"old_{change_key}"))
+        )
+        .select("rel_path")
+    )
+    survivors = survivors.join(delta_paths, "rel_path", "left_anti")
+
+    delta_texts = texts.join(delta_paths, "rel_path", "left_semi")
+    delta_chunks = chunk_files(delta_texts, params)
+    if params.content_hash:
+        delta_chunks = delta_chunks.join(
+            delta_texts.select("rel_path", "content_sha"), "rel_path"
+        )
+
+    max_id = survivors.agg(F.max("id")).first()[0]
+    next_id = (max_id + 1) if max_id is not None else 0  # getMaxId()+1
+    new_chunks = _assign_ids(delta_chunks, start_id=next_id)
+    return survivors.select(*new_chunks.columns).unionByName(new_chunks)
+
+
+def build(
+    spark: SparkSession,
+    root: str,
+    store_path: str,
+    params: IngestParams = IngestParams(),
+    pdf_extractor: Callable[[pd.Series], pd.Series] | None = None,
+) -> DataFrame:
+    """Reference ``Indexer.build`` (indexer.ts:226-317): warm-start from a
+    compatible store and refresh incrementally, else cold rebuild; then
+    persist. Returns the current chunks DataFrame (re-read from the
+    store, so callers never depend on pre-write lineage)."""
+    import shutil
+
+    old = load_store(spark, store_path, params)
+    if old is not None:
+        chunks = incremental_update(
+            spark, old, root, params, pdf_extractor=pdf_extractor
+        )
+        # The refresh reads the parquet dir it is about to replace, so
+        # write to a sibling dir first and swap — never collect() the
+        # table through the driver (it may be 100 TB).
+        next_dir = os.path.join(store_path, "chunks.next")
+        chunks.write.mode("overwrite").parquet(next_dir)
+        cur_dir = os.path.join(store_path, "chunks")
+        shutil.rmtree(cur_dir, ignore_errors=True)
+        os.rename(next_dir, cur_dir)
+        with open(_meta_path(store_path), "w", encoding="utf-8") as f:
+            json.dump(_meta_dict(params), f)
+    else:
+        chunks = cold_build(spark, root, params, pdf_extractor=pdf_extractor)
+        save_store(chunks, store_path, params)
+    # The swap replaced files under a path Spark may have listed; drop the
+    # stale listing before handing back a reader.
+    spark.catalog.refreshByPath(os.path.join(store_path, "chunks"))
+    return spark.read.parquet(os.path.join(store_path, "chunks"))
