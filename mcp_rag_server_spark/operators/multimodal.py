@@ -1,0 +1,164 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+No decoder libraries (PIL/librosa/av) exist in this container, so the
+*decode* step is pluggable: production injects a real decoder; the
+default here is a clearly-marked deterministic fake whose outputs are
+pure arithmetic over the blob bytes — which makes the whole pipeline
+relationally expressible and therefore oracle-checkable. The Spark-side
+plumbing — binary column, mapInPandas schema/batch shape, explode of
+per-frame rows — is the real production shape either way.
+
+Scale shape: every stage is a narrow mapInPandas over the blob column —
+no shuffle; executors stream Arrow record batches through Python
+workers. Blob columns ride in Parquet as ``binary``; at 100 TB you
+partition by content hash prefix and let ``maxPartitionBytes`` bound the
+per-task batch memory (blobs >> metadata, so keep metadata in separate
+pruned-scan-friendly columns — exactly the layout used here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+
+#: Deterministic fake-decoder geometry (pure functions of byte length,
+#: mirrored in the SQL oracles below).
+FAKE_W_MOD, FAKE_H_MOD, FAKE_FRAME_MOD = 640, 480, 100
+FRAME_STRIDE = 7  # sample every 7th frame
+
+ImageDecoder = Callable[[bytes], dict]
+
+
+def fake_image_decoder(blob: bytes) -> dict:
+    """STUB decoder (no image libs in this container): deterministic
+    metadata from byte length. Real deployments inject a PIL-backed
+    decoder with the same dict contract."""
+    n = len(blob)
+    return {
+        "byte_len": n,
+        "width": 1 + n % FAKE_W_MOD,
+        "height": 1 + (n * 7) % FAKE_H_MOD,
+        "channels": 3,
+    }
+
+
+def pil_image_decoder(blob: bytes) -> dict:  # pragma: no cover - env-dep
+    """Real decode path, gated: raises NotImplementedError without PIL."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "PIL is not installed; inject a decoder or use fake_image_decoder"
+        ) from e
+    im = Image.open(io.BytesIO(blob))
+    return {
+        "byte_len": len(blob),
+        "width": im.width,
+        "height": im.height,
+        "channels": len(im.getbands()),
+    }
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, byte_len int, width int, height int, channels int"
+)
+
+
+def decode_image_meta(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decoder: ImageDecoder = fake_image_decoder,
+) -> DataFrame:
+    """(id, binary) → typed image metadata via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            metas = [decoder(x) for x in b[blob_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", b[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+@register(
+    "mm_image_meta",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+       CAST(1 + octet_length(CAST(text AS BLOB)) % {FAKE_W_MOD} AS INTEGER) AS width,
+       CAST(1 + (octet_length(CAST(text AS BLOB)) * 7) % {FAKE_H_MOD} AS INTEGER) AS height,
+       3 AS channels
+FROM documents
+ORDER BY doc_id
+""",
+    description="binary image column → typed metadata via mapInPandas"
+    " (deterministic fake decoder with a SQL twin)",
+    tags=("multimodal", "mapInPandas"),
+)
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture blobs = utf-8 bytes of documents.text (no image files in
+    the testdata); the decode stage is the production mapInPandas shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return decode_image_meta(docs).orderBy("doc_id")
+
+
+def sample_frames(
+    meta: DataFrame, n_frames_col: str = "n_frames", stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame sampling plan: explode every ``stride``-th frame index —
+    0, stride, 2*stride, … < n_frames. Pure SQL explode; the per-frame
+    decode would be a downstream mapInPandas on (blob, frame_idx)."""
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col(n_frames_col) - 1,
+                F.lit(stride),
+            )
+        ).alias("frame_idx"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id,
+         1 + octet_length(CAST(text AS BLOB)) % {FAKE_FRAME_MOD} AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, {FRAME_STRIDE})) AS INTEGER) AS frame_idx
+FROM v
+ORDER BY doc_id, frame_idx
+""",
+    description="video frame-sampling plan: every k-th frame index exploded"
+    " (fake frame count from blob bytes)",
+    tags=("multimodal", "video"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        (1 + F.octet_length(F.encode("text", "UTF-8")) % FAKE_FRAME_MOD).alias(
+            "n_frames"
+        ),
+    )
+    return (
+        sample_frames(meta)
+        .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    )

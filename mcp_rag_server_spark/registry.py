@@ -78,11 +78,14 @@ def load_all() -> dict[str, QuerySpec]:
     from mcp_rag_server_spark.operators import (  # noqa: F401
         chunking,
         dedup,
+        embed,
         events,
+        multimodal,
         rag,
         relational,
         similarity,
         textanalysis,
     )
+    from mcp_rag_server_spark.streaming import events_stream  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,209 @@
+"""Streaming event analytics (SURVEY.md §2.9).
+
+The reference has no streaming at all — its closest concept is the
+restart-time incremental rescan (src/indexer.ts:413-511), and its README
+defers "incremental watch mode (fs events)" to future work
+(src/index.ts:426-427). These operators are the Spark-native answer:
+the same parquet events land as a *file stream*, and the batch queries
+in operators/events.py become watermarked streaming aggregations with
+identical results — each registry entry here runs the real streaming
+engine (availableNow trigger → memory sink) and is hash-checked against
+the same DuckDB oracle family as the batch twins.
+
+Scale shape: streaming aggregations keep per-key state in the state
+store; watermarks bound that state (late data beyond the delay is
+dropped, state for closed windows is evicted). The demo uses
+``complete`` output to flush every window at end-of-stream; a production
+24/7 pipeline would use ``append`` + a real watermark so state stays
+O(open windows), and foreachBatch MERGE (below) for exactly-once table
+maintenance.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.functions.numeric import dsum, duckdb_dsum
+from mcp_rag_server_spark.registry import register
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (the natural analog of
+    the reference's directory rescan — new files are new micro-batches).
+    Same TIMESTAMP(NANOS) handling as catalog.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    result: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) into
+    a memory sink and return the final table. availableNow processes the
+    whole backlog as micro-batches then stops — the batch-parity mode of
+    a streaming query."""
+    name = "st_" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="st_ckpt_"), name),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def hourly_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h event-time windows with a watermark — streaming twin
+    of ev_hourly_windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (30-min inactivity gap) — the streaming
+    engine's stateful sessionizer; batch twin is the gaps-and-islands
+    ev_sessionize."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "st_hourly_windows",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {duckdb_dsum("value", 4)} AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+""",
+    description="STREAMING tumbling 1h windows (watermark + window(), "
+    "availableNow → memory sink) hash-matched to the batch oracle",
+    tags=("streaming", "events", "window"),
+)
+def st_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(hourly_windows(read_event_stream(spark, sf_dir)))
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "st_sessionize",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    description="STREAMING session windows (session_window(), 30-min gap)"
+    " hash-matched to a gaps-and-islands batch oracle",
+    tags=("streaming", "events", "session"),
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's session_window end = last event + gap, which is exactly
+    MAX(ts) + INTERVAL in the oracle."""
+    out = run_to_memory(session_windows(read_event_stream(spark, sf_dir)))
+    return out.orderBy("user_id", "session_start")
+
+
+def merge_events_stream(
+    spark: SparkSession, sf_dir: str, target_dir: str
+) -> None:
+    """foreachBatch MERGE: each micro-batch upserts into a parquet table
+    keyed by event_id (idempotent — replays dedup away). This is the
+    streaming generalization of the reference's incremental index
+    maintenance (indexer.ts:446-462): new keys insert, existing keys
+    keep the stored row. Plain-parquet MERGE = union + dedup + swap; on
+    Delta/Iceberg this becomes a real MERGE INTO."""
+    stream = read_event_stream(spark, sf_dir)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        tgt = os.path.join(target_dir, "events_merged")
+        if os.path.exists(tgt):
+            existing = s.read.parquet(tgt)
+            merged = (
+                existing.unionByName(batch.select(*existing.columns))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("event_id").orderBy(F.col("ts").asc())
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            nxt = tgt + ".next"
+            merged.write.mode("overwrite").parquet(nxt)
+            import shutil
+
+            shutil.rmtree(tgt)
+            os.rename(nxt, tgt)
+            s.catalog.refreshByPath(tgt)
+        else:
+            batch.write.mode("overwrite").parquet(tgt)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation",
+            os.path.join(target_dir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
