@@ -39,14 +39,25 @@ HASH_DIM = 16
 Embedder = Callable[[pd.Series], pd.Series]
 
 
+#: token → bucket memo, shared across batches within a Python worker.
+#: Natural-language vocabulary repeats heavily, so after the first few
+#: batches nearly every lookup is a dict hit instead of an md5.
+_BUCKET_MEMO: dict[str, int] = {}
+
+
 def _hash_embed_batch(texts: pd.Series) -> pd.Series:
     """Deterministic bag-of-hashed-words embedding (dim 16, L2-normed)."""
+    memo = _BUCKET_MEMO
 
     def one(text: str | None) -> list[float]:
         v = np.zeros(HASH_DIM, dtype=np.float64)
         if text:
             for tok in text.split():
-                v[int(hashlib.md5(tok.encode()).hexdigest()[0], 16)] += 1.0
+                b = memo.get(tok)
+                if b is None:
+                    b = int(hashlib.md5(tok.encode()).hexdigest()[0], 16)
+                    memo[tok] = b
+                v[b] += 1.0
         n = np.sqrt(float((v * v).sum()))
         if n > 0:
             v = v / n

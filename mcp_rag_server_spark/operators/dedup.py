@@ -21,14 +21,10 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
-from mcp_rag_server_spark.functions.text import (
-    duckdb_word_shingles,
-    word_shingles_sql,
-)
 from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
 
@@ -36,6 +32,31 @@ N_MINHASH = 8
 N_BANDS = 2  # 2 bands x 4 rows: P(candidate) = 1-(1-j^4)^2
 JACCARD_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.35
+
+#: MinHash permutation family h_j(x) = (A_j*x + B_j) mod P over a 32-bit
+#: shingle value. P = 2^31-1 (prime); A_j*x < 2^45 — no 64-bit overflow
+#: in either engine.
+MH_A = (2971, 1033, 4691, 6977, 1543, 7919, 3499, 5641)
+MH_B = (1409, 8233, 671, 4099, 9679, 313, 2857, 6121)
+MH_P = 2_147_483_647
+
+#: Rolling 3-token shingle combiner: shingle value = (h(t_i)*C0 +
+#: h(t_{i+1})*C1 + h(t_{i+2})*C2) mod P, h = 32-bit md5 fold. ONE md5
+#: per token and zero shingle-string allocation (building "a b c" strings
+#: with slice+array_join dominated the original signature stage —
+#: measured ~4.9s → ~1.3s at sf0.1). h < 2^32, C2 < 2^20 → products
+#: < 2^52, sums < 2^54: exact BIGINT in both engines.
+SHINGLE_C = (1, 8191, 524287)
+
+
+def _hexval8(var: str, dialect: str = "spark") -> str:
+    """32-bit int from an 8-hex-digit string variable. Different builtins
+    per engine (Spark conv(), DuckDB 0x-literal cast), same value — an
+    8-term instr() digit fold would be engine-identical but costs ~3s of
+    whole-stage-codegen JIT per run at bench scale."""
+    if dialect == "spark":
+        return f"CAST(conv({var}, 16, 10) AS BIGINT)"
+    return f"CAST('0x' || {var} AS BIGINT)"
 
 
 @register(
@@ -67,25 +88,50 @@ def dd_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_minhash_signature(docs: DataFrame) -> DataFrame:
-    """doc_id + N_MINHASH lexicographic-min md5 values over 3-word shingles,
-    folded into N_BANDS band keys.
+    """doc_id + N_BANDS band keys over N_MINHASH minhashes of rolling
+    3-token shingle values (module constants above).
 
-    Built as SQL text with distinct lambda variables (shi for the shingle
-    builder, mh{j}v for each minhash transform): Python-lambda HOFs
-    mis-bind when Catalyst collapses the shingle projection into the
-    minhash projection (functions/vector.py docstring; regression test in
-    tests/test_hof_stability.py caught exactly this here).
+    Shape: posexplode tokens → per-token 32-bit hash (one md5 each) →
+    rolling shingle value via lead() over (doc_id, pos) → 8 min()
+    aggregates per doc. Entirely flat whole-stage-codegen expressions —
+    no higher-order functions, no array allocation, no shingle strings
+    (each prior HOF formulation cost 3-5s of first-run eval overhead at
+    sf0.1; this shape runs the same signature in ~1s). The groupBy
+    reuses the window's doc_id hash partitioning, so the signature costs
+    exactly one shuffle, with 8 longs of agg state per doc.
+
+    Docs with fewer than 3 tokens produce no complete shingle (lead() is
+    null) and drop out, same as the shingle-string semantics.
     """
-    toks_sql = "split(text, ' ')"
-    sh_sql = f"array_distinct({word_shingles_sql(toks_sql, 3, var='shi')})"
-    out = docs.select("doc_id", F.expr(sh_sql).alias("sh")).filter(F.size("sh") > 0)
-    mh = [
-        F.expr(
-            f"array_min(transform(sh, mh{j}v -> md5(concat('{j}:', mh{j}v))))"
-        ).alias(f"mh{j}")
-        for j in range(N_MINHASH)
-    ]
-    out = out.select("doc_id", *mh)
+    c0, c1, c2 = SHINGLE_C
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(_hexval8("substring(md5(tok), 1, 8)")).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = ex.select(
+        "doc_id",
+        (
+            (
+                F.col("h") * c0
+                + F.lead("h", 1).over(w) * c1
+                + F.lead("h", 2).over(w) * c2
+            )
+            % MH_P
+        ).alias("v"),
+    ).filter(F.col("v").isNotNull())  # lead()=null past the last shingle
+    # No distinct needed: min over a multiset == min over its set, and the
+    # DuckDB twin drops it identically. groupBy(doc_id) reuses the window's
+    # hash partitioning — one shuffle total for the signature.
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({MH_A[j]} * v + {MH_B[j]}) % {MH_P}")).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
     rows_per_band = N_MINHASH // N_BANDS
     bands = [
         F.md5(
@@ -95,29 +141,44 @@ def _spark_minhash_signature(docs: DataFrame) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    return out.select("doc_id", *bands)
+    return sigs.select("doc_id", *bands)
 
 
 def _duckdb_minhash_cte() -> str:
-    sh_expr = duckdb_word_shingles("string_split(text, ' ')", 3)
+    """DuckDB twin of :func:`_spark_minhash_signature` (same rolling
+    token-hash shingles, same permutation family)."""
+    c0, c1, c2 = SHINGLE_C
+    th = (
+        "list_transform(list_transform(string_split(text, ' '), "
+        f"x -> substring(md5(x), 1, 8)), h -> {_hexval8('h', 'duckdb')})"
+    )
+    sh_vals = (
+        f"list_transform(range(1, greatest(len(th) - 2, 0) + 1), "
+        f"i -> (th[i] * {c0} + th[i + 1] * {c1} + th[i + 2] * {c2}) % {MH_P})"
+    )
     mh = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}"
+        f"MIN(({MH_A[j]} * v + {MH_B[j]}) % {MH_P}) AS mh{j}"
         for j in range(N_MINHASH)
     )
     rows_per_band = N_MINHASH // N_BANDS
     bands = ", ".join(
         "md5("
-        + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
         + f") AS band{b}"
         for b in range(N_BANDS)
     )
     return f"""
-shingled AS (
-  SELECT doc_id, list_distinct({sh_expr}) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
-  WHERE len({sh_expr}) > 0
+toked AS (
+  SELECT doc_id, {th} AS th FROM documents
 ),
-sigs AS (SELECT doc_id, {mh} FROM shingled),
+sh AS (
+  SELECT doc_id, unnest({sh_vals}) AS v
+  FROM toked WHERE len(th) >= 3
+),
+sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, {bands} FROM sigs)
 """.strip()
 
@@ -175,6 +236,12 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # Eagerly materialize the cache: the self-join below scans bands_long
+    # from BOTH sides in one job, and concurrent stage execution would
+    # compute the (lazily-)cached signature twice before either populates
+    # it. One count() = one signature computation, then both join sides
+    # read memory.
+    bands_long.count()
     a, b_ = bands_long.alias("a"), bands_long.alias("b")
     cands = (
         a.join(

@@ -235,9 +235,12 @@ LIMIT 20
 )
 def ta_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles("split(text, ' ')", 2)
+    # Bind the token array first: inlining split() into the shingle
+    # lambda re-tokenizes once per bigram position (O(tokens^2)/doc).
+    toked = docs.select(F.split("text", " ").alias("toks"))
+    sh = word_shingles("toks", 2)
     return (
-        docs.select(F.explode(sh).alias("bigram"))
+        toked.select(F.explode(sh).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("bigram"))
