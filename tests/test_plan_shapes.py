@@ -1,0 +1,112 @@
+"""Plan-shape regression tests: the scale properties each operator
+claims must be visible in the physical plan (SURVEY.md §4 — Catalyst
+gives these for free ONLY if the query is expressed so it can).
+
+These assert on the initial (pre-AQE) plan text, which is stable for
+the properties checked: scan pushdown/pruning, exchange counts,
+broadcast joins, TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from mcp_rag_server_spark.plans.inspect import (
+    broadcast_join_count,
+    count_exchanges,
+    has_take_ordered,
+    plan_string,
+    pushed_filters,
+    read_schema,
+)
+from mcp_rag_server_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return load_all()[name].spark_fn(spark, SF)
+
+
+def test_rag_topk_is_shuffle_free_heap_topk(spark):
+    """The flagship query must be scan → cosine → TakeOrderedAndProject:
+    zero shuffles, k rows to the driver (SURVEY.md §3.1)."""
+    df = q(spark, "rag_topk")
+    assert has_take_ordered(df)
+    assert count_exchanges(df) == 0
+
+
+def test_rag_topk_prunes_columns(spark):
+    """Scoring needs (vec_id, label, embedding) — a scan reading more
+    would drag the whole table through the 100 TB scan."""
+    rs = read_schema(q(spark, "rag_topk"), "embeddings.parquet")
+    assert "embedding" in rs and "text" not in rs
+
+
+def test_tpch_q6_filters_reach_parquet(spark):
+    pf = pushed_filters(q(spark, "tpch_q6"), "lineitem.parquet")
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_tpch_q6_single_pass(spark):
+    # scan → partial agg → single-row exchange → final agg
+    assert count_exchanges(q(spark, "tpch_q6")) <= 1
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    df = q(spark, "tpch_q3")
+    assert broadcast_join_count(df) >= 1
+    assert has_take_ordered(df)
+
+
+def test_tpch_q5_one_fact_shuffle(spark):
+    """Five joins, but every dim broadcasts: the only exchanges are the
+    final aggregation + sort of |nations| rows."""
+    df = q(spark, "tpch_q5")
+    assert broadcast_join_count(df) == 5
+    assert count_exchanges(df) <= 2
+
+
+def test_q7_q8_broadcast_all_dims(spark):
+    assert broadcast_join_count(q(spark, "tpch_q7_volume_shipping")) >= 4
+    assert broadcast_join_count(q(spark, "tpch_q8_market_share")) >= 4
+
+
+def test_sim_ann_topk_broadcasts_queries(spark):
+    """Q queries x N corpus: the Q side must broadcast so the corpus is
+    scanned once with no shuffle of the big side before the window."""
+    plan = plan_string(q(spark, "sim_ann_topk"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_chunking_is_narrow(spark):
+    """Chunk explosion must not shuffle — it's a per-split transform."""
+    assert count_exchanges(q(spark, "chunk_split")) == 0
+
+
+def test_embed_stage_is_narrow_arrow(spark):
+    """Embedding = scan → Arrow-batched Python eval → explode; a shuffle
+    here would move the whole corpus. The single allowed exchange is the
+    final presentation orderBy (oracle-comparison determinism, not part
+    of the embed pipeline)."""
+    df = q(spark, "emb_hash_embed")
+    plan = plan_string(df)
+    assert "ArrowEvalPython" in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_top_parts_preaggregates_before_join(spark):
+    """Fact is aggregated to |parts| rows before the dim join: the join
+    inputs must be the agg output, not raw lineitem (plan shows the
+    HashAggregate below the broadcast join)."""
+    plan = plan_string(q(spark, "top_parts_by_revenue"))
+    join_pos = plan.index("BroadcastHashJoin")
+    agg_pos = plan.index("HashAggregate")
+    assert agg_pos > join_pos  # formatted tree lists children after parent
+
+
+def test_minhash_signature_single_shuffle(spark):
+    """Signature = one shuffle (doc_id window + reused-partitioning agg)."""
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.operators.dedup import _spark_minhash_signature
+
+    sig = _spark_minhash_signature(load_table(spark, SF, "documents"))
+    assert count_exchanges(sig) == 1
