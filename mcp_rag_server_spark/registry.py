@@ -84,8 +84,12 @@ def load_all() -> dict[str, QuerySpec]:
         rag,
         relational,
         similarity,
+        temporal,
         textanalysis,
     )
-    from mcp_rag_server_spark.streaming import events_stream  # noqa: F401
+    from mcp_rag_server_spark.streaming import (  # noqa: F401
+        events_stream,
+        stateful,
+    )
 
     return REGISTRY

@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The build-spec's "custom stateful operators" case: when watermarked
+window/session aggregations can't express the semantics, Spark's
+arbitrary-state API gives a per-key state dict with batch-at-a-time
+pandas processing. Demonstrated here with a running per-user
+(event_count, max_value) accumulator across micro-batches.
+
+Correctness design: state transitions use only order-independent math
+(integer count, max) so the final state is identical regardless of row
+order within batches or file processing order across batches — which is
+what makes the streaming result hash-comparable to a batch SQL oracle.
+A float running *sum* here would be order-sensitive; use the decimal
+discipline (functions/numeric.py) if you need one.
+
+Scale shape: state lives in the executor state store partitioned by the
+grouping key (one shuffle per batch on user_id); each key holds two
+longs — state size is O(distinct users), not O(events).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+
+N_SPLIT_FILES = 4
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """events stream → per-user cumulative (n_events, max_value), one
+    updated row per user per micro-batch that touched it."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, mx = state.get
+        else:
+            n, mx = 0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "st_stateful_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="STREAMING custom stateful operator (applyInPandasWithState"
+    " running per-user count/max over multi-batch file stream) vs batch oracle",
+    tags=("streaming", "stateful", "events"),
+)
+def st_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splits events into N files and streams them one file per trigger,
+    so the state genuinely accumulates across micro-batches; the memory
+    sink (update mode) collects every per-batch emission and the final
+    per-user row is the one with the highest cumulative count."""
+    src = tempfile.mkdtemp(prefix="st_stateful_src_")
+    ev = load_table(spark, sf_dir, "events")  # ts already micros here
+    ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    result = running_user_stats(stream)
+    name = "st_stateful_" + os.path.basename(src).split("_")[-1]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.mkdtemp(prefix="st_ckpt_"), "c"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table(name)
+    # n_events is cumulative and strictly grows with each touched batch:
+    # the max-count row per user is the final state.
+    final = updates.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "max_value")).alias("s")
+    )
+    return final.select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.col("s.max_value").alias("max_value"),
+    ).orderBy("user_id")
