@@ -941,3 +941,112 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(_revenue(), 6).alias("revenue"), F.count("*").alias("n_lines"))
     )
+
+
+# --------------------------------------------------------------------------
+# Analytic extensions: exact percentiles, pivot, ranking windows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5)  AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       MIN(l_quantity) AS qmin,
+       MAX(l_quantity) AS qmax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="exact continuous percentiles per group (Spark percentile"
+    " == DuckDB quantile_cont, both linear interpolation)",
+    tags=("relational", "agg", "percentile"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles sort each group's values — fine per bounded
+    group. For 100 TB unbounded groups switch to approx_percentile
+    (t-digest sketch, map-side combinable); kept exact here because the
+    oracle comparison demands bit-equality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="pivot (orders status x priority) — Spark pivot() with an"
+    " explicit value list vs conditional-count oracle",
+    tags=("relational", "pivot", "agg"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() with explicit values: no extra distinct-values job, and at
+    scale the output width is fixed at plan time."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "window_rank_analytics",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       rank()         OVER w AS bal_rank,
+       dense_rank()   OVER w AS bal_dense_rank,
+       ntile(4)       OVER w AS bal_quartile,
+       round(percent_rank() OVER w, 6) AS bal_pct_rank,
+       round(cume_dist()    OVER w, 6) AS bal_cume_dist
+FROM customer
+WHERE c_custkey <= 200
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, bal_rank, c_custkey
+""",
+    description="ranking-window analytics pack: rank/dense_rank/ntile/"
+    "percent_rank/cume_dist per market segment",
+    tags=("relational", "window"),
+)
+def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    ).orderBy("c_mktsegment", "bal_rank", "c_custkey")
