@@ -86,6 +86,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         textanalysis,
+        vector_lsh,
     )
     from mcp_rag_server_spark.streaming import (  # noqa: F401
         events_stream,

@@ -88,6 +88,48 @@ def hourly_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1h windows sliding every 30min — each event lands in 2 windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "st_sliding_windows",
+    oracle=f"""
+SELECT ws AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {duckdb_dsum("value", 4)} AS total_value
+FROM (
+  SELECT unnest([
+           make_timestamp(epoch_us(ts) - epoch_us(ts) % (1800 * 1000000)),
+           make_timestamp(epoch_us(ts) - epoch_us(ts) % (1800 * 1000000)
+                          - 1800 * 1000000)
+         ]) AS ws,
+         event_type, value
+  FROM events
+)
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+""",
+    description="STREAMING sliding windows (1h length, 30min slide): each"
+    " event in 2 windows, vs an unnest-both-windows batch oracle",
+    tags=("streaming", "events", "window"),
+)
+def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(sliding_windows(read_event_stream(spark, sf_dir)))
+    return out.orderBy("window_start", "event_type")
+
+
 def session_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Native session windows (30-min inactivity gap) — the streaming
     engine's stateful sessionizer; batch twin is the gaps-and-islands

@@ -1,0 +1,82 @@
+"""Scale-pattern tests: co-located bucketed joins and salted skew joins —
+the two explicit levers the README's scale notes promise beyond what
+Catalyst/AQE do automatically."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mcp_rag_server_spark.functions.skew import salted_join
+from mcp_rag_server_spark.plans.inspect import count_exchanges, plan_string
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, no_broadcast):
+    """Both sides bucketed+sorted on the join key → SortMergeJoin with
+    ZERO exchanges: the 100 TB recipe for repeated fact-fact joins
+    (bucket pruning also applies). Plain parquet (non-bucketed) joins
+    of the same data shuffle both sides."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", lineitem, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert count_exchanges(joined) == 0, plan_string(joined)
+    assert "SortMergeJoin" in plan_string(joined)
+    # Same join on the raw (unbucketed) parquet shuffles both sides.
+    raw = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    assert count_exchanges(raw) == 2
+    # And the result is identical.
+    assert joined.count() == raw.count()
+
+
+def test_salted_join_matches_plain_join(spark, no_broadcast):
+    """A 95%-skewed key: salted result == plain result, and the salted
+    shuffle key has n_salts x the cardinality on the hot key."""
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim_val")
+    )
+    plain = big.join(small, "k").select("k", "payload", "dim_val")
+    salted = salted_join(big, small, "k").select("k", "payload", "dim_val")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_left_outer(spark, no_broadcast):
+    big = spark.range(0, 100).select((F.col("id") % 5).alias("k"), "id")
+    small = spark.range(0, 2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    plain = big.join(small, "k", "left").select("k", "id", "v")
+    salted = salted_join(big, small, "k", how="left").select("k", "id", "v")
+    assert sorted(
+        map(tuple, salted.collect()), key=lambda t: tuple((x is None, x) for x in t)
+    ) == sorted(
+        map(tuple, plain.collect()), key=lambda t: tuple((x is None, x) for x in t)
+    )
