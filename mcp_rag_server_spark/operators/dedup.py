@@ -1,16 +1,18 @@
 """Deduplication operators — exact and near-dup, every flavor a 100 TB
 training-data pipeline needs (BASELINE.json directive).
 
-Engine-portability note: numeric hash functions differ per engine
-(Spark murmur3 vs DuckDB's), so every hash here is md5-hex — identical
-strings everywhere — and MinHash signatures are *lexicographic* mins of
-md5 strings, which is a valid uniform permutation family for LSH.
+Engine-portability note: numeric hash builtins differ per engine (Spark
+murmur3 vs DuckDB's), so every hash here starts from md5-hex — identical
+strings everywhere — then folds to integers with engine-equivalent
+arithmetic; MinHash uses the (A_j*x + B_j) mod P permutation family over
+a 32-bit md5 fold (constants below).
 
 Scale shapes:
   - exact dedup: groupBy(md5(text)) — one shuffle on a uniform key.
-  - MinHash LSH: per-doc signature (narrow) → band join (shuffle on
-    band hash = the LSH bucket join) → verify candidates with exact
-    Jaccard. Candidate count, not corpus size², bounds the join.
+  - MinHash LSH: per-doc signature (one shuffle: rolling-hash shingles →
+    8 min-aggregates) → band join (shuffle on band hash = the LSH bucket
+    join) → verify candidates with exact Jaccard. Candidate count, not
+    corpus size², bounds the join.
   - SimHash: per-token sign votes aggregated per doc — explode +
     partial agg; the 16-bit simhash becomes a bucket key for Hamming
     candidate search.

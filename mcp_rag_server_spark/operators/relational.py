@@ -1050,3 +1050,62 @@ def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     ).orderBy("c_mktsegment", "bal_rank", "c_custkey")
+
+
+@register(
+    "grouping_sets_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    description="GROUPING SETS with GROUPING() markers (explicit set list,"
+    " distinct from cube/rollup)",
+    tags=("relational", "agg", "groupingsets"),
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "sql_rag_topk",
+    oracle=None,  # covered below: identical to rag_topk's oracle
+    description="the flagship query through the pure-SQL surface"
+    " (spark.sql over registered views — same plan as the DataFrame form)",
+    tags=("rag", "sql", "topk"),
+)
+def sql_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every operator here is reachable from SQL too; this registers the
+    fixture as a view and runs rag_query's core as one SQL string. Kept
+    oracle-gated via rag_topk (same result contract); registered
+    separately so the SQL entry path itself is smoke-tested."""
+    from mcp_rag_server_spark.functions.vector import cosine_sql
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    return spark.sql(
+        f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings_v WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round({cosine_sql("e.embedding", "q.qv")}, 4) AS score
+        FROM embeddings_v e CROSS JOIN q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 5
+        """
+    )

@@ -72,6 +72,13 @@ class IngestParams:
     #: (indexer.ts:410-411). content_hash=True strengthens detection with
     #: sha2(content) — a deliberate, flagged divergence (SURVEY.md §5.2).
     content_hash: bool = False
+    #: 0 = flat store (refresh rewrites the whole table). > 0 = store is
+    #: partitioned by bucket = pmod(hash(rel_path), n_buckets) and refresh
+    #: rewrites ONLY buckets containing changed/deleted/new paths — at
+    #: 100 TB a small delta touches a handful of partition dirs instead of
+    #: re-shuffling the corpus. Participates in meta compat (a layout
+    #: change forces a cold rebuild).
+    n_buckets: int = 0
 
 
 def chunk_files(texts: DataFrame, params: IngestParams) -> DataFrame:
@@ -115,12 +122,25 @@ def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, META_FILE)
 
 
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.hash("rel_path"), F.lit(n_buckets))
+
+
 def save_store(chunks: DataFrame, store_path: str, params: IngestParams) -> None:
     """Reference ``Persistence.save`` (persistence.ts:151-185): the docs
     array + meta envelope become a Parquet table + JSON sidecar. The
     base64-f32 embedding encoding (persistence.ts:175-177) has no
     analog — Parquet stores array<float> natively."""
-    chunks.write.mode("overwrite").parquet(os.path.join(store_path, "chunks"))
+    target = os.path.join(store_path, "chunks")
+    if params.n_buckets > 0:
+        (
+            chunks.withColumn("bucket", _bucket_col(params.n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(target)
+        )
+    else:
+        chunks.write.mode("overwrite").parquet(target)
     with open(_meta_path(store_path), "w", encoding="utf-8") as f:
         json.dump(_meta_dict(params), f)
 
@@ -132,6 +152,7 @@ def _meta_dict(params: IngestParams) -> dict:
         "chunk_overlap": params.chunk_overlap,
         "model_name": params.model_name,
         "content_hash": params.content_hash,
+        "n_buckets": params.n_buckets,
         "saved_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
 
@@ -153,6 +174,7 @@ def load_store(
         and meta.get("chunk_overlap") == params.chunk_overlap
         and meta.get("model_name") == params.model_name
         and meta.get("content_hash", False) == params.content_hash
+        and meta.get("n_buckets", 0) == params.n_buckets
     )
     if not compatible:
         return None
@@ -218,7 +240,19 @@ def incremental_update(
     untouched — at scale this is a MERGE keyed on rel_path.
     """
     texts = _discover_texts(spark, root, params, pdf_extractor)
+    deleted_paths, delta_paths = _delta_paths(old_chunks, texts, params)
 
+    survivors = old_chunks.join(
+        deleted_paths.unionByName(delta_paths), "rel_path", "left_anti"
+    )
+    new_chunks = _build_delta_chunks(survivors, texts, delta_paths, params)
+    return survivors.select(*new_chunks.columns).unionByName(new_chunks)
+
+
+def _delta_paths(
+    old_chunks: DataFrame, texts: DataFrame, params: IngestParams
+) -> tuple[DataFrame, DataFrame]:
+    """(deleted_paths, changed_or_new_paths) — the J1/J2 delta keys."""
     change_key = "content_sha" if params.content_hash else "file_size"
     old_by_path = old_chunks.groupBy("rel_path").agg(
         F.first(change_key).alias(f"old_{change_key}")
@@ -226,10 +260,11 @@ def incremental_update(
     listing = texts.select("rel_path", change_key).distinct()
 
     # J1: chunks of files that no longer exist are dropped.
-    survivors = old_chunks.join(listing.select("rel_path"), "rel_path", "left_semi")
-
+    deleted = old_by_path.select("rel_path").join(
+        listing.select("rel_path"), "rel_path", "left_anti"
+    )
     # J2: new files + changed files (key mismatch) are re-ingested.
-    delta_paths = (
+    delta = (
         listing.join(old_by_path, "rel_path", "left_outer")
         .filter(
             F.col(f"old_{change_key}").isNull()
@@ -237,19 +272,26 @@ def incremental_update(
         )
         .select("rel_path")
     )
-    survivors = survivors.join(delta_paths, "rel_path", "left_anti")
+    return deleted, delta
 
+
+def _build_delta_chunks(
+    survivors: DataFrame,
+    texts: DataFrame,
+    delta_paths: DataFrame,
+    params: IngestParams,
+) -> DataFrame:
+    """Chunk + id-assign the changed/new files; ids continue from
+    max(surviving id)+1 (getMaxId()+1, indexer.ts:393-400)."""
     delta_texts = texts.join(delta_paths, "rel_path", "left_semi")
     delta_chunks = chunk_files(delta_texts, params)
     if params.content_hash:
         delta_chunks = delta_chunks.join(
             delta_texts.select("rel_path", "content_sha"), "rel_path"
         )
-
     max_id = survivors.agg(F.max("id")).first()[0]
-    next_id = (max_id + 1) if max_id is not None else 0  # getMaxId()+1
-    new_chunks = _assign_ids(delta_chunks, start_id=next_id)
-    return survivors.select(*new_chunks.columns).unionByName(new_chunks)
+    next_id = (max_id + 1) if max_id is not None else 0
+    return _assign_ids(delta_chunks, start_id=next_id)
 
 
 def build(
@@ -265,25 +307,85 @@ def build(
     store, so callers never depend on pre-write lineage)."""
     import shutil
 
+    cur_dir = os.path.join(store_path, "chunks")
     old = load_store(spark, store_path, params)
-    if old is not None:
+    if old is None:
+        chunks = cold_build(spark, root, params, pdf_extractor=pdf_extractor)
+        save_store(chunks, store_path, params)
+    elif params.n_buckets > 0:
+        _refresh_buckets(spark, old, root, store_path, params, pdf_extractor)
+    else:
         chunks = incremental_update(
             spark, old, root, params, pdf_extractor=pdf_extractor
         )
         # The refresh reads the parquet dir it is about to replace, so
         # write to a sibling dir first and swap — never collect() the
         # table through the driver (it may be 100 TB).
-        next_dir = os.path.join(store_path, "chunks.next")
+        next_dir = cur_dir + ".next"
         chunks.write.mode("overwrite").parquet(next_dir)
-        cur_dir = os.path.join(store_path, "chunks")
         shutil.rmtree(cur_dir, ignore_errors=True)
         os.rename(next_dir, cur_dir)
         with open(_meta_path(store_path), "w", encoding="utf-8") as f:
             json.dump(_meta_dict(params), f)
-    else:
-        chunks = cold_build(spark, root, params, pdf_extractor=pdf_extractor)
-        save_store(chunks, store_path, params)
     # The swap replaced files under a path Spark may have listed; drop the
     # stale listing before handing back a reader.
-    spark.catalog.refreshByPath(os.path.join(store_path, "chunks"))
-    return spark.read.parquet(os.path.join(store_path, "chunks"))
+    spark.catalog.refreshByPath(cur_dir)
+    out = spark.read.parquet(cur_dir)
+    return out.drop("bucket") if params.n_buckets > 0 else out
+
+
+def _refresh_buckets(
+    spark: SparkSession,
+    old: DataFrame,
+    root: str,
+    store_path: str,
+    params: IngestParams,
+    pdf_extractor: Callable[[pd.Series], pd.Series] | None,
+) -> None:
+    """Delta-bucket refresh: rewrite ONLY the partition dirs whose paths
+    changed. A small delta against a 100 TB store touches a handful of
+    ``bucket=k`` directories; everything else is untouched bytes on
+    disk — no read, no shuffle, no rewrite (verified by mtime in
+    tests/test_ingest.py)."""
+    import shutil
+
+    texts = _discover_texts(spark, root, params, pdf_extractor)
+    deleted_paths, delta_paths = _delta_paths(old, texts, params)
+    affected_paths = deleted_paths.unionByName(delta_paths)
+    affected = [
+        r["b"]
+        for r in affected_paths.select(
+            _bucket_col(params.n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return
+    # Survivors *within affected buckets only* + re-ingested delta chunks;
+    # ids continue past the GLOBAL max so they never collide with ids in
+    # untouched buckets.
+    surv_aff = old.filter(F.col("bucket").isin(affected)).join(
+        affected_paths, "rel_path", "left_anti"
+    )
+    # Ids continue from the max over GLOBAL survivors — the same rule as
+    # the flat incremental path, so both layouts produce identical ids.
+    global_survivors = old.join(affected_paths, "rel_path", "left_anti")
+    new_chunks = _build_delta_chunks(global_survivors, texts, delta_paths, params)
+    out = (
+        surv_aff.select(*new_chunks.columns)
+        .unionByName(new_chunks)
+        .withColumn("bucket", _bucket_col(params.n_buckets))
+    )
+    delta_dir = os.path.join(store_path, "chunks.delta")
+    out.write.mode("overwrite").partitionBy("bucket").parquet(delta_dir)
+    cur_dir = os.path.join(store_path, "chunks")
+    for b in affected:
+        src = os.path.join(delta_dir, f"bucket={b}")
+        dst = os.path.join(cur_dir, f"bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):  # bucket may have lost all its paths
+            os.rename(src, dst)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    with open(_meta_path(store_path), "w", encoding="utf-8") as f:
+        json.dump(_meta_dict(params), f)

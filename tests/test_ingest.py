@@ -306,3 +306,62 @@ def test_path_guards():
     assert normalize_rel_path("/src") == "src"
     assert normalize_rel_path(".") == ""
     assert normalize_rel_path(".git") == ".git"
+
+
+def test_partitioned_store_delta_bucket_refresh(spark, corpus_dir, tmp_path):
+    """n_buckets > 0: refresh rewrites only the partition dirs whose
+    paths changed; untouched bucket dirs keep their exact files (mtime +
+    inode-level identity), and the logical table matches the flat-store
+    refresh result."""
+    import shutil
+
+    root = str(tmp_path / "pbroot")
+    shutil.copytree(corpus_dir, root)
+    store = str(tmp_path / "pbstore")
+    params = IngestParams(
+        chunk_size=120, chunk_overlap=30, allowed_ext=TEST_EXTS, n_buckets=4
+    )
+    first = build(spark, root, store, params)
+    flat = cold_build(spark, root, PARAMS)
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, flat.collect()))
+
+    chunks_dir = os.path.join(store, "chunks")
+    before = {}
+    for b in os.listdir(chunks_dir):
+        if b.startswith("bucket="):
+            d = os.path.join(chunks_dir, b)
+            before[b] = {f: os.stat(os.path.join(d, f)).st_mtime_ns
+                         for f in os.listdir(d)}
+
+    mutate_corpus(root)
+    second = build(spark, root, store, params)
+
+    # Logical result matches the flat incremental path on the same delta.
+    flat_old = spark.createDataFrame(flat.collect(), flat.schema)
+    expected = incremental_update(spark, flat_old, root, PARAMS)
+    assert sorted(map(tuple, second.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # Buckets of the touched paths (changed notes.txt, added added.md,
+    # deleted data/config.yaml) were rewritten; all other bucket dirs are
+    # byte-identical (same files, same mtimes).
+    from pyspark.sql import functions as F
+
+    touched = {"notes.txt", "added.md", "data/config.yaml"}
+    tb = {
+        r["b"]
+        for r in spark.createDataFrame([(p,) for p in touched], "rel_path string")
+        .select(F.pmod(F.hash("rel_path"), F.lit(4)).alias("b"))
+        .collect()
+    }
+    untouched_checked = 0
+    for b, files in before.items():
+        bucket_id = int(b.split("=")[1])
+        d = os.path.join(chunks_dir, b)
+        if bucket_id not in tb:
+            after = {f: os.stat(os.path.join(d, f)).st_mtime_ns
+                     for f in os.listdir(d)}
+            assert after == files, f"untouched {b} was rewritten"
+            untouched_checked += 1
+    assert untouched_checked >= 1  # the fixture spreads across buckets
