@@ -409,3 +409,113 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= COSINE_NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _jaccard_pair_edges(docs: DataFrame) -> DataFrame:
+    """Same-source ≥0.9-Jaccard pairs as (doc_a, doc_b) — the edge list
+    dd_jaccard_same_source reports; reused by the connected-components
+    operator below."""
+    t = docs.select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.9)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+_DUCKDB_PAIRS_CTE = """
+t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+)
+""".strip()
+
+
+@register(
+    "dd_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS component
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+""",
+    description="ITERATIVE connected components over near-dup pairs"
+    " (min-label propagation to fixpoint) vs a recursive-CTE oracle —"
+    " the dedup-group canonicalization step",
+    tags=("dedup", "iterative", "graph"),
+)
+def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-orchestrated label propagation: each round every node takes
+    min(own component, neighbors' components); converged when no label
+    changes. Each iteration is one shuffle (join + agg on node id);
+    ``localCheckpoint`` truncates lineage so 20 rounds don't build a
+    20-deep recursive plan (THE classic iterative-Spark trap). The
+    oracle closes the same graph with a recursive CTE — genuinely
+    iterative semantics, still hash-checkable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pair_edges(docs)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
