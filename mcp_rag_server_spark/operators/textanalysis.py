@@ -10,7 +10,7 @@ shuffles only (token, count) partials, not documents).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
@@ -287,4 +287,87 @@ def ta_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("idf"), F.asc("token"))
         .limit(25)
+    )
+
+
+@register(
+    "ta_filter_pipeline",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
+              AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio
+  FROM documents
+),
+dedup AS (
+  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+),
+flags AS (
+  SELECT f.source,
+         (0.5 * f.distinct_ratio + 0.3 * f.stop_ratio
+          + 0.2 * least(f.n_tokens / 100.0, 1.0)) >= 0.45 AS pass_quality,
+         f.n_tokens BETWEEN 10 AND 1000 AS pass_length,
+         d.is_canonical AS pass_dedup
+  FROM feat f JOIN dedup d ON d.doc_id = f.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN pass_quality AND pass_length AND pass_dedup
+                  THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN NOT pass_quality THEN 1 END) AS drop_quality,
+       COUNT(CASE WHEN NOT pass_length THEN 1 END) AS drop_length,
+       COUNT(CASE WHEN NOT pass_dedup THEN 1 END) AS drop_dup,
+       round(CAST(COUNT(CASE WHEN pass_quality AND pass_length AND pass_dedup
+                             THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS kept_ratio
+FROM flags
+GROUP BY source
+ORDER BY source
+""",
+    description="composite training-data filter pipeline: quality + length"
+    " + exact-dedup gates with per-source keep/drop accounting",
+    tags=("text", "quality", "dedup", "pipeline"),
+)
+def ta_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-style admission pipeline as one plan: per-doc
+    features (narrow), canonical-copy flag via a window over md5(text)
+    (one shuffle), then per-source keep/drop accounting (one partial
+    agg). Every gate is a column, so at 100 TB the kept set is
+    `filter(pass_*)` on the same scan — no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        0.5 * distinct_ratio
+        + 0.3 * stop_ratio
+        + 0.2 * F.least(n / F.lit(100.0), F.lit(1.0))
+    )
+    w = Window.partitionBy(F.md5("text"))
+    flags = docs.select(
+        "source",
+        (quality >= 0.45).alias("pass_quality"),
+        n.between(10, 1000).alias("pass_length"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("pass_dedup"),
+    )
+    kept = F.col("pass_quality") & F.col("pass_length") & F.col("pass_dedup")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count(F.when(~F.col("pass_quality"), 1)).alias("drop_quality"),
+            F.count(F.when(~F.col("pass_length"), 1)).alias("drop_length"),
+            F.count(F.when(~F.col("pass_dedup"), 1)).alias("drop_dup"),
+            F.round(
+                F.count(F.when(kept, 1)).cast("double") / F.count("*"), 6
+            ).alias("kept_ratio"),
+        )
+        .orderBy("source")
     )
