@@ -269,3 +269,46 @@ def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_grouped_map_running",
+    oracle="""
+SELECT user_id, event_id,
+       row_number() OVER w AS seq,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_max_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+""",
+    description="grouped-map applyInPandas: per-user event sequence and"
+    " running max, vectorized in pandas, vs a window-function oracle",
+    tags=("events", "pandas", "grouped-map"),
+)
+def ev_grouped_map_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map Arrow shape (applyInPandas): each user's events
+    arrive as ONE pandas frame, sorted inside the UDF for determinism
+    (shuffle order is not stable), then processed with vectorized
+    cumulative ops. Chosen state ops (sequence, cummax) involve no float
+    accumulation, so the result is bit-identical to the window oracle.
+    Scale: one shuffle on user_id; per-group memory = that user's events
+    — use this API only when per-group logic truly needs a local frame
+    (else window functions stay JVM-side and stream)."""
+    import pandas as pd  # noqa: F401 (documents the dependency)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def running(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["seq"] = range(1, len(pdf) + 1)
+        pdf["run_max_value"] = pdf["value"].cummax()
+        return pdf[["user_id", "event_id", "seq", "run_max_value"]]
+
+    out = ev.groupBy("user_id").applyInPandas(
+        running,
+        schema="user_id long, event_id long, seq int, run_max_value double",
+    )
+    return out.orderBy("user_id", "seq")

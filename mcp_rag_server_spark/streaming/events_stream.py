@@ -249,3 +249,60 @@ def merge_events_stream(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "st_stream_stream_join",
+    oracle="""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM events v JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >  epoch_us(v.ts)
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + 10 * 60 * 1000000
+ORDER BY view_id, click_id
+""",
+    description="STREAM-STREAM inner join (view→click attribution within"
+    " 10 min, watermarks on both sides) vs a batch theta-join oracle",
+    tags=("streaming", "events", "join"),
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarks on both inputs + the time-bound join condition let the
+    engine expire join state: a view older than watermark-10min can
+    never match a future click, so state is O(events in the window), not
+    O(stream). The append-mode result equals the batch theta join."""
+    views = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + interval 10 minutes"
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.orderBy("view_id", "click_id")
