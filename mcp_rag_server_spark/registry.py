@@ -83,6 +83,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         rag,
         relational,
+        relational_tpch2,
         similarity,
         temporal,
         textanalysis,
