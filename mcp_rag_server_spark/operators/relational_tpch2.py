@@ -147,6 +147,7 @@ ORDER BY nation, o_year DESC
     description="TPC-H Q9 product-type profit by nation and year"
     " (0.6*p_retailprice*l_quantity as the supply-cost proxy)",
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-way star join where only orders is a second fact: part,
@@ -456,6 +457,7 @@ LIMIT 25
     " NOT EXISTS self-joins as semi/anti (ship-vs-order-date lag > 180d"
     " as the late-delivery predicate)",
     tags=("relational", "join", "semi", "anti", "topk"),
+    bench=True,
 )
 def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic EXISTS/NOT EXISTS pair: 'another supplier touched the

@@ -306,3 +306,40 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(joined, output_mode="append")
     return out.orderBy("view_id", "click_id")
+
+
+@register(
+    "st_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type,
+       date_trunc('second', ts) AS ts_sec
+FROM events
+ORDER BY user_id, event_type, ts_sec
+""",
+    description="STREAMING dedup via dropDuplicatesWithinWatermark on"
+    " (user, type, second) — state-bounded exact dedup, the streaming"
+    " twin of ev_dedup_by_second",
+    tags=("streaming", "events", "dedup"),
+)
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keeps dedup state only for keys
+    newer than the watermark — the streaming form of exact dedup whose
+    state is O(keys per watermark window), not O(stream history). The
+    projection keeps ONLY the dedup key columns, so "which duplicate
+    survives" (nondeterministic under micro-batch ordering) is
+    unobservable and the append-mode output equals batch DISTINCT.
+    At 100 TB-ingest scale this is the first stage of a streaming
+    training-data pipeline: cheap exact dedup before expensive
+    embedding/near-dup work downstream."""
+    deduped = (
+        read_event_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        )
+        .withWatermark("ts_sec", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts_sec"])
+    )
+    out = run_to_memory(deduped, output_mode="append")
+    return out.orderBy("user_id", "event_type", "ts_sec")
