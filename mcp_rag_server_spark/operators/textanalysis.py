@@ -371,3 +371,152 @@ def ta_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ta_repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tp AS (
+  SELECT doc_id, c,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
+  FROM tc
+),
+tstat AS (
+  SELECT doc_id,
+         SUM(c) AS n_tokens,
+         MAX(c) AS top_c,
+         round(-SUM(p * log2(p)), 6) AS token_entropy
+  FROM tp GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, unnest(bg) AS bigram
+  FROM (SELECT doc_id,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> t[i] || ' ' || t[i + 1]) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big GROUP BY doc_id, bigram),
+bstat AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc
+          FROM bc GROUP BY doc_id)
+SELECT t.doc_id,
+       round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_ratio,
+       round(CAST(b.top_bc AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_ratio,
+       t.token_entropy,
+       (CAST(t.top_c AS DOUBLE) / t.n_tokens > 0.15
+        OR CAST(b.top_bc AS DOUBLE) / b.n_bigrams > 0.05) AS is_repetitive
+FROM tstat t JOIN bstat b ON b.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    description="Gopher-style repetition filters: top-token/top-bigram"
+    " frequency ratios + unigram entropy per document",
+    tags=("text", "quality", "repetition"),
+)
+def ta_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition features for training-data admission: a document whose
+    most frequent token (or bigram) dominates is boilerplate/spam-like,
+    and low unigram entropy catches degenerate near-constant text.
+    Shape: explode → count per (doc, gram) → per-doc max/sum — both
+    gram families partial-aggregate before their one shuffle on doc_id,
+    so 100 TB cost is two explode+combine passes, no self-joins.
+    Entropy sums ~vocabulary-size doubles per doc then rounds to 1e-6 —
+    far above double summation error, so cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n_tok = F.sum("c")
+    p = F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("doc_id"))
+    tstat = (
+        tc.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            n_tok.alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("token_entropy"),
+        )
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(word_shingles("split(text, ' ')", k=2, var="bg")).alias("bigram"),
+    )
+    bc = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bstat = bc.groupBy(F.col("doc_id").alias("b_doc_id")).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc")
+    )
+    ttr = F.col("top_c").cast("double") / F.col("n_tokens")
+    tbr = F.col("top_bc").cast("double") / F.col("n_bigrams")
+    return (
+        tstat.join(bstat, F.col("doc_id") == F.col("b_doc_id"))
+        .select(
+            "doc_id",
+            F.round(ttr, 6).alias("top_token_ratio"),
+            F.round(tbr, 6).alias("top_bigram_ratio"),
+            "token_entropy",
+            ((ttr > 0.15) | (tbr > 0.05)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Per-language sampling rates (percent) for the deterministic sampler.
+_SAMPLE_RATES = {"en": 50, "de": 30, "es": 20, "fr": 20, "zh": 10}
+
+
+@register(
+    "ta_stratified_sample",
+    oracle=f"""
+WITH rated AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket,
+         CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+              ELSE 0 END AS rate
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       COUNT(CASE WHEN bucket < rate THEN 1 END) AS n_sampled,
+       round(CAST(COUNT(CASE WHEN bucket < rate THEN 1 END) AS DOUBLE)
+             / COUNT(*), 4) AS actual_rate
+FROM rated
+GROUP BY lang
+ORDER BY lang
+""",
+    description="deterministic stratified sampling: per-language rates via"
+    " an md5 hash-bucket of doc_id (no rand(), reproducible across"
+    " engines, runs, and partitionings)",
+    tags=("text", "sampling"),
+)
+def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data downsampling must be reproducible — rand() depends
+    on partitioning and seed plumbing, so the sample key is a pure
+    function of the row: fold md5(doc_id) to 32 bits, mod 100, compare
+    to the stratum's rate. Any engine, any partitioning, any day: same
+    sample. The same bucket column also gives consistent holdout splits
+    (bucket ranges) and sample-rate ramps (raise the threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    rate = F.lit(0)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    rated = docs.select(
+        "lang", bucket.alias("bucket"), rate.alias("rate")
+    )
+    sampled = F.count(F.when(F.col("bucket") < F.col("rate"), 1))
+    return (
+        rated.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            sampled.alias("n_sampled"),
+            F.round(sampled.cast("double") / F.count("*"), 4).alias("actual_rate"),
+        )
+        .orderBy("lang")
+    )
