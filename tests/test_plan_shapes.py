@@ -110,3 +110,46 @@ def test_minhash_signature_single_shuffle(spark):
 
     sig = _spark_minhash_signature(load_table(spark, SF, "documents"))
     assert count_exchanges(sig) == 1
+
+
+def test_tpch2_q2_q21_heap_topk(spark):
+    """Both LIMIT queries must plan TakeOrderedAndProject (heap top-k),
+    never a global sort."""
+    assert has_take_ordered(q(spark, "tpch_q2_min_cost_supplier"))
+    assert has_take_ordered(q(spark, "tpch_q21_waiting_orders"))
+
+
+def test_tpch2_q9_broadcasts_all_dims(spark):
+    """part/supplier/nation must broadcast — the only shuffle-eligible
+    join is lineitem⋈orders (two facts)."""
+    assert broadcast_join_count(q(spark, "tpch_q9_product_profit")) >= 3
+
+
+def test_tpch2_q11_scalar_subquery_is_broadcast(spark):
+    """The global-total scalar must arrive via a 1-row broadcast, not a
+    shuffle of the per-part aggregate."""
+    plan = plan_string(q(spark, "tpch_q11_important_stock"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch2_q22_anti_join_shape(spark):
+    """NOT EXISTS must plan as a real anti join (semi-join family), not
+    a filtered outer join."""
+    plan = plan_string(q(spark, "tpch_q22_global_sales_opportunity"))
+    assert "LeftAnti" in plan
+
+
+def test_text_quality_ops_stay_jvm_side(spark):
+    """Repetition stats and the deterministic sampler are pure SQL
+    expressions — no Python/Arrow eval may appear in the hot path."""
+    for name in ("ta_repetition_stats", "ta_stratified_sample"):
+        plan = plan_string(q(spark, name))
+        assert "EvalPython" not in plan, name
+
+
+def test_stratified_sample_single_agg_pass(spark):
+    """Sampler = scan → project(hash bucket) → partial agg → exchange →
+    final agg → order: at most 2 exchanges, no joins."""
+    df = q(spark, "ta_stratified_sample")
+    assert count_exchanges(df) <= 2
+    assert "Join" not in plan_string(df)
