@@ -135,3 +135,39 @@ def duckdb_cosine(a: str, b: str) -> str:
         f"CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN 0.0 "
         f"ELSE {num} / {den} END"
     )
+
+
+def l2_dist_sql(a: str, b: str, var_prefix: str = "e") -> str:
+    """Float64 Euclidean distance over the min-length prefix (same
+    truncation rule as cosine above; zip_with's NULL tail contributes 0
+    so the explicit slice is unnecessary for equal-length fixtures but
+    kept for parity with the cosine discipline)."""
+    x, y, acc, v = (f"{var_prefix}_x", f"{var_prefix}_y", f"{var_prefix}_acc",
+                    f"{var_prefix}_v")
+    n = f"least(size({a}), size({b}))"
+    return (
+        f"sqrt(aggregate(zip_with(slice({a}, 1, {n}), slice({b}, 1, {n}), "
+        f"({x}, {y}) -> (CAST({x} AS DOUBLE) - CAST({y} AS DOUBLE)) "
+        f"* (CAST({x} AS DOUBLE) - CAST({y} AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), ({acc}, {v}) -> {acc} + coalesce({v}, CAST(0 AS DOUBLE))))"
+    )
+
+
+def l2_dist(a: str, b: str) -> Column:
+    return F.expr(l2_dist_sql(a, b))
+
+
+def l2_dist_score(a: str, b: str, decimals: int = 4) -> Column:
+    """Rounded Euclidean distance (rounding = the cross-engine
+    determinism boundary, same as cosine_score)."""
+    return F.round(l2_dist(a, b), decimals)
+
+
+def duckdb_l2_dist(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2_dist` (same index-order fold)."""
+    n = f"least(len({a}), len({b}))"
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"
+    )

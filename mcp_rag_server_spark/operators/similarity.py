@@ -26,6 +26,8 @@ from mcp_rag_server_spark.functions.numeric import duckdb_dsum
 from mcp_rag_server_spark.functions.vector import (
     cosine_score,
     duckdb_cosine,
+    duckdb_l2_dist,
+    l2_dist_score,
 )
 from mcp_rag_server_spark.registry import register
 
@@ -181,4 +183,84 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "score")
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(TOP_K)
+    )
+
+
+@register(
+    "sim_l2_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+SELECT e.vec_id, e.label,
+       round({duckdb_l2_dist('e.embedding', 'q.qv')}, 4) AS dist
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 7
+ORDER BY dist ASC, e.vec_id ASC
+LIMIT 5
+""",
+    description="Euclidean (L2) nearest neighbors — the metric twin of"
+    " cosine top-k (distance asc instead of similarity desc)",
+    tags=("similarity", "vector", "topk"),
+)
+def sim_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same shuffle-free shape as rag_topk: scan → broadcast 1-row query
+    → codegen L2 expression → TakeOrderedAndProject(5) on (dist asc,
+    vec_id asc). For L2-normalized vectors, L2² = 2 - 2·cos, so the
+    ranking inverts cosine's — both metrics share one plan template."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            l2_dist_score("embedding", "qv").alias("dist"),
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+RADIUS_COSINE = 0.35
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+SELECT e.vec_id, e.label,
+       round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 7
+  AND round({duckdb_cosine('e.embedding', 'q.qv')}, 4) >= {RADIUS_COSINE}
+ORDER BY score DESC, e.vec_id ASC
+""",
+    description="radius (range) similarity search: every vector within a"
+    " cosine threshold of the query — unbounded-k variant of top-k",
+    tags=("similarity", "vector", "range"),
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search has no LIMIT, so there is no heap top-k: the plan is
+    scan → score → filter → sort of the (small) survivor set. At 100 TB
+    the threshold filter is what keeps the result bounded — pair it with
+    an LSH/IVF pre-filter (sim_hyperplane_lsh / sim_ivf_topk) so the
+    exact scoring touches candidate cells only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_score("embedding", "qv").alias("score"),
+        )
+        .filter(F.col("score") >= RADIUS_COSINE)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
     )
