@@ -1,0 +1,116 @@
+"""Python-API surface completions: UDTF and mapInArrow.
+
+SURVEY.md §2.10 taxonomizes the UDF/UDAF/UDTF surface. The other Arrow
+shapes are covered elsewhere (scalar pandas_udf in emb_hash_embed,
+mapInPandas in multimodal/PDF, grouped-map applyInPandas in
+ev_grouped_map_running, applyInPandasWithState in st_stateful_user_stats);
+this module adds the remaining two:
+
+- a real Python **UDTF** (one input row → N output rows, lateral-joined)
+  re-implementing the reference chunker (src/indexer.ts:201-215) row-at-
+  a-time. The SQL-expression chunker (`chunk_split`) is the FAST path —
+  the UDTF exists for operators whose per-row fan-out logic genuinely
+  needs Python (parsers, tokenizers with state); both share one oracle,
+  so the two paths are pinned equal.
+- **mapInArrow**: the zero-copy batch path — the UDF receives raw
+  ``pyarrow.RecordBatch``es with no pandas conversion, the cheapest
+  Python boundary Spark has. Used here for per-doc token counts via
+  ``pyarrow.compute`` (all-C++ kernels, no per-row Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.text import chunk_stride, duckdb_chunk_sql
+from mcp_rag_server_spark.operators.chunking import (
+    DOC_CHUNK_OVERLAP,
+    DOC_CHUNK_SIZE,
+)
+from mcp_rag_server_spark.registry import register
+
+
+@register(
+    "chunk_udtf",
+    oracle=duckdb_chunk_sql(
+        "documents", "doc_id", "text", DOC_CHUNK_SIZE, DOC_CHUNK_OVERLAP
+    ),
+    description="Python UDTF chunker (row → N chunk rows via LATERAL join),"
+    " pinned equal to the SQL-expression chunker by the shared oracle",
+    tags=("chunking", "udtf", "python"),
+)
+def chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitChunks (reference src/indexer.ts:201-215) as a Python UDTF:
+    ``eval`` yields one row per character window. Registered and invoked
+    through SQL LATERAL — the standard table-function call shape. Scale
+    note: UDTF rows cross the Python boundary one at a time; prefer the
+    codegen chunker (chunk_split) unless the fan-out logic needs Python.
+    """
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_stride(DOC_CHUNK_SIZE, DOC_CHUNK_OVERLAP)
+    size = DOC_CHUNK_SIZE
+
+    @udtf(returnType="chunk int, chunk_text string")
+    class ChunkUDTF:
+        def eval(self, text: str):  # noqa: D102 - UDTF contract
+            if not text:
+                return
+            for ordinal, start in enumerate(range(0, len(text), stride)):
+                yield ordinal, text[start : start + size]
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk, c.chunk_text "
+        "FROM documents d, LATERAL chunk_udtf(d.text) c"
+    )
+
+
+@register(
+    "arrow_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+    description="mapInArrow token counting: raw pyarrow RecordBatch in/out,"
+    " pyarrow.compute kernels, zero pandas conversion",
+    tags=("text", "arrow", "python"),
+)
+def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow boundary: batches arrive as pyarrow.RecordBatch and
+    the count runs in Arrow C++ kernels (count_substring), so the Python
+    layer only orchestrates — no per-row Python, no pandas copies. This
+    is the template for high-throughput custom batch ops (tokenizers,
+    binary parsers) at 100 TB: narrow stage, columnar both directions.
+    n_tokens = spaces + 1 matches len(string_split(text, ' ')) exactly
+    (single-space-separated fixture text, FIXTURES.md A1)."""
+
+    def count_tokens(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            n_tokens = pc.add(pc.count_substring(text, " "), 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_tokens, pa.int64()),
+                    batch.column("n_chars"),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out = docs.mapInArrow(
+        count_tokens, schema="doc_id long, n_tokens long, n_chars long"
+    )
+    return out.orderBy("doc_id")

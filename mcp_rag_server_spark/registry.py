@@ -81,6 +81,7 @@ def load_all() -> dict[str, QuerySpec]:
         embed,
         events,
         multimodal,
+        python_api,
         rag,
         relational,
         relational_tpch2,
