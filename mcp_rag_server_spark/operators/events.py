@@ -312,3 +312,70 @@ def ev_grouped_map_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id long, event_id long, seq int, run_max_value double",
     )
     return out.orderBy("user_id", "seq")
+
+
+@register(
+    "ev_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+),
+cohort_sizes AS (
+  SELECT cohort_day, COUNT(*) AS n_users FROM firsts GROUP BY cohort_day
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day, a.day_offset,
+       COUNT(*) AS n_active,
+       round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.n_users), 6) AS retention
+FROM activity a
+JOIN firsts f ON f.user_id = a.user_id
+JOIN cohort_sizes s ON s.cohort_day = f.cohort_day
+GROUP BY f.cohort_day, a.day_offset
+ORDER BY f.cohort_day, a.day_offset
+""",
+    description="cohort retention: users bucketed by first-seen day, share"
+    " still active at each day offset — classic two-level event analytics",
+    tags=("events", "cohort", "agg", "join"),
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorting is two aggregations over one shuffle key (user_id): the
+    first-seen aggregate, then distinct (user, day-offset) activity —
+    both partial-aggregate before shuffling, and the cohort-size join is
+    a broadcast (|cohorts| rows). At 100 TB the only big shuffle is the
+    per-user min, which AQE-coalesces to the true user cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    cohort_sizes = firsts.groupBy(F.col("cohort_day").alias("s_day")).agg(
+        F.count("*").alias("n_users")
+    )
+    return (
+        activity.join(
+            F.broadcast(cohort_sizes), F.col("cohort_day") == F.col("s_day")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(
+                F.count("*").cast("double") / F.any_value("n_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
