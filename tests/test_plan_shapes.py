@@ -153,3 +153,15 @@ def test_stratified_sample_single_agg_pass(spark):
     df = q(spark, "ta_stratified_sample")
     assert count_exchanges(df) <= 2
     assert "Join" not in plan_string(df)
+
+
+def test_sim_l2_topk_shuffle_free(spark):
+    """L2 top-k shares rag_topk's plan template: heap top-k, no shuffle."""
+    df = q(spark, "sim_l2_topk")
+    assert has_take_ordered(df)
+    assert count_exchanges(df) == 0
+
+
+def test_cohort_sizes_join_broadcasts(spark):
+    """The cohort-size side (|cohorts| rows) must broadcast."""
+    assert broadcast_join_count(q(spark, "ev_cohort_retention")) >= 1
