@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.vector import (
+    duckdb_cosine as _duckdb_cosine,
+)
 from mcp_rag_server_spark.functions.numeric import (
     davg,
     dsum,
@@ -1086,16 +1089,23 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_rag_topk",
-    oracle=None,  # covered below: identical to rag_topk's oracle
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round({_duckdb_cosine('e.embedding', 'q.qv')}, 4) AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 5
+""",
     description="the flagship query through the pure-SQL surface"
     " (spark.sql over registered views — same plan as the DataFrame form)",
     tags=("rag", "sql", "topk"),
 )
 def sql_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every operator here is reachable from SQL too; this registers the
-    fixture as a view and runs rag_query's core as one SQL string. Kept
-    oracle-gated via rag_topk (same result contract); registered
-    separately so the SQL entry path itself is smoke-tested."""
+    fixture as a view and runs rag_query's core as one SQL string —
+    oracle-gated with rag_topk's exact result contract, registered
+    separately so the SQL entry path itself is verified."""
     from mcp_rag_server_spark.functions.vector import cosine_sql
 
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
