@@ -117,3 +117,117 @@ def st_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("s.n_events").alias("n_events"),
         F.col("s.max_value").alias("max_value"),
     ).orderBy("user_id")
+
+
+def _twstate_processor():
+    """Build the StatefulProcessor lazily (import is 4.x-only)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        """Per-user (n_events, min_value) ValueState; emits the updated
+        cumulative row for every key a micro-batch touches. Count and
+        min are order-independent, so the final state is batching- and
+        order-invariant (same discipline as running_user_stats)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n long, mn double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mn = self._state.get()
+            else:
+                n, mn = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    m = float(pdf["value"].min())
+                    mn = m if mn is None else min(mn, m)
+            self._state.update((n, mn))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "min_value": [mn]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas ships its own Python runner that needs
+    protobuf (google.protobuf.descriptor); this container doesn't have
+    it, so the operator is capability-gated rather than registered (a
+    registry entry must always run). When the dependency is present the
+    operator is exercised by tests/test_streaming.py and is oracle-
+    equivalent to: SELECT user_id, COUNT(*), MIN(value) FROM events
+    GROUP BY user_id."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:
+        return False
+
+
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The successor API to applyInPandasWithState: typed state handles
+    (ValueState/ListState/MapState), timers, and TTL, backed by the
+    RocksDB state store — the 100 TB-stream answer to unbounded key
+    cardinality (state spills off-heap instead of living in executor
+    memory). Same multi-file micro-batch harness as
+    st_stateful_user_stats; the max-count emission per user is the
+    final state."""
+    src = tempfile.mkdtemp(prefix="st_tws_src_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        result = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_twstate_processor(),
+            outputStructType="user_id long, n_events long, min_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = "st_tws_" + os.path.basename(src).split("_")[-1]
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.mkdtemp(prefix="st_ckpt_"), "c"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    updates = spark.table(name)
+    final = updates.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "min_value")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.min_value").alias("min_value"),
+    ).orderBy("user_id")

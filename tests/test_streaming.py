@@ -28,3 +28,33 @@ def test_foreach_batch_merge_idempotent(spark, tmp_path):
     spark.catalog.refreshByPath(os.path.join(target, "events_merged"))
     again = spark.read.parquet(os.path.join(target, "events_merged"))
     assert again.count() == n_distinct
+
+
+def test_transform_with_state_when_available(spark):
+    """Spark 4's transformWithStateInPandas needs protobuf in the Python
+    worker; gated as a capability (mcp_rag_server_spark/streaming/
+    stateful.py::transform_with_state_available). When available, the
+    multi-batch result must equal the batch count/min aggregate."""
+    import pytest
+
+    from mcp_rag_server_spark.streaming.stateful import (
+        st_transform_with_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf not installed: transformWithState runner unavailable")
+
+    import pyspark.sql.functions as F
+
+    from mcp_rag_server_spark.catalog import load_table
+
+    got = st_transform_with_state(spark, "/root/testdata/sf0.001").collect()
+    want = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.min("value").alias("min_value"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
