@@ -389,3 +389,65 @@ def _refresh_buckets(
     shutil.rmtree(delta_dir, ignore_errors=True)
     with open(_meta_path(store_path), "w", encoding="utf-8") as f:
         json.dump(_meta_dict(params), f)
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    range_col: str = "id",
+) -> int:
+    """Compact a chunk store's small files and lay rows out by range.
+
+    The 100 TB small-file problem (SURVEY.md §7.5 risk 5): incremental
+    refresh appends per-delta files, and thousands of KB-sized parquet
+    files destroy scan throughput (one task + one footer read each) and
+    overload the driver's file listing. Compaction rewrites the store as
+    ``ceil(bytes / target_file_bytes)`` files, range-partitioned on
+    ``range_col`` with rows sorted within each file.
+
+    The range layout is what makes the rewrite more than cosmetic: each
+    output file covers a disjoint ``range_col`` interval, so its parquet
+    row-group min/max statistics let any engine skip whole files for
+    range predicates (the poor man's Z-order for a single key; verified
+    by tests/test_ingest.py::test_compact_store_layout).
+
+    Returns the number of files written. Staging discipline: Spark
+    cannot read and overwrite the same parquet directory in one job, so
+    the compacted copy is staged beside the store's data dir then
+    swapped in (rename); the _meta.json sidecar lives at the store root
+    and is untouched. Bucket-partitioned stores keep their bucket=N
+    directory layout (the refresh path depends on it).
+    """
+    import math
+    import shutil
+
+    data_dir = os.path.join(store_path, "chunks")
+    df = spark.read.parquet(data_dir)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    staged = data_dir + ".compact.tmp"
+    writer = (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(range_col)
+        .write.mode("overwrite")
+    )
+    if "bucket" in df.columns:
+        # bucket-partitioned store: keep the bucket=N directory layout
+        # (refresh relies on it); range layout applies within buckets.
+        writer = writer.partitionBy("bucket")
+    writer.parquet(staged)
+    shutil.rmtree(data_dir)
+    os.rename(staged, data_dir)
+    written = [
+        f
+        for root, _, files in os.walk(data_dir)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    return len(written)

@@ -365,3 +365,56 @@ def test_partitioned_store_delta_bucket_refresh(spark, corpus_dir, tmp_path):
             assert after == files, f"untouched {b} was rewritten"
             untouched_checked += 1
     assert untouched_checked >= 1  # the fixture spreads across buckets
+
+
+def test_compact_store_layout(spark, corpus_dir, tmp_path):
+    """compact_store: same rows, fewer files, disjoint per-file id ranges
+    (parquet min/max stats become file-skipping ranges), meta preserved."""
+    import pyarrow.parquet as pq
+
+    from mcp_rag_server_spark.sources.ingest import compact_store
+
+    params = IngestParams()
+    store = str(tmp_path / "store")
+    chunks = cold_build(spark, str(corpus_dir), params)
+    # Fragment the store: 16 tiny files, the post-refresh worst case.
+    save_store(chunks.repartition(16), store, params)
+    data_dir = os.path.join(store, "chunks")
+    frag_files = [
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    ]
+    assert len(frag_files) > 4
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(data_dir).collect()
+    )
+
+    # Tiny target size → a handful of range-laid-out files.
+    n_written = compact_store(spark, store, target_file_bytes=16 * 1024)
+    after_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    assert len(after_files) == n_written < len(frag_files)
+
+    after = sorted(tuple(r) for r in spark.read.parquet(data_dir).collect())
+    assert after == before
+
+    # Disjoint id ranges: sort files by their min(id) stat; each file's
+    # max must be < the next file's min.
+    ranges = []
+    for path in after_files:
+        md = pq.ParquetFile(path).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, ranges
+
+    # The meta sidecar survived and still round-trips through load_store.
+    assert load_store(spark, store, params) is not None
