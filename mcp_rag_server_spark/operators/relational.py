@@ -1119,3 +1119,74 @@ def sql_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 5
         """
     )
+
+
+@register(
+    "agg_stats_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="statistical aggregates (stddev/variance/correlation/"
+    "covariance) per group — single-pass partial-aggregable moments",
+    tags=("relational", "agg", "stats"),
+)
+def agg_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates are all map-side-combinable (merged
+    sum/sum-of-squares/cross-moment state), so the plan is the same
+    partial+final shape as SUM — the right statistics path at 100 TB.
+    Cross-engine note: both engines accumulate doubles in arbitrary
+    order, so results agree only to ~1e-10 relative; rounding at 1e-6
+    (values O(10..10k)) absorbs that, same argument as token_entropy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_string_concat_nations",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    description="ordered string aggregation per group (array_sort +"
+    " array_join vs string_agg ORDER BY — determinism via explicit sort)",
+    tags=("relational", "agg", "string"),
+)
+def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list order is nondeterministic under parallel merge, so
+    string aggregation MUST sort the collected array before joining —
+    the only way a distributed string_agg is reproducible."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("r_name")
+    )
