@@ -27,8 +27,11 @@ TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to always broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+#: Tables that stay constant-size regardless of scale factor (TPC-H
+#: region/nation are fixed at 5/25 rows) and are therefore always safe to
+#: broadcast-hint. customer/supplier/part scale linearly with SF, so their
+#: join strategy is left to AQE + autoBroadcastJoinThreshold at runtime.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -96,7 +96,7 @@ def chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("doc_id", "chunk")
     return (
         chunks.join(
-            F.broadcast(docs.select("doc_id", "n_chars", "lang", "source")),
+            docs.select("doc_id", "n_chars", "lang", "source"),
             "doc_id",
         )
         .withColumn("id", F.row_number().over(w))

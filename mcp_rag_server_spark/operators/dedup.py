@@ -67,8 +67,8 @@ def _hexval8(var: str, dialect: str = "spark") -> str:
 WITH h AS (SELECT md5(text) AS th, COUNT(*) AS n, MIN(doc_id) AS keep_id
            FROM documents GROUP BY md5(text))
 SELECT COUNT(*) AS n_distinct,
-       SUM(n) AS n_docs,
-       SUM(n) - COUNT(*) AS n_exact_dups,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_exact_dups,
        COUNT(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups
 FROM h
 """,
@@ -471,51 +471,101 @@ ORDER BY doc_id
     tags=("dedup", "iterative", "graph"),
 )
 def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-orchestrated label propagation: each round every node takes
-    min(own component, neighbors' components); converged when no label
-    changes. Each iteration is one shuffle (join + agg on node id);
-    ``localCheckpoint`` truncates lineage so 20 rounds don't build a
-    20-deep recursive plan (THE classic iterative-Spark trap). The
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds even on adversarial chain graphs, where plain
+    min-label propagation needs O(diameter) rounds. Each round is two
+    keyed aggregations + joins (one shuffle class each);
+    ``localCheckpoint`` truncates lineage per round (THE classic
+    iterative-Spark trap). Raises if the round bound is hit without
+    convergence rather than silently returning partial labels. The
     oracle closes the same graph with a recursive CTE — genuinely
     iterative semantics, still hash-checkable.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = _jaccard_pair_edges(docs)
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.localCheckpoint()
+    # canonical orientation: larger id → smaller id
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"),
+    ).distinct()
+    labels, _ = star_contraction_components(edges)
+    return labels.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("component", F.col("id"))
+
+def star_contraction_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components over canonical edges (src > dst, distinct)
+    via alternating large-star / small-star. Returns (labels, rounds):
+    labels has (id, component) for every node appearing in ``edges``,
+    component = min node id of the component.
+
+    large-star: every node u links each *larger* neighbor to the min of
+    Γ(u) ∪ {u}. small-star: on larger→smaller edges, u links its smaller
+    neighbors and itself to their min. Both strictly reduce tree height;
+    the pair halves it, so a chain of n nodes converges in ~log2(n)
+    rounds (regression: tests/test_scale_patterns.py chain graph).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
         .localCheckpoint()
     )
-    for _ in range(20):
-        neigh = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("component").alias("n_comp"))
+    edges = edges.localCheckpoint()
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star over the undirected view
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            labels.join(neigh, labels["id"] == neigh["dst"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-            )
+        m = (
+            und.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        large = (
+            und.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star over larger→smaller edges
+        sm = (
+            large.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        small = (
+            large.join(sm, "src")
+            .select(F.col("dst").alias("u"), F.col("m"))
+            .unionByName(sm.select(F.col("src").alias("u"), F.col("m")))
+            .filter(F.col("u") != F.col("m"))
+            .select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # converged when the edge set is a fixpoint of the round pair
+        if (
+            small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(small).limit(1).count() == 0
+        ):
+            edges = small
+            converged = True
             break
-    return labels.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+        edges = small
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges are (node, root) stars; roots label themselves
+    child = edges.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("component")
+    )
+    roots = nodes.join(child, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return child.unionByName(roots), rounds

@@ -105,7 +105,7 @@ WITH marked AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       1 + SUM(new_session) AS n_sessions
+       CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
 FROM marked
 GROUP BY user_id
 ORDER BY user_id
@@ -220,8 +220,8 @@ WITH keyed AS (
   GROUP BY user_id, event_type, date_trunc('second', ts)
 )
 SELECT COUNT(*) AS n_unique,
-       SUM(n_copies) AS n_raw,
-       SUM(n_copies) - COUNT(*) AS n_dropped
+       CAST(SUM(n_copies) AS BIGINT) AS n_raw,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dropped
 FROM keyed
 """,
     description="event dedup on (user, type, second) keeping first event_id"

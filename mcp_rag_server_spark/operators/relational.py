@@ -97,13 +97,19 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l.l_orderkey ASC
 LIMIT 10
 """,
-    description="TPC-H Q3 shipping priority: broadcast dim join + top-k",
+    description="TPC-H Q3 shipping priority: AQE-sized joins + top-k",
     tags=("relational", "join", "topk"),
     bench=True,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plan shape: lineitem scan (filter pushed to parquet) ⋈ broadcast
-    (customer⋈orders filtered) → partial agg → TakeOrderedAndProject(10)."""
+    """Plan shape: lineitem scan (filter pushed to parquet) ⋈
+    (customer⋈orders filtered) → partial agg → TakeOrderedAndProject(10).
+
+    No explicit broadcast hints: orders and customer scale with SF, so a
+    forced broadcast of a date-filtered orders side OOMs at 100 TB. AQE's
+    dynamic join selection broadcasts them when the runtime size is under
+    autoBroadcastJoinThreshold (it is at fixture scale) and falls back to
+    a shuffle hash join on l_orderkey otherwise."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -115,9 +121,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-            ),
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -144,7 +148,8 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n.n_name
 """,
-    description="TPC-H Q5 local supplier volume: 6-way star join, all dims broadcast",
+    description="TPC-H Q5 local supplier volume: 6-way star join,"
+    " constant dims hinted, rest AQE-sized",
     tags=("relational", "join", "agg"),
     bench=True,
 )
@@ -158,11 +163,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Hints only on the constant-size dims (nation/region). orders,
+    # customer, and supplier scale with SF — AQE broadcasts them when the
+    # runtime size qualifies, else shuffle hash join on the fact keys.
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s["s_suppkey"])
             & (F.col("c_nationkey") == s["s_nationkey"]),
         )
@@ -267,9 +275,11 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # orders/customer scale with SF: no forced broadcast (AQE decides);
+    # nation is constant-size and keeps the hint.
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_revenue(), 6).alias("revenue"))
@@ -393,7 +403,7 @@ def rollup_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
         .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
     )
@@ -608,7 +618,7 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(_revenue(), 6).alias("revenue"), F.count("*").alias("n_lines")
     )
     return (
-        agg.join(F.broadcast(p), agg["l_partkey"] == p["p_partkey"])
+        agg.join(p, agg["l_partkey"] == p["p_partkey"])
         .select("l_partkey", "p_name", "p_brand", "revenue", "n_lines")
         .orderBy(F.desc("revenue"), F.asc("l_partkey"))
         .limit(15)
@@ -664,9 +674,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -720,10 +730,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     rev_dec = _revenue().cast("decimal(18,6)")
@@ -768,7 +778,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("double")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg((F.lit(100.0) * promo / dsum(_revenue(), 6)).alias("promo_revenue"))
         .orderBy("ship_month")
@@ -808,7 +818,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue0.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue0.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -847,7 +857,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(pa, li["l_partkey"] == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
@@ -899,7 +909,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -940,7 +950,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(dsum(_revenue(), 6).alias("revenue"), F.count("*").alias("n_lines"))
     )

@@ -101,7 +101,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     regional = (
-        bridge.join(F.broadcast(s), bridge["l_suppkey"] == s["s_suppkey"])
+        bridge.join(s, bridge["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("l_partkey", "l_suppkey", "unit_cost", "s_name", "s_acctbal", "n_name")
@@ -115,7 +115,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
         .select(
             "s_acctbal",
             "s_name",
@@ -161,8 +161,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     profit = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -207,7 +207,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
     scoped = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
     )
@@ -344,12 +344,12 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 15, 23, 31, 36, 45)
     )
     bridge = (
-        li.join(F.broadcast(s_ok), li["l_suppkey"] == s_ok["s_suppkey"], "left_semi")
+        li.join(s_ok, li["l_suppkey"] == s_ok["s_suppkey"], "left_semi")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
     return (
-        bridge.join(F.broadcast(p), bridge["l_partkey"] == p["p_partkey"])
+        bridge.join(p, bridge["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -401,7 +401,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     per_sp = (
-        li.join(F.broadcast(sp), li["l_partkey"] == sp["p_partkey"], "left_semi")
+        li.join(sp, li["l_partkey"] == sp["p_partkey"], "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             dsum("l_quantity", 4).alias("qty_total"),
@@ -421,7 +421,7 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(hot), s["s_suppkey"] == hot["l_suppkey"], "left_semi")
+        s.join(hot, s["s_suppkey"] == hot["l_suppkey"], "left_semi")
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_name", "n_name")
         .orderBy("s_name")
@@ -495,7 +495,7 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         multi_sup, F.col("l_orderkey") == F.col("a_ok"), "left_semi"
     ).join(multi_late, F.col("l_orderkey") == F.col("t_ok"), "left_anti")
     return (
-        blamed.join(F.broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        blamed.join(s, blamed["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -61,15 +61,99 @@ def register(
             name=name,
             spark_fn=fn,
             oracle=oracle,
-            description=description or (fn.__doc__ or "").strip().splitlines()[0]
-            if (description or fn.__doc__)
-            else "",
+            description=description
+            or next(iter((fn.__doc__ or "").strip().splitlines()), ""),
             tags=tuple(tags),
             bench=bench,
         )
         return fn
 
     return deco
+
+
+#: Driver-evidence priority: CORRECTNESS_r01 checked only the first 50
+#: registry entries (insertion order), so round 2 front-loads the
+#: families that have no driver row yet (streaming, similarity,
+#: temporal, TPC-H pack 2, text analysis, late relational additions),
+#: the three r01 hash-fails whose oracles were fixed (HUGEINT casts),
+#: and queries whose physical plans changed this round (broadcast-hint
+#: removal). Everything else — all green in r01 and still covered by
+#: tests/test_oracle_parity.py — follows in registration order.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # r01 hash-fails, oracles fixed this round
+    "dd_exact_stats",
+    "ev_sessionize",
+    "ev_dedup_by_second",
+    # streaming (24/7 pipeline capabilities; VERDICT task 9)
+    "st_sessionize",
+    "st_dedup_within_watermark",
+    "st_hourly_windows",
+    "st_sliding_windows",
+    "st_stream_stream_join",
+    "st_stateful_user_stats",
+    # similarity / ANN
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "sim_hyperplane_lsh",
+    "sim_l2_topk",
+    "sim_radius_search",
+    "sim_label_centroids",
+    # temporal joins
+    "tj_asof_last_order",
+    "tj_range_pairs_5min",
+    # TPC-H pack 2
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity",
+    # text analysis
+    "ta_token_stats",
+    "ta_quality_score",
+    "ta_lang_profile",
+    "ta_langid_heuristic",
+    "ta_fingerprint",
+    "ta_bigram_top",
+    "ta_tfidf_top",
+    "ta_filter_pipeline",
+    "ta_repetition_stats",
+    "ta_stratified_sample",
+    # late relational additions
+    "agg_exact_percentiles",
+    "pivot_status_by_priority",
+    "window_rank_analytics",
+    "grouping_sets_sales",
+    "sql_rag_topk",
+    "agg_stats_lineitem",
+    "agg_string_concat_nations",
+    # new this round
+    "fileops_list",
+    # plan changed this round (broadcast-hint removal) — re-confirm
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10_returns",
+    "chunks_table",
+    "rag_topk",
+    "dd_minhash_lsh",
+)
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """Registry re-keyed so DRIVER_PRIORITY names come first (in that
+    order), then every remaining query in registration order."""
+    reg = load_all()
+    out: dict[str, QuerySpec] = {}
+    for name in DRIVER_PRIORITY:
+        if name in reg:
+            out[name] = reg[name]
+    for name, spec in reg.items():
+        if name not in out:
+            out[name] = spec
+    return out
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -442,8 +442,18 @@ def compact_store(
         # (refresh relies on it); range layout applies within buckets.
         writer = writer.partitionBy("bucket")
     writer.parquet(staged)
-    shutil.rmtree(data_dir)
+    # Crash-safe swap: move the live dir aside before renaming the staged
+    # copy in, so no failure point leaves the canonical path empty; the
+    # old copy is deleted only once the new one is in place.
+    old = data_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(data_dir, old)
     os.rename(staged, data_dir)
+    shutil.rmtree(old)
+    # Same stale-FileStatusCache hazard as build(): a same-session reader
+    # that already listed the store would otherwise see deleted files.
+    spark.catalog.refreshByPath(data_dir)
     written = [
         f
         for root, _, files in os.walk(data_dir)

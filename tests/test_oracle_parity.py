@@ -14,6 +14,8 @@ import datetime
 import math
 from decimal import Decimal
 
+import numpy as np
+import pandas as pd
 import pytest
 
 from mcp_rag_server_spark.registry import load_all
@@ -22,7 +24,13 @@ from conftest import SF001
 
 
 def canon_value(v):
-    if v is None:
+    # normalize numpy/pandas scalars from fetchdf to Python types; dtype
+    # promotions (int64→float64 etc.) survive .item() and stay visible.
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, bool):
         return f"b:{v}"
@@ -60,17 +68,27 @@ def all_query_names():
 def test_query_matches_oracle(name, spark, duck):
     spec = load_all()[name]
     sdf = spec.spark_fn(spark, SF001)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # Both sides go through pandas, exactly like the external driver:
+    # e.g. a nullable BIGINT window column is float64 on BOTH sides then
+    # (they match), while a dtype divergence only one engine produces
+    # (DuckDB HUGEINT from a bare integer SUM) stays visible.
+    spdf = sdf.toPandas()
+    scols = list(spdf.columns)
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
 
     if spec.oracle is None:
         # driver's weaker rows-only check
         assert len(srows) >= 0
         return
 
-    cur = duck.execute(spec.oracle)
-    dcols = [d[0] for d in cur.description]
-    drows = cur.fetchall()
+    # Fetch through pandas, exactly like the external driver: DuckDB
+    # HUGEINT (e.g. bare SUM(integer)) lands as float64 there, so an
+    # oracle that forgets CAST(... AS BIGINT) fails HERE, not only in
+    # the driver's hash check (r01 lesson: fetchall() converts HUGEINT
+    # to Python int and silently masked three such mismatches).
+    ddf = duck.execute(spec.oracle).fetchdf()
+    dcols = list(ddf.columns)
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
 
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"

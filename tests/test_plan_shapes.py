@@ -52,20 +52,27 @@ def test_tpch_q6_single_pass(spark):
 
 
 def test_tpch_q3_broadcasts_dims(spark):
+    """No hints on orders/customer (SF-linear): the broadcasts here must
+    be *threshold-chosen* (sizes at fixture scale are far under
+    autoBroadcastJoinThreshold), so at 100 TB the same code degrades to a
+    shuffle hash join instead of OOMing the executors."""
     df = q(spark, "tpch_q3")
     assert broadcast_join_count(df) >= 1
     assert has_take_ordered(df)
 
 
 def test_tpch_q5_one_fact_shuffle(spark):
-    """Five joins, but every dim broadcasts: the only exchanges are the
-    final aggregation + sort of |nations| rows."""
+    """Five joins; at fixture scale every non-fact side is under the
+    broadcast threshold (only nation/region are hint-forced), so the only
+    exchanges are the final aggregation + sort of |nations| rows."""
     df = q(spark, "tpch_q5")
     assert broadcast_join_count(df) == 5
     assert count_exchanges(df) <= 2
 
 
 def test_q7_q8_broadcast_all_dims(spark):
+    """Threshold-chosen broadcasts (hints only on nation): still all-
+    broadcast at fixture scale."""
     assert broadcast_join_count(q(spark, "tpch_q7_volume_shipping")) >= 4
     assert broadcast_join_count(q(spark, "tpch_q8_market_share")) >= 4
 
@@ -120,7 +127,8 @@ def test_tpch2_q2_q21_heap_topk(spark):
 
 
 def test_tpch2_q9_broadcasts_all_dims(spark):
-    """part/supplier/nation must broadcast — the only shuffle-eligible
+    """part/supplier/nation broadcast at fixture scale (threshold-chosen
+    for part/supplier, hinted for nation) — the only shuffle-eligible
     join is lineitem⋈orders (two facts)."""
     assert broadcast_join_count(q(spark, "tpch_q9_product_profit")) >= 3
 

@@ -80,3 +80,36 @@ def test_salted_join_left_outer(spark, no_broadcast):
     ) == sorted(
         map(tuple, plain.collect()), key=lambda t: tuple((x is None, x) for x in t)
     )
+
+
+def test_star_contraction_chain_converges_logarithmically(spark):
+    """A 64-node chain is the adversarial case for min-label propagation
+    (needs 63 rounds); large-star/small-star must collapse it to one
+    component in <= log2(n)+2 rounds."""
+    import math
+
+    from mcp_rag_server_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    n = 64
+    chain = spark.range(1, n).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    labels, rounds = star_contraction_components(chain)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+    assert rounds <= int(math.log2(n)) + 2, rounds
+
+
+def test_star_contraction_raises_when_round_bound_hit(spark):
+    from mcp_rag_server_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    chain = spark.range(1, 16).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        star_contraction_components(chain, max_rounds=1)
