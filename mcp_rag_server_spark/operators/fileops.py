@@ -29,10 +29,12 @@ global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.text import chunk_stride
+from mcp_rag_server_spark.registry import register
 from mcp_rag_server_spark.sources.files import normalize_rel_path
 
 #: Reference src/index.ts:66-68.
@@ -180,3 +182,74 @@ def list_files(
         .orderBy(F.col("type"), F.col("path"))
         .limit(limit)
     )
+
+
+#: Deterministic synthetic file tree over the ``documents`` fixture so
+#: the list_files surface (reference src/index.ts:316-413) gets a
+#: DuckDB-checkable correctness row: source/lang become directories,
+#: each doc a file whose extension cycles txt/md/log on doc_id.
+_TREE_PATH_SQL = (
+    "source || '/' || lang || '/doc_' || CAST(doc_id AS {str_t}) || '.' || "
+    "CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'md' ELSE 'log' END"
+)
+
+
+def _doc_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        _TREE_PATH_SQL.format(str_t="STRING") + " AS rel_path",
+        "n_chars AS file_size",
+    )
+
+
+@register(
+    "fileops_list",
+    oracle=f"""
+WITH files AS (
+  SELECT {_TREE_PATH_SQL.format(str_t="VARCHAR")} AS path,
+         n_chars AS size
+  FROM documents
+),
+dirs AS (
+  SELECT DISTINCT source AS path FROM documents
+  UNION
+  SELECT DISTINCT source || '/' || lang FROM documents
+),
+cat AS (
+  SELECT path, 'file' AS type, size FROM files
+  UNION ALL
+  SELECT path, 'dir' AS type, CAST(NULL AS BIGINT) AS size FROM dirs
+)
+SELECT path, type, size FROM cat ORDER BY type ASC, path ASC LIMIT 200
+""",
+    description="list_files over a doc-derived file tree: recursive walk,"
+    " dirs-first binary sort, entry limit (reference src/index.ts:316-413)",
+    tags=("fileops", "catalog"),
+)
+def fileops_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises T2 (dirs-first sort) + T3 (entry limit) + F8 (path
+    shape) through the real file_catalog → list_files path; the plan is
+    filter → TakeOrderedAndProject, so a 100M-file catalog returns the
+    first N entries without a global sort."""
+    cat = file_catalog(_doc_file_listing(spark, sf_dir))
+    return list_files(cat, recursive=True, limit=200)
+
+
+@register(
+    "fileops_list_ext",
+    oracle=f"""
+WITH files AS (
+  SELECT {_TREE_PATH_SQL.format(str_t="VARCHAR")} AS path,
+         n_chars AS size
+  FROM documents
+  WHERE CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'md' ELSE 'log' END = 'md'
+)
+SELECT path, 'file' AS type, size FROM files ORDER BY type, path LIMIT 100
+""",
+    description="list_files extension filter: '.md' only, dir rows"
+    " suppressed (P7/F7, reference src/index.ts:377-388)",
+    tags=("fileops", "catalog", "filter"),
+)
+def fileops_list_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = file_catalog(_doc_file_listing(spark, sf_dir))
+    return list_files(cat, recursive=True, include_extensions=[".MD"], limit=100)

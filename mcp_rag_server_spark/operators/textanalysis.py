@@ -269,9 +269,14 @@ LIMIT 25
 )
 def ta_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF = ln(N/df), rounded to 6dp (ln is libm-dependent in the last
-    ulp; rounding is the cross-engine determinism boundary)."""
+    ulp; rounding is the cross-engine determinism boundary).
+
+    N arrives as a 1-row broadcast scalar aggregate folded into the DAG
+    (same shape as the oracle's CROSS JOIN n) instead of a separate
+    docs.count() action: one job, and the N branch scans only the
+    pruned doc_id column."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").alias("n_docs"))
     df = (
         docs.select(
             "doc_id",
@@ -282,8 +287,13 @@ def ta_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("doc_freq"))
     )
     return (
-        df.withColumn(
-            "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
+        df.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+            ).alias("idf"),
         )
         .orderBy(F.desc("idf"), F.asc("token"))
         .limit(25)

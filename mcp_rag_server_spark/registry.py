@@ -132,6 +132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_string_concat_nations",
     # new this round
     "fileops_list",
+    "fileops_list_ext",
     # plan changed this round (broadcast-hint removal) — re-confirm
     "tpch_q3",
     "tpch_q5",
@@ -164,6 +165,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         embed,
         events,
+        fileops,
         multimodal,
         python_api,
         rag,

@@ -173,3 +173,12 @@ def test_sim_l2_topk_shuffle_free(spark):
 def test_cohort_sizes_join_broadcasts(spark):
     """The cohort-size side (|cohorts| rows) must broadcast."""
     assert broadcast_join_count(q(spark, "ev_cohort_retention")) >= 1
+
+
+def test_tfidf_count_folded_into_dag(spark):
+    """N must arrive as a 1-row broadcast scalar aggregate inside the
+    plan (no separate count() action); the scalar branch's scan reads
+    only doc_id."""
+    df = q(spark, "ta_tfidf_top")
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan
