@@ -44,12 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-        # truncate to microseconds with integer division — exactly what
-        # DuckDB does when it narrows TIMESTAMP_NS to its micro TIMESTAMP,
-        # so both engines see identical event times.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS); the session-level
+        # nanosAsLong conf (session.REQUIRED_RUNTIME_CONFS — set by
+        # get_spark at build time, asserted on foreign sessions by the
+        # __spark_entry__ wrappers) makes it read as long; truncate to
+        # microseconds with integer division — exactly what DuckDB does
+        # when it narrows TIMESTAMP_NS, so both engines see identical
+        # event times.
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))

@@ -12,10 +12,11 @@ fixture as a token-range slice (the fixture text has no newlines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.ids import dense_chunk_ids
 from mcp_rag_server_spark.functions.text import (
     chunk_array,
     duckdb_chunk_sql,
@@ -66,6 +67,23 @@ def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_split_clamped",
+    oracle=duckdb_chunk_sql("documents", "doc_id", "text", 100, 150),
+    description="overlap clamp (F2): overlap >= size falls back to"
+    " floor(size*0.15) (reference src/indexer.ts:118-122) — both engines"
+    " chunk with the clamped stride",
+    tags=("chunking", "ingest"),
+)
+def chunk_split_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size=100, overlap=150 is invalid (stride would be negative); the
+    clamp (functions/text.py::clamp_overlap) drops overlap to 15, stride
+    85 — applied identically inside chunk_array and duckdb_chunk_sql, so
+    a clamp regression on either side breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return explode_chunks(docs, size=100, overlap=150)
+
+
+@register(
     "chunks_table",
     oracle=f"""
 WITH c AS ({duckdb_chunk_sql("documents", "doc_id", "text",
@@ -82,24 +100,22 @@ FROM c JOIN documents d USING (doc_id)
 )
 def chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core `Doc` table (id, path→doc_id, chunk, text,
-    file_size denormalized; src/types.ts:5-20). Ids are a deterministic
+    file_size denormalized; src/types.ts:5-20). Ids equal a deterministic
     ``row_number`` over (doc_id, chunk) — NOT ``monotonically_increasing_id``,
-    which is partition-dependent and breaks golden reproducibility.
-
-    Scale note: the unpartitioned window is a single-reducer sort, fine
-    for an id-assignment step that runs once per ingest at ~chunks/350B
-    rows; at true 100 TB you'd switch to a deterministic composite key
-    (dense file_rank * 1e6 + chunk) or zipWithIndex on sorted partitions.
+    which is partition-dependent and breaks golden reproducibility —
+    but are computed scale-safe via :func:`dense_chunk_ids`: the only
+    ordered step is a running sum over one row per *document*, never a
+    global sort of the chunk rows (the r2 single-reducer window is gone;
+    plan-shape test: tests/test_plan_shapes.py::test_chunks_table_id_window_is_per_file).
     """
     docs = load_table(spark, sf_dir, "documents")
     chunks = explode_chunks(docs, size=DOC_CHUNK_SIZE, overlap=DOC_CHUNK_OVERLAP)
-    w = Window.orderBy("doc_id", "chunk")
     return (
-        chunks.join(
+        dense_chunk_ids(chunks, "doc_id", start_id=1)
+        .join(
             docs.select("doc_id", "n_chars", "lang", "source"),
             "doc_id",
         )
-        .withColumn("id", F.row_number().over(w))
         .select(
             "id",
             "doc_id",

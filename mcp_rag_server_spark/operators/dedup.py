@@ -514,6 +514,7 @@ def star_contraction_components(
         .localCheckpoint()
     )
     edges = edges.localCheckpoint()
+    prev_count = edges.count()
     rounds = 0
     converged = False
     while rounds < max_rounds:
@@ -548,15 +549,22 @@ def star_contraction_components(
             .distinct()
             .localCheckpoint()
         )
-        # converged when the edge set is a fixpoint of the round pair
+        # Converged when the edge set is a fixpoint of the round pair.
+        # Cheap necessary condition first: both sets are distinct, so
+        # equal cardinality + empty one-way difference ⇒ equality — in a
+        # non-converged round the contraction almost always changes the
+        # count, making the per-round cost ONE count() on checkpointed
+        # data instead of two exceptAll shuffles of the edge set.
+        cur_count = small.count()
         if (
-            small.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(small).limit(1).count() == 0
+            cur_count == prev_count
+            and small.exceptAll(edges).limit(1).count() == 0
         ):
             edges = small
             converged = True
             break
         edges = small
+        prev_count = cur_count
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds"

@@ -315,6 +315,117 @@ def ev_grouped_map_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_anomaly_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         {duckdb_dsum('value', 4)} AS s1,
+         {duckdb_dsum('value * value', 4)} AS s2
+  FROM events
+  GROUP BY user_id
+),
+z AS (
+  SELECT e.user_id, e.event_id,
+         round((e.value - s.s1 / s.n)
+               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 4) AS z
+  FROM events e JOIN stats s USING (user_id)
+  WHERE s.n > 1 AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
+)
+SELECT user_id, event_id, z FROM z
+WHERE abs(z) >= 2.5
+ORDER BY user_id, event_id
+""",
+    description="per-user z-score outliers (|z| >= 2.5) — anomaly flagging"
+    " with exact decimal moment sums so both engines compute identical"
+    " doubles (no order-dependent float accumulation)",
+    tags=("events", "stats", "anomaly"),
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and variance come from decimal partial sums of x and x²
+    (functions/numeric.py discipline): the sums are exact and
+    order-independent, the final double expression tree is identical in
+    both engines, and z is rounded to 4 decimals BEFORE the threshold
+    filter so the kept set is deterministic. Plan: one groupBy(user_id)
+    with map-side combine + a broadcast stats join — two scans of events
+    but no wide shuffle of the event rows."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum("value", 4).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 4).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.round(
+        (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var), 4
+    )
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") > 1) & (var > 0))
+        .select("user_id", "event_id", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "ev_salted_hot_key_join",
+    oracle=f"""
+WITH big AS (
+  SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END AS k, value
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT user_id AS k, user_id % 3 AS tier FROM events
+)
+SELECT d.tier,
+       COUNT(*) AS n_events,
+       {duckdb_dsum('b.value', 4)} AS total_value
+FROM big b JOIN dim d ON b.k = d.k
+GROUP BY d.tier
+ORDER BY d.tier
+""",
+    description="explicit salted join on a deliberately 80%-hot key"
+    " (functions/skew.py) vs a plain-join oracle — the manual skew lever"
+    " for stages AQE can't rewrite",
+    tags=("events", "join", "skew"),
+)
+def ev_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80% of events are remapped onto key 0 (a pathological hot key),
+    then joined to the per-user tier dim through ``salted_join``: the
+    shuffle key becomes (k, _salt), spreading the hot key over n_salts
+    partitions (plan witness:
+    tests/test_scale_patterns.py::test_salted_join_query_plan_fans_out).
+    Salt assignment is a deterministic row hash — the result is
+    join-equivalent to the plain join the oracle runs."""
+    from mcp_rag_server_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.select(
+        F.when(F.col("event_id") % 10 < 8, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        ev.select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("tier", F.col("k") % 3)
+    )
+    return (
+        salted_join(big, dim, on="k", n_salts=8)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
     "ev_cohort_retention",
     oracle="""
 WITH firsts AS (

@@ -184,6 +184,46 @@ def list_files(
     )
 
 
+@register(
+    "fileops_reassemble_text",
+    oracle="""
+SELECT doc_id, text FROM documents WHERE length(text) > 0 ORDER BY doc_id
+""",
+    description="read_file whole-text path: chunk-store reassembly"
+    " (file_texts inverts splitChunks' overlap) must reproduce every"
+    " original document byte-for-byte (reference src/index.ts:286-314"
+    " reads PDF text back from the chunk cache the same way)",
+    tags=("fileops", "read_file", "chunking"),
+)
+def fileops_reassemble_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip property as a driver row: explode documents with the
+    fixture chunk geometry, then reassemble with file_texts (chunk 0
+    whole, later chunks contribute the post-overlap suffix) — the oracle
+    is simply the original text. One groupBy(rel_path) shuffle; at scale
+    this is the read_file service path over a chunk store."""
+    from mcp_rag_server_spark.operators.chunking import (
+        DOC_CHUNK_OVERLAP,
+        DOC_CHUNK_SIZE,
+        explode_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        explode_chunks(docs, size=DOC_CHUNK_SIZE, overlap=DOC_CHUNK_OVERLAP)
+        .withColumnRenamed("chunk_text", "text")
+        .withColumn("rel_path", F.col("doc_id").cast("string"))
+        .withColumn("file_size", F.lit(None).cast("long"))
+        .withColumn("line_count", F.lit(None).cast("int"))
+    )
+    reassembled = file_texts(chunks, DOC_CHUNK_SIZE, DOC_CHUNK_OVERLAP)
+    return (
+        reassembled.select(
+            F.col("rel_path").cast("bigint").alias("doc_id"), "text"
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Deterministic synthetic file tree over the ``documents`` fixture so
 #: the list_files surface (reference src/index.ts:316-413) gets a
 #: DuckDB-checkable correctness row: source/lang become directories,
@@ -211,9 +251,12 @@ WITH files AS (
   FROM documents
 ),
 dirs AS (
-  SELECT DISTINCT source AS path FROM documents
-  UNION
-  SELECT DISTINCT source || '/' || lang FROM documents
+  -- ancestors by prefix-splitting the SAME path expression the files
+  -- CTE uses (mirrors file_catalog's ancestor derivation), so a '/'
+  -- inside any source/lang value yields identical dir rows both sides
+  SELECT DISTINCT array_to_string(parts[1:CAST(i AS INT)], '/') AS path
+  FROM (SELECT string_split(path, '/') AS parts FROM files),
+       LATERAL (SELECT unnest(generate_series(1, len(parts) - 1)) AS i) t
 ),
 cat AS (
   SELECT path, 'file' AS type, size FROM files

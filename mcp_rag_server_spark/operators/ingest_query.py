@@ -1,0 +1,195 @@
+"""Driver-checkable ingest round-trip: store build + incremental delta.
+
+The ingest pipeline (sources/ingest.py — reference ``Indexer.build``
+src/indexer.ts:226-317 and ``incrementalUpdate`` src/indexer.ts:413-511)
+was previously covered only by pytest; this registry query turns the
+whole S5/S6/J1/J2 path into driver evidence:
+
+  1. materialize the ``documents`` fixture as a real on-disk corpus
+     (source/lang directories, one .txt per doc) — v1 excludes the
+     "future" docs;
+  2. cold-build the chunk store (discover → decode → chunk → dense ids
+     → parquet store + meta sidecar);
+  3. mutate the corpus deterministically — delete ``doc_id%11==5``,
+     size-changing edit ``doc_id%13==6``, add ``doc_id%7==3`` — and
+     ``build()`` again, which warm-loads the store and applies the
+     J1 (anti join deletes) / J2 (outer-join size delta) refresh;
+  4. return the final chunk table.
+
+The DuckDB oracle replays the same merge relationally: chunk both
+corpus versions with the shared chunk SQL, keep survivors' ids, assign
+``max(id)+1``-continued ids to re-ingested paths (getMaxId()+1,
+src/indexer.ts:393-400).
+
+The only driver-side loop writes the fixture corpus to local disk —
+control-plane scaffolding (500 files at sf0.01); in production the
+corpus already exists, and the ingest itself is the distributed path
+under test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.text import chunk_stride
+from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.sources.ingest import IngestParams, build
+
+#: Chunk geometry — matches operators/chunking.py fixture geometry so the
+#: multi-chunk explosion is actually exercised (~300-char docs).
+RT_CHUNK_SIZE = 200
+RT_CHUNK_OVERLAP = 30
+
+#: Deterministic corpus mutation rules (v1 → v2).
+MOD_NEW = 7, 3  # doc_id % 7 == 3 → absent from v1, added in v2
+MOD_DEL = 11, 5  # doc_id % 11 == 5 → deleted in v2
+MOD_EDIT = 13, 6  # doc_id % 13 == 6 → size-changing edit in v2
+EDIT_SUFFIX = " v2-edit"
+
+
+def _doc_rel_path(source: str, lang: str, doc_id: int) -> str:
+    return f"{source}/{lang}/doc_{doc_id}.txt"
+
+
+def _write_corpus_v1(root: str, docs) -> None:
+    for r in docs:
+        if r.doc_id % MOD_NEW[0] == MOD_NEW[1]:
+            continue
+        p = os.path.join(root, _doc_rel_path(r.source, r.lang, r.doc_id))
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(r.text)
+
+
+def _mutate_corpus_v2(root: str, docs) -> None:
+    for r in docs:
+        p = os.path.join(root, _doc_rel_path(r.source, r.lang, r.doc_id))
+        if r.doc_id % MOD_DEL[0] == MOD_DEL[1]:
+            if os.path.exists(p):
+                os.remove(p)
+            continue
+        is_new = r.doc_id % MOD_NEW[0] == MOD_NEW[1]
+        is_edit = r.doc_id % MOD_EDIT[0] == MOD_EDIT[1]
+        if is_new or is_edit:
+            text = r.text + EDIT_SUFFIX if is_edit else r.text
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(text)
+
+
+def _chunk_cte(src: str, size: int, overlap: int) -> str:
+    """DuckDB chunk explosion over a (rel_path, text) CTE."""
+    stride = chunk_stride(size, overlap)
+    cnt = (
+        "CASE WHEN length(text) > 0 "
+        f"THEN CAST(floor((length(text) - 1) / {stride}) + 1 AS BIGINT) "
+        "ELSE 0 END"
+    )
+    return f"""
+SELECT rel_path,
+       CAST(i AS INT) AS chunk,
+       substring(text, CAST(i * {stride} + 1 AS INT), {size}) AS ctext
+FROM (SELECT rel_path, text, unnest(range(0, {cnt})) AS i FROM {src})
+""".strip()
+
+
+_PATH_SQL = "source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'"
+
+_ORACLE = f"""
+WITH v1 AS (
+  SELECT {_PATH_SQL} AS rel_path, text
+  FROM documents
+  WHERE doc_id % {MOD_NEW[0]} <> {MOD_NEW[1]} AND length(text) > 0
+),
+v2 AS (
+  SELECT {_PATH_SQL} AS rel_path,
+         CASE WHEN doc_id % {MOD_EDIT[0]} = {MOD_EDIT[1]}
+              THEN text || '{EDIT_SUFFIX}' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {MOD_DEL[0]} <> {MOD_DEL[1]} AND length(text) > 0
+),
+oldc AS ({_chunk_cte("v1", RT_CHUNK_SIZE, RT_CHUNK_OVERLAP)}),
+old_ids AS (
+  SELECT rel_path, chunk, ctext,
+         row_number() OVER (ORDER BY rel_path, chunk) - 1 AS id
+  FROM oldc
+),
+-- J2 delta: new paths + size-changed paths (the reference's size-only
+-- change heuristic, indexer.ts:453-454)
+delta AS (
+  SELECT v2.rel_path FROM v2 LEFT JOIN v1 USING (rel_path)
+  WHERE v1.rel_path IS NULL
+     OR octet_length(encode(v2.text)) <> octet_length(encode(v1.text))
+),
+-- J1 deletes + delta re-ingests drop out of the survivor set
+survivors AS (
+  SELECT o.id, o.rel_path, o.chunk, o.ctext
+  FROM old_ids o
+  JOIN v2 USING (rel_path)
+  WHERE o.rel_path NOT IN (SELECT rel_path FROM delta)
+),
+deltac AS (
+  {_chunk_cte("(SELECT v2.* FROM v2 JOIN delta USING (rel_path))",
+              RT_CHUNK_SIZE, RT_CHUNK_OVERLAP)}
+),
+delta_ids AS (
+  SELECT rel_path, chunk, ctext,
+         (SELECT COALESCE(MAX(id), -1) FROM survivors)
+           + row_number() OVER (ORDER BY rel_path, chunk) AS id
+  FROM deltac
+),
+final AS (
+  SELECT id, rel_path, chunk, ctext FROM survivors
+  UNION ALL
+  SELECT id, rel_path, chunk, ctext FROM delta_ids
+)
+SELECT f.id,
+       f.rel_path,
+       f.chunk,
+       f.ctext AS text,
+       octet_length(encode(v2.text)) AS file_size,
+       CAST(len(string_split_regex(v2.text, '\\r?\\n')) AS INT) AS line_count
+FROM final f JOIN v2 USING (rel_path)
+ORDER BY f.id
+""".strip()
+
+
+@register(
+    "ingest_roundtrip",
+    oracle=_ORACLE,
+    description="store cold build + incremental delta refresh (J1 deletes,"
+    " J2 size-delta re-ingest, max(id)+1 id continuation) vs a relational"
+    " replay of the same merge (reference src/indexer.ts:226-317,413-511)",
+    tags=("ingest", "delta", "store"),
+)
+def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .collect()
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_rt_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "corpus")
+    store = os.path.join(base, "store")
+    os.makedirs(root, exist_ok=True)
+
+    params = IngestParams(
+        chunk_size=RT_CHUNK_SIZE,
+        chunk_overlap=RT_CHUNK_OVERLAP,
+        allowed_ext=("txt",),
+    )
+    _write_corpus_v1(root, docs)
+    build(spark, root, store, params)  # cold path: S1→S2→F1→ids→S6
+    _mutate_corpus_v2(root, docs)
+    out = build(spark, root, store, params)  # warm path: S5→J1/J2→S6
+    return out.select(
+        "id", "rel_path", "chunk", "text", "file_size", "line_count"
+    ).orderBy("id")

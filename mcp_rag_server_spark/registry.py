@@ -71,75 +71,74 @@ def register(
     return deco
 
 
-#: Driver-evidence priority: CORRECTNESS_r01 checked only the first 50
-#: registry entries (insertion order), so round 2 front-loads the
-#: families that have no driver row yet (streaming, similarity,
-#: temporal, TPC-H pack 2, text analysis, late relational additions),
-#: the three r01 hash-fails whose oracles were fixed (HUGEINT casts),
-#: and queries whose physical plans changed this round (broadcast-hint
-#: removal). Everything else — all green in r01 and still covered by
-#: tests/test_oracle_parity.py — follows in registration order.
+#: Driver-evidence priority (round 3 rotation): the driver checks a
+#: 50-query prefix of this ordering, so the prefix must hold, in risk
+#: order: (a) queries NEW this round (no driver row exists at all),
+#: (b) queries whose implementation or oracle CHANGED since their last
+#: driver check (dd_connected_components was rewritten to star
+#: contraction in r2 but only its pre-rewrite r1 row exists; its
+#: fixpoint check changed again this round; chunks_table's id
+#: assignment was rebuilt on dense_chunk_ids; fileops_list's oracle
+#: dirs CTE was generalized), then (c) every query whose most recent
+#: row is r1-vintage (the r2 window covered the other 50). Exactly 50
+#: entries — nothing trusted falls outside the window. Everything else
+#: was driver-green in r2 and is unchanged; tests/test_oracle_parity.py
+#: replays all of them locally regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r01 hash-fails, oracles fixed this round
-    "dd_exact_stats",
-    "ev_sessionize",
-    "ev_dedup_by_second",
-    # streaming (24/7 pipeline capabilities; VERDICT task 9)
-    "st_sessionize",
-    "st_dedup_within_watermark",
-    "st_hourly_windows",
-    "st_sliding_windows",
-    "st_stream_stream_join",
-    "st_stateful_user_stats",
-    # similarity / ANN
-    "sim_ann_topk",
-    "sim_ivf_topk",
-    "sim_hyperplane_lsh",
-    "sim_l2_topk",
-    "sim_radius_search",
-    "sim_label_centroids",
-    # temporal joins
-    "tj_asof_last_order",
-    "tj_range_pairs_5min",
-    # TPC-H pack 2
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_global_sales_opportunity",
-    # text analysis
-    "ta_token_stats",
-    "ta_quality_score",
-    "ta_lang_profile",
-    "ta_langid_heuristic",
-    "ta_fingerprint",
-    "ta_bigram_top",
-    "ta_tfidf_top",
-    "ta_filter_pipeline",
-    "ta_repetition_stats",
-    "ta_stratified_sample",
-    # late relational additions
-    "agg_exact_percentiles",
-    "pivot_status_by_priority",
-    "window_rank_analytics",
-    "grouping_sets_sales",
-    "sql_rag_topk",
-    "agg_stats_lineitem",
-    "agg_string_concat_nations",
-    # new this round
-    "fileops_list",
-    "fileops_list_ext",
-    # plan changed this round (broadcast-hint removal) — re-confirm
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q10_returns",
+    # (a) new this round
+    "ingest_roundtrip",
+    "ev_salted_hot_key_join",
+    "ev_anomaly_zscore",
+    "chunk_split_clamped",
+    "fileops_reassemble_text",
+    # (b) changed since last driver row
+    "dd_connected_components",
     "chunks_table",
-    "rag_topk",
+    "fileops_list",
     "dd_minhash_lsh",
+    "chunk_split",
+    # (c) r1-vintage rows, registration order
+    "read_range",
+    "dd_jaccard_same_source",
+    "dd_simhash",
+    "dd_embedding_neardup",
+    "rag_query_result",
+    "emb_hash_embed",
+    "ev_hourly_windows",
+    "ev_json_extract",
+    "ev_funnel",
+    "ev_top_users_by_value",
+    "ev_type_value_stats",
+    "ev_grouped_map_running",
+    "ev_cohort_retention",
+    "mm_image_meta",
+    "mm_frame_sample",
+    "chunk_udtf",
+    "arrow_token_stats",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q4_exists",
+    "window_topn_per_nation",
+    "window_lag_orders",
+    "window_moving_avg",
+    "rollup_sales_by_region",
+    "cube_lineitem_flags",
+    "set_intersect_status",
+    "set_except_customers",
+    "anti_join_idle_customers",
+    "outer_join_order_counts",
+    "distinct_agg_lineitem",
+    "correlated_max_price_part",
+    "top_parts_by_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    # 50th slot: shares the fileops oracle helpers touched this round
+    "fileops_list_ext",
 )
 
 
@@ -166,6 +165,7 @@ def load_all() -> dict[str, QuerySpec]:
         embed,
         events,
         fileops,
+        ingest_query,
         multimodal,
         python_api,
         rag,

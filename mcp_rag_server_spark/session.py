@@ -18,6 +18,30 @@ from pyspark.sql import SparkSession
 #: or rely on AQE coalescing from a higher initial number).
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: Runtime SQL confs every operator assumes. Set at build time by
+#: :func:`get_spark`, and re-assertable on a *foreign* session (the
+#: correctness driver constructs its own SparkSession and passes it in)
+#: via :func:`ensure_session_confs`. This is the ONLY place session conf
+#: is mutated — operators and the catalog never call ``spark.conf.set``.
+REQUIRED_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    # parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read the nanos as
+    # long and truncate to micros in catalog.load_table — exactly what
+    # DuckDB does when narrowing TIMESTAMP_NS, so both engines see
+    # identical event times.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp semantics must be engine-independent vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Idempotently apply :data:`REQUIRED_RUNTIME_CONFS` to a session we
+    did not build (no-op on sessions from :func:`get_spark`)."""
+    for k, v in REQUIRED_RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def get_spark(
     app_name: str = "mcp-rag-server-spark",
@@ -49,13 +73,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in REQUIRED_RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

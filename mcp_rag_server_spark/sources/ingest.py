@@ -24,13 +24,13 @@ NOT ``monotonically_increasing_id`` — that varies with partitioning and
 would break golden tests (SURVEY.md §1.5).
 
 Scale shape: chunking is ``posexplode`` over a pure SQL chunk expression
-— a narrow, shuffle-free scan stage. The only shuffle on the cold path
-is the global ``row_number`` (a single total-order window); at 100 TB
-you'd switch ids to ``(hash(rel_path), chunk)`` or zipWithIndex-per-
-partition + offset to avoid the single-partition window — documented
-here, kept exact for golden parity. The refresh path touches only the
-changed-file delta: two path-key joins (J1 anti, J2 outer) against a
-listing that read no file bodies.
+— a narrow, shuffle-free scan stage. Id assignment decomposes the
+global ``row_number`` into per-file offsets (functions/ids.py): the only
+ordered computation is a running sum over one row per FILE, so no task
+ever sorts the full chunk set; the ids stay bit-identical to
+``row_number() over (order by rel_path, chunk)`` for golden parity. The
+refresh path touches only the changed-file delta: two path-key joins
+(J1 anti, J2 outer) against a listing that read no file bodies.
 """
 
 from __future__ import annotations
@@ -42,9 +42,10 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mcp_rag_server_spark.functions.ids import dense_chunk_ids
 from mcp_rag_server_spark.functions.text import chunk_array
 from mcp_rag_server_spark.sources.files import (
     DEFAULT_ALLOWED_EXT,
@@ -110,16 +111,29 @@ def chunk_files(texts: DataFrame, params: IngestParams) -> DataFrame:
 
 
 def _assign_ids(chunks: DataFrame, start_id: int = 0) -> DataFrame:
+    """id = row_number over (rel_path, chunk) - 1 + start_id, computed
+    per-file (functions/ids.py) so no task ever sorts the full chunk
+    set — the ordered step is one row per file."""
     base = ["id", "rel_path", "chunk", "text", "file_size", "line_count"]
     extra = [c for c in chunks.columns if c not in base]
-    w = Window.orderBy("rel_path", "chunk")
-    return chunks.withColumn(
-        "id", (F.row_number().over(w) - 1 + F.lit(start_id)).cast("long")
-    ).select(*base, *extra)
+    return dense_chunk_ids(chunks, "rel_path", start_id=start_id).select(
+        *base, *extra
+    )
 
 
 def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, META_FILE)
+
+
+def _recover_interrupted_swap(data_dir: str) -> None:
+    """compact_store's dir swap is two renames, not one atomic op: a
+    crash between them leaves the canonical ``chunks`` dir missing and
+    the data stranded at ``chunks.old``. Openers call this first to roll
+    the store back to the pre-compaction copy (compaction is a pure
+    layout rewrite, so the old copy is fully current)."""
+    old = data_dir + ".old"
+    if not os.path.exists(data_dir) and os.path.exists(old):
+        os.rename(old, data_dir)
 
 
 def _bucket_col(n_buckets: int):
@@ -178,7 +192,9 @@ def load_store(
     )
     if not compatible:
         return None
-    return spark.read.parquet(os.path.join(store_path, "chunks"))
+    data_dir = os.path.join(store_path, "chunks")
+    _recover_interrupted_swap(data_dir)
+    return spark.read.parquet(data_dir)
 
 
 def _discover_texts(
@@ -423,6 +439,7 @@ def compact_store(
     import shutil
 
     data_dir = os.path.join(store_path, "chunks")
+    _recover_interrupted_swap(data_dir)
     df = spark.read.parquet(data_dir)
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
@@ -442,9 +459,12 @@ def compact_store(
         # (refresh relies on it); range layout applies within buckets.
         writer = writer.partitionBy("bucket")
     writer.parquet(staged)
-    # Crash-safe swap: move the live dir aside before renaming the staged
-    # copy in, so no failure point leaves the canonical path empty; the
-    # old copy is deleted only once the new one is in place.
+    # Swap with a recovery path, NOT atomic: between the two renames the
+    # canonical dir is briefly missing, and a crash there strands the
+    # data at ``chunks.old`` — openers (load_store / compact_store / the
+    # next build) run _recover_interrupted_swap to roll back. No failure
+    # point loses data; a concurrent reader during the window would need
+    # an external lock (out of scope for a single-writer store).
     old = data_dir + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)

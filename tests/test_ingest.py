@@ -323,7 +323,10 @@ def test_partitioned_store_delta_bucket_refresh(spark, corpus_dir, tmp_path):
     )
     first = build(spark, root, store, params)
     flat = cold_build(spark, root, PARAMS)
-    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, flat.collect()))
+    # Snapshot BEFORE mutating the corpus: re-collecting `flat` later
+    # would re-scan the mutated root (its lineage reads the source files).
+    flat_rows = flat.collect()
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, flat_rows))
 
     chunks_dir = os.path.join(store, "chunks")
     before = {}
@@ -337,7 +340,7 @@ def test_partitioned_store_delta_bucket_refresh(spark, corpus_dir, tmp_path):
     second = build(spark, root, store, params)
 
     # Logical result matches the flat incremental path on the same delta.
-    flat_old = spark.createDataFrame(flat.collect(), flat.schema)
+    flat_old = spark.createDataFrame(flat_rows, flat.schema)
     expected = incremental_update(spark, flat_old, root, PARAMS)
     assert sorted(map(tuple, second.collect())) == sorted(
         map(tuple, expected.collect())

@@ -70,6 +70,20 @@ def test_tpch_q5_one_fact_shuffle(spark):
     assert count_exchanges(df) <= 2
 
 
+def test_q3_q5_aqe_picks_broadcast_at_runtime(spark):
+    """With fact-side hints removed (r2), the broadcasts for the filtered
+    orders/customer sides must be chosen by AQE at runtime (their actual
+    sizes are far under autoBroadcastJoinThreshold at fixture scale). If
+    this fails, the session conf is mis-set and q3/q5 pay a needless
+    exchange — the r2 bench regression would be real, not jitter."""
+    for name in ("tpch_q3", "tpch_q5"):
+        df = q(spark, name)
+        df.collect()  # finalize the adaptive plan
+        final = plan_string(df, mode="simple")
+        assert "BroadcastHashJoin" in final, (name, final)
+        assert "isFinalPlan=true" in final, name
+
+
 def test_q7_q8_broadcast_all_dims(spark):
     """Threshold-chosen broadcasts (hints only on nation): still all-
     broadcast at fixture scale."""
@@ -108,6 +122,22 @@ def test_top_parts_preaggregates_before_join(spark):
     join_pos = plan.index("BroadcastHashJoin")
     agg_pos = plan.index("HashAggregate")
     assert agg_pos > join_pos  # formatted tree lists children after parent
+
+
+def test_chunks_table_id_window_is_per_file(spark):
+    """Id assignment must window over one row per *document* (the
+    per-file offset table from functions/ids.py), never the full chunk
+    set: in the plan tree the Window's subtree must contain the per-doc
+    count aggregate BEFORE any chunk explosion (Generate). The r2 shape
+    — Window directly over the exploded chunks, a single-reducer global
+    sort — had no aggregate there."""
+    from mcp_rag_server_spark.plans.inspect import tree_section
+
+    plan = tree_section(q(spark, "chunks_table"))
+    assert "Window" in plan
+    after_window = plan[plan.index("Window") :]
+    assert "Generate" in after_window
+    assert "HashAggregate" in after_window[: after_window.index("Generate")]
 
 
 def test_minhash_signature_single_shuffle(spark):

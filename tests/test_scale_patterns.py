@@ -82,6 +82,22 @@ def test_salted_join_left_outer(spark, no_broadcast):
     )
 
 
+def test_salted_join_query_plan_fans_out(spark, no_broadcast):
+    """The registry query's shuffle key must be (k, _salt) — the salt
+    fan-out is visible as _salt inside the join-side hashpartitioning
+    exchanges (with broadcast disabled, as at true scale where the
+    exploded dim side still shuffles)."""
+    from mcp_rag_server_spark.registry import load_all
+
+    df = load_all()["ev_salted_hot_key_join"].spark_fn(spark, SF)
+    plan = plan_string(df)
+    assert "_salt" in plan
+    import re
+
+    part_keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_salt" in keys and "k" in keys for keys in part_keys), part_keys
+
+
 def test_star_contraction_chain_converges_logarithmically(spark):
     """A 64-node chain is the adversarial case for min-label propagation
     (needs 63 rounds); large-star/small-star must collapse it to one
