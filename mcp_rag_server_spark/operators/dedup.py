@@ -493,6 +493,70 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
+@register(
+    "dd_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT c.component AS kept_doc_id,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN c.doc_id <> c.component THEN d.n_chars
+                     ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM comp c JOIN documents d USING (doc_id)
+GROUP BY c.component
+ORDER BY kept_doc_id
+""",
+    description="end-to-end near-dup dedup decision: per duplicate group"
+    " keep the min-id doc, report how many docs / characters the dedup"
+    " pass drops — the actionable output a training-data pipeline applies",
+    tags=("dedup", "iterative", "graph"),
+)
+def dd_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization step AFTER grouping: components from the same
+    star-contraction run as dd_connected_components, joined back to the
+    corpus for per-group keep/drop accounting (kept = min doc_id — a
+    deterministic, engine-independent choice). At 100 TB the final join
+    is labels (|near-dup docs| rows, usually a small fraction) against
+    documents on doc_id, and the dedup'd corpus is the anti-join of
+    documents vs the dropped ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pair_edges(docs)
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"),
+    ).distinct()
+    labels, _ = star_contraction_components(edges)
+    return (
+        labels.select(F.col("id").alias("doc_id"), "component")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "dropped_chars",
+            F.when(F.col("doc_id") != F.col("component"), F.col("n_chars")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy(F.col("component").alias("kept_doc_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - 1).alias("n_dropped"),
+            F.sum("dropped_chars").alias("chars_dropped"),
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
 def star_contraction_components(
     edges: DataFrame, max_rounds: int = 50
 ) -> tuple[DataFrame, int]:
