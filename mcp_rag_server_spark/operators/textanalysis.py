@@ -530,3 +530,103 @@ def ta_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Decontamination shingle width. Production pipelines use 8-13-gram
+#: overlap; the fixture texts are short random word soup, so 4-word
+#: shingles give the same discriminative behavior (a handful of true
+#: collisions, not half the corpus).
+DECON_SHINGLE_K = 4
+
+#: The held-out "benchmark" split: a deterministic doc_id slice.
+DECON_EVAL_PRED = "doc_id % 50 = 0"
+
+
+@register(
+    "ta_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest({duckdb_word_shingles("string_split(text, ' ')", DECON_SHINGLE_K)})
+           AS shingle
+  FROM documents
+),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE {DECON_EVAL_PRED.replace('doc_id', 'doc_id')}
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE NOT ({DECON_EVAL_PRED})
+)
+SELECT t.doc_id, COUNT(*) AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e USING (shingle)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    description="train/eval decontamination: training docs sharing any"
+    " word shingle with the held-out split, with overlap counts — the"
+    " benchmark-leakage scan every training corpus needs",
+    tags=("text", "dedup", "decontamination"),
+)
+def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination = a training document sharing ≥1 distinct word
+    shingle (DECON_SHINGLE_K wide) with the eval split. Shape: explode shingles once, split by
+    the eval predicate, semi-ish join on the shingle value. At 100 TB
+    the join shuffles (doc, shingle) pairs hashed by shingle — the same
+    partitioning real decontamination pipelines use — and the eval side
+    (benchmarks are tiny vs the corpus) broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 50 == 0
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(word_shingles("toks", DECON_SHINGLE_K)).alias("shingle")
+    )
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train_sh = sh.filter(~is_eval).distinct()
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+#: Mixture cap: at most this many docs kept per source.
+MIXTURE_CAP = 15
+
+
+@register(
+    "ta_mixture_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id FROM ranked
+WHERE rk <= {MIXTURE_CAP}
+ORDER BY source, doc_id
+""",
+    description="data-mixture capping: keep at most N docs per source,"
+    " chosen by deterministic md5 order (no rand()) — the per-source"
+    " quota step of training-data mixing",
+    tags=("text", "sampling", "mixture"),
+)
+def ta_mixture_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-represented sources get capped by taking the first N docs in
+    md5(doc_id) order — a uniform, reproducible choice (same docs on any
+    engine/partitioning; ties impossible since doc_id breaks them). The
+    window partitions by source, so at 100 TB each source sorts only its
+    own (md5, doc_id) pairs — no global sort; raising the cap or
+    reweighting a source is a constant change."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= MIXTURE_CAP)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

@@ -91,6 +91,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ev_anomaly_zscore",
     "chunk_split_clamped",
     "fileops_reassemble_text",
+    "dd_keep_canonical",
+    "ta_decontaminate",
+    "ta_mixture_cap",
     # (b) changed since last driver row
     "dd_connected_components",
     "chunks_table",
@@ -119,8 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q6",
     "tpch_q4_exists",
     "window_topn_per_nation",
-    "window_lag_orders",
-    "window_moving_avg",
     "rollup_sales_by_region",
     "cube_lineitem_flags",
     "set_intersect_status",
@@ -137,9 +138,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive_revenue",
-    # 50th slot: shares the fileops oracle helpers touched this round
-    "fileops_list_ext",
 )
+# Evicted to stay at 50 (lowest risk: r1-green, files unchanged since,
+# and a same-file sibling got a fresh green row in r2): window_lag_orders
+# and window_moving_avg (window_rank_analytics r2-green covers the window
+# family) and fileops_list_ext (r2-green; the r3 oracle edit touched only
+# fileops_list's dirs CTE). They rotate back in next round.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
