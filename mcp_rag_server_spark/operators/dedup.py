@@ -577,8 +577,19 @@ def star_contraction_components(
         .distinct()
         .localCheckpoint()
     )
+    def _signature(df: DataFrame) -> tuple:
+        """(row count, order-independent hash fold) of an edge set — one
+        partial-aggregated action, no shuffle of the edge rows. Equality
+        is a NECESSARY condition for set equality (a hash collision can
+        only cost one wasted exceptAll, never a wrong answer)."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("src", "dst").cast("long")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     edges = edges.localCheckpoint()
-    prev_count = edges.count()
+    prev_sig = _signature(edges)
     rounds = 0
     converged = False
     while rounds < max_rounds:
@@ -614,21 +625,24 @@ def star_contraction_components(
             .localCheckpoint()
         )
         # Converged when the edge set is a fixpoint of the round pair.
-        # Cheap necessary condition first: both sets are distinct, so
-        # equal cardinality + empty one-way difference ⇒ equality — in a
-        # non-converged round the contraction almost always changes the
-        # count, making the per-round cost ONE count() on checkpointed
-        # data instead of two exceptAll shuffles of the edge set.
-        cur_count = small.count()
+        # Cheap necessary condition first: per-round cost is ONE
+        # partial-aggregated signature action (count alone cannot
+        # discriminate — a spanning forest over one component has
+        # exactly n-1 edges EVERY round). Only when the signature
+        # repeats do we pay an exceptAll shuffle, and since both sets
+        # are distinct, equal count + empty one-way difference ⇒
+        # equality (regression:
+        # test_scale_patterns.py::test_star_contraction_single_terminal_exceptall).
+        cur_sig = _signature(small)
         if (
-            cur_count == prev_count
+            cur_sig == prev_sig
             and small.exceptAll(edges).limit(1).count() == 0
         ):
             edges = small
             converged = True
             break
         edges = small
-        prev_count = cur_count
+        prev_sig = cur_sig
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds"

@@ -119,6 +119,34 @@ def test_star_contraction_chain_converges_logarithmically(spark):
     assert rounds <= int(math.log2(n)) + 2, rounds
 
 
+def test_star_contraction_single_terminal_exceptall(spark, monkeypatch):
+    """The fixpoint probe is one count() per round; the exceptAll
+    symmetric-difference shuffle may run ONLY on the terminal round where
+    counts match (the r2 version paid two exceptAll jobs every round)."""
+    from mcp_rag_server_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    chain = spark.range(1, 64).select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    )
+    # Patch the instance's concrete class: pyspark 4 routes instances
+    # through the classic/connect subclass, not pyspark.sql.DataFrame.
+    cls = type(chain)
+    calls = {"n": 0}
+    orig = cls.exceptAll
+
+    def counting(self, other):
+        calls["n"] += 1
+        return orig(self, other)
+
+    monkeypatch.setattr(cls, "exceptAll", counting)
+    labels, rounds = star_contraction_components(chain)
+    assert labels.count() == 64
+    assert rounds >= 2
+    assert calls["n"] == 1, calls["n"]
+
+
 def test_star_contraction_raises_when_round_bound_hit(spark):
     from mcp_rag_server_spark.operators.dedup import (
         star_contraction_components,
