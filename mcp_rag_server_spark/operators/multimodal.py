@@ -162,3 +162,88 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
         .orderBy("doc_id", "frame_idx")
     )
+
+
+#: Audio fake-decode geometry: blob bytes ARE the PCM samples (uint8),
+#: windowed like the chunker (size/stride), features per window.
+AUDIO_WIN = 64
+AUDIO_HOP = 32
+
+
+def audio_window_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, binary) → per-window audio features via mapInPandas: RMS and
+    peak over uint8 samples, windows of AUDIO_WIN every AUDIO_HOP (the
+    short-time-energy shape used for VAD / silence trimming). Real
+    deployments swap np.frombuffer for a librosa/soundfile decode with
+    the same (doc_id, win_idx, n_samples, peak, rms) contract."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "win_idx": [], "n_samples": [], "peak": [], "rms": []}
+            for doc_id, blob in zip(b[id_col], b[blob_col]):
+                x = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                for wi, st in enumerate(range(0, n, AUDIO_HOP)):
+                    win = x[st : st + AUDIO_WIN]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(wi)
+                    out["n_samples"].append(len(win))
+                    out["peak"].append(int(win.max()))
+                    out["rms"].append(
+                        round(math.sqrt(float((win * win).sum()) / len(win)), 4)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema="doc_id bigint, win_idx int, n_samples int, peak int, rms double"
+    )
+
+
+@register(
+    "mm_audio_windows",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, CAST(i AS INT), 1))) AS samp
+  FROM documents
+  WHERE length(text) > 0
+),
+w AS (
+  SELECT doc_id, CAST(wi AS INT) AS win_idx,
+         list_slice(samp, CAST(wi * {AUDIO_HOP} + 1 AS INT),
+                    CAST(wi * {AUDIO_HOP} + {AUDIO_WIN} AS INT)) AS win
+  FROM (SELECT doc_id, samp,
+               unnest(range(0, CAST(floor((len(samp) - 1) / {AUDIO_HOP}) + 1
+                                    AS BIGINT))) AS wi
+        FROM s)
+)
+SELECT doc_id, win_idx,
+       CAST(len(win) AS INT) AS n_samples,
+       CAST(list_max(win) AS INT) AS peak,
+       round(sqrt(CAST(list_sum(list_transform(win, v -> v * v)) AS DOUBLE)
+                  / len(win)), 4) AS rms
+FROM w
+ORDER BY doc_id, win_idx
+""",
+    description="audio binary column → short-time energy features (windowed"
+    " RMS/peak) via mapInPandas — the VAD/silence-trim primitive; fake"
+    " decode reads blob bytes as uint8 PCM, mirrored exactly in SQL"
+    " (fixture text is ASCII, so bytes == ascii codes)",
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window count = floor((n-1)/hop)+1 (same census as the text chunker
+    with size=AUDIO_WIN, stride=AUDIO_HOP); RMS midpoint-rounding is safe
+    because non-constant windows give irrational RMS and constant windows
+    give exact small-denominator rationals, neither of which sits on a
+    4-decimal rounding midpoint. Narrow end-to-end: scan → Arrow batches
+    → explode inside Python — no shuffle before the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return audio_window_features(blobs).orderBy("doc_id", "win_idx")

@@ -205,6 +205,22 @@ def test_cohort_sizes_join_broadcasts(spark):
     assert broadcast_join_count(q(spark, "ev_cohort_retention")) >= 1
 
 
+def test_audio_windows_narrow_arrow(spark):
+    """Audio feature extraction = scan → Arrow-batched Python eval; the
+    only exchange allowed is the presentation orderBy."""
+    df = q(spark, "mm_audio_windows")
+    plan = plan_string(df)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """The eval-split shingle set (tiny vs the corpus) must broadcast —
+    shuffling the training shingles against a shuffled eval side would
+    move the whole corpus once more."""
+    assert broadcast_join_count(q(spark, "ta_decontaminate")) >= 1
+
+
 def test_tfidf_count_folded_into_dag(spark):
     """N must arrive as a 1-row broadcast scalar aggregate inside the
     plan (no separate count() action); the scalar branch's scan reads
