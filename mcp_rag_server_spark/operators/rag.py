@@ -138,3 +138,77 @@ def rag_query_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
     )
+
+
+@register(
+    "rag_hybrid_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT list_distinct(string_split(text, ' ')) AS qtoks
+  FROM documents WHERE doc_id = 0
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT d.doc_id,
+         list_distinct(string_split(d.text, ' ')) AS toks,
+         e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id <> 0
+)
+SELECT c.doc_id,
+       round(CAST(len(list_intersect(c.toks, q.qtoks)) AS DOUBLE)
+             / len(list_distinct(list_concat(c.toks, q.qtoks))), 4) AS lex_score,
+       round({duckdb_cosine('c.embedding', 'qv.qv')}, 4) AS vec_score,
+       round({duckdb_cosine('c.embedding', 'qv.qv')} * 0.5
+             + CAST(len(list_intersect(c.toks, q.qtoks)) AS DOUBLE)
+               / len(list_distinct(list_concat(c.toks, q.qtoks))) * 0.5,
+             4) AS hybrid_score
+FROM cand c CROSS JOIN q CROSS JOIN qv
+ORDER BY hybrid_score DESC, c.doc_id ASC
+LIMIT 10
+""",
+    description="hybrid retrieval: equal-weight fusion of lexical Jaccard"
+    " and cosine similarity, top-10 — the lexical+vector search real RAG"
+    " deployments run (extends the reference's vector-only rag_query)",
+    tags=("rag", "vector", "text", "topk"),
+)
+def rag_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both scores are computed from raw doubles in ONE pass over the
+    candidates (same expression tree both engines, rounded only at the
+    output/sort boundary). Plan: documents⋈embeddings on id (broadcast at
+    fixture scale), 1-row query side broadcast, codegen scoring,
+    TakeOrderedAndProject(10) — the corpus is scanned once and never
+    shuffled; at 100 TB the candidate set would first be cut by an index
+    (sim_ivf_topk's cell pruning or the LSH buckets) before this exact
+    fusion rescoring."""
+    from mcp_rag_server_spark.functions.vector import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.array_distinct(F.split("text", " ")).alias("qtoks"))
+        .crossJoin(
+            emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        )
+    )
+    cand = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+    )
+    lex = F.size(F.array_intersect("toks", "qtoks")).cast("double") / F.size(
+        F.array_union("toks", "qtoks")
+    )
+    vec = cosine("embedding", "qv")
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(lex, 4).alias("lex_score"),
+            F.round(vec, 4).alias("vec_score"),
+            F.round(vec * 0.5 + lex * 0.5, 4).alias("hybrid_score"),
+        )
+        .orderBy(F.desc("hybrid_score"), F.asc("doc_id"))
+        .limit(10)
+    )
