@@ -421,3 +421,32 @@ def test_compact_store_layout(spark, corpus_dir, tmp_path):
 
     # The meta sidecar survived and still round-trips through load_store.
     assert load_store(spark, store, params) is not None
+
+
+def test_dense_chunk_ids_equals_global_row_number(spark):
+    """Property: for any per-file chunk counts, dense_chunk_ids equals
+    row_number() over (order by file, chunk) - 1 + start_id — the oracle
+    semantics it replaces without the global chunk-row sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mcp_rag_server_spark.functions.ids import dense_chunk_ids
+
+    # Adversarial shape: uneven counts, names that sort differently than
+    # insertion order, a 1-chunk file, a large file.
+    counts = {"z/last.txt": 3, "a only.md": 1, "m/mid.py": 7, "a/b.txt": 5,
+              "zz.txt": 2, "m/mid2.py": 1}
+    rows = [
+        (path, chunk)
+        for path, n in counts.items()
+        for chunk in range(n)
+    ]
+    chunks = spark.createDataFrame(rows, "rel_path string, chunk int")
+    for start in (0, 1, 1000):
+        got = dense_chunk_ids(chunks, "rel_path", start_id=start)
+        w = Window.orderBy("rel_path", "chunk")
+        want = chunks.withColumn(
+            "id", (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+        )
+        assert sorted(map(tuple, got.select("rel_path", "chunk", "id").collect())) == \
+            sorted(map(tuple, want.select("rel_path", "chunk", "id").collect()))

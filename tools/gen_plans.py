@@ -1,0 +1,39 @@
+"""Generate PLANS.md: the physical plan of every bench-headline query
+plus the scale-sensitive r3 additions, with the properties each claims."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mcp_rag_server_spark.session import get_spark
+from mcp_rag_server_spark.registry import load_all
+from mcp_rag_server_spark.plans.inspect import (
+    tree_section, count_exchanges, broadcast_join_count, has_take_ordered)
+
+spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=8)
+reg = load_all()
+SF = "/root/testdata/sf0.001"
+EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
+         "ta_mixture_cap", "rag_hybrid_topk", "mm_audio_windows",
+         "ev_anomaly_zscore", "ev_salted_hot_key_join", "dd_keep_canonical"]
+names = [n for n, s in reg.items() if s.bench] + EXTRA
+
+out = ["# PLANS — physical-plan audit (auto-generated)", "",
+       "`tools/gen_plans.py` regenerates this file. Initial (pre-AQE) plan",
+       "trees at sf0.001 for every bench-headline query plus the",
+       "scale-sensitive round-3 additions. Shuffle counts exclude broadcast",
+       "exchanges; `TakeOrderedAndProject` = heap top-k, never a global sort.",
+       ""]
+for n in names:
+    if n == "ingest_roundtrip":
+        out += [f"## {n}", "",
+                "(excluded: materializes an on-disk corpus + two store builds;",
+                "plan shape is the ingest DAG documented in sources/ingest.py)", ""]
+        continue
+    df = reg[n].spark_fn(spark, SF)
+    tree = tree_section(df)
+    props = (f"exchanges={count_exchanges(df)} "
+             f"broadcast_joins={broadcast_join_count(df)} "
+             f"heap_topk={has_take_ordered(df)}")
+    out += [f"## {n}", "", props, "", "```", tree.strip(), "```", ""]
+open("PLANS.md", "w").write("\n".join(out))
+print("wrote PLANS.md,", len(names), "queries")
