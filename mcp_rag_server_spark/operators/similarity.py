@@ -264,3 +264,73 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= RADIUS_COSINE)
         .orderBy(F.desc("score"), F.asc("vec_id"))
     )
+
+
+@register(
+    "sim_sq8_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         (CAST(list_max(embedding) AS DOUBLE)
+          - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, label, embedding,
+         list_transform(embedding,
+           sqv -> CASE WHEN sc = 0 THEN mn
+                       ELSE mn + round((CAST(sqv AS DOUBLE) - mn) / sc, 0) * sc
+                  END) AS dq
+  FROM p
+)
+SELECT d.vec_id, d.label,
+       round({duckdb_cosine('d.dq', 'q.qv')}, 4) AS approx_score,
+       round({duckdb_cosine('d.embedding', 'q.qv')}, 4) AS exact_score
+FROM d CROSS JOIN q
+ORDER BY approx_score DESC, d.vec_id ASC
+LIMIT {TOP_K}
+""",
+    description="scalar-quantized (SQ8) search: per-vector min/max 8-bit"
+    " codes, approximate cosine over the dequantized vectors, exact score"
+    " alongside for recall inspection — the 4x-compression scale path",
+    tags=("similarity", "vector", "quantization", "topk"),
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization: each vector stores (mn, sc, 255-level
+    codes) — 4x smaller than float32, which at 100 TB is the difference
+    between an in-memory and a disk-bound scan. Quantize→dequantize is
+    pure deterministic arithmetic (identical expression trees both
+    engines; round-half-up agrees on positives), so approximate scores
+    hash-match exactly. The query ranks by the approximate score and
+    carries the exact score so recall degradation is observable in the
+    result itself. Lambda is SQL text with an explicit variable (sqv) —
+    never Python-lambda HOFs (functions/vector.py docstring)."""
+    from mcp_rag_server_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    p = emb.withColumn("mn", F.array_min("embedding").cast("double")).withColumn(
+        "sc",
+        (F.array_max("embedding").cast("double") - F.col("mn")) / F.lit(255.0),
+    )
+    d = p.withColumn(
+        "dq",
+        F.expr(
+            "transform(embedding, sqv -> "
+            "CASE WHEN sc = CAST(0 AS DOUBLE) THEN mn "
+            "ELSE mn + round((CAST(sqv AS DOUBLE) - mn) / sc, 0) * sc END)"
+        ),
+    )
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("dq", "qv"), 4).alias("approx_score"),
+            cosine_score("embedding", "qv").alias("exact_score"),
+        )
+        .orderBy(F.desc("approx_score"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -630,3 +630,50 @@ def ta_mixture_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+#: the GPT-2-style pre-split (simplified to a dialect-portable regex).
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@register(
+    "ta_token_budget",
+    oracle=f"""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_SPLIT_RE}'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_llm_tokens
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+    description="per-source/lang token budgeting: whitespace tokens,"
+    " BPE-ish pre-tokenizer counts (letter/digit/punct runs), and the"
+    " chars/4 LLM-token estimate — the table mixture planning reads",
+    tags=("text", "tokens", "mixture"),
+)
+def ta_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting is exact integer math (no float accumulation), so the
+    group totals are engine-identical. The BPE-ish regex is the GPT-2
+    pre-split shape; on a punctuation-free fixture it coincides with
+    whitespace counts, and the oracle pins the regex semantics across
+    engines either way. One partial-aggregated groupBy — at 100 TB this
+    is a single shuffle of (source, lang, partial sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0))
+            ).alias("bpe_tokens"),
+            F.sum(F.ceil(F.col("n_chars") / 4.0)).alias("est_llm_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
