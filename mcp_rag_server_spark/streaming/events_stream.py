@@ -38,8 +38,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the natural analog of
     the reference's directory rescan — new files are new micro-batches).
-    Same TIMESTAMP(NANOS) handling as catalog.load_table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Same TIMESTAMP(NANOS) handling as catalog.load_table; the required
+    nanosAsLong conf comes from the session (session.py
+    REQUIRED_RUNTIME_CONFS — set by get_spark, asserted on foreign
+    sessions by the __spark_entry__ wrappers)."""
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema)

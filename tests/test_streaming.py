@@ -58,3 +58,47 @@ def test_transform_with_state_when_available(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_ingest_checkpointed_incremental(spark, tmp_path):
+    """Continuous-ingest mode: the streaming file source's checkpoint is
+    the incremental-refresh ledger — a second availableNow run after new
+    files arrive ingests ONLY the new files (no re-chunking of old ones,
+    no duplicates), surviving across separate query instances."""
+    from mcp_rag_server_spark.operators.chunking import DOC_CHUNK_OVERLAP  # noqa: F401
+    from mcp_rag_server_spark.streaming.ingest_stream import run_ingest_stream
+
+    root = tmp_path / "corpus"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("alpha " * 40)
+    (root / "sub" / "b.txt").write_text("bravo " * 80)
+    (root / "skip.md").write_text("wrong extension")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_ingest_stream(spark, str(root), store, ckpt, chunk_size=120, chunk_overlap=30)
+    first = spark.read.parquet(store).collect()
+    paths = {r["rel_path"] for r in first}
+    assert paths == {"a.txt", "sub/b.txt"}
+    # chunk semantics identical to the batch chunker
+    from tests.test_ingest import ref_split_chunks
+
+    a_chunks = sorted(
+        (r for r in first if r["rel_path"] == "a.txt"), key=lambda r: r["chunk"]
+    )
+    assert [r["text"] for r in a_chunks] == ref_split_chunks("alpha " * 40, 120, 30)
+
+    # New file arrives; old file UNCHANGED must not be re-ingested.
+    (root / "c.txt").write_text("charlie " * 30)
+    run_ingest_stream(spark, str(root), store, ckpt, chunk_size=120, chunk_overlap=30)
+    second = spark.read.parquet(store).collect()
+    by_path = {}
+    for r in second:
+        by_path.setdefault(r["rel_path"], []).append(r)
+    assert set(by_path) == {"a.txt", "sub/b.txt", "c.txt"}
+    # no duplicates: per (rel_path, chunk) exactly one row
+    keys = [(r["rel_path"], r["chunk"]) for r in second]
+    assert len(keys) == len(set(keys))
+    # old rows byte-identical (came from the first run's files)
+    assert sorted(map(tuple, (r for r in second if r["rel_path"] != "c.txt"))) == \
+        sorted(map(tuple, first))
