@@ -334,3 +334,124 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx_score"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+RECALL_K = 20
+NPROBES = (1, 3, 5)
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS score
+  FROM embeddings e CROSS JOIN q
+),
+exact_topk AS (
+  SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC LIMIT {RECALL_K}
+),
+cells AS (
+  SELECT label,
+         row_number() OVER (
+           ORDER BY {duckdb_dsum("score", 6)} / COUNT(*) DESC, label ASC)
+           AS cell_rank
+  FROM scored GROUP BY label
+),
+probes AS (SELECT unnest([{", ".join(map(str, NPROBES))}]) AS nprobe),
+ranked AS (
+  SELECT p.nprobe, s.vec_id,
+         row_number() OVER (PARTITION BY p.nprobe
+                            ORDER BY s.score DESC, s.vec_id ASC) AS rn
+  FROM scored s
+  JOIN cells c ON s.label = c.label
+  CROSS JOIN probes p
+  WHERE c.cell_rank <= p.nprobe
+),
+overlap AS (
+  SELECT r.nprobe, COUNT(*) AS n_overlap
+  FROM ranked r JOIN exact_topk e ON r.vec_id = e.vec_id
+  WHERE r.rn <= {RECALL_K}
+  GROUP BY r.nprobe
+)
+SELECT p.nprobe,
+       {RECALL_K} AS k,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(o.n_overlap, 0) / {RECALL_K}.0, 4) AS recall_at_k
+FROM probes p LEFT JOIN overlap o ON o.nprobe = p.nprobe
+ORDER BY p.nprobe
+""",
+    description="recall@k of IVF search vs exact top-k across nprobe ="
+    " 1/3/5 — the accuracy-vs-cost tuning curve every approximate index"
+    " is operated by, computed relationally from one scored scan",
+    tags=("similarity", "vector", "ivf", "recall"),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rankings come from ONE scored scan; the nprobe sweep is a
+    tiny cross join against the cell ranking, so the whole audit is two
+    heap top-k classes over a shared intermediate. At 100 TB the exact
+    side is the sampled audit run production ANN recall monitoring uses;
+    rising recall with nprobe (visible in the fixture output) is the
+    knob this query exists to expose."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", "label", cosine_score("embedding", "qv").alias("score")
+    )
+    exact_topk = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    cells = (
+        scored.groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_score")
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("avg_score"), F.asc("label"))
+            ),
+        )
+        .select("label", "cell_rank")
+    )
+    probes = (
+        emb.limit(1)
+        .select(F.explode(F.array(*[F.lit(n) for n in NPROBES])).alias("nprobe"))
+    )
+    ranked = (
+        scored.join(F.broadcast(cells), "label")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nprobe").orderBy(
+                    F.desc("score"), F.asc("vec_id")
+                )
+            ),
+        )
+    )
+    overlap = (
+        ranked.filter(F.col("rn") <= RECALL_K)
+        .join(exact_topk, "vec_id")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        probes.join(overlap, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(RECALL_K).alias("k"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(RECALL_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
