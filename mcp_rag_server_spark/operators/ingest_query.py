@@ -193,3 +193,87 @@ def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "rel_path", "chunk", "text", "file_size", "line_count"
     ).orderBy("id")
+
+
+#: The streaming roundtrip uses a half-size corpus slice — the
+#: checkpointed-discovery semantics are file-count-invariant, and two
+#: streaming passes over the full 500-file corpus double the per-run
+#: cost for no extra evidence.
+ST_DOC_LIMIT = 250
+
+_ST_ORACLE = f"""
+WITH allv AS (
+  SELECT {_PATH_SQL} AS rel_path, text
+  FROM documents
+  WHERE length(text) > 0 AND doc_id < {ST_DOC_LIMIT}
+),
+c AS ({_chunk_cte("allv", RT_CHUNK_SIZE, RT_CHUNK_OVERLAP)})
+SELECT c.rel_path,
+       c.chunk,
+       c.ctext AS text,
+       octet_length(encode(a.text)) AS file_size,
+       CAST(len(string_split_regex(a.text, '\\r?\\n')) AS INT) AS line_count
+FROM c JOIN allv a USING (rel_path)
+ORDER BY c.rel_path, c.chunk
+""".strip()
+
+
+@register(
+    "st_ingest_roundtrip",
+    oracle=_ST_ORACLE,
+    description="continuous-ingest roundtrip: two checkpointed streaming"
+    " passes (initial corpus, then appended files) land exactly one chunk"
+    " row per (rel_path, chunk) — checkpointed file discovery as the"
+    " append-side incremental refresh (streaming/ingest_stream.py)",
+    tags=("ingest", "streaming", "store"),
+)
+def st_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 1 ingests the v1 corpus (docs except the 'future' slice);
+    pass 2 runs after the held-back files are written and — via the
+    checkpoint's file log, not any listing diff — ingests ONLY them.
+    The oracle chunks the full corpus relationally: equality proves both
+    exactly-once accounting (no duplicates from pass 1 files) and
+    completeness (no appended file missed). Chunk identity is the
+    natural (rel_path, chunk) key — a global dense id is meaningless
+    under continuous arrival."""
+    from mcp_rag_server_spark.streaming.ingest_stream import run_ingest_stream
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < ST_DOC_LIMIT)
+        .select("doc_id", "source", "lang", "text")
+        .collect()
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_st_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "corpus")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(root, exist_ok=True)
+
+    _write_corpus_v1(root, docs)
+    run_ingest_stream(
+        spark, root, store, ckpt,
+        chunk_size=RT_CHUNK_SIZE, chunk_overlap=RT_CHUNK_OVERLAP,
+    )
+    # Append the held-back slice (the %7 "new" docs); nothing else changes.
+    for r in docs:
+        if r.doc_id % MOD_NEW[0] != MOD_NEW[1] or len(r.text) == 0:
+            continue
+        p = os.path.join(root, _doc_rel_path(r.source, r.lang, r.doc_id))
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(r.text)
+    run_ingest_stream(
+        spark, root, store, ckpt,
+        chunk_size=RT_CHUNK_SIZE, chunk_overlap=RT_CHUNK_OVERLAP,
+    )
+    spark.catalog.refreshByPath(store)
+    return (
+        spark.read.parquet(store)
+        .select("rel_path", "chunk", "text", "file_size", "line_count")
+        .orderBy("rel_path", "chunk")
+    )

@@ -81,3 +81,57 @@ def test_hash_embedder_deterministic_and_normalized():
     assert v1 == v2 and len(v1) == HASH_DIM
     assert sum(x * x for x in v1) == pytest.approx(1.0)
     assert hash_embed_query_vec("") == [0.0] * HASH_DIM
+
+
+def test_chunker_property_parity_with_reference(spark):
+    """Property-based parity: for arbitrary text/size/overlap (including
+    the stride-1 degenerate case and overlap-clamp fallback), the SQL
+    chunker equals the reference splitChunks algorithm verbatim."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mcp_rag_server_spark.functions.text import chunk_array, clamp_overlap
+    from tests.test_ingest import ref_split_chunks
+
+    import pyspark.sql.functions as F
+
+    cases = []
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        text=st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=400,
+        ),
+        size=st.integers(min_value=1, max_value=50),
+        overlap=st.integers(min_value=0, max_value=80),
+    )
+    def collect(text, size, overlap):
+        cases.append((text, size, overlap))
+
+    collect()
+    # One Spark job for all hypothesis-generated cases (per-case Spark
+    # round-trips would take minutes): evaluate chunk_array per row with
+    # its own geometry via a CASE over the distinct geometries.
+    rows = [(i, t, s, o) for i, (t, s, o) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, text string, size int, overlap int")
+    geoms = sorted({(s, o) for _, _, s, o in rows})
+    expr = None
+    for s_, o_ in geoms:
+        cond = (F.col("size") == s_) & (F.col("overlap") == o_)
+        b = chunk_array(F.col("text"), s_, o_)
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    got = {
+        r["i"]: r["chunks"]
+        for r in df.select("i", expr.alias("chunks")).collect()
+    }
+    for i, (t, s_, o_) in enumerate(cases):
+        # chunk_array = constructor-level overlap clamp (indexer.ts:118-122)
+        # + splitChunks stride (indexer.ts:201-215); the raw reference
+        # splitChunks never sees an unclamped overlap in practice.
+        expected = ref_split_chunks(t, s_, clamp_overlap(s_, o_))
+        assert got[i] == expected, (t, s_, o_)
