@@ -4,7 +4,7 @@ SURVEY.md §2.10 taxonomizes the UDF/UDAF/UDTF surface. The other Arrow
 shapes are covered elsewhere (scalar pandas_udf in emb_hash_embed,
 mapInPandas in multimodal/PDF, grouped-map applyInPandas in
 ev_grouped_map_running, applyInPandasWithState in st_stateful_user_stats);
-this module adds the remaining two:
+this module adds the remaining three:
 
 - a real Python **UDTF** (one input row → N output rows, lateral-joined)
   re-implementing the reference chunker (src/indexer.ts:201-215) row-at-
@@ -16,6 +16,9 @@ this module adds the remaining two:
   ``pyarrow.RecordBatch``es with no pandas conversion, the cheapest
   Python boundary Spark has. Used here for per-doc token counts via
   ``pyarrow.compute`` (all-C++ kernels, no per-row Python).
+- **cogrouped-map applyInPandas**: both sides of a key as separate
+  pandas frames in one call (``ev_cogrouped_quota``) — per-key
+  reconciliation that genuinely needs the two frames together.
 """
 
 from __future__ import annotations
@@ -114,3 +117,78 @@ def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_tokens, schema="doc_id long, n_tokens long, n_chars long"
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "ev_cogrouped_quota",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT user_id,
+         user_id % 3 AS tier,
+         50 + user_id % 7 AS quota
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, a.n_events, a.min_value, a.max_value,
+       CAST(d.tier AS BIGINT) AS tier,
+       a.n_events > d.quota AS over_quota
+FROM agg a JOIN dim d USING (user_id)
+ORDER BY a.user_id
+""",
+    description="cogrouped-map applyInPandas: events cogrouped with a"
+    " per-user quota dim, combined per group in one pandas function —"
+    " the two-sided Arrow group shape, vs a join+aggregate oracle",
+    tags=("events", "pandas", "cogrouped-map"),
+)
+def ev_cogrouped_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the Python-API matrix with ``cogroup().applyInPandas``:
+    both sides of a key arrive as separate pandas frames in ONE function
+    call — the shape for per-key reconciliation logic (enrichment,
+    validation, quota checks) that genuinely needs both frames at once.
+    Per-group outputs are order-independent (count/min/max), so results
+    are deterministic regardless of shuffle order. Scale: one co-shuffle
+    of both sides on user_id, per-group memory = that key's rows — same
+    contract as grouped-map, doubled."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") % 3).alias("tier"),
+            (F.lit(50) + F.col("user_id") % 7).alias("quota"),
+        )
+    )
+
+    def combine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "n_events", "min_value", "max_value",
+                    "tier", "over_quota",
+                ]
+            )
+        quota = int(right["quota"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [int(left["user_id"].iloc[0])],
+                "n_events": [len(left)],
+                "min_value": [float(left["value"].min())],
+                "max_value": [float(left["value"].max())],
+                "tier": [int(right["tier"].iloc[0])],
+                "over_quota": [len(left) > quota],
+            }
+        )
+
+    out = ev.groupBy("user_id").cogroup(dim.groupBy("user_id")).applyInPandas(
+        combine,
+        schema="user_id long, n_events long, min_value double,"
+        " max_value double, tier long, over_quota boolean",
+    )
+    return out.orderBy("user_id")
