@@ -140,6 +140,139 @@ def rag_query_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MMR re-rank parameters: candidate pool size, results returned,
+#: relevance weight (mmr = LAM*rel - (1-LAM)*max_sim_to_selected).
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+@register(
+    "rag_mmr_topk",
+    oracle=f"""
+WITH RECURSIVE cand AS (
+  SELECT e.vec_id, e.embedding,
+         round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS rel
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id ASC
+  LIMIT {MMR_POOL}
+),
+pair AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round({duckdb_cosine('a.embedding', 'b.embedding')}, 4) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+sel AS (
+  SELECT * FROM (
+    SELECT 1 AS rank, [vec_id] AS chosen, vec_id, rel, CAST(rel AS DOUBLE) AS mmr
+    FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+  )
+  UNION ALL
+  SELECT s.rank + 1, list_append(s.chosen, nxt.vec_id), nxt.vec_id, nxt.rel,
+         nxt.mmr
+  FROM sel s CROSS JOIN LATERAL (
+    SELECT c.vec_id, c.rel,
+           {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * (
+             SELECT max(p.sim) FROM pair p
+             WHERE p.a_id = c.vec_id AND list_contains(s.chosen, p.b_id)) AS mmr
+    FROM cand c
+    WHERE NOT list_contains(s.chosen, c.vec_id)
+    ORDER BY mmr DESC, c.vec_id ASC
+    LIMIT 1
+  ) nxt
+  WHERE s.rank < {MMR_K}
+)
+SELECT rank, vec_id, rel, mmr FROM sel ORDER BY rank
+""",
+    description="MMR-diversified top-k: greedy maximal-marginal-relevance"
+    " re-rank of the cosine top-20 candidate pool (lambda=0.7) — the"
+    " diversity re-ranker real RAG stacks run after retrieval",
+    tags=("rag", "vector", "topk", "rerank"),
+)
+def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    greedily pick argmax of ``lam*rel - (1-lam)*max_sim_to_selected``.
+
+    Two-stage shape: (1) candidate generation is the shuffle-free
+    brute-force top-N scan (TakeOrderedAndProject — the same plan as
+    rag_topk); (2) the O(K*N^2) greedy re-rank runs on the bounded
+    N={MMR_POOL} pool inside a cogrouped ``applyInPandas`` keyed by
+    query id — with a batch of M query vectors the re-rank parallelizes
+    per query while each group's state stays a constant ~N^2 sims. No
+    driver-side collect touches the corpus.
+
+    Cross-engine determinism: relevance and pairwise sims are rounded to
+    4 decimals (computed by the bit-identical HOF fold both engines, see
+    functions/vector.py), and the greedy arithmetic is plain float64
+    (0.7*rel - 0.3*max_sim) on those identical inputs with vec_id
+    tie-breaks, so the selection sequence is engine-identical; the mmr
+    doubles are emitted raw ("compared as-is", registry rule 3).
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        # The query document itself is excluded from the pool: a
+        # self-match is not a result, and worse, sim(c, query_doc) ==
+        # rel(c), which collapses the penalty term into a pure rescale
+        # of relevance and defeats the diversification.
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", cosine_score("embedding", "qv"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .select("vec_id", "embedding", "rel")
+    )
+    pa = cand.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("rel").alias("a_rel"),
+    )
+    pb = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pair = (
+        pa.join(F.broadcast(pb), F.col("a_id") != F.col("b_id"))
+        .withColumn("sim", cosine_score("a_emb", "b_emb"))
+        .select("a_id", "b_id", "sim")
+    )
+    lam = MMR_LAMBDA
+    one_minus_lam = 1 - MMR_LAMBDA
+
+    def greedy_mmr(cands: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        rel = dict(zip(cands["vec_id"], cands["rel"]))
+        sim = dict(zip(zip(pairs["a_id"], pairs["b_id"]), pairs["sim"]))
+        remaining = sorted(rel)
+        first = min(remaining, key=lambda v: (-rel[v], v))
+        chosen = [(1, first, rel[first], float(rel[first]))]
+        remaining.remove(first)
+        while remaining and len(chosen) < MMR_K:
+            best, best_mmr = None, None
+            for c in remaining:
+                max_sim = max(sim[(c, s)] for _, s, _, _ in chosen)
+                m = lam * rel[c] - one_minus_lam * max_sim
+                if best is None or m > best_mmr or (m == best_mmr and c < best):
+                    best, best_mmr = c, m
+            chosen.append((len(chosen) + 1, best, rel[best], best_mmr))
+            remaining.remove(best)
+        return pd.DataFrame(chosen, columns=["rank", "vec_id", "rel", "mmr"])
+
+    cands_g = cand.select("vec_id", "rel").withColumn("qid", F.lit(0))
+    pairs_g = pair.withColumn("qid", F.lit(0))
+    return (
+        cands_g.groupBy("qid")
+        .cogroup(pairs_g.groupBy("qid"))
+        .applyInPandas(
+            lambda left, right: greedy_mmr(left, right),
+            "rank int, vec_id long, rel double, mmr double",
+        )
+        .orderBy("rank")
+    )
+
+
 @register(
     "rag_hybrid_topk",
     oracle=f"""

@@ -86,6 +86,9 @@ def register(
 #: replays all of them locally regardless.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new this round
+    "rag_mmr_topk",
+    "ta_pack_sequences",
+    "ta_pii_scrub",
     "ingest_roundtrip",
     "ev_salted_hot_key_join",
     "ev_anomaly_zscore",
@@ -135,15 +138,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
 )
 # Evicted to stay at 50 (lowest risk: r1-green, files unchanged since,
 # and a same-file sibling got a fresh green row in r2): window_lag_orders
 # and window_moving_avg (window_rank_analytics r2-green covers the window
-# family) and fileops_list_ext (r2-green; the r3 oracle edit touched only
-# fileops_list's dirs CTE). They rotate back in next round.
+# family), fileops_list_ext (r2-green; the r3 oracle edit touched only
+# fileops_list's dirs CTE), and — displaced by the three operators new
+# this session — tpch_q17/q18/q19 (r1-green, relational.py untouched
+# since, and five same-file TPC-H siblings got fresh r2 rows). All
+# rotate back next round.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
@@ -178,6 +181,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         textanalysis,
+        training_prep,
         vector_lsh,
     )
     from mcp_rag_server_spark.streaming import (  # noqa: F401

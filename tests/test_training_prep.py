@@ -1,0 +1,137 @@
+"""Semantics tests for the training-prep operators (sequence packing,
+PII scrub) and the MMR re-ranker — properties the hash-parity check
+can't express (invariants, idempotence, diversity vs plain top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF001
+
+
+def test_pack_sequences_partitions_every_doc_exactly_once(spark):
+    """Packing is a partition of the corpus: per-source doc counts and
+    token totals are preserved, and pack ids are a dense 0..n sequence
+    within each source (contiguous fill leaves no gaps)."""
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.registry import load_all
+
+    packs = load_all()["ta_pack_sequences"].spark_fn(spark, SF001)
+    per_source = (
+        packs.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("docs"),
+            F.max("pack_id").alias("max_pack"),
+            F.count("*").alias("n_packs"),
+        )
+        .collect()
+    )
+    docs = load_table(spark, SF001, "documents")
+    truth = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {r["source"]: r["docs"] for r in per_source} == truth
+    for r in per_source:
+        assert r["n_packs"] == r["max_pack"] + 1, f"gap in {r['source']}"
+
+
+def test_pack_sequences_respects_start_boundary(spark):
+    """A document's pack is the budget window its first token lands in:
+    every pack's first doc starts at cum < (pack_id+1)*budget, so no pack
+    is entered 'late' and only the doc straddling a boundary overshoots."""
+    from mcp_rag_server_spark.operators.training_prep import PACK_BUDGET
+    from mcp_rag_server_spark.registry import load_all
+
+    packs = load_all()["ta_pack_sequences"].spark_fn(spark, SF001).collect()
+    by_source: dict[str, list] = {}
+    for r in sorted(packs, key=lambda r: (r["source"], r["pack_id"])):
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] * PACK_BUDGET <= cum < (r["pack_id"] + 1) * PACK_BUDGET
+            cum += r["pack_tokens"]
+
+
+def test_pii_scrub_is_idempotent_and_complete(spark):
+    """Scrubbing removes every match: re-running detection on scrubbed
+    text finds zero emails/phones, and every doc_id%7 / doc_id%11 row is
+    flagged (the injection itself is detected with recall 1.0)."""
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.operators.training_prep import EMAIL_RE, PHONE_RE
+    from mcp_rag_server_spark.registry import load_all
+
+    flagged = load_all()["ta_pii_scrub"].spark_fn(spark, SF001)
+    n_docs = load_table(spark, SF001, "documents").count()
+    expect = {i for i in range(n_docs) if i % 7 == 0 or i % 11 == 0}
+    got = {r["doc_id"] for r in flagged.select("doc_id").collect()}
+    assert got == expect
+
+    # Rebuild the augmented text, scrub it, detect again: must be clean.
+    docs = load_table(spark, SF001, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    residue = (
+        docs.select(
+            (
+                F.regexp_count(scrubbed, F.lit(EMAIL_RE))
+                + F.regexp_count(scrubbed, F.lit(PHONE_RE))
+            ).alias("n")
+        )
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert residue == 0
+
+
+def test_mmr_diversifies_relative_to_plain_topk(spark):
+    """MMR keeps the most-relevant item at rank 1 but swaps at least one
+    of the remaining plain-top-k picks for a more diverse candidate, and
+    every mmr score is <= its relevance (the diversity penalty only
+    subtracts)."""
+    from mcp_rag_server_spark.registry import load_all
+
+    reg = load_all()
+    mmr = reg["rag_mmr_topk"].spark_fn(spark, SF001).collect()
+    topk = reg["rag_topk"].spark_fn(spark, SF001).collect()
+    assert [r["rank"] for r in mmr] == [1, 2, 3, 4, 5]
+    # rank 1 = the most relevant candidate; rag_topk's rank 1 is the
+    # query vector itself (self-match, score 1.0), which MMR excludes.
+    assert mmr[0]["vec_id"] == topk[1]["vec_id"]
+    assert mmr[0]["mmr"] == mmr[0]["rel"]
+    assert {r["vec_id"] for r in mmr} != {r["vec_id"] for r in topk}
+    for r in mmr:
+        assert r["mmr"] <= r["rel"] + 1e-12
+
+
+def test_mmr_candidate_stage_is_heap_topk(spark):
+    """The candidate pool is produced by TakeOrderedAndProject (the
+    shuffle-free per-partition heap top-k) and the re-rank runs as a
+    cogrouped pandas stage — no corpus-wide sort or collect."""
+    from mcp_rag_server_spark.registry import load_all
+
+    df = load_all()["rag_mmr_topk"].spark_fn(spark, SF001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
