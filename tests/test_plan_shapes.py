@@ -228,3 +228,26 @@ def test_tfidf_count_folded_into_dag(spark):
     df = q(spark, "ta_tfidf_top")
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_window_is_per_source(spark):
+    """The packing cumsum windows by source — the plan's Window sort
+    must sit on a hash-partitioned exchange (partitioning=[source...]),
+    never a SinglePartition global sort (the chunks_table r2 lesson)."""
+    plan = plan_string(q(spark, "ta_pack_sequences"))
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pii_scrub_stays_jvm_side(spark):
+    """Regex detect/redact is pure codegen string work: no Python
+    evaluation nodes anywhere, and no shuffle before the (tiny filtered)
+    output sort."""
+    df = q(spark, "ta_pii_scrub")
+    plan = plan_string(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                 "MapInPandas"):
+        assert node not in plan
+    # one exchange total: the rangepartitioning for the output orderBy
+    assert count_exchanges(df) <= 1
