@@ -210,8 +210,6 @@ def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks, so the selection sequence is engine-identical; the mmr
     doubles are emitted raw ("compared as-is", registry rule 3).
     """
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cand = (
@@ -224,53 +222,121 @@ def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel", cosine_score("embedding", "qv"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
-        .select("vec_id", "embedding", "rel")
+        .select(F.lit(0).alias("qid"), "vec_id", "embedding", "rel")
     )
-    pa = cand.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("rel").alias("a_rel"),
+    return mmr_rerank(cand, mmr_pairs(cand)).drop("qid").orderBy("rank")
+
+
+def mmr_pairs(cand: DataFrame) -> DataFrame:
+    """Pairwise candidate similarities per query: (qid, a_id, b_id, sim).
+
+    ``cand`` is (qid, vec_id, embedding, rel). The self-join is keyed on
+    qid, so each query's N(N-1) pairs are computed where its candidates
+    already live; sims use the same rounded bit-identical HOF fold as
+    relevance (functions/vector.py).
+    """
+    pa = cand.alias("mpa")
+    pb = cand.alias("mpb")
+    return (
+        pa.join(
+            F.broadcast(pb),
+            (F.col("mpa.qid") == F.col("mpb.qid"))
+            & (F.col("mpa.vec_id") != F.col("mpb.vec_id")),
+        )
+        .select(
+            F.col("mpa.qid").alias("qid"),
+            F.col("mpa.vec_id").alias("a_id"),
+            F.col("mpb.vec_id").alias("b_id"),
+            cosine_score("mpa.embedding", "mpb.embedding").alias("sim"),
+        )
     )
-    pb = cand.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
-    )
-    pair = (
-        pa.join(F.broadcast(pb), F.col("a_id") != F.col("b_id"))
-        .withColumn("sim", cosine_score("a_emb", "b_emb"))
-        .select("a_id", "b_id", "sim")
-    )
-    lam = MMR_LAMBDA
-    one_minus_lam = 1 - MMR_LAMBDA
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    pair: DataFrame,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Greedy MMR selection per query id: cogroup the candidate list
+    (qid, vec_id, rel) with the pair sims (qid, a_id, b_id, sim) and run
+    the O(k·N²) selection in one pandas call per query. Returns
+    (qid, rank, vec_id, rel, mmr).
+
+    With a batch of M query vectors this parallelizes per qid — each
+    group's state is the constant ~N² sim matrix, so executor memory is
+    flat no matter how large the corpus or the batch.
+    """
+    import pandas as pd
+
+    one_minus_lam = 1 - lam
 
     def greedy_mmr(cands: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty:
+            return pd.DataFrame(
+                columns=["qid", "rank", "vec_id", "rel", "mmr"]
+            )
+        qid = cands["qid"].iloc[0]
         rel = dict(zip(cands["vec_id"], cands["rel"]))
         sim = dict(zip(zip(pairs["a_id"], pairs["b_id"]), pairs["sim"]))
         remaining = sorted(rel)
         first = min(remaining, key=lambda v: (-rel[v], v))
-        chosen = [(1, first, rel[first], float(rel[first]))]
+        chosen = [(qid, 1, first, rel[first], float(rel[first]))]
         remaining.remove(first)
-        while remaining and len(chosen) < MMR_K:
+        while remaining and len(chosen) < k:
             best, best_mmr = None, None
             for c in remaining:
-                max_sim = max(sim[(c, s)] for _, s, _, _ in chosen)
+                max_sim = max(sim[(c, s)] for _, _, s, _, _ in chosen)
                 m = lam * rel[c] - one_minus_lam * max_sim
                 if best is None or m > best_mmr or (m == best_mmr and c < best):
                     best, best_mmr = c, m
-            chosen.append((len(chosen) + 1, best, rel[best], best_mmr))
+            chosen.append((qid, len(chosen) + 1, best, rel[best], best_mmr))
             remaining.remove(best)
-        return pd.DataFrame(chosen, columns=["rank", "vec_id", "rel", "mmr"])
+        return pd.DataFrame(
+            chosen, columns=["qid", "rank", "vec_id", "rel", "mmr"]
+        )
 
-    cands_g = cand.select("vec_id", "rel").withColumn("qid", F.lit(0))
-    pairs_g = pair.withColumn("qid", F.lit(0))
     return (
-        cands_g.groupBy("qid")
-        .cogroup(pairs_g.groupBy("qid"))
+        cand.select("qid", "vec_id", "rel")
+        .groupBy("qid")
+        .cogroup(pair.groupBy("qid"))
         .applyInPandas(
             lambda left, right: greedy_mmr(left, right),
-            "rank int, vec_id long, rel double, mmr double",
+            "qid long, rank int, vec_id long, rel double, mmr double",
         )
-        .orderBy("rank")
     )
+
+
+def mmr_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Batched MMR over M query vectors in one job.
+
+    ``queries`` is (qid, qv[, q_vec_id]) — ``q_vec_id`` (optional)
+    excludes the query's own document from its pool. Candidate
+    generation broadcasts the query batch over one corpus scan and
+    takes the per-qid top-``pool`` with a qid-partitioned window — the
+    scan is shared by all M queries, and the only wide exchange hashes
+    the (tiny) scored candidate rows by qid. The greedy re-rank then
+    parallelizes per query (see :func:`mmr_rerank`).
+    """
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(queries))
+    if "q_vec_id" in queries.columns:
+        scored = scored.filter(F.col("vec_id") != F.col("q_vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rel", cosine_score("embedding", "qv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("qid", "vec_id", "embedding", "rel")
+    )
+    return mmr_rerank(cand, mmr_pairs(cand), k=k, lam=lam)
 
 
 @register(

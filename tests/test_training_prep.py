@@ -135,3 +135,58 @@ def test_mmr_candidate_stage_is_heap_topk(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_mmr_batch_matches_per_query_runs(spark):
+    """mmr_topk_batch over three query vectors in ONE job (shared corpus
+    scan, per-qid window) must reproduce each query's standalone greedy
+    selection exactly — the batch path is the 100 TB shape, the single
+    path is the latency shape, and they may never disagree."""
+    from pyspark.sql import functions as F
+
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.operators.rag import mmr_topk_batch
+
+    emb = load_table(spark, SF001, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("vec_id").alias("q_vec_id"),
+    )
+    batch = sorted(
+        tuple(r)
+        for r in mmr_topk_batch(emb, queries).collect()
+    )
+    single = []
+    for qid in (0, 1, 2):
+        one = queries.filter(F.col("qid") == qid)
+        single += [tuple(r) for r in mmr_topk_batch(emb, one).collect()]
+    assert batch == sorted(single)
+    assert len(batch) == 15  # 3 queries x k=5
+
+
+def test_mmr_registry_query_equals_batch_path(spark):
+    """The registry's single-query heap-top-k candidate stage and the
+    batch window-rank stage select identical pools, so the final
+    (rank, vec_id, rel, mmr) rows agree."""
+    from pyspark.sql import functions as F
+
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.operators.rag import mmr_topk_batch
+    from mcp_rag_server_spark.registry import load_all
+
+    emb = load_table(spark, SF001, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("vec_id").alias("q_vec_id"),
+    )
+    via_batch = sorted(
+        (r["rank"], r["vec_id"], r["rel"], r["mmr"])
+        for r in mmr_topk_batch(emb, queries).collect()
+    )
+    via_registry = sorted(
+        (r["rank"], r["vec_id"], r["rel"], r["mmr"])
+        for r in load_all()["rag_mmr_topk"].spark_fn(spark, SF001).collect()
+    )
+    assert via_batch == via_registry
