@@ -86,20 +86,9 @@ def ta_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = docs.select(
-        "source",
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.sum(n_tokens).over(w).alias("cum_tokens"),
-    )
-    pack_id = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
+    toked = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
     return (
-        cum.withColumn("pack_id", pack_id)
+        pack_docs(toked)
         .groupBy("source", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -108,6 +97,24 @@ def ta_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("source", "pack_id")
+    )
+
+
+def pack_docs(toked: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Per-doc pack assignment: (source, doc_id, n_tokens) → + pack_id.
+
+    Contiguous fill in doc_id order within each source: a doc joins the
+    pack its first token lands in. Pure window arithmetic (partitioned
+    cumsum), so the assignment is engine- and partitioning-independent.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.withColumn(
+        "pack_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
     )
 
 

@@ -190,3 +190,62 @@ def test_mmr_registry_query_equals_batch_path(spark):
         for r in load_all()["rag_mmr_topk"].spark_fn(spark, SF001).collect()
     )
     assert via_batch == via_registry
+
+
+def test_pack_docs_property_parity_with_python_reference(spark):
+    """Property-based parity: for arbitrary per-source token sequences
+    and budgets, pack_docs' window arithmetic equals the sequential
+    greedy-fill reference (cumsum in doc order, pack = window the doc
+    starts in)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mcp_rag_server_spark.operators.training_prep import pack_docs
+
+    cases = []
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        sources=st.lists(
+            st.lists(st.integers(min_value=1, max_value=900), min_size=1,
+                     max_size=30),
+            min_size=1,
+            max_size=3,
+        ),
+        budget=st.integers(min_value=1, max_value=1000),
+    )
+    def collect(sources, budget):
+        cases.append((sources, budget))
+
+    collect()
+    # One Spark job per distinct budget would still be dozens of jobs;
+    # instead scale every case onto ONE budget by keying the source name
+    # with (case index, budget) and computing expected ids per case.
+    rows, expected = [], {}
+    for ci, (sources, budget) in enumerate(cases):
+        for si, toks in enumerate(sources):
+            src = f"c{ci}b{budget}s{si}"
+            cum = 0
+            for di, n in enumerate(toks):
+                rows.append((src, di, n, budget))
+                expected[(src, di)] = cum // budget
+                cum += n
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long, budget long"
+    )
+    # pack_docs takes a scalar budget, so run one small job per distinct
+    # generated budget, each over only that budget's rows.
+    import pyspark.sql.functions as F
+
+    got = {}
+    for b in sorted({r[3] for r in rows}):
+        part = pack_docs(
+            df.filter(F.col("budget") == b).drop("budget"), budget=b
+        )
+        for r in part.collect():
+            got[(r["source"], r["doc_id"])] = r["pack_id"]
+    assert got == expected
