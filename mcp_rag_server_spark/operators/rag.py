@@ -307,6 +307,72 @@ def mmr_rerank(
     )
 
 
+@register(
+    "rag_mmr_batch",
+    oracle=f"""
+WITH RECURSIVE ranked AS (
+  SELECT q.qid, e.vec_id, e.embedding,
+         round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS rel,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round({duckdb_cosine('e.embedding', 'q.qv')}, 4) DESC,
+                    e.vec_id ASC) AS rn
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id IN (0, 1, 2)) q
+  WHERE e.vec_id <> q.qid
+),
+cand AS (SELECT qid, vec_id, embedding, rel FROM ranked WHERE rn <= {MMR_POOL}),
+pair AS (
+  SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+         round({duckdb_cosine('a.embedding', 'b.embedding')}, 4) AS sim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+),
+sel AS (
+  SELECT qid, 1 AS rank, [vec_id] AS chosen, vec_id, rel,
+         CAST(rel AS DOUBLE) AS mmr
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY rel DESC, vec_id ASC) AS rr FROM cand)
+  WHERE rr = 1
+  UNION ALL
+  SELECT s.qid, s.rank + 1, list_append(s.chosen, nxt.vec_id), nxt.vec_id,
+         nxt.rel, nxt.mmr
+  FROM sel s CROSS JOIN LATERAL (
+    SELECT c.vec_id, c.rel,
+           {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * (
+             SELECT max(p.sim) FROM pair p
+             WHERE p.qid = s.qid AND p.a_id = c.vec_id
+               AND list_contains(s.chosen, p.b_id)) AS mmr
+    FROM cand c
+    WHERE c.qid = s.qid AND NOT list_contains(s.chosen, c.vec_id)
+    ORDER BY mmr DESC, c.vec_id ASC
+    LIMIT 1
+  ) nxt
+  WHERE s.rank < {MMR_K}
+)
+SELECT qid, rank, vec_id, rel, mmr FROM sel ORDER BY qid, rank
+""",
+    description="batched MMR: three query vectors diversity-re-ranked in"
+    " ONE job — shared corpus scan, per-qid window top-20, greedy"
+    " selection parallel per query (the M-query production shape)",
+    tags=("rag", "vector", "topk", "rerank", "batch"),
+)
+def rag_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked instance of :func:`mmr_topk_batch` over the query
+    batch {vec_id 0, 1, 2}, each excluding its own document. The oracle
+    runs the same greedy recursion with the qid carried in the recursive
+    working set — every query advances one rank per recursion step, so
+    batch semantics (not just the single-query case) are hash-pinned
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("vec_id").alias("q_vec_id"),
+    )
+    return mmr_topk_batch(emb, queries).orderBy("qid", "rank")
+
+
 def mmr_topk_batch(
     emb: DataFrame,
     queries: DataFrame,

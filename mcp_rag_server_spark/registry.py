@@ -87,6 +87,7 @@ def register(
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new this round
     "rag_mmr_topk",
+    "rag_mmr_batch",
     "ta_pack_sequences",
     "ta_pii_scrub",
     "ingest_roundtrip",
@@ -137,14 +138,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
 )
 # Evicted to stay at 50 (lowest risk: r1-green, files unchanged since,
 # and a same-file sibling got a fresh green row in r2): window_lag_orders
 # and window_moving_avg (window_rank_analytics r2-green covers the window
 # family), fileops_list_ext (r2-green; the r3 oracle edit touched only
-# fileops_list's dirs CTE), and — displaced by the three operators new
-# this session — tpch_q17/q18/q19 (r1-green, relational.py untouched
+# fileops_list's dirs CTE), and — displaced by the four operators new
+# this session — tpch_q15/q17/q18/q19 (r1-green, relational.py untouched
 # since, and five same-file TPC-H siblings got fresh r2 rows). All
 # rotate back next round.
 
