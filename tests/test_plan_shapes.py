@@ -251,3 +251,13 @@ def test_pii_scrub_stays_jvm_side(spark):
         assert node not in plan
     # one exchange total: the rangepartitioning for the output orderBy
     assert count_exchanges(df) <= 1
+
+
+def test_mmr_batch_shares_one_scan_and_partitions_by_qid(spark):
+    """The batched MMR plan must broadcast the query batch over a single
+    corpus scan, rank candidates with a qid-partitioned window (never
+    SinglePartition), and re-rank in a cogrouped pandas stage."""
+    plan = plan_string(q(spark, "rag_mmr_batch"))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "hashpartitioning(qid" in plan
+    assert "SinglePartition" not in plan
