@@ -249,3 +249,46 @@ def test_pack_docs_property_parity_with_python_reference(spark):
         for r in part.collect():
             got[(r["source"], r["doc_id"])] = r["pack_id"]
     assert got == expected
+
+
+def test_mmr_demotes_near_duplicate_of_selected(spark):
+    """The core MMR behavior on redundant pools: given a candidate that
+    is almost identical to the best pick, plain relevance ranks it
+    second, but MMR pushes it below a less relevant-but-diverse
+    candidate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mcp_rag_server_spark.operators.rag import mmr_topk_batch
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q = unit([1.0, 0.0, 0.0, 0.0])
+    rows = [
+        (1, unit([0.95, 0.3, 0.0, 0.0])),    # best match
+        (2, unit([0.949, 0.3, 0.01, 0.0])),  # near-duplicate of 1
+        (3, unit([0.95, -0.3, 0.0, 0.0])),   # equally relevant, diverse
+        (4, unit([0.95, 0.0, 0.3, 0.0])),    # equally relevant, diverse
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q])], "qid long, qv array<float>"
+    )
+    got = (
+        mmr_topk_batch(emb, queries, pool=4, k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    picked = [r["vec_id"] for r in got]
+    assert picked[0] == 1
+    # vec 2 has the second-highest relevance but is redundant with vec 1;
+    # MMR must pick a diverse candidate at rank 2 instead.
+    assert picked[1] in (3, 4)
+    assert picked[2] in (3, 4)
+    assert 2 not in picked
