@@ -98,6 +98,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_keep_canonical",
     "ta_decontaminate",
     "ta_mixture_cap",
+    "ta_token_budget",
+    "rag_hybrid_topk",
+    "sim_sq8_topk",
+    "sim_ivf_recall",
+    "mm_audio_windows",
+    "ev_cogrouped_quota",
+    "st_ingest_roundtrip",
     # (b) changed since last driver row
     "dd_connected_components",
     "chunks_table",
@@ -131,22 +138,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "set_intersect_status",
     "set_except_customers",
     "anti_join_idle_customers",
-    "outer_join_order_counts",
-    "distinct_agg_lineitem",
-    "correlated_max_price_part",
-    "top_parts_by_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
 )
-# Evicted to stay at 50 (lowest risk: r1-green, files unchanged since,
-# and a same-file sibling got a fresh green row in r2): window_lag_orders
-# and window_moving_avg (window_rank_analytics r2-green covers the window
-# family), fileops_list_ext (r2-green; the r3 oracle edit touched only
-# fileops_list's dirs CTE), and — displaced by the four operators new
-# this session — tpch_q15/q17/q18/q19 (r1-green, relational.py untouched
-# since, and five same-file TPC-H siblings got fresh r2 rows). All
-# rotate back next round.
+# Evicted to stay at 50 — every query with NO driver row at all outranks
+# an r1-green re-check (tools/rotation_audit.py computes this ordering).
+# Out this round, all r1-green with fresh r2-green same-file siblings:
+# window_lag_orders, window_moving_avg (window_rank_analytics r2-green),
+# fileops_list_ext (r2-green; the r3 oracle edit touched only
+# fileops_list's dirs CTE), and the relational.py block
+# outer_join_order_counts, distinct_agg_lineitem,
+# correlated_max_price_part, top_parts_by_revenue, tpch_q7/q8/q14/q15/
+# q17/q18/q19 (eleven same-file TPC-H rows were r2-green). All rotate
+# back next round.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
