@@ -105,6 +105,27 @@ def _spark_minhash_signature(docs: DataFrame) -> DataFrame:
     Docs with fewer than 3 tokens produce no complete shingle (lead() is
     null) and drop out, same as the shingle-string semantics.
     """
+    return _spark_minhash_sigs(docs).select("doc_id", *_band_cols(N_BANDS))
+
+
+def _band_cols(n_bands: int) -> list:
+    """Band keys for an (n_bands × N_MINHASH/n_bands) banding of the
+    mh0..mh{N_MINHASH-1} signature columns: md5 over each band's rows."""
+    rows_per_band = N_MINHASH // n_bands
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+
+
+def _spark_shingle_values(docs: DataFrame) -> DataFrame:
+    """(doc_id, v): one row per rolling 3-token shingle occurrence, v =
+    the shingle's combined hash value (the DuckDB twin is the ``sh``
+    CTE). Docs with fewer than 3 tokens produce no rows."""
     c0, c1, c2 = SHINGLE_C
     ex = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
@@ -114,7 +135,7 @@ def _spark_minhash_signature(docs: DataFrame) -> DataFrame:
         F.expr(_hexval8("substring(md5(tok), 1, 8)")).alias("h"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = ex.select(
+    return ex.select(
         "doc_id",
         (
             (
@@ -125,25 +146,21 @@ def _spark_minhash_signature(docs: DataFrame) -> DataFrame:
             % MH_P
         ).alias("v"),
     ).filter(F.col("v").isNotNull())  # lead()=null past the last shingle
+
+
+def _spark_minhash_sigs(docs: DataFrame) -> DataFrame:
+    """Raw (doc_id, mh0..mh{N_MINHASH-1}) signatures — the banding-
+    independent prefix of :func:`_spark_minhash_signature`, exposed so
+    the band audit can band the SAME signatures several ways."""
     # No distinct needed: min over a multiset == min over its set, and the
     # DuckDB twin drops it identically. groupBy(doc_id) reuses the window's
     # hash partitioning — one shuffle total for the signature.
-    sigs = sh.groupBy("doc_id").agg(
+    return _spark_shingle_values(docs).groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"({MH_A[j]} * v + {MH_B[j]}) % {MH_P}")).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
     )
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(N_BANDS)
-    ]
-    return sigs.select("doc_id", *bands)
 
 
 def _duckdb_minhash_cte() -> str:
@@ -162,16 +179,6 @@ def _duckdb_minhash_cte() -> str:
         f"MIN(({MH_A[j]} * v + {MH_B[j]}) % {MH_P}) AS mh{j}"
         for j in range(N_MINHASH)
     )
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = ", ".join(
-        "md5("
-        + " || '|' || ".join(
-            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
-            for r in range(rows_per_band)
-        )
-        + f") AS band{b}"
-        for b in range(N_BANDS)
-    )
     return f"""
 toked AS (
   SELECT doc_id, {th} AS th FROM documents
@@ -181,8 +188,23 @@ sh AS (
   FROM toked WHERE len(th) >= 3
 ),
 sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} FROM sigs)
+bands AS (SELECT doc_id, {_duckdb_band_exprs(N_BANDS)} FROM sigs)
 """.strip()
+
+
+def _duckdb_band_exprs(n_bands: int) -> str:
+    """DuckDB twin of :func:`_band_cols`: band-key select exprs over the
+    sigs CTE's mh0..mh{N_MINHASH-1} columns for an n_bands banding."""
+    rows_per_band = N_MINHASH // n_bands
+    return ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + f") AS band{b}"
+        for b in range(n_bands)
+    )
 
 
 @register(
@@ -271,6 +293,138 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _audit_band_or(n_bands: int) -> str:
+    return " OR ".join(f"a.band{b} = b.band{b}" for b in range(n_bands))
+
+
+_AUDIT_CONFIGS = (1, 2, 4, 8)
+
+_AUDIT_ORACLE = (
+    f"WITH {_duckdb_minhash_cte()},\n"
+    + ",\n".join(
+        f"b{nb} AS (SELECT doc_id, {_duckdb_band_exprs(nb)} FROM sigs),\n"
+        f"cand{nb} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"  FROM b{nb} a JOIN b{nb} b\n"
+        f"    ON a.doc_id < b.doc_id AND ({_audit_band_or(nb)}))"
+        for nb in _AUDIT_CONFIGS
+    )
+    + f""",
+shsets AS (SELECT doc_id, list(DISTINCT v) AS s FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shsets a JOIN shsets b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))), 6)
+        >= {JACCARD_THRESHOLD}
+)
+"""
+    + "SELECT n_bands, rows_per_band, n_candidates, n_truth, n_hits,\n"
+    "       round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall\n"
+    "FROM ("
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({nb} AS BIGINT) AS n_bands,"
+        f" CAST({N_MINHASH // nb} AS BIGINT) AS rows_per_band,"
+        f" (SELECT COUNT(*) FROM cand{nb}) AS n_candidates,"
+        f" (SELECT COUNT(*) FROM truth) AS n_truth,"
+        f" (SELECT COUNT(*) FROM cand{nb} c JOIN truth t"
+        f" USING (doc_a, doc_b)) AS n_hits"
+        for nb in _AUDIT_CONFIGS
+    )
+    + ")\nORDER BY n_bands"
+)
+
+
+@register(
+    "dd_lsh_band_audit",
+    oracle=_AUDIT_ORACLE,
+    description="LSH banding audit: candidate-pair count and recall vs"
+    " exact-Jaccard truth for 1x8 / 2x4 / 4x2 / 8x1 bandings of the same"
+    " 8-minhash signature — the accuracy-vs-cost dial every near-dup"
+    " deployment must tune (MinHash twin of sim_ivf_recall)",
+    tags=("dedup", "minhash", "lsh", "audit"),
+)
+def dd_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(candidate | jaccard j) = 1 - (1 - j^r)^b: more bands (smaller
+    r) buys recall with more candidate pairs to verify. This audit
+    measures both sides empirically: signatures are computed ONCE (the
+    one-shuffle stage, cached — at 100 TB, checkpointed parquet), each
+    banding re-keys them and bucket-joins, and the exact-Jaccard truth
+    set is all-pairs ONLY because this is an audit query — production
+    runs it on a sampled slice, never the corpus (the same caveat
+    sim_ivf_recall documents for IVF nprobe tuning).
+
+    Truth is Jaccard over the SHINGLE-value sets — the quantity MinHash
+    actually estimates. Token-set Jaccard is degenerate here: on any
+    shared-vocabulary corpus (this fixture, or real same-domain text)
+    most pairs share most of their vocabulary, while 3-token shingles
+    separate the 25 planted near-dup pairs (j > 0.9) from everything
+    else (j < 0.1) cleanly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _spark_minhash_sigs(docs).cache()
+    sigs.count()  # materialize before the four bandings fan out
+    shsets = (
+        _spark_shingle_values(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("v").alias("s"))
+    )
+    sa, sb = shsets.alias("sa"), shsets.alias("sb")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast("double")
+        / F.size(F.array_union(F.col("sa.s"), F.col("sb.s"))),
+        6,
+    )
+    truth = (
+        sa.join(sb, F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .cache()
+    )
+    truth_n = truth.agg(F.count("*").alias("n_truth"))
+    rows = []
+    for nb in _AUDIT_CONFIGS:
+        bands_long = sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*_band_cols(nb))).alias("band_idx", "band_key"),
+        )
+        a, b_ = bands_long.alias("a"), bands_long.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        hits = cand.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count("*").alias("n_hits")
+        )
+        rows.append(
+            cand.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(hits)
+            .crossJoin(truth_n)
+            .select(
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.lit(N_MINHASH // nb).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_hits",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "recall", F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 4)
+    ).orderBy("n_bands")
 
 
 @register(

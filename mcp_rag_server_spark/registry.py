@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rag_mmr_batch",
     "ta_pack_sequences",
     "ta_pii_scrub",
+    "dd_lsh_band_audit",
     "ingest_roundtrip",
     "ev_salted_hot_key_join",
     "ev_anomaly_zscore",
@@ -137,7 +138,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cube_lineitem_flags",
     "set_intersect_status",
     "set_except_customers",
-    "anti_join_idle_customers",
 )
 # Evicted to stay at 50 — every query with NO driver row at all outranks
 # an r1-green re-check (tools/rotation_audit.py computes this ordering).
@@ -145,10 +145,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # window_lag_orders, window_moving_avg (window_rank_analytics r2-green),
 # fileops_list_ext (r2-green; the r3 oracle edit touched only
 # fileops_list's dirs CTE), and the relational.py block
-# outer_join_order_counts, distinct_agg_lineitem,
-# correlated_max_price_part, top_parts_by_revenue, tpch_q7/q8/q14/q15/
-# q17/q18/q19 (eleven same-file TPC-H rows were r2-green). All rotate
-# back next round.
+# anti_join_idle_customers, outer_join_order_counts,
+# distinct_agg_lineitem, correlated_max_price_part, top_parts_by_revenue,
+# tpch_q7/q8/q14/q15/q17/q18/q19 (eleven same-file TPC-H rows were
+# r2-green). All rotate back next round.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
