@@ -16,7 +16,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_mixture_cap", "rag_hybrid_topk", "mm_audio_windows",
          "ev_anomaly_zscore", "ev_salted_hot_key_join", "dd_keep_canonical",
          "sim_sq8_topk", "ta_token_budget", "sim_ivf_recall",
-         "rag_mmr_topk", "rag_mmr_batch", "ta_pack_sequences", "ta_pii_scrub"]
+         "rag_mmr_topk", "rag_mmr_batch", "ta_pack_sequences", "ta_pii_scrub",
+         "dd_lsh_band_audit"]
 names = [n for n, s in reg.items() if s.bench] + EXTRA
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
