@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -44,16 +45,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); the session-level
-        # nanosAsLong conf (session.REQUIRED_RUNTIME_CONFS — set by
-        # get_spark at build time, asserted on foreign sessions by the
-        # __spark_entry__ wrappers) makes it read as long; truncate to
-        # microseconds with integer division — exactly what DuckDB does
-        # when it narrows TIMESTAMP_NS, so both engines see identical
-        # event times.
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Make ``events.ts`` a session-tz TIMESTAMP regardless of how the
+    fixture vintage encoded it. Two encodings exist across driver
+    generations:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so the
+      session-level nanosAsLong conf (session.REQUIRED_RUNTIME_CONFS)
+      reads it as a BIGINT of nanoseconds; truncate to microseconds with
+      integer division — exactly what DuckDB does when it narrows
+      TIMESTAMP_NS, so both engines see identical event times.
+    - TIMESTAMP(MICROS) without UTC-adjustment: Spark infers
+      TIMESTAMP_NTZ; cast to TIMESTAMP (session tz is pinned to UTC, so
+      the wall-clock value is unchanged and matches DuckDB's naive
+      TIMESTAMP read bit-for-bit).
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -163,9 +163,10 @@ def _spark_minhash_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _duckdb_minhash_cte() -> str:
+def _duckdb_minhash_cte(src: str = "documents") -> str:
     """DuckDB twin of :func:`_spark_minhash_signature` (same rolling
-    token-hash shingles, same permutation family)."""
+    token-hash shingles, same permutation family). ``src`` is the
+    relation the pipeline reads — ``documents`` or a sampled CTE."""
     c0, c1, c2 = SHINGLE_C
     th = (
         "list_transform(list_transform(string_split(text, ' '), "
@@ -181,7 +182,7 @@ def _duckdb_minhash_cte() -> str:
     )
     return f"""
 toked AS (
-  SELECT doc_id, {th} AS th FROM documents
+  SELECT doc_id, {th} AS th FROM {src}
 ),
 sh AS (
   SELECT doc_id, unnest({sh_vals}) AS v
@@ -301,8 +302,37 @@ def _audit_band_or(n_bands: int) -> str:
 
 _AUDIT_CONFIGS = (1, 2, 4, 8)
 
+#: Sampling cap for the audit's exact-Jaccard truth side. The truth join
+#: is inherently all-pairs, so above AUDIT_FULL_MAX docs the whole audit
+#: (truth AND bandings — recall must be measured on the same population)
+#: runs on a deterministic md5-bucket sample of AUDIT_SAMPLE_PCT percent
+#: (the ta_stratified_sample key: fold md5(doc_id) to 32 bits, mod 100 —
+#: reproducible across engines, runs, and partitionings). At 60% the
+#: sf0.01 fixture keeps 282/500 docs and 10/25 planted near-dup truth
+#: pairs — non-vacuous recall, bounded cost: pairs scale with rate², so
+#: the quadratic term is capped at (rate·N)² instead of N².
+AUDIT_SAMPLE_PCT = 60
+AUDIT_FULL_MAX = 250
+
+#: md5-bucket expressions (Spark / DuckDB twins of the same value).
+_AUDIT_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 100"
+)
+_AUDIT_BUCKET_DUCK = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 100"
+)
+
 _AUDIT_ORACLE = (
-    f"WITH {_duckdb_minhash_cte()},\n"
+    # docs_audit mirrors the Spark side's guard exactly: full corpus at or
+    # below AUDIT_FULL_MAX rows, else the md5-bucket sample.
+    f"WITH docs_audit AS (\n"
+    f"  SELECT * FROM documents\n"
+    f"  WHERE (SELECT COUNT(*) FROM documents) <= {AUDIT_FULL_MAX}\n"
+    f"     OR {_AUDIT_BUCKET_DUCK} < {AUDIT_SAMPLE_PCT}\n"
+    f"),\n"
+    + f"{_duckdb_minhash_cte(src='docs_audit')},\n"
     + ",\n".join(
         f"b{nb} AS (SELECT doc_id, {_duckdb_band_exprs(nb)} FROM sigs),\n"
         f"cand{nb} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
@@ -350,19 +380,24 @@ def dd_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r) buys recall with more candidate pairs to verify. This audit
     measures both sides empirically: signatures are computed ONCE (the
     one-shuffle stage, cached — at 100 TB, checkpointed parquet), each
-    banding re-keys them and bucket-joins, and the exact-Jaccard truth
-    set is all-pairs ONLY because this is an audit query — production
-    runs it on a sampled slice, never the corpus (the same caveat
-    sim_ivf_recall documents for IVF nprobe tuning).
+    banding re-keys them and bucket-joins, and recall is measured against
+    an exact-Jaccard truth join. The truth side is inherently all-pairs,
+    so it is CAPPED IN CODE: above AUDIT_FULL_MAX docs the whole audit
+    (truth and bandings — same population, or recall is meaningless)
+    runs on a deterministic md5-bucket sample of AUDIT_SAMPLE_PCT
+    percent, bounding the quadratic term at (rate·N)²; pointed at a real
+    table this never launches an unguarded N² job.
 
     Truth is Jaccard over the SHINGLE-value sets — the quantity MinHash
     actually estimates. Token-set Jaccard is degenerate here: on any
     shared-vocabulary corpus (this fixture, or real same-domain text)
     most pairs share most of their vocabulary, while 3-token shingles
-    separate the 25 planted near-dup pairs (j > 0.9) from everything
+    separate the planted near-dup pairs (j > 0.9) from everything
     else (j < 0.1) cleanly.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if docs.count() > AUDIT_FULL_MAX:
+        docs = docs.filter(F.expr(_AUDIT_BUCKET_SPARK) < AUDIT_SAMPLE_PCT)
     sigs = _spark_minhash_sigs(docs).cache()
     sigs.count()  # materialize before the four bandings fan out
     shsets = (

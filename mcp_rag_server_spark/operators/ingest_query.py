@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.text import chunk_stride
 from mcp_rag_server_spark.registry import register
-from mcp_rag_server_spark.sources.ingest import IngestParams, build
+from mcp_rag_server_spark.sources.ingest import (
+    IngestParams,
+    build,
+    compact_store,
+    load_store,
+)
 
 #: Chunk geometry — matches operators/chunking.py fixture geometry so the
 #: multi-chunk explosion is actually exercised (~300-char docs).
@@ -190,6 +195,59 @@ def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     build(spark, root, store, params)  # cold path: S1→S2→F1→ids→S6
     _mutate_corpus_v2(root, docs)
     out = build(spark, root, store, params)  # warm path: S5→J1/J2→S6
+    return out.select(
+        "id", "rel_path", "chunk", "text", "file_size", "line_count"
+    ).orderBy("id")
+
+
+@register(
+    "ingest_compacted",
+    oracle=_ORACLE,
+    description="ingest_roundtrip's merge followed by compact_store: the"
+    " small-file rewrite (ceil(bytes/target) range-laid-out files, swap"
+    " with crash recovery) must be content-transparent — the read-back"
+    " goes through load_store over the compacted layout and hash-matches"
+    " the same relational-merge oracle (SURVEY §7.5 risk 5)",
+    tags=("ingest", "store", "compaction"),
+)
+def ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cold-build → mutate → delta-refresh as ingest_roundtrip, then
+    compact the fragmented store (the refresh appends per-delta files)
+    with a small target size so the rewrite genuinely restructures
+    (multiple range-disjoint output files), and return the table READ
+    BACK THROUGH load_store — the row the driver hashes has the
+    compacted layout in its lineage, so a compaction that drops,
+    duplicates, or reorders rows fails the oracle, not just a pytest."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .collect()
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_cp_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "corpus")
+    store = os.path.join(base, "store")
+    os.makedirs(root, exist_ok=True)
+
+    params = IngestParams(
+        chunk_size=RT_CHUNK_SIZE,
+        chunk_overlap=RT_CHUNK_OVERLAP,
+        allowed_ext=("txt",),
+    )
+    _write_corpus_v1(root, docs)
+    build(spark, root, store, params)
+    _mutate_corpus_v2(root, docs)
+    build(spark, root, store, params)
+    n_files = compact_store(spark, store, target_file_bytes=96 * 1024)
+    if n_files < 2:
+        raise RuntimeError(
+            f"compaction wrote {n_files} file(s); target_file_bytes too"
+            " large for the fixture to exercise the range layout"
+        )
+    out = load_store(spark, store, params)
+    if out is None:
+        raise RuntimeError("compacted store failed load_store meta check")
     return out.select(
         "id", "rel_path", "chunk", "text", "file_size", "line_count"
     ).orderBy("id")

@@ -190,6 +190,7 @@ SELECT rank, vec_id, rel, mmr FROM sel ORDER BY rank
     " re-rank of the cosine top-20 candidate pool (lambda=0.7) — the"
     " diversity re-ranker real RAG stacks run after retrieval",
     tags=("rag", "vector", "topk", "rerank"),
+    bench=True,
 )
 def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
@@ -227,14 +228,31 @@ def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, mmr_pairs(cand)).drop("qid").orderBy("rank")
 
 
-def mmr_pairs(cand: DataFrame) -> DataFrame:
+#: Hard cap on the per-query candidate pool mmr_pairs accepts. The
+#: self-join is O(pool²) PER QUERY by design (the pool is the bounded
+#: output of a top-N retrieval stage, never the corpus); this cap makes
+#: the contract explicit so a caller that skips the top-N stage fails
+#: loudly instead of launching a quadratic job. 512² ≈ 262k pairs/query
+#: is still a trivially small broadcast.
+MMR_POOL_MAX = 512
+
+
+def mmr_pairs(cand: DataFrame, pool_bound: int = MMR_POOL) -> DataFrame:
     """Pairwise candidate similarities per query: (qid, a_id, b_id, sim).
 
-    ``cand`` is (qid, vec_id, embedding, rel). The self-join is keyed on
-    qid, so each query's N(N-1) pairs are computed where its candidates
-    already live; sims use the same rounded bit-identical HOF fold as
-    relevance (functions/vector.py).
+    ``cand`` is (qid, vec_id, embedding, rel), at most ``pool_bound``
+    rows per qid — callers state the bound their candidate stage
+    enforces (rag_mmr_topk/rag_mmr_batch: ``LIMIT MMR_POOL`` per query).
+    The self-join is keyed on qid, so each query's N(N-1) pairs are
+    computed where its candidates already live; sims use the same
+    rounded bit-identical HOF fold as relevance (functions/vector.py).
     """
+    if pool_bound > MMR_POOL_MAX:
+        raise ValueError(
+            f"mmr_pairs pool_bound={pool_bound} exceeds MMR_POOL_MAX="
+            f"{MMR_POOL_MAX}: the per-query self-join is O(pool²) and "
+            "relies on a bounded top-N candidate stage upstream"
+        )
     pa = cand.alias("mpa")
     pb = cand.alias("mpb")
     return (
@@ -436,6 +454,7 @@ LIMIT 10
     " and cosine similarity, top-10 — the lexical+vector search real RAG"
     " deployments run (extends the reference's vector-only rag_query)",
     tags=("rag", "vector", "text", "topk"),
+    bench=True,
 )
 def rag_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both scores are computed from raw doubles in ONE pass over the

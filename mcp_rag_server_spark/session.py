@@ -24,11 +24,11 @@ _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: via :func:`ensure_session_confs`. This is the ONLY place session conf
 #: is mutated — operators and the catalog never call ``spark.conf.set``.
 REQUIRED_RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    # parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read the nanos as
-    # long and truncate to micros in catalog.load_table — exactly what
-    # DuckDB does when narrowing TIMESTAMP_NS, so both engines see
-    # identical event times.
+    # Legacy fixture vintages carry events.ts as TIMESTAMP(NANOS), which
+    # Spark's vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]);
+    # this reads the nanos as long so catalog.normalize_event_ts can
+    # truncate to micros — exactly what DuckDB does when narrowing
+    # TIMESTAMP_NS. Harmless no-op on MICROS-encoded vintages.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Timestamp semantics must be engine-independent vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",

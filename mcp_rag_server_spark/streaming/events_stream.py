@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mcp_rag_server_spark.catalog import normalize_event_ts
 from mcp_rag_server_spark.functions.numeric import dsum, duckdb_dsum
 from mcp_rag_server_spark.registry import register
 
@@ -38,17 +39,18 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the natural analog of
     the reference's directory rescan — new files are new micro-batches).
-    Same TIMESTAMP(NANOS) handling as catalog.load_table; the required
-    nanosAsLong conf comes from the session (session.py
-    REQUIRED_RUNTIME_CONFS — set by get_spark, asserted on foreign
-    sessions by the __spark_entry__ wrappers)."""
+    Same ts-encoding handling as catalog.normalize_event_ts (both fixture
+    vintages); the nanosAsLong conf the legacy NANOS encoding needs comes
+    from the session (session.py REQUIRED_RUNTIME_CONFS — set by
+    get_spark, asserted on foreign sessions by the __spark_entry__
+    wrappers)."""
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def run_to_memory(

@@ -157,3 +157,37 @@ def test_star_contraction_raises_when_round_bound_hit(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         star_contraction_components(chain, max_rounds=1)
+
+
+def test_mmr_pairs_rejects_unbounded_pool(spark):
+    """The per-query O(pool²) self-join must fail loudly if a caller
+    claims a pool beyond MMR_POOL_MAX instead of silently launching a
+    quadratic job (the contract rag_mmr_topk's LIMIT stage upholds)."""
+    from mcp_rag_server_spark.operators.rag import MMR_POOL_MAX, mmr_pairs
+
+    cand = spark.range(3).select(
+        F.lit(0).alias("qid"),
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+        F.lit(0.5).alias("rel"),
+    )
+    with pytest.raises(ValueError, match="pool_bound"):
+        mmr_pairs(cand, pool_bound=MMR_POOL_MAX + 1)
+    mmr_pairs(cand, pool_bound=MMR_POOL_MAX)  # at the cap: fine
+
+
+def test_band_audit_truth_is_sampled_above_guard(spark):
+    """dd_lsh_band_audit's exact-truth all-pairs join must run on the
+    deterministic md5-bucket sample whenever the corpus exceeds
+    AUDIT_FULL_MAX — the cap is code, not prose: the sample filter has
+    to appear in the executed plan."""
+    from mcp_rag_server_spark.operators.dedup import (
+        AUDIT_FULL_MAX,
+        dd_lsh_band_audit,
+    )
+
+    sf = "/root/testdata/sf0.01"  # 500 docs > AUDIT_FULL_MAX
+    n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert n > AUDIT_FULL_MAX
+    plan = plan_string(dd_lsh_band_audit(spark, sf), "extended")
+    assert "conv(substring(md5(" in plan.replace(" ", "").lower()
