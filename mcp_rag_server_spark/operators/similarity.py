@@ -296,6 +296,7 @@ LIMIT {TOP_K}
     " codes, approximate cosine over the dequantized vectors, exact score"
     " alongside for recall inspection — the 4x-compression scale path",
     tags=("similarity", "vector", "quantization", "topk"),
+    bench=True,
 )
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization: each vector stores (mn, sc, 255-level

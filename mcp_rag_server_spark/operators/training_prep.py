@@ -70,6 +70,7 @@ ORDER BY source, pack_id
     " budgets (running cumsum window), per-pack doc counts and token"
     " totals — the batch-assembly step before training",
     tags=("text", "tokens", "mixture", "packing"),
+    bench=True,
 )
 def ta_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contiguous packing: docs are laid out in doc_id
@@ -153,6 +154,7 @@ ORDER BY doc_id
     " counts over a deterministically PII-injected corpus — the"
     " compliance pass every training pipeline runs before release",
     tags=("text", "pii", "quality"),
+    bench=True,
 )
 def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic PII is appended to doc_id % 7 == 0 (an email) and

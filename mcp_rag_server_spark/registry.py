@@ -169,6 +169,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
     return the registry."""
     from mcp_rag_server_spark.operators import (  # noqa: F401
+        cdc,
         chunking,
         dedup,
         embed,
@@ -177,6 +178,7 @@ def load_all() -> dict[str, QuerySpec]:
         ingest_query,
         multimodal,
         python_api,
+        quality,
         rag,
         relational,
         relational_tpch2,
@@ -184,6 +186,7 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
         textanalysis,
         training_prep,
+        vector_audit,
         vector_lsh,
     )
     from mcp_rag_server_spark.streaming import (  # noqa: F401

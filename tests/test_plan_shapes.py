@@ -261,3 +261,34 @@ def test_mmr_batch_shares_one_scan_and_partitions_by_qid(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "hashpartitioning(qid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The token-frequency table joins back to the exploded tokens as a
+    broadcast (vocab is tiny relative to the corpus); the document side
+    must never shuffle for that join."""
+    df = q(spark, "ta_unigram_logprob")
+    assert broadcast_join_count(df) >= 2  # tf join + 1-row total
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_windows_single_keyed_shuffle(spark):
+    """SCD-1 and SCD-2 are one user_id-keyed window each: exactly one
+    hash exchange on user_id, never SinglePartition."""
+    for name in ("ev_latest_state", "ev_scd2_intervals"):
+        plan = plan_string(q(spark, name))
+        assert "hashpartitioning(user_id" in plan, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_matryoshka_scoring_is_narrow(spark):
+    """All four prefix scores are codegen'd HOF folds — no Python stage
+    anywhere — and each width's ranking window partitions by n_dims
+    (bounded groups), never collapsing the scored rows to one
+    partition."""
+    df = q(spark, "sim_matryoshka_topk")
+    plan = plan_string(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "hashpartitioning(n_dims" in plan
