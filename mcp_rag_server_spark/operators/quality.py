@@ -352,3 +352,88 @@ def ta_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: Corpus-prefix cutoffs for the vocabulary-growth curve (doc_id order).
+VOCAB_CUTOFFS = (100, 200, 300, 400, 500)
+
+
+@register(
+    "ta_vocab_growth",
+    oracle=f"""
+WITH cut AS (SELECT unnest([{", ".join(map(str, VOCAB_CUTOFFS))}]) AS cutoff),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+first_seen AS (SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t),
+vocab AS (
+  SELECT c.cutoff, COUNT(*) AS vocab_size
+  FROM first_seen f JOIN cut c ON f.first_doc < c.cutoff
+  GROUP BY c.cutoff
+),
+vol AS (
+  SELECT c.cutoff,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents d JOIN cut c ON d.doc_id < c.cutoff
+  GROUP BY c.cutoff
+)
+SELECT v.cutoff,
+       vol.n_docs,
+       vol.total_tokens,
+       v.vocab_size,
+       round(CAST(v.vocab_size AS DOUBLE) / vol.total_tokens, 6)
+         AS type_token_ratio
+FROM vocab v JOIN vol USING (cutoff)
+ORDER BY v.cutoff
+""",
+    description="vocabulary-growth (Heaps'-law) curve: distinct-token"
+    " count and type-token ratio at increasing corpus prefixes — the"
+    " audit that sizes tokenizer vocabulary and predicts how much new"
+    " text still grows the vocab",
+    tags=("text", "tokens", "vocab"),
+)
+def ta_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law (V ∝ N^β, public) is what this curve estimates
+    empirically; tokenizer training reads it to decide when vocabulary
+    has saturated. Shape: each token's FIRST document (one partial-agg
+    shuffle on token — never a per-cutoff rescan of the corpus), then
+    the cutoff sweep is a broadcast join against the tiny first-seen
+    table; doc volume per cutoff is a second broadcast sweep over
+    per-doc counts. Both sides scale as vocab/doc counts, not token
+    occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.limit(1).select(
+        F.explode(F.array(*[F.lit(c) for c in VOCAB_CUTOFFS])).alias("cutoff")
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    first_seen = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    vocab = (
+        first_seen.join(
+            F.broadcast(cut), F.col("first_doc") < F.col("cutoff")
+        )
+        .groupBy("cutoff")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    vol = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(F.broadcast(cut), F.col("doc_id") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    return (
+        vocab.join(vol, "cutoff")
+        .select(
+            "cutoff",
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("cutoff")
+    )

@@ -134,3 +134,181 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_dims")
     )
+
+
+#: Product-quantization geometry: M subspaces × DSUB dims = 64, and a
+#: 10-codeword codebook per subspace (the fixture's label partition is
+#: the deterministic stand-in for a trained k-means codebook — same
+#: role it plays for sim_ivf_topk's coarse quantizer).
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 5
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pos AS (SELECT unnest(range(1, {PQ_M * PQ_DSUB} + 1)) AS i),
+elem AS (
+  SELECT e.vec_id, e.label,
+         CAST((p.i - 1) // {PQ_DSUB} AS INT) AS m,
+         CAST((p.i - 1) % {PQ_DSUB} AS INT) AS d,
+         CAST(e.embedding[p.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN pos p
+),
+cb AS (
+  SELECT m, label, d,
+         CAST(SUM(CAST(round(x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM elem GROUP BY m, label, d
+),
+cw AS (SELECT m, label, list(c ORDER BY d) AS cvec FROM cb GROUP BY m, label),
+msub AS (SELECT unnest(range(0, {PQ_M})) AS m),
+sv AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.embedding, ms.m * {PQ_DSUB} + 1,
+                    ms.m * {PQ_DSUB} + {PQ_DSUB}) AS svec
+  FROM embeddings e CROSS JOIN msub ms
+),
+dist AS (
+  SELECT s.vec_id, s.m, c.label,
+         round(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+               i -> (CAST(s.svec[i] AS DOUBLE) - c.cvec[i])
+                    * (CAST(s.svec[i] AS DOUBLE) - c.cvec[i]))), 6) AS dd
+  FROM sv s JOIN cw c ON c.m = s.m
+),
+assign AS (
+  SELECT vec_id, m, label FROM (
+    SELECT vec_id, m, label,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dd, label) AS rn
+    FROM dist) WHERE rn = 1
+),
+qdot AS (
+  SELECT c.m, c.label,
+         CAST(round(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+               i -> CAST(q.qv[c.m * {PQ_DSUB} + i] AS DOUBLE) * c.cvec[i])), 6)
+              AS DECIMAL(18,6)) AS qd
+  FROM cw c CROSS JOIN q
+),
+adc AS (
+  SELECT a.vec_id, CAST(SUM(qd.qd) AS DOUBLE) AS adc_raw
+  FROM assign a JOIN qdot qd ON qd.m = a.m AND qd.label = a.label
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id, e.label,
+       round(adc.adc_raw, 4) AS adc_score,
+       round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS exact_score
+FROM adc JOIN embeddings e USING (vec_id) CROSS JOIN q
+ORDER BY adc_score DESC, e.vec_id ASC
+LIMIT {PQ_K}
+""",
+    description="product-quantization ADC top-k: 8x8 subspace codebooks"
+    " (per-label means as the deterministic codebook), nearest-codeword"
+    " assignment, asymmetric-distance scoring from a precomputed"
+    " query-to-codeword table, exact cosine alongside — the"
+    " memory-bound ANN scale path beyond SQ8",
+    tags=("similarity", "vector", "quantization", "pq", "topk"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compresses each vector to M=8 codeword ids (here 8×~3.3 bits
+    vs 64×4 bytes) and scores queries WITHOUT decompressing: ADC
+    (asymmetric distance computation, Jégou et al. 2011, public) sums M
+    precomputed query-to-codeword products. Pipeline: (1) codebook =
+    per-(subspace, label) element means — decimal-summed so both
+    engines get bit-identical codewords; (2) assignment = broadcast
+    join of N×M subvectors against the 80-codeword table, argmin by
+    rounded L2 with label tie-break; (3) the 80-entry qdot table is
+    the per-query lookup — scoring a vector is 8 adds of
+    decimal-rounded doubles, no vector math at query time. At 100 TB
+    the codebook and qdot tables stay broadcast-sized (k_codebooks ×
+    256 rows) no matter the corpus; the only big operand is the
+    narrow N×M assignment pass, done once at index build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    elem = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(f"CAST(pos div {PQ_DSUB} AS INT)").alias("m"),
+        F.expr(f"CAST(pos % {PQ_DSUB} AS INT)").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cb = elem.groupBy("m", "label", "d").agg(
+        (
+            F.sum(F.round(F.col("x"), 7).cast("decimal(18,7)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cw = cb.groupBy("m", "label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, c))), pq_s -> pq_s.c)"
+        ).alias("cvec")
+    )
+    msub = emb.limit(1).select(
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    )
+    sv = emb.crossJoin(F.broadcast(msub)).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("svec"),
+    )
+    dd = F.round(
+        F.expr(
+            "aggregate(zip_with(svec, cvec, (pq_x, pq_c) -> "
+            "(CAST(pq_x AS DOUBLE) - pq_c) * (CAST(pq_x AS DOUBLE) - pq_c)), "
+            "CAST(0 AS DOUBLE), (pq_acc, pq_v) -> pq_acc + pq_v)"
+        ),
+        6,
+    )
+    dist = sv.join(F.broadcast(cw), "m").select(
+        "vec_id", "m", "label", dd.alias("dd")
+    )
+    assign = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "m").orderBy("dd", "label")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "label")
+    )
+    qdot = (
+        cw.crossJoin(F.broadcast(q))
+        .select(
+            "m",
+            "label",
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(slice(qv, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+                    " cvec, (pq_qx, pq_qc) -> CAST(pq_qx AS DOUBLE) * pq_qc),"
+                    " CAST(0 AS DOUBLE), (pq_qacc, pq_qv) -> pq_qacc + pq_qv)"
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("qd"),
+        )
+    )
+    adc = (
+        assign.join(F.broadcast(qdot), ["m", "label"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("double").alias("adc_raw"))
+    )
+    return (
+        adc.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("adc_raw", 4).alias("adc_score"),
+            cosine_score("embedding", "qv").alias("exact_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(PQ_K)
+    )

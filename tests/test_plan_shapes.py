@@ -292,3 +292,16 @@ def test_matryoshka_scoring_is_narrow(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert "hashpartitioning(n_dims" in plan
+
+
+def test_pq_adc_broadcasts_codebook_no_python(spark):
+    """PQ assignment joins the N×M subvectors against the 80-codeword
+    table as a broadcast (codebooks are broadcast-sized at any corpus
+    scale), the qdot lookup is a broadcast, and no stage leaves the
+    JVM."""
+    df = q(spark, "sim_pq_adc_topk")
+    plan = plan_string(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert broadcast_join_count(df) >= 3  # codebook, qdot, query vec
+    assert has_take_ordered(df)  # final top-k is a heap, not a sort
