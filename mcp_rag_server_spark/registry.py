@@ -71,54 +71,34 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 3 rotation): the driver checks a
-#: 50-query prefix of this ordering, so the prefix must hold, in risk
-#: order: (a) queries NEW this round (no driver row exists at all),
-#: (b) queries whose implementation or oracle CHANGED since their last
-#: driver check (dd_connected_components was rewritten to star
-#: contraction in r2 but only its pre-rewrite r1 row exists; its
-#: fixpoint check changed again this round; chunks_table's id
-#: assignment was rebuilt on dense_chunk_ids; fileops_list's oracle
-#: dirs CTE was generalized), then (c) every query whose most recent
-#: row is r1-vintage (the r2 window covered the other 50). Exactly 50
-#: entries — nothing trusted falls outside the window. Everything else
-#: was driver-green in r2 and is unchanged; tests/test_oracle_parity.py
-#: replays all of them locally regardless.
+#: Driver-evidence priority (round 4 rotation): the driver checks a
+#: 50-query prefix of this ordering, risk-ordered: (a) queries NEW this
+#: round (no driver row at all — the eleven round-4 operators plus the
+#: compacted-store roundtrip); (b) queries whose BEHAVIOR changed this
+#: round: dd_lsh_band_audit's truth join is now sampled, the MMR pair
+#: stage gained the pool-bound guard, and EVERY events reader goes
+#: through the new catalog.normalize_event_ts (the round-4 fixture
+#: regeneration changed events.ts from TIMESTAMP(NANOS) to MICROS) —
+#: the 18 ev_*/st_* queries that consume it get fresh rows; (c) the
+#: stalest remaining rows per tools/rotation_audit.py (the r1-vintage
+#: relational.py block, then r2-vintage singles). Exactly 50 entries.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) new this round
+    # (a) new this round — no driver row exists
+    "ta_gopher_rules",
+    "ta_unigram_logprob",
+    "ta_mix_temperature",
+    "ta_shard_assign",
+    "ta_vocab_growth",
+    "ev_latest_state",
+    "ev_scd2_intervals",
+    "sim_matryoshka_topk",
+    "sim_pq_adc_topk",
+    "st_latest_state",
+    "ingest_compacted",
+    # (b) behavior changed this round
+    "dd_lsh_band_audit",
     "rag_mmr_topk",
     "rag_mmr_batch",
-    "ta_pack_sequences",
-    "ta_pii_scrub",
-    "dd_lsh_band_audit",
-    "ingest_roundtrip",
-    "ev_salted_hot_key_join",
-    "ev_anomaly_zscore",
-    "chunk_split_clamped",
-    "fileops_reassemble_text",
-    "dd_keep_canonical",
-    "ta_decontaminate",
-    "ta_mixture_cap",
-    "ta_token_budget",
-    "rag_hybrid_topk",
-    "sim_sq8_topk",
-    "sim_ivf_recall",
-    "mm_audio_windows",
-    "ev_cogrouped_quota",
-    "st_ingest_roundtrip",
-    # (b) changed since last driver row
-    "dd_connected_components",
-    "chunks_table",
-    "fileops_list",
-    "dd_minhash_lsh",
-    "chunk_split",
-    # (c) r1-vintage rows, registration order
-    "read_range",
-    "dd_jaccard_same_source",
-    "dd_simhash",
-    "dd_embedding_neardup",
-    "rag_query_result",
-    "emb_hash_embed",
     "ev_hourly_windows",
     "ev_json_extract",
     "ev_funnel",
@@ -126,29 +106,50 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ev_type_value_stats",
     "ev_grouped_map_running",
     "ev_cohort_retention",
-    "mm_image_meta",
-    "mm_frame_sample",
-    "chunk_udtf",
-    "arrow_token_stats",
-    "tpch_q1",
-    "tpch_q6",
-    "tpch_q4_exists",
-    "window_topn_per_nation",
-    "rollup_sales_by_region",
-    "cube_lineitem_flags",
-    "set_intersect_status",
-    "set_except_customers",
+    "ev_sessionize",
+    "ev_dedup_by_second",
+    "ev_salted_hot_key_join",
+    "ev_anomaly_zscore",
+    "ev_cogrouped_quota",
+    "st_hourly_windows",
+    "st_sliding_windows",
+    "st_sessionize",
+    "st_stream_stream_join",
+    "st_dedup_within_watermark",
+    "st_stateful_user_stats",
+    # (c) stalest remaining rows (rotation_audit ordering)
+    "anti_join_idle_customers",
+    "correlated_max_price_part",
+    "distinct_agg_lineitem",
+    "outer_join_order_counts",
+    "top_parts_by_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_lag_orders",
+    "window_moving_avg",
+    "dd_exact_stats",
+    "fileops_list_ext",
+    "rag_topk",
+    "sim_ann_topk",
 )
-# Evicted to stay at 50 — every query with NO driver row at all outranks
-# an r1-green re-check (tools/rotation_audit.py computes this ordering).
-# Out this round, all r1-green with fresh r2-green same-file siblings:
-# window_lag_orders, window_moving_avg (window_rank_analytics r2-green),
-# fileops_list_ext (r2-green; the r3 oracle edit touched only
-# fileops_list's dirs CTE), and the relational.py block
-# anti_join_idle_customers, outer_join_order_counts,
-# distinct_agg_lineitem, correlated_max_price_part, top_parts_by_revenue,
-# tpch_q7/q8/q14/q15/q17/q18/q19 (eleven same-file TPC-H rows were
-# r2-green). All rotate back next round.
+# Evicted to stay at 50 (rationale, in rotation_audit's stale order):
+# the r2-vintage sim_ivf_topk/sim_l2_topk/sim_label_centroids/
+# sim_radius_search rows sit beside the r3-green sim_sq8_topk/
+# sim_ivf_recall (same file, fresh evidence of the shared helpers) and
+# behind the brand-new sim_matryoshka_topk/sim_pq_adc_topk; the ten
+# r2-vintage ta_* textanalysis rows (bigram/filter_pipeline/fingerprint/
+# lang_profile/langid/quality_score/repetition_stats/stratified_sample/
+# tfidf/token_stats) have r3-green same-file siblings
+# (ta_decontaminate/ta_mixture_cap/ta_token_budget) and unchanged code;
+# dd_* r3-green rows (connected_components, minhash_lsh, ...) are only
+# file-stale via the band-audit edit, which itself leads window (b).
+# All rotate back next round; tests/test_oracle_parity.py replays every
+# registry query locally against the NEW fixtures regardless, green.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
@@ -190,6 +191,7 @@ def load_all() -> dict[str, QuerySpec]:
         vector_lsh,
     )
     from mcp_rag_server_spark.streaming import (  # noqa: F401
+        cdc_stream,
         events_stream,
         stateful,
     )

@@ -1,0 +1,166 @@
+"""Streaming SCD-1 maintenance: a foreachBatch keyed MERGE that keeps
+the latest row per user across micro-batches.
+
+This is the streaming twin of operators/cdc.py::ev_latest_state, and
+the general form of the reference's restart-time index maintenance
+(reference src/indexer.ts:446-462 — delete+reinsert keyed by path):
+every micro-batch upserts its keys' newest state into a snapshot table.
+The merge operands are deliberately associative and commutative —
+latest = max by (ts, event_id), count = sum — so the final snapshot is
+identical no matter how the change log is split into batches, which is
+what makes the streaming result hash-comparable to the batch oracle.
+
+Scale shape: each batch shuffles once on the merge key; the snapshot
+table is O(distinct keys), not O(events); on Delta/Iceberg the
+union+argmax+swap becomes a real MERGE INTO. The plain-parquet swap
+here is the same staging discipline sources/ingest.py uses.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+
+N_SPLIT_FILES = 4
+
+_STATE_COLS = (
+    "user_id",
+    "last_ts",
+    "last_event_id",
+    "last_event_type",
+    "last_value",
+    "n_events",
+)
+
+
+def _batch_snapshot(batch: DataFrame) -> DataFrame:
+    """Collapse one micro-batch to per-user (latest row, count)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        batch.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(wc).alias("n_events"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(*_STATE_COLS)
+    )
+
+
+def _merge_snapshots(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative/commutative merge of two per-user snapshots: latest
+    by (ts, event_id), counts add."""
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "last_ts", "last_event_id", "last_event_type", "last_value"
+                )
+            ).alias("s"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("s.last_ts").alias("last_ts"),
+            F.col("s.last_event_id").alias("last_event_id"),
+            F.col("s.last_event_type").alias("last_event_type"),
+            F.col("s.last_value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+def run_scd1_stream(spark: SparkSession, src_dir: str, target_dir: str) -> str:
+    """Stream the change-log files one per trigger, merging each batch
+    into the snapshot table; returns the snapshot path."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    tgt = os.path.join(target_dir, "latest_state")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        snap = _batch_snapshot(batch)
+        if os.path.exists(tgt):
+            snap = _merge_snapshots(s.read.parquet(tgt), snap)
+        nxt = tgt + ".next"
+        snap.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(tgt):
+            shutil.rmtree(tgt)
+        os.rename(nxt, tgt)
+        s.catalog.refreshByPath(tgt)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tgt
+
+
+@register(
+    "st_latest_state",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       ts AS last_ts,
+       event_type AS last_event_type,
+       value AS last_value,
+       n_events
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+    description="STREAMING SCD-1: foreachBatch keyed MERGE maintains the"
+    " latest-row-per-user snapshot across genuine multi-file"
+    " micro-batches; final snapshot hash-matches the batch window oracle"
+    " (streaming twin of ev_latest_state)",
+    tags=("streaming", "cdc", "events"),
+)
+def st_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events are split into N files and streamed one file per trigger,
+    so the snapshot is genuinely merged N times; because the merge is
+    associative+commutative the result equals the batch SCD-1 no matter
+    the split. The driver-hashed row set therefore proves both the
+    streaming plumbing (checkpointed foreachBatch upsert) and the merge
+    algebra."""
+    base = tempfile.mkdtemp(prefix="st_scd1_")
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)
+    tgt = run_scd1_stream(spark, src, os.path.join(base, "out"))
+    return (
+        spark.read.parquet(tgt)
+        .select(
+            "user_id", "last_ts", "last_event_type", "last_value", "n_events"
+        )
+        .orderBy("user_id")
+    )

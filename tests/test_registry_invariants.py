@@ -12,6 +12,9 @@ from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 
 #: The bench headline set is fixed across rounds — BENCH_r{N}.json totals
 #: are only comparable because this list never changes (BASELINE.md).
+#: ONE sanctioned expansion: round 4 added the five r3 flagship
+#: operators (r3 verdict item 5; BENCH_NOTES.md) — cross-round totals
+#: compare on the original-18 subset, per-query times on everything.
 BENCH_SET = {
     "chunk_split",
     "dd_minhash_lsh",
@@ -31,6 +34,12 @@ BENCH_SET = {
     "tpch_q5",
     "tpch_q6",
     "tpch_q9_product_profit",
+    # round-4 additions (baseline round: BENCH_r04)
+    "rag_mmr_topk",
+    "rag_hybrid_topk",
+    "sim_sq8_topk",
+    "ta_pack_sequences",
+    "ta_pii_scrub",
 }
 
 

@@ -1,5 +1,5 @@
 """Generate PLANS.md: the physical plan of every bench-headline query
-plus the scale-sensitive r3 additions, with the properties each claims."""
+plus the scale-sensitive r3/r4 additions, with the properties each claims."""
 import os
 import sys
 
@@ -13,17 +13,22 @@ spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=8)
 reg = load_all()
 SF = "/root/testdata/sf0.001"
 EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
-         "ta_mixture_cap", "rag_hybrid_topk", "mm_audio_windows",
+         "ta_mixture_cap", "mm_audio_windows",
          "ev_anomaly_zscore", "ev_salted_hot_key_join", "dd_keep_canonical",
-         "sim_sq8_topk", "ta_token_budget", "sim_ivf_recall",
-         "rag_mmr_topk", "rag_mmr_batch", "ta_pack_sequences", "ta_pii_scrub",
-         "dd_lsh_band_audit"]
+         "ta_token_budget", "sim_ivf_recall",
+         "rag_mmr_batch",
+         "dd_lsh_band_audit",
+         # round-4 additions
+         "ta_gopher_rules", "ta_unigram_logprob", "ta_mix_temperature",
+         "ta_shard_assign", "ta_vocab_growth", "ev_latest_state",
+         "ev_scd2_intervals", "sim_matryoshka_topk", "sim_pq_adc_topk",
+         "ingest_compacted"]
 names = [n for n, s in reg.items() if s.bench] + EXTRA
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
        "`tools/gen_plans.py` regenerates this file. Initial (pre-AQE) plan",
        "trees at sf0.001 for every bench-headline query plus the",
-       "scale-sensitive round-3 additions. Shuffle counts exclude broadcast",
+       "scale-sensitive round-3/round-4 additions. Shuffle counts exclude broadcast",
        "exchanges; `TakeOrderedAndProject` = heap top-k, never a global sort.",
        ""]
 for n in names:
