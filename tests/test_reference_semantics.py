@@ -135,3 +135,33 @@ def test_chunker_property_parity_with_reference(spark):
         # splitChunks never sees an unclamped overlap in practice.
         expected = ref_split_chunks(t, s_, clamp_overlap(s_, o_))
         assert got[i] == expected, (t, s_, o_)
+
+
+def test_normalize_event_ts_both_encodings(spark):
+    """Fixture vintages encode events.ts two ways (TESTDATA regenerations
+    changed TIMESTAMP(NANOS) → MICROS in round 4); normalize_event_ts
+    must yield the identical session-tz TIMESTAMP for both."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mcp_rag_server_spark.catalog import normalize_event_ts
+
+    micros = 1_704_067_200_123_456  # 2024-01-01T00:00:00.123456Z
+    legacy = spark.range(1).select(
+        F.lit(micros * 1000 + 789).cast("long").alias("ts")  # ns + sub-µs
+    )
+    modern = spark.range(1).select(
+        F.timestamp_micros(F.lit(micros)).cast("timestamp_ntz").alias("ts")
+    )
+    expect = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    for df in (legacy, modern):
+        out = normalize_event_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        got = out.collect()[0]["ts"]
+        assert got.replace(tzinfo=None) == expect, got
+    # already-TIMESTAMP input passes through untouched
+    passthrough = normalize_event_ts(
+        spark.range(1).select(F.timestamp_micros(F.lit(micros)).alias("ts"))
+    )
+    assert dict(passthrough.dtypes)["ts"] == "timestamp"

@@ -80,25 +80,88 @@ def file_last_change(path: str) -> int:
     return int(out) if out else 0
 
 
+_IMPORT_RE = re.compile(
+    r"^(?:from|import)\s+(mcp_rag_server_spark[.\w]*)"
+    r"(?:\s+import\s+\(?([\w,\s]+)\)?)?",
+    re.M,
+)
+
+
+def _module_file(dotted: str) -> str | None:
+    """mcp_rag_server_spark.functions.vector -> its repo-relative .py
+    path (package __init__ if it names a package)."""
+    rel = dotted.replace(".", os.sep)
+    for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+        if os.path.exists(os.path.join(REPO, cand)):
+            return cand
+    return None
+
+
+#: Excluded from staleness closures: registry.py changes every round by
+#: design (the DRIVER_PRIORITY rotation lives there) and its decorator
+#: machinery does not touch query results — including it would mark the
+#: whole registry permanently stale and destroy the signal.
+_CLOSURE_EXCLUDE = {os.path.join("mcp_rag_server_spark", "registry.py")}
+
+
+def dep_closure(path: str, cache: dict[str, set[str]]) -> set[str]:
+    """Transitive in-package import closure of a module file. A query's
+    driver row describes the whole code path it executes, so a change to
+    catalog.py/session.py/functions/* ages every query that imports them
+    (the round-4 lesson: the events.ts encoding change lived in
+    catalog.py while every ev_*/st_* row pointed at unchanged files)."""
+    if path in _CLOSURE_EXCLUDE:
+        return set()
+    if path in cache:
+        return cache[path]
+    cache[path] = {path}  # cycle guard
+    closure = {path}
+    try:
+        with open(os.path.join(REPO, path), encoding="utf-8") as f:
+            src = f.read()
+    except OSError:
+        return closure
+    for m in _IMPORT_RE.finditer(src):
+        dotted, names = m.group(1), m.group(2)
+        targets = [dotted]
+        if names:  # "from pkg import a, b" where a/b may be modules
+            targets += [
+                f"{dotted}.{n.strip()}" for n in names.split(",") if n.strip()
+            ]
+        for t in targets:
+            dep = _module_file(t)
+            if dep and dep != path:
+                closure |= dep_closure(dep, cache)
+    cache[path] = closure
+    return closure
+
+
 def main() -> None:
     reg = load_all()
     rows = round_rows()
     rtimes = round_commit_times()
     changed: dict[str, int] = {}
+    closures: dict[str, set[str]] = {}
     no_row, stale, fresh = [], [], []
     for name, spec in reg.items():
         mod = sys.modules[spec.spark_fn.__module__]
         path = os.path.relpath(mod.__file__, REPO)
-        if path not in changed:
-            changed[path] = file_last_change(path)
         if name not in rows:
             no_row.append((name, path))
             continue
         rnd, green = rows[name]
-        # A row from round N describes the code at round N's snapshot
-        # commit; any later change to the defining file ages it.
-        is_stale = rnd in rtimes and changed[path] > rtimes[rnd]
-        (stale if is_stale else fresh).append((name, rnd, green, path))
+        # A row from round N describes the whole code path at round N's
+        # snapshot commit: the query ages when its defining file OR any
+        # in-package module it (transitively) imports changed later.
+        newest, culprit = 0, path
+        for dep in dep_closure(path, closures):
+            if dep not in changed:
+                changed[dep] = file_last_change(dep)
+            if changed[dep] > newest:
+                newest, culprit = changed[dep], dep
+        is_stale = rnd in rtimes and newest > rtimes[rnd]
+        label = path if culprit == path else f"{path} via {culprit}"
+        (stale if is_stale else fresh).append((name, rnd, green, label))
 
     print(f"registry queries: {len(reg)}")
     print(f"\n(a) NO driver row ({len(no_row)}):")
