@@ -1,0 +1,190 @@
+"""Iterative clustering as joins + aggregations (Lloyd's k-means).
+
+The star-contraction connected-components operator (operators/dedup.py)
+covers graph iteration; this module covers the other iterative workhorse
+of embedding pipelines: k-means refinement (codebook training for
+IVF/PQ, corpus clustering for mixture design). Each Lloyd iteration is
+exactly two distributed primitives —
+
+  assignment: corpus ⋈ broadcast(centroids) → argmin distance per row
+  update:     one shuffle keyed by cluster, decimal-exact element means
+
+— so an iteration costs one narrow pass plus one bounded shuffle, and
+the centroid table stays broadcast-sized (k × dims) no matter the
+corpus. A fixed iteration count keeps the whole computation
+SQL-expressible, so the DuckDB oracle replays it CTE-for-CTE and the
+driver hash-checks real iterative ML, not just its plumbing.
+
+Determinism discipline (registry rules): centroid element means are
+round-7-then-DECIMAL sums (order-independent, bit-identical across
+engines); distances are index-order float64 folds rounded to 6;
+assignment ties break by cluster id; inertia is a DECIMAL sum of the
+rounded distances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+
+KM_DIMS = 64
+KM_ITERS = 2
+
+
+def _centroids_from(assign_elem: DataFrame) -> DataFrame:
+    """(cluster, d, x) element rows → (cluster, cvec) with decimal-exact
+    per-element means, array rebuilt in dimension order."""
+    return (
+        assign_elem.groupBy("cluster", "d")
+        .agg(
+            (
+                F.sum(F.round(F.col("x"), 7).cast("decimal(18,7)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, c))), km_s -> km_s.c)"
+            ).alias("cvec")
+        )
+    )
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, cluster, dd)."""
+    dd = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, cvec, (km_x, km_c) -> "
+            "(CAST(km_x AS DOUBLE) - km_c) * (CAST(km_x AS DOUBLE) - km_c)), "
+            "CAST(0 AS DOUBLE), (km_acc, km_v) -> km_acc + km_v)"
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cluster", dd.alias("dd")
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dd", "cluster")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "dd")
+    )
+
+
+def _km_duck_dist(vec: str, cvec: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, {KM_DIMS} + 1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cvec}[i]) "
+        f"* (CAST({vec}[i] AS DOUBLE) - {cvec}[i]))), 6)"
+    )
+
+
+_KM_ORACLE = f"""
+WITH pos AS (SELECT unnest(range(1, {KM_DIMS} + 1)) AS i),
+elem AS (
+  SELECT e.vec_id, e.label, CAST(p.i - 1 AS INT) AS d,
+         CAST(e.embedding[p.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN pos p
+),
+c0e AS (
+  SELECT label AS cluster, d,
+         CAST(SUM(CAST(round(x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM elem GROUP BY label, d
+),
+c0 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM c0e GROUP BY cluster),
+d1 AS (
+  SELECT e.vec_id, c.cluster, {_km_duck_dist('e.embedding', 'c.cvec')} AS dd
+  FROM embeddings e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1e AS (
+  SELECT a.cluster, el.d,
+         CAST(SUM(CAST(round(el.x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM a1 a JOIN elem el USING (vec_id)
+  GROUP BY a.cluster, el.d
+),
+c1 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM c1e GROUP BY cluster),
+d2 AS (
+  SELECT e.vec_id, c.cluster, {_km_duck_dist('e.embedding', 'c.cvec')} AS dd
+  FROM embeddings e CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cluster, dd FROM (
+    SELECT vec_id, cluster, dd,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cluster,
+       COUNT(*) AS n_assigned,
+       round(CAST(SUM(CAST(dd AS DECIMAL(18,6))) AS DOUBLE), 4) AS inertia
+FROM a2
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+@register(
+    "sim_kmeans_refine",
+    oracle=_KM_ORACLE,
+    description=f"k-means Lloyd refinement ({KM_ITERS} iterations from"
+    " per-label seed centroids): per-cluster membership and inertia"
+    " after re-assignment — iterative codebook training as broadcast"
+    " joins + keyed aggregations, hash-checked end to end",
+    tags=("similarity", "vector", "clustering", "iterative"),
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeds are the per-label element means (the same deterministic
+    stand-in for k-means++ that sim_pq_adc_topk uses per subspace);
+    two Lloyd iterations then per-cluster size and inertia from the
+    final assignment. Every stage is engine-replayable: the oracle
+    runs the identical CTE chain, so a drifted centroid, a wrong tie
+    break, or a lost vector changes the hash. At 100 TB: centroids
+    broadcast (k×dims doubles), assignment is a narrow pass, each
+    update is one cluster-keyed shuffle of (cluster, d, partial-sum)
+    rows — the textbook distributed Lloyd layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elem = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("int").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    c0 = _centroids_from(elem.select(F.col("label").alias("cluster"), "d", "x"))
+    a1 = _assign(emb, c0)
+    c1 = _centroids_from(
+        a1.select("vec_id", "cluster").join(elem, "vec_id").select(
+            "cluster", "d", "x"
+        )
+    )
+    a2 = _assign(emb, c1)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.round(
+                F.sum(F.col("dd").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -1200,3 +1200,56 @@ def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "full_outer_order_ship_days",
+    oracle="""
+WITH o AS (SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n
+           FROM orders GROUP BY 1),
+l AS (SELECT date_trunc('day', l_shipdate) AS d, COUNT(*) AS n
+      FROM lineitem GROUP BY 1)
+SELECT COALESCE(o.d, l.d) AS day,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_ordered,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS n_shipped,
+       CASE WHEN o.d IS NULL THEN 'ship_only'
+            WHEN l.d IS NULL THEN 'order_only'
+            ELSE 'both' END AS side
+FROM o FULL OUTER JOIN l ON o.d = l.d
+ORDER BY day
+""",
+    description="FULL OUTER join reconciliation: orders placed vs items"
+    " shipped per day — ship-only days (the fulfilment tail past the"
+    " last order) and order-only days surface as one-sided rows; the"
+    " join type the registry's join inventory lacked",
+    tags=("relational", "join", "outer"),
+)
+def full_outer_order_ship_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides pre-aggregate to one row per day BEFORE the join (the
+    same partial-agg-first discipline as top_parts_by_revenue), so the
+    full outer join touches |days| rows, not facts — at 100 TB the
+    shuffle moves ~2500 day rows per side, nothing else."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("day", "l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n_l"))
+    )
+    od, ld = o.alias("od"), li.alias("ld")
+    return (
+        od.join(ld, F.col("od.d") == F.col("ld.d"), "full_outer")
+        .select(
+            F.coalesce(F.col("od.d"), F.col("ld.d")).alias("day"),
+            F.coalesce(F.col("n_o"), F.lit(0)).alias("n_ordered"),
+            F.coalesce(F.col("n_l"), F.lit(0)).alias("n_shipped"),
+            F.when(F.col("od.d").isNull(), "ship_only")
+            .when(F.col("ld.d").isNull(), "order_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+        .orderBy("day")
+    )

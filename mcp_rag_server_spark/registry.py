@@ -95,6 +95,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "st_latest_state",
     "ingest_compacted",
+    "full_outer_order_ship_days",
+    "sim_kmeans_refine",
     # (b) behavior changed this round
     "dd_lsh_band_audit",
     "rag_mmr_topk",
@@ -134,9 +136,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_moving_avg",
     "dd_exact_stats",
     "fileops_list_ext",
-    "rag_topk",
-    "sim_ann_topk",
 )
+# rag_topk / sim_ann_topk yield their two slots to the newest round-4
+# queries: rag_topk's exact pipeline is smoke-driven by entry() every
+# round at sf0.001, and sim_ann_topk shares topk_by_vector scoring with
+# it; both remain locally replayed against the new fixtures.
 # Evicted to stay at 50 (rationale, in rotation_audit's stale order):
 # the r2-vintage sim_ivf_topk/sim_l2_topk/sim_label_centroids/
 # sim_radius_search rows sit beside the r3-green sim_sq8_topk/
@@ -172,6 +176,7 @@ def load_all() -> dict[str, QuerySpec]:
     from mcp_rag_server_spark.operators import (  # noqa: F401
         cdc,
         chunking,
+        clustering,
         dedup,
         embed,
         events,

@@ -305,3 +305,27 @@ def test_pq_adc_broadcasts_codebook_no_python(spark):
         assert node not in plan
     assert broadcast_join_count(df) >= 3  # codebook, qdot, query vec
     assert has_take_ordered(df)  # final top-k is a heap, not a sort
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Each Lloyd assignment must join the corpus against BROADCAST
+    centroids (k×dims is broadcast-sized at any corpus scale) — a
+    shuffled assignment join would move the corpus twice per
+    iteration."""
+    df = q(spark, "sim_kmeans_refine")
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin of centroid table
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_full_outer_preaggregates_both_sides(spark):
+    """The reconciliation join's inputs must be the per-day aggregates
+    (|days| rows), never raw facts: both HashAggregates sit below the
+    SortMergeJoin FullOuter in the tree."""
+    from mcp_rag_server_spark.plans.inspect import tree_section
+
+    plan = tree_section(q(spark, "full_outer_order_ship_days"))
+    assert "FullOuter" in plan
+    join_pos = plan.index("FullOuter")
+    assert plan[join_pos:].count("HashAggregate") >= 2
