@@ -22,7 +22,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_gopher_rules", "ta_unigram_logprob", "ta_mix_temperature",
          "ta_shard_assign", "ta_vocab_growth", "ev_latest_state",
          "ev_scd2_intervals", "sim_matryoshka_topk", "sim_pq_adc_topk",
-         "ingest_compacted"]
+         "ingest_compacted", "full_outer_order_ship_days",
+         "sim_kmeans_refine", "st_latest_state"]
 names = [n for n, s in reg.items() if s.bench] + EXTRA
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
