@@ -200,6 +200,28 @@ def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _write_junk(root: str) -> None:
+    """Files the ingest predicates must silently drop (the oracle never
+    sees them, so a filter regression breaks the hash): an excluded-dir
+    file (P2, reference indexer.ts:354-360), a dotfile (discovery
+    fast-glob ``dot:false``), an empty file (P3, indexer.ts:374), and a
+    disallowed-extension file (P1). Deliberately NOT here: malformed-
+    UTF-8 text — both Node and our decode() ingest it with U+FFFD
+    replacement (P4's skip applies to read/extract FAILURES, e.g. the
+    PDF path, covered by pytest's injected-extractor error case)."""
+    junk = [
+        ("node_modules/vendored.txt", b"excluded folder content"),
+        (".hidden.txt", b"dotfile content"),
+        ("srcX/empty.txt", b""),
+        ("srcX/notes.md", b"wrong extension"),
+    ]
+    for rel, payload in junk:
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(payload)
+
+
 @register(
     "ingest_compacted",
     oracle=_ORACLE,
@@ -236,6 +258,7 @@ def ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed_ext=("txt",),
     )
     _write_corpus_v1(root, docs)
+    _write_junk(root)  # P2/P3/P4 + dotfile: all must be filtered out
     build(spark, root, store, params)
     _mutate_corpus_v2(root, docs)
     build(spark, root, store, params)
