@@ -97,6 +97,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ingest_compacted",
     "full_outer_order_ship_days",
     "sim_kmeans_refine",
+    "agg_hll_audit",
+    "agg_percentile_audit",
     # (b) behavior changed this round
     "dd_lsh_band_audit",
     "rag_mmr_topk",
@@ -134,13 +136,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q8_market_share",
     "window_lag_orders",
     "window_moving_avg",
-    "dd_exact_stats",
-    "fileops_list_ext",
 )
-# rag_topk / sim_ann_topk yield their two slots to the newest round-4
-# queries: rag_topk's exact pipeline is smoke-driven by entry() every
-# round at sf0.001, and sim_ann_topk shares topk_by_vector scoring with
-# it; both remain locally replayed against the new fixtures.
+# Four stale re-checks yield slots to new round-4 queries (rule: a
+# query with NO driver row outranks any stale re-check): rag_topk is
+# smoke-driven by entry() every round at sf0.001 and sim_ann_topk
+# shares topk_by_vector scoring with it; dd_exact_stats and
+# fileops_list_ext are unchanged since r1/r2 with r3-green same-file
+# siblings and are stale only through the catalog.py import closure.
+# All remain locally replayed against the new fixtures.
 # Evicted to stay at 50 (rationale, in rotation_audit's stale order):
 # the r2-vintage sim_ivf_topk/sim_l2_topk/sim_label_centroids/
 # sim_radius_search rows sit beside the r3-green sim_sq8_topk/
@@ -189,6 +192,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational_tpch2,
         similarity,
+        sketches,
         temporal,
         textanalysis,
         training_prep,
