@@ -145,10 +145,101 @@ PQ_DSUB = 8
 PQ_K = 5
 
 
-@register(
-    "sim_pq_adc_topk",
-    oracle=f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+PQ_NPROBE = 3
+
+
+def pq_codewords(emb: DataFrame) -> DataFrame:
+    """(m, label, cvec): per-(subspace, label) codeword arrays from
+    decimal-exact element means — the deterministic codebook."""
+    elem = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(f"CAST(pos div {PQ_DSUB} AS INT)").alias("m"),
+        F.expr(f"CAST(pos % {PQ_DSUB} AS INT)").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cb = elem.groupBy("m", "label", "d").agg(
+        (
+            F.sum(F.round(F.col("x"), 7).cast("decimal(18,7)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    return cb.groupBy("m", "label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, c))), pq_s -> pq_s.c)"
+        ).alias("cvec")
+    )
+
+
+def pq_assign(emb: DataFrame, cw: DataFrame) -> DataFrame:
+    """(vec_id, m, label): nearest codeword per subspace — the index
+    build (N×M narrow pass against the broadcast codebook)."""
+    msub = emb.limit(1).select(
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    )
+    sv = emb.crossJoin(F.broadcast(msub)).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("svec"),
+    )
+    dd = F.round(
+        F.expr(
+            "aggregate(zip_with(svec, cvec, (pq_x, pq_c) -> "
+            "(CAST(pq_x AS DOUBLE) - pq_c) * (CAST(pq_x AS DOUBLE) - pq_c)), "
+            "CAST(0 AS DOUBLE), (pq_acc, pq_v) -> pq_acc + pq_v)"
+        ),
+        6,
+    )
+    dist = sv.join(F.broadcast(cw), "m").select(
+        "vec_id", "m", "label", dd.alias("dd")
+    )
+    return (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "m").orderBy("dd", "label")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "label")
+    )
+
+
+def pq_qdot(cw: DataFrame, q: DataFrame) -> DataFrame:
+    """(m, label, qd): per-query codeword dot table — the only per-query
+    vector math ADC needs (k_codebooks × M rows)."""
+    return cw.crossJoin(F.broadcast(q)).select(
+        "m",
+        "label",
+        F.round(
+            F.expr(
+                f"aggregate(zip_with(slice(qv, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+                " cvec, (pq_qx, pq_qc) -> CAST(pq_qx AS DOUBLE) * pq_qc),"
+                " CAST(0 AS DOUBLE), (pq_qacc, pq_qv) -> pq_qacc + pq_qv)"
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("qd"),
+    )
+
+
+def pq_adc_scores(assign: DataFrame, qdot: DataFrame) -> DataFrame:
+    """(vec_id, adc_raw): ADC score = sum of M table lookups."""
+    return (
+        assign.join(F.broadcast(qdot), ["m", "label"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("double").alias("adc_raw"))
+    )
+
+
+#: Shared oracle CTE chain for the PQ family (q, elements, codebook,
+#: assignment, qdot) — each query appends its own tail.
+_PQ_CTES = f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 pos AS (SELECT unnest(range(1, {PQ_M * PQ_DSUB} + 1)) AS i),
 elem AS (
   SELECT e.vec_id, e.label,
@@ -191,7 +282,13 @@ qdot AS (
                i -> CAST(q.qv[c.m * {PQ_DSUB} + i] AS DOUBLE) * c.cvec[i])), 6)
               AS DECIMAL(18,6)) AS qd
   FROM cw c CROSS JOIN q
-),
+)"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_CTES},
 adc AS (
   SELECT a.vec_id, CAST(SUM(qd.qd) AS DOUBLE) AS adc_raw
   FROM assign a JOIN qdot qd ON qd.m = a.m AND qd.label = a.label
@@ -227,79 +324,118 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow N×M assignment pass, done once at index build."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    elem = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "vec_id",
-        "label",
-        F.expr(f"CAST(pos div {PQ_DSUB} AS INT)").alias("m"),
-        F.expr(f"CAST(pos % {PQ_DSUB} AS INT)").alias("d"),
-        F.col("xf").cast("double").alias("x"),
+    cw = pq_codewords(emb)
+    adc = pq_adc_scores(pq_assign(emb, cw), pq_qdot(cw, q))
+    return (
+        adc.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("adc_raw", 4).alias("adc_score"),
+            cosine_score("embedding", "qv").alias("exact_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(PQ_K)
     )
-    cb = elem.groupBy("m", "label", "d").agg(
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+WITH {_PQ_CTES},
+cent AS (
+  SELECT label,
+         list(c ORDER BY dim) AS cvec64
+  FROM (
+    SELECT label, m * {PQ_DSUB} + d AS dim,
+           CAST(SUM(CAST(round(x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+             / COUNT(*) AS c
+    FROM elem GROUP BY label, m * {PQ_DSUB} + d
+  ) GROUP BY label
+),
+cellrank AS (
+  SELECT label FROM (
+    SELECT c.label,
+           row_number() OVER (ORDER BY
+             round(list_sum(list_transform(range(1, {PQ_M * PQ_DSUB} + 1),
+                   i -> (CAST(q.qv[i] AS DOUBLE) - c.cvec64[i])
+                        * (CAST(q.qv[i] AS DOUBLE) - c.cvec64[i]))), 6) ASC,
+             c.label ASC) AS rnk
+    FROM cent c CROSS JOIN q
+  ) WHERE rnk <= {PQ_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label FROM embeddings e
+  JOIN cellrank cr ON e.label = cr.label
+),
+adc AS (
+  SELECT a.vec_id, CAST(SUM(qd.qd) AS DOUBLE) AS adc_raw
+  FROM assign a
+  JOIN cand ON cand.vec_id = a.vec_id
+  JOIN qdot qd ON qd.m = a.m AND qd.label = a.label
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id, e.label,
+       round(adc.adc_raw, 4) AS adc_score,
+       round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS exact_score
+FROM adc JOIN embeddings e USING (vec_id) CROSS JOIN q
+ORDER BY adc_score DESC, e.vec_id ASC
+LIMIT {PQ_K}
+""",
+    description="IVF+PQ top-k (the FAISS IVFPQ layout): rank coarse"
+    " cells by centroid distance to the query, prune to nprobe=3 cells,"
+    " ADC-score only the surviving candidates from their precomputed"
+    " codes — cell pruning bounds the scan, PQ bounds the bytes",
+    tags=("similarity", "vector", "ivf", "pq", "quantization", "topk"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition production ANN serves (Jégou et al. 2011): the
+    coarse quantizer (full-width per-label centroids, decimal-exact)
+    selects nprobe cells by centroid-to-query distance, and only those
+    cells' vectors are scored — via their PQ codes and the qdot lookup
+    table, no full-width vector math per candidate. At 100 TB the cell
+    column is the partition key (partition pruning IS the cell prune),
+    codes are the only bytes the query touches, and both the centroid
+    and qdot tables stay broadcast-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cent = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).groupBy("label", "dim").agg(
         (
-            F.sum(F.round(F.col("x"), 7).cast("decimal(18,7)")).cast("double")
+            F.sum(
+                F.round(F.col("xf").cast("double"), 7).cast("decimal(18,7)")
+            ).cast("double")
             / F.count("*")
         ).alias("c")
-    )
-    cw = cb.groupBy("m", "label").agg(
+    ).groupBy("label").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(d, c))), pq_s -> pq_s.c)"
-        ).alias("cvec")
+            "transform(array_sort(collect_list(struct(dim, c))), pq_t -> pq_t.c)"
+        ).alias("cvec64")
     )
-    msub = emb.limit(1).select(
-        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
-    )
-    sv = emb.crossJoin(F.broadcast(msub)).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("svec"),
-    )
-    dd = F.round(
+    cdist = F.round(
         F.expr(
-            "aggregate(zip_with(svec, cvec, (pq_x, pq_c) -> "
-            "(CAST(pq_x AS DOUBLE) - pq_c) * (CAST(pq_x AS DOUBLE) - pq_c)), "
-            "CAST(0 AS DOUBLE), (pq_acc, pq_v) -> pq_acc + pq_v)"
+            "aggregate(zip_with(qv, cvec64, (pq_cx, pq_cc) -> "
+            "(CAST(pq_cx AS DOUBLE) - pq_cc) * (CAST(pq_cx AS DOUBLE) - pq_cc)), "
+            "CAST(0 AS DOUBLE), (pq_cacc, pq_cv) -> pq_cacc + pq_cv)"
         ),
         6,
     )
-    dist = sv.join(F.broadcast(cw), "m").select(
-        "vec_id", "m", "label", dd.alias("dd")
-    )
-    assign = (
-        dist.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "m").orderBy("dd", "label")
-            ),
+    cells = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cdist.alias("cd"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.asc("cd"), F.asc("label"))),
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "label")
+        .filter(F.col("rnk") <= PQ_NPROBE)
+        .select("label")
     )
-    qdot = (
-        cw.crossJoin(F.broadcast(q))
-        .select(
-            "m",
-            "label",
-            F.round(
-                F.expr(
-                    f"aggregate(zip_with(slice(qv, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
-                    " cvec, (pq_qx, pq_qc) -> CAST(pq_qx AS DOUBLE) * pq_qc),"
-                    " CAST(0 AS DOUBLE), (pq_qacc, pq_qv) -> pq_qacc + pq_qv)"
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("qd"),
-        )
-    )
-    adc = (
-        assign.join(F.broadcast(qdot), ["m", "label"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").cast("double").alias("adc_raw"))
-    )
+    cand = emb.join(F.broadcast(cells), "label").select("vec_id")
+    cw = pq_codewords(emb)
+    assign = pq_assign(emb, cw).join(F.broadcast(cand), "vec_id")
+    adc = pq_adc_scores(assign, pq_qdot(cw, q))
     return (
         adc.join(emb, "vec_id")
         .crossJoin(F.broadcast(q))

@@ -99,6 +99,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_kmeans_refine",
     "agg_hll_audit",
     "agg_percentile_audit",
+    "sim_ivfpq_topk",
     # (b) behavior changed this round
     "dd_lsh_band_audit",
     "rag_mmr_topk",
@@ -135,15 +136,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "window_lag_orders",
-    "window_moving_avg",
 )
-# Four stale re-checks yield slots to new round-4 queries (rule: a
+# Five stale re-checks yield slots to new round-4 queries (rule: a
 # query with NO driver row outranks any stale re-check): rag_topk is
 # smoke-driven by entry() every round at sf0.001 and sim_ann_topk
 # shares topk_by_vector scoring with it; dd_exact_stats and
 # fileops_list_ext are unchanged since r1/r2 with r3-green same-file
-# siblings and are stale only through the catalog.py import closure.
-# All remain locally replayed against the new fixtures.
+# siblings and are stale only through the catalog.py import closure;
+# window_moving_avg shares relational.py's window pack with
+# window_lag_orders, which stays in. All remain locally replayed
+# against the new fixtures.
 # Evicted to stay at 50 (rationale, in rotation_audit's stale order):
 # the r2-vintage sim_ivf_topk/sim_l2_topk/sim_label_centroids/
 # sim_radius_search rows sit beside the r3-green sim_sq8_topk/
