@@ -437,3 +437,93 @@ def ta_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cutoff")
     )
+
+
+#: Per-source token cap for the composed dedup→budget pipeline.
+PIPE_TOKEN_CAP = 800
+
+
+@register(
+    "ta_dedup_budget_pipeline",
+    oracle=f"""
+WITH kept AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS dup_rn
+  FROM documents
+),
+dedup AS (SELECT source, doc_id, n_tokens FROM kept WHERE dup_rn = 1),
+running AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM dedup
+)
+SELECT r.source,
+       t.n_total,
+       COUNT(*) AS n_kept,
+       t.n_total - COUNT(*) AS n_dropped,
+       CAST(SUM(r.n_tokens) AS BIGINT) AS tokens_kept,
+       COUNT(CASE WHEN r.cum_tokens <= {PIPE_TOKEN_CAP} THEN 1 END)
+         AS n_in_budget
+FROM running r
+JOIN (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source) t
+  USING (source)
+GROUP BY r.source, t.n_total
+ORDER BY r.source
+""",
+    description="composed pipeline: exact dedup (keep-first per md5) into"
+    " a per-source token budget (running cumsum window) — the chained"
+    " dedup→budget shape real training pipelines run, hash-checked as"
+    " one plan",
+    tags=("text", "dedup", "mixture", "pipeline"),
+)
+def ta_dedup_budget_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators must COMPOSE without materialization boundaries: this
+    chains dd_exact_stats' keep-first rule into ta_token_budget's
+    per-source cumsum window as one Catalyst plan — dedup's window
+    (md5(text) key) and the budget's window (source key) each shuffle
+    once on their own key, and nothing collects in between. The hash
+    check covers the composition semantics (a doc dropped by dedup must
+    not consume budget), which per-operator checks cannot see."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    kept = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.row_number()
+        .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("dup_rn"),
+    )
+    dedup = kept.filter(F.col("dup_rn") == 1)
+    running = dedup.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (
+        running.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.count(
+                F.when(F.col("cum_tokens") <= PIPE_TOKEN_CAP, 1)
+            ).alias("n_in_budget"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+            "tokens_kept",
+            "n_in_budget",
+        )
+        .orderBy("source")
+    )

@@ -145,7 +145,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # siblings and are stale only through the catalog.py import closure;
 # window_moving_avg shares relational.py's window pack with
 # window_lag_orders, which stays in. All remain locally replayed
-# against the new fixtures.
+# against the new fixtures. ta_dedup_budget_pipeline (added after the
+# window filled) deliberately waits for the r5 window rather than
+# evicting another r1-vintage relational re-check — composition of two
+# driver-green operators, verified locally this round.
 # Evicted to stay at 50 (rationale, in rotation_audit's stale order):
 # the r2-vintage sim_ivf_topk/sim_l2_topk/sim_label_centroids/
 # sim_radius_search rows sit beside the r3-green sim_sq8_topk/
