@@ -490,3 +490,53 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "ev_props_map_stats",
+    oracle="""
+SELECT e.event_type,
+       t.key AS prop_key,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract(e.props, '$.' || t.key) AS INT)) AS min_v,
+       MAX(CAST(json_extract(e.props, '$.' || t.key) AS INT)) AS max_v,
+       round(CAST(SUM(CAST(json_extract(e.props, '$.' || t.key) AS INT))
+                  AS DOUBLE) / COUNT(*), 6) AS avg_v
+FROM events e, unnest(json_keys(e.props)) AS t(key)
+GROUP BY e.event_type, t.key
+ORDER BY e.event_type, prop_key
+""",
+    description="map-typed property aggregation: props JSON parsed to"
+    " map<string,int>, exploded to (key, value) rows, per-(event_type,"
+    " key) stats — the MapType surface (from_json map schema + map"
+    " explode) the scalar-function inventory lacked",
+    tags=("events", "json", "map"),
+)
+def ev_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_json_extract pulls ONE known path; real event streams carry
+    open-ended property bags, which is Spark's MapType: parse the whole
+    object (`from_json` to map<string,int>), explode to key rows, and
+    aggregate per key. The explode is narrow; the only shuffle is the
+    (event_type, key) partial agg — the shape that holds when the bag
+    has a thousand distinct keys instead of the fixture's one. Integer
+    sums are exact, so the mean divides identical operands in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,int>")
+        ).alias("prop_key", "v"),
+    )
+    return (
+        kv.groupBy("event_type", "prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.round(
+                F.sum("v").cast("double") / F.count("*"), 6
+            ).alias("avg_v"),
+        )
+        .orderBy("event_type", "prop_key")
+    )

@@ -24,7 +24,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_scd2_intervals", "sim_matryoshka_topk", "sim_pq_adc_topk",
          "ingest_compacted", "full_outer_order_ship_days",
          "sim_kmeans_refine", "st_latest_state",
-         "agg_hll_audit", "agg_percentile_audit"]
+         "agg_hll_audit", "agg_percentile_audit", "sim_ivfpq_topk",
+         "ta_dedup_budget_pipeline", "ev_props_map_stats"]
 names = [n for n, s in reg.items() if s.bench] + EXTRA
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
