@@ -305,32 +305,33 @@ _AUDIT_CONFIGS = (1, 2, 4, 8)
 #: Sampling cap for the audit's exact-Jaccard truth side. The truth join
 #: is inherently all-pairs, so above AUDIT_FULL_MAX docs the whole audit
 #: (truth AND bandings — recall must be measured on the same population)
-#: runs on a deterministic md5-bucket sample of AUDIT_SAMPLE_PCT percent
-#: (the ta_stratified_sample key: fold md5(doc_id) to 32 bits, mod 100 —
-#: reproducible across engines, runs, and partitionings). At 60% the
-#: sf0.01 fixture keeps 282/500 docs and 10/25 planted near-dup truth
-#: pairs — non-vacuous recall, bounded cost: pairs scale with rate², so
-#: the quadratic term is capped at (rate·N)² instead of N².
-AUDIT_SAMPLE_PCT = 60
+#: runs on an ABSOLUTE-size sample: the AUDIT_SAMPLE_ROWS docs with the
+#: lexicographically lowest md5(doc_id) (deterministic across engines,
+#: runs, and partitionings; Spark and DuckDB both render md5 as lowercase
+#: hex, so ORDER BY md5 LIMIT n selects the same rows). The quadratic
+#: truth term is therefore O(AUDIT_SAMPLE_ROWS²) — a CONSTANT independent
+#: of corpus size, unlike the round-4 proportional (rate·N)² cap, which
+#: was still quadratic in N. On Spark the selection compiles to
+#: TakeOrderedAndProject: one O(N) scan with a bounded per-partition heap
+#: and no full shuffle. At 300 rows the sf0.01 fixture keeps 300/500 docs
+#: and 5/25 planted near-dup truth pairs — non-vacuous recall.
+AUDIT_SAMPLE_ROWS = 300
 AUDIT_FULL_MAX = 250
-
-#: md5-bucket expressions (Spark / DuckDB twins of the same value).
-_AUDIT_BUCKET_SPARK = (
-    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
-    " AS BIGINT) % 100"
-)
-_AUDIT_BUCKET_DUCK = (
-    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
-    " AS BIGINT) % 100"
-)
 
 _AUDIT_ORACLE = (
     # docs_audit mirrors the Spark side's guard exactly: full corpus at or
-    # below AUDIT_FULL_MAX rows, else the md5-bucket sample.
+    # below AUDIT_FULL_MAX rows, else the AUDIT_SAMPLE_ROWS lowest-md5
+    # docs (the second branch is empty when the first applies).
     f"WITH docs_audit AS (\n"
-    f"  SELECT * FROM documents\n"
+    f"  SELECT doc_id, text, lang, source, n_chars FROM documents\n"
     f"  WHERE (SELECT COUNT(*) FROM documents) <= {AUDIT_FULL_MAX}\n"
-    f"     OR {_AUDIT_BUCKET_DUCK} < {AUDIT_SAMPLE_PCT}\n"
+    f"  UNION ALL\n"
+    f"  SELECT doc_id, text, lang, source, n_chars FROM (\n"
+    f"    SELECT * FROM documents\n"
+    f"    WHERE (SELECT COUNT(*) FROM documents) > {AUDIT_FULL_MAX}\n"
+    f"    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id\n"
+    f"    LIMIT {AUDIT_SAMPLE_ROWS}\n"
+    f"  )\n"
     f"),\n"
     + f"{_duckdb_minhash_cte(src='docs_audit')},\n"
     + ",\n".join(
@@ -382,11 +383,13 @@ def dd_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shuffle stage, cached — at 100 TB, checkpointed parquet), each
     banding re-keys them and bucket-joins, and recall is measured against
     an exact-Jaccard truth join. The truth side is inherently all-pairs,
-    so it is CAPPED IN CODE: above AUDIT_FULL_MAX docs the whole audit
-    (truth and bandings — same population, or recall is meaningless)
-    runs on a deterministic md5-bucket sample of AUDIT_SAMPLE_PCT
-    percent, bounding the quadratic term at (rate·N)²; pointed at a real
-    table this never launches an unguarded N² job.
+    so it is CAPPED IN CODE with an ABSOLUTE bound: above AUDIT_FULL_MAX
+    docs the whole audit (truth and bandings — same population, or
+    recall is meaningless) runs on the AUDIT_SAMPLE_ROWS docs with the
+    lowest md5(doc_id) (TakeOrderedAndProject: O(N) scan, bounded heap,
+    no shuffle). The quadratic truth term is O(AUDIT_SAMPLE_ROWS²) — a
+    constant independent of corpus size — so pointed at a table of any
+    size, the pair join's input cardinality is fixed at ≤300 rows.
 
     Truth is Jaccard over the SHINGLE-value sets — the quantity MinHash
     actually estimates. Token-set Jaccard is degenerate here: on any
@@ -397,7 +400,14 @@ def dd_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     if docs.count() > AUDIT_FULL_MAX:
-        docs = docs.filter(F.expr(_AUDIT_BUCKET_SPARK) < AUDIT_SAMPLE_PCT)
+        docs = (
+            docs.withColumn(
+                "__audit_md5", F.md5(F.col("doc_id").cast("string"))
+            )
+            .orderBy("__audit_md5", "doc_id")
+            .limit(AUDIT_SAMPLE_ROWS)
+            .drop("__audit_md5")
+        )
     sigs = _spark_minhash_sigs(docs).cache()
     sigs.count()  # materialize before the four bandings fan out
     shsets = (

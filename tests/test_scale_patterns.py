@@ -178,16 +178,24 @@ def test_mmr_pairs_rejects_unbounded_pool(spark):
 
 def test_band_audit_truth_is_sampled_above_guard(spark):
     """dd_lsh_band_audit's exact-truth all-pairs join must run on the
-    deterministic md5-bucket sample whenever the corpus exceeds
-    AUDIT_FULL_MAX — the cap is code, not prose: the sample filter has
-    to appear in the executed plan."""
+    ABSOLUTE lowest-md5 AUDIT_SAMPLE_ROWS sample whenever the corpus
+    exceeds AUDIT_FULL_MAX — the cap is code, not prose: the md5 sort
+    key and the global limit both have to appear in the plan, and the
+    physical plan must realize the limit as TakeOrderedAndProject (no
+    full sort shuffle)."""
     from mcp_rag_server_spark.operators.dedup import (
         AUDIT_FULL_MAX,
+        AUDIT_SAMPLE_ROWS,
         dd_lsh_band_audit,
     )
 
     sf = "/root/testdata/sf0.01"  # 500 docs > AUDIT_FULL_MAX
     n = spark.read.parquet(f"{sf}/documents.parquet").count()
     assert n > AUDIT_FULL_MAX
-    plan = plan_string(dd_lsh_band_audit(spark, sf), "extended")
-    assert "conv(substring(md5(" in plan.replace(" ", "").lower()
+    df = dd_lsh_band_audit(spark, sf)
+    plan = plan_string(df, "extended")
+    squashed = plan.replace(" ", "").lower()
+    assert "__audit_md5" in plan  # the md5 sort key
+    assert f"limit{AUDIT_SAMPLE_ROWS}" in squashed.replace("=", "")
+    physical = plan_string(df, "formatted")
+    assert "TakeOrderedAndProject" in physical
