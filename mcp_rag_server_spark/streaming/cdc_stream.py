@@ -18,6 +18,7 @@ here is the same staging discipline sources/ingest.py uses.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -86,6 +87,41 @@ def _merge_snapshots(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def applied_batch_id(snapshot_dir: str) -> int:
+    """Highest batch_id merged into the snapshot (-1 if none). Stored as
+    a ``_batch_id`` sidecar INSIDE the snapshot directory —
+    underscore-prefixed, so parquet readers ignore it — and swapped
+    atomically with the snapshot itself by the rename in
+    :func:`apply_batch`."""
+    marker = os.path.join(snapshot_dir, "_batch_id")
+    if not os.path.exists(marker):
+        return -1
+    with open(marker, encoding="ascii") as fh:
+        return int(fh.read().strip())
+
+
+def apply_batch(tgt: str, batch: DataFrame, batch_id: int) -> None:
+    """Merge one micro-batch into the snapshot at ``tgt``, idempotently:
+    a batch_id at or below the snapshot's recorded high-water mark is a
+    checkpoint replay (crash after the snapshot swap but before the
+    checkpoint commit) and is skipped — re-merging it would double-count
+    n_events."""
+    s = batch.sparkSession
+    if os.path.exists(tgt) and batch_id <= applied_batch_id(tgt):
+        return
+    snap = _batch_snapshot(batch)
+    if os.path.exists(tgt):
+        snap = _merge_snapshots(s.read.parquet(tgt), snap)
+    nxt = tgt + ".next"
+    snap.write.mode("overwrite").parquet(nxt)
+    with open(os.path.join(nxt, "_batch_id"), "w", encoding="ascii") as fh:
+        fh.write(str(batch_id))
+    if os.path.exists(tgt):
+        shutil.rmtree(tgt)
+    os.rename(nxt, tgt)
+    s.catalog.refreshByPath(tgt)
+
+
 def run_scd1_stream(spark: SparkSession, src_dir: str, target_dir: str) -> str:
     """Stream the change-log files one per trigger, merging each batch
     into the snapshot table; returns the snapshot path."""
@@ -98,16 +134,7 @@ def run_scd1_stream(spark: SparkSession, src_dir: str, target_dir: str) -> str:
     tgt = os.path.join(target_dir, "latest_state")
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        snap = _batch_snapshot(batch)
-        if os.path.exists(tgt):
-            snap = _merge_snapshots(s.read.parquet(tgt), snap)
-        nxt = tgt + ".next"
-        snap.write.mode("overwrite").parquet(nxt)
-        if os.path.exists(tgt):
-            shutil.rmtree(tgt)
-        os.rename(nxt, tgt)
-        s.catalog.refreshByPath(tgt)
+        apply_batch(tgt, batch, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -150,9 +177,12 @@ def st_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the snapshot is genuinely merged N times; because the merge is
     associative+commutative the result equals the batch SCD-1 no matter
     the split. The driver-hashed row set therefore proves both the
-    streaming plumbing (checkpointed foreachBatch upsert) and the merge
+    streaming plumbing (checkpointed foreachBatch upsert, idempotent
+    under batch replay via the _batch_id sidecar) and the merge
     algebra."""
-    base = tempfile.mkdtemp(prefix="st_scd1_")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_st_scd1_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     ev = load_table(spark, sf_dir, "events")
     ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)

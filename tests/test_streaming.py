@@ -102,3 +102,35 @@ def test_streaming_ingest_checkpointed_incremental(spark, tmp_path):
     # old rows byte-identical (came from the first run's files)
     assert sorted(map(tuple, (r for r in second if r["rel_path"] != "c.txt"))) == \
         sorted(map(tuple, first))
+
+
+def test_scd1_apply_batch_skips_replayed_batch(spark, tmp_path):
+    """apply_batch must be idempotent under checkpoint batch replay: a
+    crash between the snapshot swap and the checkpoint commit makes
+    foreachBatch re-deliver the same batch_id on restart, and re-merging
+    it would double-count n_events. The _batch_id sidecar (swapped
+    atomically with the snapshot) is the high-water mark."""
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.streaming.cdc_stream import (
+        apply_batch,
+        applied_batch_id,
+    )
+
+    tgt = str(tmp_path / "latest_state")
+    ev = load_table(spark, SF0001, "events").limit(200)
+    half = ev.filter("event_id % 2 = 0")
+
+    apply_batch(tgt, half, 0)
+    apply_batch(tgt, ev.filter("event_id % 2 = 1"), 1)
+    assert applied_batch_id(tgt) == 1
+    snap1 = spark.read.parquet(tgt)
+    total = snap1.agg({"n_events": "sum"}).collect()[0][0]
+    assert total == 200
+
+    # Replay batch 1 (and an older batch 0): both must be skipped.
+    apply_batch(tgt, ev.filter("event_id % 2 = 1"), 1)
+    apply_batch(tgt, half, 0)
+    spark.catalog.refreshByPath(tgt)
+    again = spark.read.parquet(tgt)
+    assert again.agg({"n_events": "sum"}).collect()[0][0] == 200
+    assert applied_batch_id(tgt) == 1
