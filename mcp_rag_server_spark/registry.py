@@ -190,6 +190,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         fileops,
         ingest_query,
+        maps,
         multimodal,
         python_api,
         quality,

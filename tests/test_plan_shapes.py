@@ -329,3 +329,16 @@ def test_full_outer_preaggregates_both_sides(spark):
     assert "FullOuter" in plan
     join_pos = plan.index("FullOuter")
     assert plan[join_pos:].count("HashAggregate") >= 2
+
+
+def test_map_hofs_stay_jvm_side(spark):
+    """ev_user_type_count_map's map construct/combine/filter stages must
+    be JVM column math — map_from_entries/map_zip_with/map_filter in the
+    plan, exactly the two aggregation exchanges ((user,type) partial then
+    per-user map build), and no Python evaluation node."""
+    df = q(spark, "ev_user_type_count_map")
+    plan = plan_string(df, "extended")
+    for hof in ("map_from_entries", "map_zip_with", "map_filter"):
+        assert hof in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan_string(df)
