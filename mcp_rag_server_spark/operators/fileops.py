@@ -278,6 +278,101 @@ def fileops_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return list_files(cat, recursive=True, limit=200)
 
 
+#: Requested-path shapes for the traversal-guard query, cycled on
+#: doc_id % 6. Kinds 0-2 normalize to a path inside the root (plain,
+#: ./-prefixed, and an up-and-back ``xx/../`` detour); kinds 3-5 escape
+#: (leading ``..``, absolute path, and a ``../../../`` breakout) and
+#: must be REJECTED by the guard (reference ensureWithinRoot,
+#: src/indexer.ts:320-338 — read_file applies it to the raw request
+#: before any lookup, src/index.ts:286-292).
+_GUARD_KINDS = 6
+
+
+@register(
+    "fileops_read_guard",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {_GUARD_KINDS} AS kind,
+         {_TREE_PATH_SQL.format(str_t="VARCHAR")} AS good,
+         n_chars AS size
+  FROM documents
+),
+verdicts AS (
+  -- the guard's expected decision per kind, encoded literally: the
+  -- Spark side runs the real segment-fold guard; a regression that
+  -- admits any escaping kind (3/4/5) or rejects/mis-normalizes a
+  -- benign kind (0/1/2) changes the hashed rows
+  SELECT doc_id, kind, size,
+         kind <= 2 AS allowed,
+         CASE WHEN kind <= 2 THEN good ELSE NULL END AS path
+  FROM base
+)
+SELECT doc_id, kind, allowed, path,
+       CASE WHEN allowed THEN size ELSE NULL END AS file_size
+FROM verdicts
+ORDER BY doc_id
+""",
+    description="read_file traversal guard (P5) as driver evidence: six"
+    " requested-path shapes per doc — three benign (plain, ./-prefixed,"
+    " up-and-back detour) normalize and resolve to the file, three"
+    " escaping (leading .., absolute, ../../.. breakout) are rejected"
+    " with no resolution (reference ensureWithinRoot,"
+    " src/indexer.ts:320-338)",
+    tags=("fileops", "read_file", "guard"),
+)
+def fileops_read_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guard itself is within_root_col's JVM segment fold — the
+    oracle hard-codes only the EXPECTED verdicts (ground truth by
+    construction), while the hashed Spark rows come from running the
+    real guard over adversarial requests and joining the survivors'
+    normalized paths back to the file listing for their sizes. Rejected
+    requests must yield (allowed=false, path=NULL, file_size=NULL):
+    admitting a breakout or resolving a file through an escaping path
+    breaks the hash. Guard + join are one codegen stage + one broadcast
+    lookup; no Python, no per-row driver calls."""
+    from mcp_rag_server_spark.sources.files import within_root_col
+
+    listing = _doc_file_listing(spark, sf_dir).select(
+        F.col("rel_path").alias("listed_path"), "file_size"
+    )
+    kind = (F.col("doc_id") % _GUARD_KINDS).alias("kind")
+    req = (
+        F.when(F.col("kind") == 1, F.concat(F.lit("./"), F.col("rel_path")))
+        .when(
+            F.col("kind") == 2,
+            F.regexp_replace("rel_path", "^([^/]+)/", "$1/xx/../"),
+        )
+        .when(F.col("kind") == 3, F.concat(F.lit("../"), F.col("rel_path")))
+        .when(F.col("kind") == 4, F.concat(F.lit("/"), F.col("rel_path")))
+        .when(
+            F.col("kind") == 5,
+            F.concat(F.lit("../../../etc/"), F.col("rel_path")),
+        )
+        .otherwise(F.col("rel_path"))
+    )
+    requests = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            _TREE_PATH_SQL.format(str_t="STRING") + " AS rel_path",
+        )
+        .select("doc_id", kind, "rel_path")
+        .withColumn("req", req)
+        .withColumn("verdict", within_root_col(F.col("req")))
+    )
+    return (
+        requests.select(
+            "doc_id",
+            "kind",
+            F.col("verdict.allowed").alias("allowed"),
+            F.col("verdict.norm").alias("path"),
+        )
+        .join(listing, F.col("path") == F.col("listed_path"), "left")
+        .select("doc_id", "kind", "allowed", "path", "file_size")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "fileops_list_ext",
     oracle=f"""

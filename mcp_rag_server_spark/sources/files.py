@@ -202,6 +202,55 @@ def ensure_within_root(root: str, rel_path: str) -> str:
     return abs_path
 
 
+def within_root_col(path_col: F.Column, root: str = "/corpus") -> F.Column:
+    """The traversal guard as a COLUMN — :func:`ensure_within_root`'s
+    decision vectorized for a DataFrame of requested paths (batch
+    admission control: at scale, path validation is a column predicate
+    over millions of requests, not a per-row Python call).
+
+    Same resolution as the Python form (reference ensureWithinRoot,
+    src/indexer.ts:320-338): the request is joined to ``root`` (an
+    absolute request replaces it, posixpath.join semantics), normalized
+    with a segment fold (``.``/empty dropped, ``..`` pops, pops past
+    ``/`` clamp there exactly like ``normpath``), and admitted iff the
+    resolved absolute path is the root or sits under it.
+
+    Returns ``struct(allowed boolean, norm string)``: ``norm`` is the
+    ROOT-RELATIVE normalized path (``''`` = the root itself) when
+    allowed, NULL otherwise. Pure JVM HOF fold inside whole-stage
+    codegen — no Python, no shuffle."""
+    root_abs = posixpath.normpath(posixpath.abspath(root))
+    full = F.when(path_col.startswith("/"), path_col).otherwise(
+        F.concat(F.lit(root_abs + "/"), path_col)
+    )
+    init = F.array().cast("array<string>")
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        is_pop = x == ".."
+        is_noop = (x == ".") | (x == "")
+        return (
+            F.when(
+                is_pop,
+                F.slice(
+                    acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
+                ),
+            )
+            .when(is_noop, acc)
+            .otherwise(F.concat(acc, F.array(x)))
+        )
+
+    folded = F.aggregate(F.split(full, "/"), init, step)
+    resolved = F.concat(F.lit("/"), F.array_join(folded, "/"))
+    allowed = (resolved == root_abs) | resolved.startswith(root_abs + "/")
+    norm = F.regexp_replace(
+        F.substring(resolved, len(root_abs) + 1, 0x7FFFFFFF), "^/", ""
+    )
+    return F.struct(
+        allowed.alias("allowed"),
+        F.when(allowed, norm).alias("norm"),
+    )
+
+
 def normalize_rel_path(p: str | None) -> str:
     """list_files dir normalization (reference src/index.ts:330-341):
     ``"."``/``"./"``/empty → root (""); strip a leading ``./`` or a

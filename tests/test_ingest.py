@@ -450,3 +450,40 @@ def test_dense_chunk_ids_equals_global_row_number(spark):
         )
         assert sorted(map(tuple, got.select("rel_path", "chunk", "id").collect())) == \
             sorted(map(tuple, want.select("rel_path", "chunk", "id").collect()))
+
+
+def test_within_root_col_matches_ensure_within_root(spark):
+    """The column form of the traversal guard (P5 at scale: a codegen
+    predicate over a DataFrame of requests) must agree with the Python
+    ensure_within_root on every path shape — allowed iff the Python
+    guard doesn't raise, and the normalized path must equal what the
+    Python guard resolves (root-relative)."""
+    import pyspark.sql.functions as F
+
+    from mcp_rag_server_spark.sources.files import within_root_col
+
+    root = "/a/b"
+    cases = [
+        "x/y.txt", ".", "./", "", "./x.txt", "x/../y.txt", "x/./y.txt",
+        "x//y.txt", "..", "../escape.txt", "x/../../escape.txt",
+        "/abs.txt", "/a/b/inside.txt", "a/b/../../..", "x/y/../..",
+        "...", "..hidden", "x/...txt",
+    ]
+    expected = []
+    for p in cases:
+        try:
+            abs_path = ensure_within_root(root, p)
+            norm = abs_path[len(root):].lstrip("/")
+            expected.append((p, True, norm))
+        except ValueError:
+            expected.append((p, False, None))
+
+    df = spark.createDataFrame([(p,) for p in cases], "req string")
+    got = {
+        r["req"]: (r["v"]["allowed"], r["v"]["norm"])
+        for r in df.select(
+            "req", within_root_col(F.col("req"), root=root).alias("v")
+        ).collect()
+    }
+    for p, allowed, norm in expected:
+        assert got[p] == (allowed, norm), (p, got[p], (allowed, norm))
