@@ -204,22 +204,33 @@ def _write_junk(root: str) -> None:
     """Files the ingest predicates must silently drop (the oracle never
     sees them, so a filter regression breaks the hash): an excluded-dir
     file (P2, reference indexer.ts:354-360), a dotfile (discovery
-    fast-glob ``dot:false``), an empty file (P3, indexer.ts:374), and a
-    disallowed-extension file (P1). Deliberately NOT here: malformed-
-    UTF-8 text — both Node and our decode() ingest it with U+FFFD
-    replacement (P4's skip applies to read/extract FAILURES, e.g. the
-    PDF path, covered by pytest's injected-extractor error case)."""
+    fast-glob ``dot:false``), an empty file (P3, indexer.ts:374), a
+    disallowed-extension file (P1), and a non-empty ``.pdf`` whose
+    extraction FAILS (P4 — ``ingest_compacted`` allows the pdf ext and
+    injects an extractor that raises, so the file survives P1/P2/P3
+    discovery and must be dropped by decode_text's swallow-and-skip
+    contract, reference indexer.ts:165-188). Malformed-UTF-8 *text* is
+    deliberately not junk: both Node and our decode() ingest it with
+    U+FFFD replacement — P4 is about read/extract failures."""
     junk = [
         ("node_modules/vendored.txt", b"excluded folder content"),
         (".hidden.txt", b"dotfile content"),
         ("srcX/empty.txt", b""),
         ("srcX/notes.md", b"wrong extension"),
+        ("srcX/corrupt.pdf", b"%PDF-1.4 truncated garbage"),
     ]
     for rel, payload in junk:
         p = os.path.join(root, rel)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(payload)
+
+
+def _failing_pdf_extractor(blobs) -> "pd.Series":  # noqa: F821
+    """Injected P4 extractor: every PDF in the batch fails extraction,
+    exercising decode_text's error path (null text → row dropped) with
+    a deterministic failure instead of a real parser."""
+    raise RuntimeError("injected extraction failure (P4)")
 
 
 @register(
@@ -239,7 +250,13 @@ def ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multiple range-disjoint output files), and return the table READ
     BACK THROUGH load_store — the row the driver hashes has the
     compacted layout in its lineage, so a compaction that drops,
-    duplicates, or reorders rows fails the oracle, not just a pytest."""
+    duplicates, or reorders rows fails the oracle, not just a pytest.
+
+    The allow-list includes ``pdf`` and both builds inject a FAILING
+    extractor, so the planted ``srcX/corrupt.pdf`` reaches the P4
+    decode/extract stage and must be skipped there — the oracle never
+    models it, so a P4 regression (ingesting a file whose extraction
+    errored) breaks the hash."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "lang", "text")
@@ -255,13 +272,13 @@ def ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = IngestParams(
         chunk_size=RT_CHUNK_SIZE,
         chunk_overlap=RT_CHUNK_OVERLAP,
-        allowed_ext=("txt",),
+        allowed_ext=("txt", "pdf"),  # pdf admitted so P4 is reachable
     )
     _write_corpus_v1(root, docs)
-    _write_junk(root)  # P2/P3/P4 + dotfile: all must be filtered out
-    build(spark, root, store, params)
+    _write_junk(root)  # P1/P2/P3/P4 + dotfile: all must be filtered out
+    build(spark, root, store, params, pdf_extractor=_failing_pdf_extractor)
     _mutate_corpus_v2(root, docs)
-    build(spark, root, store, params)
+    build(spark, root, store, params, pdf_extractor=_failing_pdf_extractor)
     n_files = compact_store(spark, store, target_file_bytes=96 * 1024)
     if n_files < 2:
         raise RuntimeError(
