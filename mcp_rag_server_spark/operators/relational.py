@@ -1071,16 +1071,22 @@ def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       GROUPING_ID(l_returnflag, l_linestatus) AS g_id
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+ORDER BY g_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """,
-    description="GROUPING SETS with GROUPING() markers (explicit set list,"
-    " distinct from cube/rollup)",
+    description="GROUPING SETS with GROUPING() markers and the packed"
+    " GROUPING_ID() bitmask (explicit mixed set list, distinct from"
+    " cube/rollup)",
     tags=("relational", "agg", "groupingsets"),
 )
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both engines compute GROUPING_ID over the same column order, so
+    the packed bitmask (0 = fully grouped row, 1 = status rolled up,
+    3 = grand total) is hash-comparable as a plain BIGINT — it doubles
+    as the total-order sort key distinguishing the three set levels."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
@@ -1088,13 +1094,58 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                GROUPING(l_returnflag) AS g_flag,
-               GROUPING(l_linestatus) AS g_status
+               GROUPING(l_linestatus) AS g_status,
+               GROUPING_ID(l_returnflag, l_linestatus) AS g_id
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
-                 l_linestatus NULLS FIRST
+        ORDER BY g_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, metric
+""",
+    description="UNPIVOT / melt: wide per-flag aggregate rotated to long"
+    " (metric, value) rows — the inverse of pivot_status_by_priority,"
+    " via DataFrame.unpivot vs DuckDB UNPIVOT",
+    tags=("relational", "unpivot"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long rotation is pure column math — Spark's Expand node, no
+    shuffle beyond the one aggregation exchange; at 100 TB the unpivot
+    multiplies rows 3× AFTER the aggregation has collapsed them, never
+    before. Decimal partial sums keep the melted doubles exact across
+    engines (registry determinism rule 2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
 
 
 @register(
