@@ -101,6 +101,7 @@ ORDER BY user_id, valid_from, state
     " interval [valid_from, valid_to) per user, open-ended for the"
     " current row — the 'state as of t' table CDC warehouses maintain",
     tags=("events", "cdc", "window", "temporal"),
+    bench=True,
 )
 def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """valid_to = the NEXT change's timestamp (lead over the same keyed

@@ -148,6 +148,7 @@ ORDER BY cluster
     " after re-assignment — iterative codebook training as broadcast"
     " joins + keyed aggregations, hash-checked end to end",
     tags=("similarity", "vector", "clustering", "iterative"),
+    bench=True,
 )
 def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeds are the per-label element means (the same deterministic

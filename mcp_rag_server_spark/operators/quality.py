@@ -90,6 +90,7 @@ ORDER BY source
     " no-stopword) rejects, and how many pass all — the audit run before"
     " deploying a bulk quality filter",
     tags=("text", "quality", "filter"),
+    bench=True,
 )
 def ta_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule battery in the style of Gopher's document filters (Rae et

@@ -307,6 +307,7 @@ LIMIT {PQ_K}
     " query-to-codeword table, exact cosine alongside — the"
     " memory-bound ANN scale path beyond SQ8",
     tags=("similarity", "vector", "quantization", "pq", "topk"),
+    bench=True,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compresses each vector to M=8 codeword ids (here 8×~3.3 bits
@@ -388,6 +389,7 @@ LIMIT {PQ_K}
     " ADC-score only the surviving candidates from their precomputed"
     " codes — cell pruning bounds the scan, PQ bounds the bytes",
     tags=("similarity", "vector", "ivf", "pq", "quantization", "topk"),
+    bench=True,
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composition production ANN serves (Jégou et al. 2011): the
