@@ -71,97 +71,92 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 4 rotation): the driver checks a
-#: 50-query prefix of this ordering, risk-ordered: (a) queries NEW this
-#: round (no driver row at all — the eleven round-4 operators plus the
-#: compacted-store roundtrip); (b) queries whose BEHAVIOR changed this
-#: round: dd_lsh_band_audit's truth join is now sampled, the MMR pair
-#: stage gained the pool-bound guard, and EVERY events reader goes
-#: through the new catalog.normalize_event_ts (the round-4 fixture
-#: regeneration changed events.ts from TIMESTAMP(NANOS) to MICROS) —
-#: the 18 ev_*/st_* queries that consume it get fresh rows; (c) the
-#: stalest remaining rows per tools/rotation_audit.py (the r1-vintage
-#: relational.py block, then r2-vintage singles). Exactly 50 entries.
+#: Driver-evidence priority (round 5 rotation): the driver checks a
+#: 50-query prefix of this ordering, risk-ordered: (a) the two queries
+#: that have NEVER had a driver row — ev_props_map_stats and
+#: ta_dedup_budget_pipeline landed after round 4's window filled (both
+#: deferrals were promised to lead this window; ev_props_map_stats'
+#: deferral went unrecorded in the r4 comment, ADVICE r4 item 1 —
+#: corrected here); (b) the four queries NEW this round
+#: (map-HOF write path, traversal-guard read, UNPIVOT, VARIANT);
+#: (c) queries whose BEHAVIOR changed this round: dd_lsh_band_audit's
+#: truth sample became an absolute lowest-md5 row cap,
+#: ingest_compacted plants a failing-extraction PDF (P4) under an
+#: allow-listed pdf ext, and st_latest_state's foreachBatch merge
+#: gained the batch_id replay guard + keyed temp dir; (d) every row
+#: whose most recent driver check is older than r3 — the r1-vintage
+#: window_moving_avg, then all forty r2-vintage rows (the ten ta_*
+#: textanalysis and four sim_* rows round 4 evicted rotate back
+#: exactly as promised, plus grouping_sets_sales, whose behavior also
+#: changed: it now emits GROUPING_ID). Exactly 50 entries; after this
+#: round no registry query's latest driver row predates r3.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) new this round — no driver row exists
-    "ta_gopher_rules",
-    "ta_unigram_logprob",
-    "ta_mix_temperature",
-    "ta_shard_assign",
-    "ta_vocab_growth",
-    "ev_latest_state",
-    "ev_scd2_intervals",
-    "sim_matryoshka_topk",
-    "sim_pq_adc_topk",
-    "st_latest_state",
-    "ingest_compacted",
-    "full_outer_order_ship_days",
-    "sim_kmeans_refine",
-    "agg_hll_audit",
-    "agg_percentile_audit",
-    "sim_ivfpq_topk",
-    # (b) behavior changed this round
+    # (a) never driver-checked — the r4 deferrals lead, as promised
+    "ev_props_map_stats",
+    "ta_dedup_budget_pipeline",
+    # (b) new this round — no driver row exists
+    "ev_user_type_count_map",
+    "fileops_read_guard",
+    "unpivot_lineitem_metrics",
+    "ev_props_variant_stats",
+    # (c) behavior changed this round
     "dd_lsh_band_audit",
-    "rag_mmr_topk",
-    "rag_mmr_batch",
-    "ev_hourly_windows",
-    "ev_json_extract",
-    "ev_funnel",
-    "ev_top_users_by_value",
-    "ev_type_value_stats",
-    "ev_grouped_map_running",
-    "ev_cohort_retention",
-    "ev_sessionize",
-    "ev_dedup_by_second",
-    "ev_salted_hot_key_join",
-    "ev_anomaly_zscore",
-    "ev_cogrouped_quota",
-    "st_hourly_windows",
-    "st_sliding_windows",
-    "st_sessionize",
-    "st_stream_stream_join",
-    "st_dedup_within_watermark",
-    "st_stateful_user_stats",
-    # (c) stalest remaining rows (rotation_audit ordering)
-    "anti_join_idle_customers",
-    "correlated_max_price_part",
-    "distinct_agg_lineitem",
-    "outer_join_order_counts",
-    "top_parts_by_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "window_lag_orders",
+    "ingest_compacted",
+    "st_latest_state",
+    # (d) rows older than r3, oldest first (rotation_audit ordering);
+    # grouping_sets_sales also changed behavior (GROUPING_ID added)
+    "window_moving_avg",
+    "agg_exact_percentiles",
+    "agg_stats_lineitem",
+    "agg_string_concat_nations",
+    "dd_exact_stats",
+    "fileops_list_ext",
+    "grouping_sets_sales",
+    "pivot_status_by_priority",
+    "rag_topk",
+    "sim_ann_topk",
+    "sim_hyperplane_lsh",
+    "sim_ivf_topk",
+    "sim_l2_topk",
+    "sim_label_centroids",
+    "sim_radius_search",
+    "sql_rag_topk",
+    "ta_bigram_top",
+    "ta_filter_pipeline",
+    "ta_fingerprint",
+    "ta_lang_profile",
+    "ta_langid_heuristic",
+    "ta_quality_score",
+    "ta_repetition_stats",
+    "ta_stratified_sample",
+    "ta_tfidf_top",
+    "ta_token_stats",
+    "tj_asof_last_order",
+    "tj_range_pairs_5min",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9_product_profit",
+    "window_rank_analytics",
 )
-# Five stale re-checks yield slots to new round-4 queries (rule: a
-# query with NO driver row outranks any stale re-check): rag_topk is
-# smoke-driven by entry() every round at sf0.001 and sim_ann_topk
-# shares topk_by_vector scoring with it; dd_exact_stats and
-# fileops_list_ext are unchanged since r1/r2 with r3-green same-file
-# siblings and are stale only through the catalog.py import closure;
-# window_moving_avg shares relational.py's window pack with
-# window_lag_orders, which stays in. All remain locally replayed
-# against the new fixtures. ta_dedup_budget_pipeline (added after the
-# window filled) deliberately waits for the r5 window rather than
-# evicting another r1-vintage relational re-check — composition of two
-# driver-green operators, verified locally this round.
-# Evicted to stay at 50 (rationale, in rotation_audit's stale order):
-# the r2-vintage sim_ivf_topk/sim_l2_topk/sim_label_centroids/
-# sim_radius_search rows sit beside the r3-green sim_sq8_topk/
-# sim_ivf_recall (same file, fresh evidence of the shared helpers) and
-# behind the brand-new sim_matryoshka_topk/sim_pq_adc_topk; the ten
-# r2-vintage ta_* textanalysis rows (bigram/filter_pipeline/fingerprint/
-# lang_profile/langid/quality_score/repetition_stats/stratified_sample/
-# tfidf/token_stats) have r3-green same-file siblings
-# (ta_decontaminate/ta_mixture_cap/ta_token_budget) and unchanged code;
-# dd_* r3-green rows (connected_components, minhash_lsh, ...) are only
-# file-stale via the band-audit edit, which itself leads window (b).
-# All rotate back next round; tests/test_oracle_parity.py replays every
-# registry query locally against the NEW fixtures regardless, green.
+# The window is exactly the must-check set this round — the two
+# never-checked queries, the four new ones, the three whose behavior
+# changed, and every row whose latest driver check predates r3 — so
+# nothing needed evicting and no new query waits for r6. The 49
+# round-4-green rows (plus the r3-green remainder) sit out solely on
+# freshness: many are file-stale through this round's edits
+# (dedup.py, relational.py, fileops.py, ingest_query.py,
+# cdc_stream.py, files.py import closures), but each has a green row
+# from its own round and tests/test_oracle_parity.py replays all of
+# them locally against the current fixtures every run.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
@@ -202,6 +197,7 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
         textanalysis,
         training_prep,
+        variant,
         vector_audit,
         vector_lsh,
     )

@@ -12,10 +12,16 @@ from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 
 #: The bench headline set is fixed across rounds — BENCH_r{N}.json totals
 #: are only comparable because this list never changes (BASELINE.md).
-#: ONE sanctioned expansion: round 4 added the five r3 flagship
-#: operators (r3 verdict item 5; BENCH_NOTES.md) — cross-round totals
-#: compare on the original-18 subset, per-query times on everything.
+#: Sanctioned expansions only: round 4 added the five r3 flagships
+#: (r3 verdict item 5), round 5 the five r4 flagships (r4 verdict
+#: item 3) — see BENCH_NOTES.md; cross-round totals compare on the
+#: original-18 subset, per-query times on everything.
 BENCH_SET = {
+    "ta_gopher_rules",
+    "sim_pq_adc_topk",
+    "sim_kmeans_refine",
+    "sim_ivfpq_topk",
+    "ev_scd2_intervals",
     "chunk_split",
     "dd_minhash_lsh",
     "emb_hash_embed",
