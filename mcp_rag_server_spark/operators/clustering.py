@@ -56,8 +56,18 @@ def _centroids_from(assign_elem: DataFrame) -> DataFrame:
     )
 
 
-def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, cluster, dd)."""
+def _assign(
+    emb: DataFrame, centroids: DataFrame, keep_embedding: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, cluster, dd).
+
+    The arg-min is ``min(struct(dd, cluster))`` — same (distance,
+    cluster) tie-break as a rank-1 window, but it partial-aggregates
+    map-side, so the shuffle carries one combined row per vector
+    instead of all k scored copies (a window would sort-shuffle N×k).
+    ``keep_embedding=True`` rides the vector along (constant per
+    vec_id), so the Lloyd update can re-explode the assignment directly
+    instead of joining back to the element table."""
     dd = F.round(
         F.expr(
             "aggregate(zip_with(embedding, cvec, (km_x, km_c) -> "
@@ -67,18 +77,19 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         6,
     )
     scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cluster", dd.alias("dd")
+        "vec_id", "embedding", "cluster", dd.alias("dd")
     )
-    return (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("dd", "cluster")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "dd")
-    )
+    aggs = [F.min(F.struct("dd", "cluster")).alias("b")]
+    if keep_embedding:
+        aggs.append(F.first("embedding").alias("embedding"))
+    cols = [
+        "vec_id",
+        F.col("b.cluster").alias("cluster"),
+        F.col("b.dd").alias("dd"),
+    ]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return scored.groupBy("vec_id").agg(*aggs).select(*cols)
 
 
 def _km_duck_dist(vec: str, cvec: str) -> str:
@@ -157,9 +168,13 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     final assignment. Every stage is engine-replayable: the oracle
     runs the identical CTE chain, so a drifted centroid, a wrong tie
     break, or a lost vector changes the hash. At 100 TB: centroids
-    broadcast (k×dims doubles), assignment is a narrow pass, each
-    update is one cluster-keyed shuffle of (cluster, d, partial-sum)
-    rows — the textbook distributed Lloyd layout."""
+    broadcast (k×dims doubles), assignment is a map-side-combined
+    arg-min aggregation (one combined row per vector crosses the wire,
+    never the k scored copies a rank window would sort-shuffle), the
+    assigned vectors ride along so the update explodes them directly
+    (no join back to an element table), and each update is one
+    cluster-keyed shuffle of (cluster, d, partial-sum) rows — the
+    textbook distributed Lloyd layout."""
     emb = load_table(spark, sf_dir, "embeddings")
     elem = emb.select(
         "vec_id",
@@ -172,10 +187,13 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xf").cast("double").alias("x"),
     )
     c0 = _centroids_from(elem.select(F.col("label").alias("cluster"), "d", "x"))
-    a1 = _assign(emb, c0)
+    a1 = _assign(emb, c0, keep_embedding=True)
     c1 = _centroids_from(
-        a1.select("vec_id", "cluster").join(elem, "vec_id").select(
-            "cluster", "d", "x"
+        a1.select("cluster", F.posexplode("embedding").alias("pos", "xf"))
+        .select(
+            "cluster",
+            F.col("pos").cast("int").alias("d"),
+            F.col("xf").cast("double").alias("x"),
         )
     )
     a2 = _assign(emb, c1)

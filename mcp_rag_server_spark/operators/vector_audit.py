@@ -148,25 +148,41 @@ PQ_K = 5
 PQ_NPROBE = 3
 
 
-def pq_codewords(emb: DataFrame) -> DataFrame:
-    """(m, label, cvec): per-(subspace, label) codeword arrays from
-    decimal-exact element means — the deterministic codebook."""
-    elem = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "vec_id",
-        "label",
-        F.expr(f"CAST(pos div {PQ_DSUB} AS INT)").alias("m"),
-        F.expr(f"CAST(pos % {PQ_DSUB} AS INT)").alias("d"),
-        F.col("xf").cast("double").alias("x"),
+def label_dim_means(emb: DataFrame) -> DataFrame:
+    """(label, dim, c): decimal-exact per-(label, element) means — the
+    ONE N×D explode + shuffle that both quantizers derive from. The
+    coarse centroids are these means collected per label; the PQ
+    codebook is the SAME values re-keyed by subspace (m = dim div dsub,
+    d = dim % dsub) — computing them once lets Catalyst reuse the
+    (label, dim) exchange instead of exploding the corpus twice."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "xf"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("xf").cast("double"), 7).cast(
+                        "decimal(18,7)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
     )
-    cb = elem.groupBy("m", "label", "d").agg(
-        (
-            F.sum(F.round(F.col("x"), 7).cast("decimal(18,7)")).cast("double")
-            / F.count("*")
-        ).alias("c")
+
+
+def pq_codewords(
+    emb: DataFrame, means: DataFrame | None = None
+) -> DataFrame:
+    """(m, label, cvec): per-(subspace, label) codeword arrays from
+    decimal-exact element means — the deterministic codebook. Pass a
+    precomputed :func:`label_dim_means` frame to share its exchange
+    with other consumers (sim_ivfpq_topk's coarse quantizer)."""
+    cb = (means if means is not None else label_dim_means(emb)).select(
+        F.expr(f"CAST(dim div {PQ_DSUB} AS INT)").alias("m"),
+        "label",
+        F.expr(f"CAST(dim % {PQ_DSUB} AS INT)").alias("d"),
+        "c",
     )
     return cb.groupBy("m", "label").agg(
         F.expr(
@@ -402,16 +418,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and qdot tables stay broadcast-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cent = emb.select(
-        "label", F.posexplode("embedding").alias("dim", "xf")
-    ).groupBy("label", "dim").agg(
-        (
-            F.sum(
-                F.round(F.col("xf").cast("double"), 7).cast("decimal(18,7)")
-            ).cast("double")
-            / F.count("*")
-        ).alias("c")
-    ).groupBy("label").agg(
+    means = label_dim_means(emb)  # shared with the PQ codebook below
+    cent = means.groupBy("label").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(dim, c))), pq_t -> pq_t.c)"
         ).alias("cvec64")
@@ -434,9 +442,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_NPROBE)
         .select("label")
     )
-    cand = emb.join(F.broadcast(cells), "label").select("vec_id")
-    cw = pq_codewords(emb)
-    assign = pq_assign(emb, cw).join(F.broadcast(cand), "vec_id")
+    cand_emb = emb.join(F.broadcast(cells), "label")
+    cw = pq_codewords(emb, means=means)
+    # Encode ONLY the probed cells' vectors: per-vector assignment is
+    # independent, so the cell prune pushes below the PQ encode — at
+    # scale this is partition pruning doing the same thing to the scan.
+    assign = pq_assign(cand_emb, cw)
     adc = pq_adc_scores(assign, pq_qdot(cw, q))
     return (
         adc.join(emb, "vec_id")
