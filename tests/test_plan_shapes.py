@@ -342,3 +342,40 @@ def test_map_hofs_stay_jvm_side(spark):
         assert hof in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan_string(df)
+
+
+def test_unpivot_expands_after_aggregation(spark):
+    """unpivot_lineitem_metrics must aggregate first and melt after:
+    the Expand node (the unpivot) sits ABOVE the HashAggregates in the
+    tree, so the 3x row multiplication applies to |flags| rows, never
+    to the fact table; exactly one keyed exchange."""
+    from mcp_rag_server_spark.plans.inspect import tree_section
+
+    df = q(spark, "unpivot_lineitem_metrics")
+    plan = tree_section(df)
+    assert "Expand" in plan
+    assert plan.index("Expand") < plan.index("HashAggregate")
+    assert count_exchanges(df) <= 2  # agg exchange + final sort
+
+
+def test_read_guard_is_codegen_only(spark):
+    """fileops_read_guard's segment-fold guard must be JVM column math:
+    the aggregate HOF in the plan, no Python node, and the only joins
+    are the catalog lookup."""
+    df = q(spark, "fileops_read_guard")
+    plan = plan_string(df, "extended")
+    assert "aggregate(" in plan  # the HOF fold
+    phys = plan_string(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in phys
+
+
+def test_variant_stats_single_shuffle(spark):
+    """ev_props_variant_stats: parse + extraction are narrow column
+    expressions; the whole query is scan -> project -> one partial agg
+    exchange -> sort. No Python, no second shuffle."""
+    df = q(spark, "ev_props_variant_stats")
+    phys = plan_string(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in phys
+    assert count_exchanges(df) <= 2  # agg exchange + final orderBy
