@@ -1,5 +1,5 @@
 """Generate PLANS.md: the physical plan of every bench-headline query
-plus the scale-sensitive r3/r4 additions, with the properties each claims."""
+plus the scale-sensitive r3/r4/r5 additions, with the properties each claims."""
 import os
 import sys
 
@@ -25,13 +25,17 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ingest_compacted", "full_outer_order_ship_days",
          "sim_kmeans_refine", "st_latest_state",
          "agg_hll_audit", "agg_percentile_audit", "sim_ivfpq_topk",
-         "ta_dedup_budget_pipeline", "ev_props_map_stats"]
+         "ta_dedup_budget_pipeline", "ev_props_map_stats",
+         # round-5 additions
+         "ev_user_type_count_map", "fileops_read_guard",
+         "unpivot_lineitem_metrics", "ev_props_variant_stats",
+         "grouping_sets_sales"]
 names = [n for n, s in reg.items() if s.bench] + EXTRA
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
        "`tools/gen_plans.py` regenerates this file. Initial (pre-AQE) plan",
        "trees at sf0.001 for every bench-headline query plus the",
-       "scale-sensitive round-3/round-4 additions. Shuffle counts exclude broadcast",
+       "scale-sensitive round-3/4/5 additions. Shuffle counts exclude broadcast",
        "exchanges; `TakeOrderedAndProject` = heap top-k, never a global sort.",
        ""]
 for n in names:
