@@ -487,3 +487,54 @@ def test_within_root_col_matches_ensure_within_root(spark):
     }
     for p, allowed, norm in expected:
         assert got[p] == (allowed, norm), (p, got[p], (allowed, norm))
+
+
+def test_within_root_col_property_parity(spark):
+    """Property parity for the column traversal guard: on arbitrary
+    '/'-joined segment sequences (names, '', '.', '..', dot-names,
+    optionally absolute), within_root_col's (allowed, norm) must equal
+    ensure_within_root's outcome. One Spark job for all generated
+    cases (per-case jobs would swamp the property test)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+
+    from mcp_rag_server_spark.sources.files import within_root_col
+
+    root = "/a/b"
+    cases = []
+    seg = st.sampled_from(
+        ["x", "y", "doc.txt", "", ".", "..", "...", "..hidden", "a b", "b"]
+    )
+
+    @settings(
+        max_examples=120,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        segs=st.lists(seg, min_size=0, max_size=6),
+        absolute=st.booleans(),
+    )
+    def collect(segs, absolute):
+        cases.append(("/" if absolute else "") + "/".join(segs))
+
+    collect()
+    expected = {}
+    for p in set(cases):
+        try:
+            abs_path = ensure_within_root(root, p)
+            expected[p] = (True, abs_path[len(root):].lstrip("/"))
+        except ValueError:
+            expected[p] = (False, None)
+
+    df = spark.createDataFrame([(p,) for p in expected], "req string")
+    got = {
+        r["req"]: (r["v"]["allowed"], r["v"]["norm"])
+        for r in df.select(
+            "req", within_root_col(F.col("req"), root=root).alias("v")
+        ).collect()
+    }
+    for p, want in expected.items():
+        assert got[p] == want, (p, got[p], want)
