@@ -199,3 +199,46 @@ def test_band_audit_truth_is_sampled_above_guard(spark):
     assert f"limit{AUDIT_SAMPLE_ROWS}" in squashed.replace("=", "")
     physical = plan_string(df, "formatted")
     assert "TakeOrderedAndProject" in physical
+
+
+def test_band_audit_full_corpus_branch_parity(spark, tmp_path):
+    """The audit's BELOW-guard branch (corpus <= AUDIT_FULL_MAX: no
+    sampling, truth over the full corpus) must also match the oracle.
+    Every driver fixture has 500 docs — above the guard — so this
+    branch is reachable only here: both engines run over a 200-doc
+    subset, exercising the unsampled Spark path and the oracle's first
+    UNION ALL arm."""
+    import duckdb
+
+    from mcp_rag_server_spark.operators.dedup import (
+        AUDIT_FULL_MAX,
+        dd_lsh_band_audit,
+    )
+    from mcp_rag_server_spark.registry import load_all
+    from tests.test_oracle_parity import canon_rows
+
+    small = str(tmp_path / "small_sf")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{small}/documents.parquet")
+    )
+    n = spark.read.parquet(f"{small}/documents.parquet").count()
+    assert 0 < n <= AUDIT_FULL_MAX
+    spdf = dd_lsh_band_audit(spark, small).toPandas()
+    assert len(spdf) == 4  # all four bandings present
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{small}/documents.parquet/*.parquet')"
+    )
+    ddf = con.execute(load_all()["dd_lsh_band_audit"].oracle).fetchdf()
+    con.close()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert canon_rows(list(spdf.columns), srows) == canon_rows(
+        list(ddf.columns), drows
+    )
