@@ -100,13 +100,33 @@ def applied_batch_id(snapshot_dir: str) -> int:
         return int(fh.read().strip())
 
 
+def _recover_snapshot_swap(tgt: str) -> None:
+    """Roll an interrupted swap forward (same discipline as
+    sources/ingest.py's staged store swap): a crash between the rmtree
+    of the old snapshot and the rename of the staged one leaves only
+    ``tgt.next`` — which is complete (it was fully written before the
+    rmtree), so promoting it loses nothing. A ``tgt.next`` beside a
+    live ``tgt`` is a crash before the rmtree: the staged dir's
+    completeness is unknown there, so it is discarded instead."""
+    nxt = tgt + ".next"
+    if not os.path.exists(nxt):
+        return
+    if os.path.exists(tgt):
+        shutil.rmtree(nxt)
+    else:
+        os.rename(nxt, tgt)
+
+
 def apply_batch(tgt: str, batch: DataFrame, batch_id: int) -> None:
     """Merge one micro-batch into the snapshot at ``tgt``, idempotently:
     a batch_id at or below the snapshot's recorded high-water mark is a
     checkpoint replay (crash after the snapshot swap but before the
     checkpoint commit) and is skipped — re-merging it would double-count
-    n_events."""
+    n_events. An interrupted swap from a previous crash is rolled
+    forward first, so the pre-merge read never sees a missing
+    snapshot."""
     s = batch.sparkSession
+    _recover_snapshot_swap(tgt)
     if os.path.exists(tgt) and batch_id <= applied_batch_id(tgt):
         return
     snap = _batch_snapshot(batch)

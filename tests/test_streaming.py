@@ -134,3 +134,68 @@ def test_scd1_apply_batch_skips_replayed_batch(spark, tmp_path):
     again = spark.read.parquet(tgt)
     assert again.agg({"n_events": "sum"}).collect()[0][0] == 200
     assert applied_batch_id(tgt) == 1
+
+
+def test_scd1_swap_recovery_rolls_forward(spark, tmp_path):
+    """Crash between the old-snapshot rmtree and the staged rename
+    leaves only tgt.next (complete by construction): the next
+    apply_batch must promote it, keep its high-water mark, and still
+    skip the replayed batch. A staged dir beside a LIVE snapshot (crash
+    before the rmtree, completeness unknown) is discarded and the
+    replayed batch re-merges."""
+    import shutil
+
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.streaming.cdc_stream import (
+        apply_batch,
+        applied_batch_id,
+    )
+
+    tgt = str(tmp_path / "latest_state")
+    ev = load_table(spark, SF0001, "events").limit(100)
+    apply_batch(tgt, ev, 0)
+    total = spark.read.parquet(tgt).agg({"n_events": "sum"}).collect()[0][0]
+    assert total == 100
+
+    # Crash case 1: after rmtree, before rename — only tgt.next exists.
+    os.rename(tgt, tgt + ".next")
+    apply_batch(tgt, ev, 0)  # replay of batch 0 arrives after the crash
+    spark.catalog.refreshByPath(tgt)
+    assert applied_batch_id(tgt) == 0
+    assert (
+        spark.read.parquet(tgt).agg({"n_events": "sum"}).collect()[0][0]
+        == 100
+    )
+    assert not os.path.exists(tgt + ".next")
+
+    # Crash case 2: staged dir beside a live snapshot — discarded, and
+    # the genuinely-new batch merges on top of the intact snapshot.
+    shutil.copytree(tgt, tgt + ".next")
+    apply_batch(tgt, ev, 1)
+    spark.catalog.refreshByPath(tgt)
+    assert applied_batch_id(tgt) == 1
+    assert (
+        spark.read.parquet(tgt).agg({"n_events": "sum"}).collect()[0][0]
+        == 200
+    )
+
+
+def test_scd1_merge_is_split_invariant(spark, tmp_path):
+    """The merge algebra claim, tested directly: slicing the same event
+    log into 1, 3, or 7 batches (deterministic mod split) must produce
+    byte-identical snapshots — latest = max(ts, event_id) is
+    associative/commutative and counts add."""
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.streaming.cdc_stream import apply_batch
+
+    ev = load_table(spark, SF0001, "events").limit(400)
+    results = {}
+    for n_splits in (1, 3, 7):
+        tgt = str(tmp_path / f"snap_{n_splits}")
+        for b in range(n_splits):
+            apply_batch(tgt, ev.filter(f"event_id % {n_splits} = {b}"), b)
+        rows = sorted(
+            map(tuple, spark.read.parquet(tgt).collect())
+        )
+        results[n_splits] = rows
+    assert results[1] == results[3] == results[7]
