@@ -91,6 +91,23 @@ def chunk_stream(
     )
 
 
+def append_batch(store_dir: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Idempotent micro-batch append: rows land under their
+    ``batch_id=`` partition with DYNAMIC partition overwrite, so a
+    batch re-delivered after a crash between the write and the
+    checkpoint commit REPLACES its own partition instead of appending a
+    duplicate copy — exactly-once output from an at-least-once sink
+    callback. (A plain ``mode("append")`` write here would double every
+    replayed batch's chunks.)"""
+    (
+        batch_df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+
+
 def run_ingest_stream(
     spark: SparkSession,
     root: str,
@@ -103,12 +120,14 @@ def run_ingest_stream(
     """One availableNow pass: ingest every not-yet-seen file under
     ``root`` and append its chunks to ``store_dir``. Re-running with the
     same checkpoint processes ONLY files added since the last run —
-    checkpointed discovery IS the incremental refresh for appends."""
+    checkpointed discovery IS the incremental refresh for appends.
+    Batches land via :func:`append_batch` (batch_id-partitioned dynamic
+    overwrite), so checkpoint batch replay cannot duplicate chunks."""
     texts = read_text_file_stream(spark, root, ext=ext)
     chunks = chunk_stream(texts, chunk_size, chunk_overlap)
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(store_dir)
+        append_batch(store_dir, batch_df, batch_id)
 
     q = (
         chunks.writeStream.foreachBatch(append)

@@ -199,3 +199,20 @@ def test_scd1_merge_is_split_invariant(spark, tmp_path):
         )
         results[n_splits] = rows
     assert results[1] == results[3] == results[7]
+
+
+def test_ingest_append_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch must REPLACE its own batch_id partition,
+    not append a duplicate copy; a genuinely new batch still lands."""
+    from mcp_rag_server_spark.streaming.ingest_stream import append_batch
+
+    store = str(tmp_path / "store")
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS rel_path")
+    append_batch(store, df, 0)
+    assert spark.read.parquet(store).count() == 10
+    append_batch(store, df, 0)  # checkpoint replay of batch 0
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).count() == 10
+    append_batch(store, df, 1)
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).count() == 20
