@@ -218,8 +218,16 @@ def merge_events_stream(
     stream = read_event_stream(spark, sf_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        from mcp_rag_server_spark.streaming.cdc_stream import (
+            _recover_snapshot_swap,
+        )
+
         s = batch.sparkSession
         tgt = os.path.join(target_dir, "events_merged")
+        # Roll forward an interrupted rmtree→rename swap from a prior
+        # crash (same staging discipline as cdc_stream.apply_batch);
+        # the keyed MERGE itself is replay-idempotent.
+        _recover_snapshot_swap(tgt)
         if os.path.exists(tgt):
             existing = s.read.parquet(tgt)
             merged = (
