@@ -854,3 +854,134 @@ def star_contraction_components(
         "id", F.col("id").alias("component")
     )
     return child.unionByName(roots), rounds
+
+
+#: Incremental-dedup corpus split: doc_id below this is the EXISTING
+#: corpus, at/above it the INCOMING batch (100 of the fixture's 500
+#: docs — the daily-increment shape).
+INC_SPLIT = 400
+
+_INC_ORACLE = (
+    f"WITH {_duckdb_minhash_cte()},\n"
+    + f"""
+inc AS (SELECT * FROM bands WHERE doc_id >= {INC_SPLIT}),
+ex AS (SELECT * FROM bands WHERE doc_id < {INC_SPLIT}),
+cands AS (
+  SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+  FROM inc i JOIN ex e ON (i.band0 = e.band0 OR i.band1 = e.band1)
+),
+shsets AS (SELECT doc_id, list(DISTINCT v) AS s FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.inc_id, c.ex_id,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM cands c
+  JOIN shsets a ON a.doc_id = c.inc_id
+  JOIN shsets b ON b.doc_id = c.ex_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))), 6)
+        >= {JACCARD_THRESHOLD}
+),
+per_inc AS (
+  SELECT inc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dups,
+         MIN(ex_id) AS dup_of,
+         MAX(jaccard) AS best_jaccard
+  FROM verified GROUP BY inc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_dups, 0) AS n_dups,
+       COALESCE(p.n_dups, 0) = 0 AS keep,
+       p.dup_of,
+       p.best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {INC_SPLIT}) d
+LEFT JOIN per_inc p ON p.inc_id = d.doc_id
+ORDER BY d.doc_id
+""".strip()
+)
+
+
+@register(
+    "dd_incremental_minhash",
+    oracle=_INC_ORACLE,
+    description="INCREMENTAL near-dup dedup: an incoming batch is"
+    " checked against the EXISTING corpus with an asymmetric banded"
+    " MinHash join (incoming bands probe existing buckets — never"
+    " existing x existing), candidates verified by exact shingle"
+    " Jaccard; per incoming doc: keep/drop, duplicate count, canonical"
+    " match — the daily-increment admission pass a production corpus"
+    " runs, vs dd_minhash_lsh's one-shot self-join",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join is ASYMMETRIC: only incoming x existing bucket pairs are
+    candidates, so cost is Σ_bucket |inc| x |ex| — proportional to the
+    increment, not the corpus (the self-join's Σ bucket² re-pays the
+    whole history every run). At 100 TB the existing side's band table
+    is a precomputed artifact bucketed by band_key (the signature job
+    ran when those docs were admitted), the incoming batch's bands
+    shuffle into those buckets (partition-pruned probe), and verified
+    duplicates short-circuit admission. Here both sides' signatures
+    come from one cached pass over the fixture corpus, split by
+    doc_id — the banding, probe topology, and verify stage are the
+    production shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands_long = (
+        _spark_minhash_signature(docs)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+            ).alias("band_idx", "band_key"),
+        )
+        .cache()
+    )
+    bands_long.count()  # materialize once; both probe sides read memory
+    inc = bands_long.filter(F.col("doc_id") >= INC_SPLIT).alias("i")
+    ex = bands_long.filter(F.col("doc_id") < INC_SPLIT).alias("e")
+    cands = (
+        inc.join(
+            ex,
+            (F.col("i.band_idx") == F.col("e.band_idx"))
+            & (F.col("i.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("inc_id"),
+            F.col("e.doc_id").alias("ex_id"),
+        )
+        .distinct()
+    )
+    shsets = (
+        _spark_shingle_values(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("v").alias("s"))
+    )
+    sa, sb = shsets.alias("sa"), shsets.alias("sb")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast("double")
+        / F.size(F.array_union(F.col("sa.s"), F.col("sb.s"))),
+        6,
+    )
+    verified = (
+        cands.join(sa, F.col("sa.doc_id") == F.col("inc_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("ex_id"))
+        .select("inc_id", "ex_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    per_inc = verified.groupBy("inc_id").agg(
+        F.count("*").alias("n_dups"),
+        F.min("ex_id").alias("dup_of"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    incoming = docs.filter(F.col("doc_id") >= INC_SPLIT).select("doc_id")
+    return (
+        incoming.join(per_inc, F.col("doc_id") == F.col("inc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+            "dup_of",
+            "best_jaccard",
+        )
+        .orderBy("doc_id")
+    )

@@ -379,3 +379,16 @@ def test_variant_stats_single_shuffle(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in phys
     assert count_exchanges(df) <= 2  # agg exchange + final orderBy
+
+
+def test_incremental_minhash_is_equi_bucket_probe(spark):
+    """dd_incremental_minhash's band join must be a hash equi-join on
+    (band_idx, band_key) — the LSH bucket probe — never a nested-loop
+    over an OR of band equalities, and no Python node anywhere."""
+    df = q(spark, "dd_incremental_minhash")
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "band_key" in plan  # the bucket key reaches the join
