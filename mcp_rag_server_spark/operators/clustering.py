@@ -24,7 +24,7 @@ rounded distances.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table

@@ -241,7 +241,18 @@ def within_root_col(path_col: F.Column, root: str = "/corpus") -> F.Column:
 
     folded = F.aggregate(F.split(full, "/"), init, step)
     resolved = F.concat(F.lit("/"), F.array_join(folded, "/"))
-    allowed = (resolved == root_abs) | resolved.startswith(root_abs + "/")
+    # POSIX preserves EXACTLY two leading slashes as a distinct root
+    # (posixpath.normpath("//x") == "//x", while "/x" and "///x" both
+    # live under "/"): a "//"-rooted request can never resolve inside a
+    # single-slash root, and the segment fold above would silently
+    # collapse the distinction — reject it explicitly so the column
+    # guard matches ensure_within_root on this class too.
+    posix_double_root = path_col.startswith("//") & ~path_col.startswith(
+        "///"
+    )
+    allowed = (
+        (resolved == root_abs) | resolved.startswith(root_abs + "/")
+    ) & ~posix_double_root
     norm = F.regexp_replace(
         F.substring(resolved, len(root_abs) + 1, 0x7FFFFFFF), "^/", ""
     )

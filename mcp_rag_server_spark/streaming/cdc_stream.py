@@ -104,17 +104,22 @@ def _recover_snapshot_swap(tgt: str) -> None:
     """Roll an interrupted swap forward (same discipline as
     sources/ingest.py's staged store swap): a crash between the rmtree
     of the old snapshot and the rename of the staged one leaves only
-    ``tgt.next`` — which is complete (it was fully written before the
-    rmtree), so promoting it loses nothing. A ``tgt.next`` beside a
-    live ``tgt`` is a crash before the rmtree: the staged dir's
-    completeness is unknown there, so it is discarded instead."""
+    ``tgt.next``. The staged dir is promoted ONLY when its ``_batch_id``
+    marker exists — the marker is written after the parquet write
+    completes, so its presence proves completeness; without it (crash
+    mid-write, including a FIRST batch where no old snapshot existed)
+    the partial dir is discarded and the replayed batch rebuilds it.
+    A complete ``tgt.next`` beside a live ``tgt`` is a crash before the
+    rmtree: discarded too, since the batch replays against the intact
+    snapshot."""
     nxt = tgt + ".next"
     if not os.path.exists(nxt):
         return
-    if os.path.exists(tgt):
-        shutil.rmtree(nxt)
-    else:
+    staged_complete = os.path.exists(os.path.join(nxt, "_batch_id"))
+    if staged_complete and not os.path.exists(tgt):
         os.rename(nxt, tgt)
+    else:
+        shutil.rmtree(nxt)
 
 
 def apply_batch(tgt: str, batch: DataFrame, batch_id: int) -> None:
@@ -199,7 +204,13 @@ def st_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split. The driver-hashed row set therefore proves both the
     streaming plumbing (checkpointed foreachBatch upsert, idempotent
     under batch replay via the _batch_id sidecar) and the merge
-    algebra."""
+    algebra.
+
+    The digest-keyed temp dir assumes one run per (process, sf_dir) at
+    a time — the driver executes registry queries sequentially, and the
+    suite runs single-process; concurrent same-sf invocations (e.g.
+    pytest-xdist) would wipe each other's live state at the rmtree.
+    Same single-writer contract as ingest_compacted's corpus dir."""
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_st_scd1_{digest}")
     shutil.rmtree(base, ignore_errors=True)

@@ -468,6 +468,9 @@ def test_within_root_col_matches_ensure_within_root(spark):
         "x//y.txt", "..", "../escape.txt", "x/../../escape.txt",
         "/abs.txt", "/a/b/inside.txt", "a/b/../../..", "x/y/../..",
         "...", "..hidden", "x/...txt",
+        # POSIX double-slash root: exactly two leading slashes are a
+        # DISTINCT root (normpath preserves them), three or more are not
+        "//a/b/x.txt", "//x.txt", "///a/b/x.txt",
     ]
     expected = []
     for p in cases:
@@ -505,7 +508,9 @@ def test_within_root_col_property_parity(spark):
     root = "/a/b"
     cases = []
     seg = st.sampled_from(
-        ["x", "y", "doc.txt", "", ".", "..", "...", "..hidden", "a b", "b"]
+        # "a" and "b" spell the root itself, so //a/b/... shapes appear
+        ["x", "y", "doc.txt", "", ".", "..", "...", "..hidden", "a b",
+         "a", "b"]
     )
 
     @settings(
@@ -515,10 +520,10 @@ def test_within_root_col_property_parity(spark):
     )
     @given(
         segs=st.lists(seg, min_size=0, max_size=6),
-        absolute=st.booleans(),
+        prefix=st.sampled_from(["", "/", "//", "///"]),
     )
-    def collect(segs, absolute):
-        cases.append(("/" if absolute else "") + "/".join(segs))
+    def collect(segs, prefix):
+        cases.append(prefix + "/".join(segs))
 
     collect()
     expected = {}

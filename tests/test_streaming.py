@@ -216,3 +216,30 @@ def test_ingest_append_batch_replay_is_idempotent(spark, tmp_path):
     append_batch(store, df, 1)
     spark.catalog.refreshByPath(store)
     assert spark.read.parquet(store).count() == 20
+
+
+def test_scd1_swap_recovery_discards_partial_first_batch(spark, tmp_path):
+    """A crash DURING the very first staged write (no old snapshot, no
+    _batch_id marker yet) must NOT be promoted: the partial dir is
+    discarded and the replayed batch rebuilds from scratch — promoting
+    it would wedge every later read with UNABLE_TO_INFER_SCHEMA."""
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.streaming.cdc_stream import (
+        apply_batch,
+        applied_batch_id,
+    )
+
+    tgt = str(tmp_path / "latest_state")
+    # Simulate the crash artifact: a staged dir with no parquet and no
+    # _batch_id marker (the marker is written only after a complete
+    # parquet write).
+    os.makedirs(tgt + ".next/_temporary")
+    ev = load_table(spark, SF0001, "events").limit(50)
+    apply_batch(tgt, ev, 0)  # the replay
+    spark.catalog.refreshByPath(tgt)
+    assert applied_batch_id(tgt) == 0
+    assert (
+        spark.read.parquet(tgt).agg({"n_events": "sum"}).collect()[0][0]
+        == 50
+    )
+    assert not os.path.exists(tgt + ".next")

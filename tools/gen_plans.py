@@ -30,7 +30,7 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_user_type_count_map", "fileops_read_guard",
          "unpivot_lineitem_metrics", "ev_props_variant_stats",
          "grouping_sets_sales"]
-names = [n for n, s in reg.items() if s.bench] + EXTRA
+names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
        "`tools/gen_plans.py` regenerates this file. Initial (pre-AQE) plan",
