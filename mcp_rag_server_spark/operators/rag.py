@@ -20,7 +20,7 @@ and use it in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
@@ -494,5 +494,118 @@ def rag_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vec * 0.5 + lex * 0.5, 4).alias("hybrid_score"),
         )
         .orderBy(F.desc("hybrid_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+#: RRF smoothing constant (Cormack, Clarke & Buettcher, SIGIR'09 — 60
+#: is the paper's recommended value, near-universal in deployments).
+RRF_K = 60
+
+
+@register(
+    "rag_rrf_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT list_distinct(string_split(text, ' ')) AS qtoks
+  FROM documents WHERE doc_id = 0
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT d.doc_id,
+         list_distinct(string_split(d.text, ' ')) AS toks,
+         e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id <> 0
+),
+scored AS (
+  SELECT c.doc_id,
+         round(CAST(len(list_intersect(c.toks, q.qtoks)) AS DOUBLE)
+               / len(list_distinct(list_concat(c.toks, q.qtoks))), 4)
+           AS lex_score,
+         round({duckdb_cosine('c.embedding', 'qv.qv')}, 4) AS vec_score
+  FROM cand c CROSS JOIN q CROSS JOIN qv
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lex_score DESC, doc_id ASC)
+           AS lex_rank,
+         row_number() OVER (ORDER BY vec_score DESC, doc_id ASC)
+           AS vec_rank
+  FROM scored
+)
+SELECT doc_id, lex_rank, vec_rank,
+       1.0 / ({RRF_K} + lex_rank) + 1.0 / ({RRF_K} + vec_rank) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""",
+    description="reciprocal-rank fusion (Cormack et al. SIGIR'09, k=60):"
+    " lexical and vector rankings fused by 1/(k+rank) sums — the"
+    " score-scale-free fusion real search stacks use beside"
+    " rag_hybrid_topk's weighted-sum; ranks use the ROUNDED scores with"
+    " doc_id tie-break, so both engines rank identically",
+    tags=("rag", "vector", "text", "topk", "fusion"),
+)
+def rag_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF needs only each retriever's RANKS, never its score scale —
+    which is why it survives heterogeneous retrievers (BM25 + cosine +
+    anything) without calibration. Ranks come from row_number over the
+    rounded scores (rounding first makes the rank, and hence the hashed
+    result, engine-exact; doc_id breaks ties totally). The rank windows
+    are GLOBAL but bounded: at 100 TB this fusion runs over each
+    query's index-pruned candidate pool (IVF cells / LSH buckets, same
+    boundedness argument as the MMR pool stage), never the raw corpus.
+    The 1/(k+rank) terms are single IEEE divisions of small integers —
+    bit-identical both engines, emitted unrounded per registry rule 3."""
+    from mcp_rag_server_spark.functions.vector import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.array_distinct(F.split("text", " ")).alias("qtoks"))
+        .crossJoin(
+            emb.filter(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("qv")
+            )
+        )
+    )
+    cand = (
+        docs.filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+    )
+    lex = F.size(F.array_intersect("toks", "qtoks")).cast("double") / F.size(
+        F.array_union("toks", "qtoks")
+    )
+    vec = cosine("embedding", "qv")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.round(lex, 4).alias("lex_score"),
+        F.round(vec, 4).alias("vec_score"),
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("vec_score"), F.asc("doc_id")))
+        .alias("vec_rank"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank"))
+                + F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank"))
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )

@@ -150,12 +150,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # The window is exactly the must-check set this round — the two
 # never-checked queries, the four new ones, the three whose behavior
 # changed, and every row whose latest driver check predates r3 — so
-# nothing needed evicting. ONE query added after the window filled
-# waits for r6, where it leads per the never-checked-first rule:
+# nothing needed evicting. TWO queries added after the window filled
+# wait for r6, where they lead per the never-checked-first rule:
 # dd_incremental_minhash (the asymmetric incoming-vs-existing LSH
-# admission pass), locally oracle-replayed green; r6 has ample slots
-# (the must-check set there is the ~29 r3-vintage rows plus behavior
-# changes). The 49 round-4-green rows (plus the r3-green remainder)
+# admission pass) and rag_rrf_topk (reciprocal-rank fusion), both
+# locally oracle-replayed green; r6 has ample slots (the must-check
+# set there is the ~29 r3-vintage rows plus behavior changes). The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row
