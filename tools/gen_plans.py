@@ -29,7 +29,7 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          # round-5 additions
          "ev_user_type_count_map", "fileops_read_guard",
          "unpivot_lineitem_metrics", "ev_props_variant_stats",
-         "grouping_sets_sales"]
+         "grouping_sets_sales", "dd_incremental_minhash", "rag_rrf_topk"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
