@@ -1,0 +1,88 @@
+"""Round-start smoke check: catch driver-side fixture drift BEFORE any
+code is written (the round-4 lesson: the regenerated fixtures silently
+changed events.ts from TIMESTAMP(NANOS) to MICROS and every events
+reader broke — a schema dump at round start finds that in seconds,
+a bench failure mid-round finds it in hours).
+
+Usage:  python tools/roundstart.py  [sf_dir=/root/testdata/sf0.01]
+
+Prints each table's parquet schema, flags anything that differs from
+the LAST ROUND's recorded snapshot (tools/fixture_schemas.json, updated
+on every run), then replays the flagship query. Exit 1 on drift or a
+broken flagship, 0 otherwise — safe to run first thing, every round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+SNAP = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixture_schemas.json")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    current: dict[str, str] = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        sch = pq.read_schema(path)
+        current[t] = ", ".join(f"{f.name}:{f.type}" for f in sch)
+        print(f"{t}: {current[t]}")
+
+    drift = []
+    if os.path.exists(SNAP):
+        prev = json.load(open(SNAP))
+        for t in TABLES:
+            if prev.get(t) and prev[t] != current[t]:
+                drift.append(t)
+                print(f"\nDRIFT in {t}:\n  was: {prev[t]}\n  now: {current[t]}")
+    with open(SNAP, "w") as fh:
+        json.dump(current, fh, indent=1)
+
+    # Flagship smoke: entry() end-to-end on a tiny session.
+    from pyspark.sql import SparkSession
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        n = len(mod.entry(spark).collect())
+        print(f"\nentry(): {n} rows — ok")
+    except Exception as e:  # noqa: BLE001 - smoke check reports anything
+        print(f"\nentry() FAILED: {e}")
+        return 1
+    finally:
+        spark.stop()
+
+    if drift:
+        print(f"\nSCHEMA DRIFT in: {', '.join(drift)} — audit every reader"
+              " of those tables (see catalog.normalize_event_ts for the"
+              " r4 events.ts precedent) before writing new code.")
+        return 1
+    print("no drift; fixtures match the recorded snapshot")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
