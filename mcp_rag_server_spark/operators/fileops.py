@@ -329,7 +329,13 @@ def fileops_read_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     requests must yield (allowed=false, path=NULL, file_size=NULL):
     admitting a breakout or resolving a file through an escaping path
     breaks the hash. Guard + join are one codegen stage + one broadcast
-    lookup; no Python, no per-row driver calls."""
+    lookup; no Python, no per-row driver calls.
+
+    The oracle's per-kind verdicts assume the fixture's source/lang
+    values are plain tokens (no '/', '.', '..' segments) — true of the
+    driver's deterministic generator. If a future fixture vintage
+    violated that, the driver hash would fail loudly here rather than
+    silently pass, which is the right failure mode for a guard."""
     from mcp_rag_server_spark.sources.files import within_root_col
 
     listing = _doc_file_listing(spark, sf_dir).select(
