@@ -609,3 +609,133 @@ def rag_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+#: Okapi BM25 constants (Robertson et al., TREC-3): k1 saturates term
+#: frequency, b scales length normalization. 1.2 / 0.75 are the
+#: canonical defaults (and Lucene's).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+@register(
+    "rag_bm25_topk",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT DISTINCT unnest(list_distinct(toks)) AS token
+  FROM toked WHERE doc_id = 0
+),
+cand AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token
+  FROM toked WHERE doc_id <> 0
+),
+tf AS (
+  SELECT doc_id, dl, token, COUNT(*) AS tf FROM cand
+  GROUP BY doc_id, dl, token
+),
+scal AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM toked WHERE doc_id <> 0
+),
+m AS (SELECT t.doc_id, t.dl, t.token, t.tf FROM tf t JOIN q USING (token)),
+dft AS (SELECT token, COUNT(*) AS df FROM m GROUP BY token),
+contrib AS (
+  SELECT m.doc_id,
+         CAST(round(
+           round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+           * (CAST(m.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(m.tf AS DOUBLE)
+              + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * CAST(m.dl AS DOUBLE) / s.avgdl)),
+           6) AS DECIMAL(18,6)) AS c
+  FROM m JOIN dft d USING (token) CROSS JOIN scal s
+)
+SELECT doc_id,
+       COUNT(*) AS n_matched,
+       round(CAST(SUM(c) AS DOUBLE), 4) AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+""",
+    description="Okapi BM25 lexical retrieval (k1=1.2, b=0.75): df/idf"
+    " over the candidate corpus, length-normalized tf saturation,"
+    " top-10 — the inverted-index scoring real search engines pair with"
+    " the vector scan (rag_rrf_topk fuses exactly such rankings)",
+    tags=("rag", "text", "topk", "bm25"),
+)
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln((N−df+0.5)/(df+0.5)+1) (the non-negative Robertson form
+    Lucene uses). Corpus statistics (N, avgdl, df) are defined over the
+    CANDIDATE set (doc_id ≠ 0) in both engines.
+
+    Determinism: idf is rounded to 6dp (ln is libm-dependent in the last
+    ulp), each term contribution is one IEEE expression tree rounded to
+    6dp and summed as DECIMAL(18,6) (order-independent), and the rounded
+    4dp score is the sort key with doc_id tie-break (registry rules 2-5).
+
+    Scale shape: tokenize+explode is narrow; tf is ONE (doc_id, token)
+    partial aggregation — the only corpus-wide shuffle; the query-term
+    semi filter broadcasts ≤|q| tokens so df and everything after run on
+    the matched sliver; scalars are a 1-row broadcast; final scoring is a
+    doc-keyed aggregation of matched rows ending in
+    TakeOrderedAndProject. At 100 TB the tf table is the inverted index
+    — computed once, bucketed by token, reused across queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # array_distinct already dedups within the single query doc, so no
+    # .distinct() (it would add a shuffle for rows that can't repeat).
+    qterms = toked.filter(F.col("doc_id") == 0).select(
+        F.explode(F.array_distinct("toks")).alias("token")
+    )
+    cand = toked.filter(F.col("doc_id") != 0)
+    tf = (
+        cand.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scal = cand.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size("toks")).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    m = tf.join(F.broadcast(qterms), "token")
+    dft = m.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    norm = (F.col("tf").cast("double") * (BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return (
+        m.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(idf * norm, 6).cast("decimal(18,6)").alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum("c").cast("double"), 4).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
