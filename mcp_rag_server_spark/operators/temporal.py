@@ -25,9 +25,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import dsum, duckdb_dsum
 from mcp_rag_server_spark.registry import register
 
 RANGE_GAP_US = 5 * 60 * 1_000_000  # 5 minutes
+
+#: ev_gap_fill user cutoff — bounds the densified timeline on the
+#: comparison fixture (5 users × ~700 hourly slots ≈ 3.5k rows).
+GAP_FILL_USERS = 5
 
 
 @register(
@@ -128,4 +133,97 @@ def tj_range_pairs_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_gap_fill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         COUNT(*) AS hr_events,
+         {duckdb_dsum('value', 4)} AS hr_value
+  FROM events WHERE user_id < {GAP_FILL_USERS}
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+span AS (
+  SELECT user_id, MIN(hour_ts) AS mn, MAX(hour_ts) AS mx
+  FROM hourly GROUP BY user_id
+),
+timeline AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+  FROM span
+),
+j AS (
+  SELECT t.user_id, t.hour_ts,
+         COALESCE(h.hr_events, 0) AS n_events,
+         h.hr_events IS NULL AS is_gap,
+         h.hr_value
+  FROM timeline t LEFT JOIN hourly h USING (user_id, hour_ts)
+)
+SELECT user_id, hour_ts, CAST(n_events AS BIGINT) AS n_events, is_gap,
+       last_value(hr_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM j
+ORDER BY user_id, hour_ts
+""",
+    description="time-series densification: per-user hourly timeline"
+    " generated over each user's active span (sequence explode), gaps"
+    " marked, hourly value forward-filled with last(ignorenulls) — the"
+    " resample+ffill primitive of every metrics/feature pipeline",
+    tags=("events", "temporal", "window", "gapfill"),
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill = generate the dense per-key timeline (``sequence`` from
+    each key's min to max hour, exploded), left-join the sparse hourly
+    aggregate back, then forward-fill the value with ``last(ignorenulls)``
+    over rows-unbounded-preceding — the same one-pass window the as-of
+    join above uses, so ffill state is O(1) per user.
+
+    Scale shape: hourly agg is ONE (user, hour) partial aggregation; the
+    span agg and timeline explode run on one row per user; the left join
+    and ffill window shuffle once on user_id. The densified row count is
+    users × span-hours — bounded by the resample granularity, not by the
+    event count; for multi-year spans you'd densify per (user, day)
+    chunk to keep any single explode bounded, same composition.
+
+    First hour per user is always observed (span min comes from the
+    data), so filled_value is never NULL — both engines agree on the
+    NULL-free ffill result, sidestepping IGNORE NULLS edge semantics."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAP_FILL_USERS
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count("*").alias("hr_events"),
+        dsum("value", 4).alias("hr_value"),
+    )
+    timeline = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    j = timeline.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "user_id",
+            "hour_ts",
+            F.coalesce("hr_events", F.lit(0)).alias("n_events"),
+            F.col("hr_events").isNull().alias("is_gap"),
+            F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour_ts")
     )
