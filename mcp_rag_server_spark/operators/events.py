@@ -540,3 +540,62 @@ def ev_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "prop_key")
     )
+
+
+@register(
+    "ev_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY from_type) AS p_transition
+FROM pairs
+ORDER BY from_type, to_type
+""",
+    description="first-order Markov transition matrix over per-user"
+    " event sequences: lead() pairs, (from,to) counts, and row-"
+    "normalized transition probabilities — the session-path mining"
+    " primitive behind funnels and next-event prediction",
+    tags=("events", "window", "sequence"),
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-event pairs come from ONE user-keyed window (lead
+    over (ts, event_id) — the same total per-user order every ev_*
+    sequence query pins); the matrix is a bounded (|types|²) aggregate
+    with map-side combine, and row normalization is a window over that
+    tiny matrix, not the events. p_transition is one IEEE division of
+    two exact BIGINTs — bit-identical across engines, emitted unrounded
+    (registry rule 3). At 100 TB: one user-keyed shuffle for the lead,
+    one partial-agg shuffle carrying ≤|types|² combined rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm)
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
