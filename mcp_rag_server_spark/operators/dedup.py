@@ -985,3 +985,99 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Exact-substring run detection (Lee et al. 2022, "Deduplicating
+#: Training Data Makes Language Models Better", arXiv:2107.06499 —
+#: their suffix-array pass removes verbatim substrings repeated in the
+#: corpus; the distributed approximation below finds maximal runs of
+#: duplicated fixed-width token shingles, which over-/under-shoots the
+#: exact suffix match by at most SUBSTR_W-1 tokens at each run edge).
+SUBSTR_W = 8
+SUBSTR_TOP = 15
+
+
+@register(
+    "dd_substring_runs",
+    oracle=f"""
+WITH toked AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {SUBSTR_W} - 1), ' ')) AS h
+  FROM toked,
+       unnest(range(1, greatest(len(toks) - {SUBSTR_W} + 1, 0) + 1)) AS t(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+duppos AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM duppos
+),
+runs AS (
+  SELECT doc_id, COUNT(*) + {SUBSTR_W} - 1 AS run_tokens
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       COUNT(*) AS n_runs,
+       CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(SUM(run_tokens) AS BIGINT) AS dup_token_span
+FROM runs
+GROUP BY doc_id
+ORDER BY max_run_tokens DESC, doc_id ASC
+LIMIT {SUBSTR_TOP}
+""",
+    description=f"exact-substring duplicate runs (Lee et al. 2022 style):"
+    f" {SUBSTR_W}-token shingles repeated anywhere in the corpus, merged"
+    " into maximal per-doc runs via gaps-and-islands — top docs by"
+    " longest verbatim-duplicated span, the substring-level dedup pass"
+    " MinHash (document-level) cannot express",
+    tags=("dedup", "text", "substring"),
+)
+def dd_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A shingle is 'duplicated' if its md5 occurs ≥2 times corpus-wide
+    (across OR within documents — both are verbatim repetition);
+    consecutive duplicated positions in a doc collapse to one run
+    (island id = pos − row_number), covering run_cnt + W − 1 tokens.
+    Runs from different islands are ≥1 shingle apart but their token
+    spans may overlap by up to W−2 tokens, so dup_token_span is an upper
+    bound — the same approximation both engines compute, hash-checked.
+
+    Scale shape: positioned shingles are a narrow posexplode; the
+    duplicate-shingle set is ONE md5-keyed partial aggregation (count≥2
+    filter, never a self-join — corpus-pair cost is Σ per-hash count²
+    avoided entirely); marking positions is a shuffle join keyed by the
+    same md5; islands + runs are doc-keyed windows/aggs. At 100 TB this
+    is exactly the shape of a distributed suffix-array approximation:
+    everything partitions by shingle hash or doc_id, nothing is
+    quadratic in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mcp_rag_server_spark.functions.text import word_shingles
+
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.posexplode(word_shingles("toks", SUBSTR_W)).alias("pos", "sh"),
+    ).select("doc_id", "pos", F.md5("sh").alias("h"))
+    dup = sh.groupBy("h").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    duppos = sh.join(dup.select("h"), "h").select("doc_id", "pos")
+    isl = duppos.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = isl.groupBy("doc_id", "island").agg(
+        (F.count("*") + SUBSTR_W - 1).alias("run_tokens")
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_tokens").alias("max_run_tokens"),
+            F.sum("run_tokens").alias("dup_token_span"),
+        )
+        .orderBy(F.desc("max_run_tokens"), F.asc("doc_id"))
+        .limit(SUBSTR_TOP)
+    )
