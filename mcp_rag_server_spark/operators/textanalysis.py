@@ -677,3 +677,101 @@ def ta_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+#: Zipf fit: regress ln(freq) on ln(rank) over the top-ZIPF_TOP tokens.
+ZIPF_TOP = 100
+
+
+@register(
+    "ta_zipf_fit",
+    oracle=f"""
+WITH freq AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+  FROM freq
+),
+xy AS (
+  SELECT CAST(round(ln(rnk), 6) AS DECIMAL(10,6)) AS x,
+         CAST(round(ln(cnt), 6) AS DECIMAL(10,6)) AS y
+  FROM ranked WHERE rnk <= {ZIPF_TOP}
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round(CAST(sy AS DOUBLE) / n
+             - CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)
+               * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM s
+""",
+    description=f"Zipf's-law fit: least-squares slope of ln(freq) vs"
+    f" ln(rank) over the top-{ZIPF_TOP} tokens, with intercept and R² —"
+    " the corpus-health diagnostic (natural text slopes ≈ −1; synthetic"
+    " or templated corpora drift) computed with exact-decimal sums",
+    tags=("text", "stats", "regression"),
+)
+def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple regression, decimal-exact: x=ln(rank) and
+    y=ln(freq) are rounded to 6dp (the libm boundary, registry rules)
+    and cast DECIMAL(10,6); Σx, Σy, Σxy, Σx², Σy² are then EXACT decimal
+    sums (order-independent), so slope/intercept/R² are each ONE
+    identical IEEE expression over identical decimal inputs in both
+    engines — distributed regression without regr_slope's
+    order-dependent float accumulation.
+
+    Scale: token counts are one partial agg; the rank window is global
+    but its input is the distinct-token table (vocabulary-sized, Heaps'
+    law sublinear — ta_vocab_growth measures exactly that), and the
+    moment agg reduces {ZIPF_TOP} rows to one."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= ZIPF_TOP)
+    xy = ranked.select(
+        F.round(F.log("rnk"), 6).cast("decimal(10,6)").alias("x"),
+        F.round(F.log("cnt"), 6).cast("decimal(10,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
