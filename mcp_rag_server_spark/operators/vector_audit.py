@@ -461,3 +461,196 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adc_score"), F.asc("vec_id"))
         .limit(PQ_K)
     )
+
+
+def _pq_dist(cw: DataFrame, sv: DataFrame) -> DataFrame:
+    """(vec_id, m, label, dd, svec): every subvector scored against every
+    codeword of its subspace (broadcast codebook, codegen fold)."""
+    dd = F.round(
+        F.expr(
+            "aggregate(zip_with(svec, cvec, (pt_x, pt_c) -> "
+            "(CAST(pt_x AS DOUBLE) - pt_c) * (CAST(pt_x AS DOUBLE) - pt_c)), "
+            "CAST(0 AS DOUBLE), (pt_acc, pt_v) -> pt_acc + pt_v)"
+        ),
+        6,
+    )
+    return sv.join(F.broadcast(cw), "m").select(
+        "vec_id", "m", "label", dd.alias("dd"), "svec"
+    )
+
+
+def _pq_argmin(dist: DataFrame) -> DataFrame:
+    """(vec_id, m, label, dd, svec): nearest codeword via the map-side
+    arg-min aggregation (min(struct(dd, label)) — same (dd, label)
+    tie-break as a rank-1 window without shuffling the k scored copies,
+    the clustering.py _assign layout)."""
+    return (
+        dist.groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("dd", "label")).alias("b"),
+            F.first("svec").alias("svec"),
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.label").alias("label"),
+            F.col("b.dd").alias("dd"),
+            "svec",
+        )
+    )
+
+
+def _pq_err(assign: DataFrame, err_name: str, used_name: str) -> DataFrame:
+    """Per-subspace distortion + codeword usage from an assignment."""
+    return assign.groupBy("m").agg(
+        F.countDistinct("label").alias(used_name),
+        F.round(
+            F.sum(F.col("dd").cast("decimal(18,6)")).cast("double"), 4
+        ).alias(err_name),
+    )
+
+
+_PQT_DIST_SQL = (
+    "round(list_sum(list_transform(range(1, {dsub} + 1), "
+    "i -> (CAST(s.svec[i] AS DOUBLE) - c.cvec[i]) "
+    "* (CAST(s.svec[i] AS DOUBLE) - c.cvec[i]))), 6)"
+)
+
+
+@register(
+    "sim_pq_train",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {PQ_M * PQ_DSUB} + 1)) AS i),
+elem AS (
+  SELECT e.vec_id, e.label,
+         CAST((p.i - 1) // {PQ_DSUB} AS INT) AS m,
+         CAST((p.i - 1) % {PQ_DSUB} AS INT) AS d,
+         CAST(e.embedding[p.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN pos p
+),
+cb0 AS (
+  SELECT m, label, d,
+         CAST(SUM(CAST(round(x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM elem GROUP BY m, label, d
+),
+cw0 AS (SELECT m, label, list(c ORDER BY d) AS cvec FROM cb0 GROUP BY m, label),
+msub AS (SELECT unnest(range(0, {PQ_M})) AS m),
+sv AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.embedding, ms.m * {PQ_DSUB} + 1,
+                    ms.m * {PQ_DSUB} + {PQ_DSUB}) AS svec
+  FROM embeddings e CROSS JOIN msub ms
+),
+dist0 AS (
+  SELECT s.vec_id, s.m, c.label, {_PQT_DIST_SQL.format(dsub=PQ_DSUB)} AS dd
+  FROM sv s JOIN cw0 c ON c.m = s.m
+),
+a0 AS (
+  SELECT vec_id, m, label, dd FROM (
+    SELECT vec_id, m, label, dd,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, label) AS rn
+    FROM dist0) WHERE rn = 1
+),
+cb1 AS (
+  SELECT a.m, a.label, el.d,
+         CAST(SUM(CAST(round(el.x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM a0 a JOIN elem el ON el.vec_id = a.vec_id AND el.m = a.m
+  GROUP BY a.m, a.label, el.d
+),
+cw1 AS (SELECT m, label, list(c ORDER BY d) AS cvec FROM cb1 GROUP BY m, label),
+dist1 AS (
+  SELECT s.vec_id, s.m, c.label, {_PQT_DIST_SQL.format(dsub=PQ_DSUB)} AS dd
+  FROM sv s JOIN cw1 c ON c.m = s.m
+),
+a1 AS (
+  SELECT vec_id, m, label, dd FROM (
+    SELECT vec_id, m, label, dd,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, label) AS rn
+    FROM dist1) WHERE rn = 1
+),
+agg0 AS (
+  SELECT m, COUNT(DISTINCT label) AS n_used_seed,
+         round(CAST(SUM(CAST(dd AS DECIMAL(18,6))) AS DOUBLE), 4) AS err_seed
+  FROM a0 GROUP BY m
+),
+agg1 AS (
+  SELECT m, COUNT(DISTINCT label) AS n_used_refined,
+         round(CAST(SUM(CAST(dd AS DECIMAL(18,6))) AS DOUBLE), 4) AS err_refined
+  FROM a1 GROUP BY m
+)
+SELECT m, n_used_seed, n_used_refined, err_seed, err_refined,
+       err_refined <= err_seed AS improved
+FROM agg0 JOIN agg1 USING (m)
+ORDER BY m
+""",
+    description="PQ codebook training (one Lloyd refinement per"
+    " subspace): seed codewords from per-label means, re-estimate from"
+    " the nearest-codeword assignment, and report per-subspace"
+    " distortion before/after plus codeword usage — the training step"
+    " sim_pq_adc_topk/sim_ivfpq_topk consume a finished codebook from",
+    tags=("similarity", "vector", "quantization", "pq", "iterative"),
+)
+def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd on each of the M=8 subspaces independently, in ONE plan:
+    the subvector table (vec_id, m, svec) is built once; each iteration
+    is a broadcast-codebook scoring pass plus an arg-min aggregation
+    (map-side combined — one row per (vec_id, m) crosses the wire), and
+    the codebook update is one (m, label, d) decimal-mean shuffle.
+    Monotonicity of Lloyd (distortion never increases) is ASSERTED by
+    the hashed `improved` column — a wrong tie-break or drifted centroid
+    flips it. At 100 TB the codebook stays broadcast-sized (M × k ×
+    dsub doubles) and every wide stage is keyed by (vec_id, m) or
+    (m, label, d) — the same distributed-Lloyd layout clustering.py
+    documents, ×M subspaces."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cw0 = pq_codewords(emb)
+    msub = emb.limit(1).select(
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    )
+    sv = emb.crossJoin(F.broadcast(msub)).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("svec"),
+    )
+    a0 = _pq_argmin(_pq_dist(cw0, sv))
+    cb1e = a0.select(
+        "m", "label", F.posexplode("svec").alias("pd", "xf")
+    ).select(
+        "m",
+        "label",
+        F.col("pd").cast("int").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cw1 = (
+        cb1e.groupBy("m", "label", "d")
+        .agg(
+            (
+                F.sum(F.round(F.col("x"), 7).cast("decimal(18,7)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("m", "label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, c))), pt_s -> pt_s.c)"
+            ).alias("cvec")
+        )
+    )
+    a1 = _pq_argmin(_pq_dist(cw1, sv))
+    return (
+        _pq_err(a0, "err_seed", "n_used_seed")
+        .join(_pq_err(a1, "err_refined", "n_used_refined"), "m")
+        .select(
+            "m",
+            "n_used_seed",
+            "n_used_refined",
+            "err_seed",
+            "err_refined",
+            (F.col("err_refined") <= F.col("err_seed")).alias("improved"),
+        )
+        .orderBy("m")
+    )
