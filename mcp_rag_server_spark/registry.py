@@ -150,10 +150,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # The window is exactly the must-check set this round — the two
 # never-checked queries, the four new ones, the three whose behavior
 # changed, and every row whose latest driver check predates r3 — so
-# nothing needed evicting. TWO queries added after the window filled
+# nothing needed evicting. EIGHT queries added after the window filled
 # wait for r6, where they lead per the never-checked-first rule:
 # dd_incremental_minhash (the asymmetric incoming-vs-existing LSH
-# admission pass) and rag_rrf_topk (reciprocal-rank fusion), both
+# admission pass), rag_rrf_topk (reciprocal-rank fusion),
+# rag_bm25_topk (Okapi BM25), ev_gap_fill (timeline densify + ffill),
+# ev_transition_matrix (Markov event transitions), dd_substring_runs
+# (exact-substring duplicate runs), ta_zipf_fit (decimal-exact Zipf
+# regression), and sim_pq_train (PQ codebook Lloyd refinement) — all
 # locally oracle-replayed green; r6 has ample slots (the must-check
 # set there is the ~29 r3-vintage rows plus behavior changes). The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this

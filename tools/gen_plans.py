@@ -29,7 +29,10 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          # round-5 additions
          "ev_user_type_count_map", "fileops_read_guard",
          "unpivot_lineitem_metrics", "ev_props_variant_stats",
-         "grouping_sets_sales", "dd_incremental_minhash", "rag_rrf_topk"]
+         "grouping_sets_sales", "dd_incremental_minhash", "rag_rrf_topk",
+         # round-5 late additions
+         "rag_bm25_topk", "ev_gap_fill", "ev_transition_matrix",
+         "dd_substring_runs", "ta_zipf_fit", "sim_pq_train"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
