@@ -1304,3 +1304,57 @@ def full_outer_order_ship_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "window_range_trailing30",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER tw AS DOUBLE)
+         AS trailing30_revenue,
+       COUNT(*) OVER tw AS trailing30_orders
+FROM orders
+WHERE o_custkey < 100
+WINDOW tw AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    description="time-based RANGE window frame: per-customer trailing"
+    " 30-day revenue and order count at every order — the value-based"
+    " frame (peers included by date distance, not row position) the"
+    " ROWS-frame pack (window_moving_avg) cannot express",
+    tags=("relational", "window", "range-frame"),
+)
+def window_range_trailing30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames bound by VALUE distance: two orders 30 days apart
+    share a frame no matter how many rows sit between, and same-date
+    peers always aggregate together (which is also why the result is
+    deterministic without a row tie-break — the frame depends only on
+    the date value). Ordering is the epoch-day integer
+    (``unix_date``/date-subtraction), identical in both engines, so the
+    30-day bound is exact integer arithmetic. The windowed SUM runs over
+    exact DECIMAL(18,4) partials (order-independent within the frame).
+    Scale: one customer-keyed shuffle; frame state is bounded by order
+    density × 30 days per key."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    tw = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(tw)
+            .cast("double")
+            .alias("trailing30_revenue"),
+            F.count("*").over(tw).alias("trailing30_orders"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
