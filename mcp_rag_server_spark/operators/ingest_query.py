@@ -35,6 +35,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.text import chunk_stride
@@ -374,4 +375,242 @@ def st_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(store)
         .select("rel_path", "chunk", "text", "file_size", "line_count")
         .orderBy("rel_path", "chunk")
+    )
+
+
+#: Partition-pruned scan: the kept partition values (2 of 5 event
+#: types) — the pruned read must never touch the other directories.
+PT_KEEP = ("click", "purchase")
+
+
+@register(
+    "ingest_partitioned_scan",
+    oracle=f"""
+SELECT event_type,
+       CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       MAX(event_id) AS max_event_id
+FROM events
+WHERE event_type IN {PT_KEEP!r}
+GROUP BY event_type, user_id % 10
+ORDER BY event_type, user_bucket
+""",
+    description="hive-partitioned parquet layout round-trip: write events"
+    " partitionBy(event_type) (repartitioned so each partition value is"
+    " one file, not tasks x values), read back with a partition-column"
+    " filter — directory pruning, THE 100 TB scan-cost lever — and"
+    " aggregate the surviving partitions",
+    tags=("ingest", "sources", "partitioning"),
+)
+def ingest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-adjacent sink/source pair the compacted chunk store doesn't
+    cover: a Hive-style ``partitionBy`` layout whose partition column
+    becomes directory structure. The read-back filter on ``event_type``
+    is satisfied by PRUNING (PartitionFilters in the scan; the pinning
+    test asserts only the kept directories' files are read) — at 100 TB
+    this is the difference between scanning 2/5 of the data and all of
+    it, before any row filter runs. The pre-write
+    ``repartition("event_type")`` bounds write amplification: one file
+    per partition value instead of tasks × values small files (the
+    classic partitioned-write mistake). The aggregate is hashed against
+    the un-partitioned fixture — a pruning bug that drops or doubles a
+    directory flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_pt_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    ev.repartition("event_type").write.partitionBy("event_type").parquet(base)
+    back = spark.read.parquet(base).filter(
+        F.col("event_type").isin(*PT_KEEP)
+    )
+    return (
+        back.groupBy(
+            "event_type", (F.col("user_id") % 10).alias("user_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type", "user_bucket")
+    )
+
+
+#: Text-format round-trip: explicit micros-precision timestamp format
+#: (Spark's DEFAULT JSON/CSV timestamp format carries millis only —
+#: relying on it silently truncates event times).
+TXT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+TXT_USERS = 50
+
+
+@register(
+    "ingest_text_formats",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM events WHERE user_id < {TXT_USERS}
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         MAX(event_id) AS max_event_id,
+         MAX(ts) AS max_ts
+  FROM src GROUP BY event_type
+)
+SELECT 'jsonl' AS fmt, event_type, n_events, total_value, max_event_id,
+       max_ts
+FROM agg
+UNION ALL
+SELECT 'csv' AS fmt, event_type, n_events, total_value, max_event_id,
+       CAST(NULL AS TIMESTAMP) AS max_ts
+FROM agg
+ORDER BY fmt, event_type
+""",
+    description="JSONL + CSV source formats with EXPLICIT schemas: write"
+    " the events slice to both text layouts, read each back schema-first"
+    " (no inference scan) with a micros-precision timestamp format, and"
+    " aggregate both — the interchange-format ingestion path (S1/S2"
+    " cover raw text; this covers structured text)",
+    tags=("ingest", "sources", "json", "csv"),
+)
+def ingest_text_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two production rules this query pins: (1) schema-FIRST reads —
+    ``spark.read.schema(...)`` — because inference is a full extra scan
+    at 100 TB and type-guesses drift between files; (2) explicit
+    ``timestampFormat`` with micros, because the default format truncates
+    to millis and the hash against the parquet fixture would catch it
+    (max_ts carries live micros). The CSV leg drops ts (CSV has no type
+    system; the NULL max_ts column in the result records exactly that
+    divergence) and round-trips double via Double.toString — lossless by
+    Java's round-trip guarantee. Writes repartition to 4 files per
+    format: bounded file count, parallel read back."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < TXT_USERS)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_tx_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    jdir, cdir = os.path.join(base, "jsonl"), os.path.join(base, "csv")
+    ev.repartition(4).write.option("timestampFormat", TXT_TS_FMT).json(jdir)
+    ev.drop("ts").repartition(4).write.option("header", "true").csv(cdir)
+
+    jschema = (
+        "event_id bigint, user_id bigint, event_type string, value double,"
+        " ts timestamp"
+    )
+    cschema = "event_id bigint, user_id bigint, event_type string, value double"
+    js = (
+        spark.read.schema(jschema)
+        .option("timestampFormat", TXT_TS_FMT)
+        .json(jdir)
+    )
+    cs = spark.read.schema(cschema).option("header", "true").csv(cdir)
+
+    def agg(df: DataFrame, fmt: str, with_ts: bool) -> DataFrame:
+        cols = [
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+            (F.max("ts") if with_ts else F.lit(None).cast("timestamp")).alias(
+                "max_ts"
+            ),
+        ]
+        return df.groupBy("event_type").agg(*cols).select(
+            F.lit(fmt).alias("fmt"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "max_event_id",
+            "max_ts",
+        )
+
+    return (
+        agg(js, "jsonl", True)
+        .unionByName(agg(cs, "csv", False))
+        .orderBy("fmt", "event_type")
+    )
+
+
+#: Bucketed co-located join geometry. 8 buckets — enough to show the
+#: layout; at scale this is sized to target-partition row counts.
+BK_BUCKETS = 8
+
+
+@register(
+    "ingest_bucketed_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    description="bucketed fact-to-fact join: orders and lineitem saved"
+    " bucketBy(orderkey)+sortBy into co-located bucketed tables, then"
+    " joined WITHOUT any exchange on either side (plan test pins zero"
+    " shuffles under the SortMergeJoin) — pre-shuffling once at write"
+    " time, THE large-join lever when both sides are TB-scale",
+    tags=("ingest", "sources", "bucketing", "join"),
+)
+def ingest_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both join sides are written ``bucketBy(BK_BUCKETS, orderkey)``
+    + ``sortBy(orderkey)`` as external-path datasource tables (explicit
+    ``option("path")`` — works under ANY session's warehouse config,
+    including the correctness driver's foreign session). Reading them
+    back, the SortMergeJoin consumes each side's bucketing as its
+    distribution AND its sort order: no Exchange, no Sort, on either
+    side — the shuffle was paid ONCE at write time and is amortized
+    over every subsequent join on that key. The ``merge`` hint opts out
+    of the broadcast path the tiny fixture would otherwise take (at
+    real scale two fact tables exceed any broadcast threshold and SMJ
+    is what AQE picks anyway). The aggregate after the join is the one
+    remaining exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_bk_{digest}")
+    to, tl = f"bk_orders_{digest}", f"bk_lineitem_{digest}"
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(BK_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(to)
+    )
+    (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(BK_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable(tl)
+    )
+    ob, lb = spark.table(to), spark.table(tl)
+    return (
+        ob.hint("merge")
+        .join(lb, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
     )

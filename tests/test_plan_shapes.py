@@ -392,3 +392,43 @@ def test_incremental_minhash_is_equi_bucket_probe(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert "band_key" in plan  # the bucket key reaches the join
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """ingest_partitioned_scan's read-back filter is on the PARTITION
+    column, so it must be satisfied by directory pruning (PartitionFilters
+    on the scan), and the pruned scan's input files must come only from
+    the kept partition values — at 100 TB this is 2/5 of the scan cost,
+    decided before any row is read."""
+    import re
+
+    df = q(spark, "ingest_partitioned_scan")
+    plan = plan_string(df)
+    # the partition filter is attached to the temp-layout scan and names
+    # exactly the kept values (inputFiles() can't check this: it lists
+    # the FileIndex BEFORE pruning)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "IN (click,purchase)" in m.group(1), m.group(1)
+    # row-group/data filters must NOT carry event_type — pruning, not
+    # filtering, satisfies the predicate
+    pf = pushed_filters(df, "ingest_pt")
+    assert "event_type" not in pf, pf
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """ingest_bucketed_join: both sides carry bucketBy(orderkey) +
+    sortBy, so the SortMergeJoin must consume the layout directly — the
+    ONLY exchange in the plan is the post-join aggregation. An Exchange
+    or Sort sneaking in above either scan means the write-time shuffle
+    isn't being reused."""
+    from mcp_rag_server_spark.plans.inspect import tree_section
+
+    df = q(spark, "ingest_bucketed_join")
+    tree = tree_section(df)
+    assert "SortMergeJoin" in tree
+    # the formatted tree lists children BELOW the join line: nothing
+    # between the join and its scans may redistribute
+    below_join = tree[tree.index("SortMergeJoin"):]
+    assert "Exchange" not in below_join, below_join
+    assert "Bucketed: true" in plan_string(df), "scans not bucketed"
