@@ -775,3 +775,129 @@ def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(num * num / (den * deny), 6).alias("r2"),
     )
+
+
+#: Fuzzy-match injection rule: docs with doc_id % FUZZY_MOD == FUZZY_REM
+#: contribute a "typo" — their first token with its 2nd char dropped
+#: (same deterministic-injection pattern as ta_pii_scrub: the fixture
+#: vocabulary has no natural typos, so the operator's subject is
+#: planted; the MATCHING machinery under test is the production shape).
+FUZZY_MOD, FUZZY_REM = 10, 7
+FUZZY_MIN_LEN = 4
+
+
+@register(
+    "ta_fuzzy_correct",
+    oracle=f"""
+WITH typo_src AS (
+  SELECT string_split(text, ' ')[1] AS t
+  FROM documents WHERE doc_id % {FUZZY_MOD} = {FUZZY_REM}
+),
+typos AS (
+  SELECT substr(t, 1, 1) || substr(t, 3) AS typo, COUNT(*) AS n_typo_docs
+  FROM typo_src WHERE length(t) >= {FUZZY_MIN_LEN}
+  GROUP BY substr(t, 1, 1) || substr(t, 3)
+),
+dict AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+tkeys AS (
+  SELECT typo, n_typo_docs,
+         unnest(list_append(list_transform(range(1, length(typo) + 1),
+           i -> substr(typo, 1, i - 1) || substr(typo, i + 1)), typo)) AS k
+  FROM typos
+),
+dkeys AS (
+  SELECT token, cnt,
+         unnest(list_append(list_transform(range(1, length(token) + 1),
+           i -> substr(token, 1, i - 1) || substr(token, i + 1)), token)) AS k
+  FROM dict
+),
+cand AS (
+  SELECT DISTINCT t.typo, t.n_typo_docs, d.token, d.cnt
+  FROM tkeys t JOIN dkeys d USING (k)
+  WHERE levenshtein(t.typo, d.token) = 1
+),
+best AS (
+  SELECT typo, n_typo_docs, token AS correction, cnt AS correction_cnt,
+         row_number() OVER (PARTITION BY typo
+                            ORDER BY cnt DESC, token ASC) AS rn
+  FROM cand
+)
+SELECT typo, n_typo_docs, correction, correction_cnt
+FROM best WHERE rn = 1
+ORDER BY typo
+""",
+    description="SymSpell-style fuzzy correction: deterministically"
+    " injected typos matched against the corpus dictionary via"
+    " deletion-neighborhood blocking (shared single-delete key => "
+    "candidate), exact Levenshtein verify on candidates only, best"
+    " correction by dictionary frequency — edit-distance join with no"
+    " all-pairs stage",
+    tags=("text", "fuzzy", "dedup"),
+)
+def ta_fuzzy_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood blocking (the SymSpell scheme, public): a
+    token's match keys are itself plus each single-character deletion;
+    two strings within edit distance 1 ALWAYS share a key, so the
+    equi-join on keys is a complete candidate generator and the O(len)
+    Levenshtein verify runs only on bucket-mates. Scale: key explosion
+    is O(token_len) per dictionary entry, the join is keyed by the
+    (high-cardinality) variant string, and per-key fan-in is bounded by
+    neighborhood bucket sizes — never vocabulary². The dictionary side
+    partial-aggregates before key explosion, so corpus token count
+    never amplifies. Typo injection: first token of every
+    doc_id%{FUZZY_MOD}=={FUZZY_REM} doc, 2nd char dropped (≥{FUZZY_MIN_LEN}
+    chars), mirroring the oracle's CTE exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def del_keys(col: str, var: str):
+        return F.expr(
+            f"array_append(transform(sequence(1, length({col})), "
+            f"{var} -> concat(substr({col}, 1, {var} - 1), "
+            f"substr({col}, {var} + 1))), {col})"
+        )
+
+    typos = (
+        docs.filter(F.col("doc_id") % FUZZY_MOD == FUZZY_REM)
+        .select(F.element_at(F.split("text", " "), 1).alias("t"))
+        .filter(F.length("t") >= FUZZY_MIN_LEN)
+        .select(
+            F.concat(
+                F.substring("t", 1, 1), F.expr("substr(t, 3)")
+            ).alias("typo")
+        )
+        .groupBy("typo")
+        .agg(F.count("*").alias("n_typo_docs"))
+    )
+    dict_ = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tkeys = typos.select(
+        "typo", "n_typo_docs", F.explode(del_keys("typo", "fz_i")).alias("k")
+    )
+    dkeys = dict_.select(
+        "token", "cnt", F.explode(del_keys("token", "fz_j")).alias("k")
+    )
+    cand = (
+        tkeys.join(dkeys, "k")
+        .filter(F.levenshtein("typo", "token") == 1)
+        .select("typo", "n_typo_docs", "token", "cnt")
+        .distinct()
+    )
+    w = Window.partitionBy("typo").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "typo",
+            "n_typo_docs",
+            F.col("token").alias("correction"),
+            F.col("cnt").alias("correction_cnt"),
+        )
+        .orderBy("typo")
+    )
