@@ -247,3 +247,177 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return audio_window_features(blobs).orderBy("doc_id", "win_idx")
+
+
+#: Perceptual-hash geometry: 64 sample points → 64-bit aHash carried as
+#: 4×16-bit band values (PH_BANDS columns b0..b3). The banding IS the
+#: LSH: near-identical content differs in ≤ PH_HAMMING_MAX bits, so by
+#: pigeonhole at least one 16-bit band is byte-identical — candidates
+#: are exactly the pairs sharing a (band, value) bucket.
+PH_POINTS = 64
+PH_BANDS = 4
+PH_HAMMING_MAX = 6
+PH_TOP = 15
+
+PHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def fake_phash(blob: bytes) -> list[int]:
+    """STUB perceptual hash (no image libs): average-hash over 64 bytes
+    sampled evenly from the blob — bit_i = sample_i > mean(samples),
+    packed into 4 little-endian 16-bit bands. A real deployment decodes
+    pixels, downsamples to 8x8 luma, and applies the identical
+    bit = px > mean rule (the classic aHash); the arithmetic after
+    'decode' is byte-for-byte what runs here."""
+    n = len(blob)
+    v = [blob[(i * n) // PH_POINTS] for i in range(PH_POINTS)]
+    mean = sum(v) / float(PH_POINTS)
+    bands = []
+    for j in range(PH_BANDS):
+        acc = 0
+        for k in range(16):
+            if v[16 * j + k] > mean:
+                acc |= 1 << k
+        bands.append(acc)
+    return bands
+
+
+def phash_bands(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, binary) → (id, b0..b3) via mapInPandas (the decode stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [fake_phash(x) for x in b[blob_col]]
+            out = pd.DataFrame(rows, columns=["b0", "b1", "b2", "b3"])
+            out.insert(0, "doc_id", b[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+@register(
+    "mm_phash_neardup",
+    oracle=f"""
+WITH samp AS (
+  SELECT doc_id,
+         list_transform(range(0, {PH_POINTS}),
+           i -> ascii(substr(text,
+                 1 + CAST(floor(i * length(text) / {PH_POINTS}.0) AS INT),
+                 1))) AS v
+  FROM documents WHERE length(text) >= {PH_POINTS}
+),
+ph AS (
+  SELECT doc_id,
+         list_transform(range(0, {PH_BANDS}), j ->
+           CAST(list_sum(list_transform(range(0, 16),
+             k -> CASE WHEN v[16*j + k + 1] > list_sum(v) / {PH_POINTS}.0
+                       THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END))
+                AS BIGINT)) AS b
+  FROM samp
+),
+bands AS (
+  SELECT doc_id, b, j, b[j+1] AS val FROM ph, unnest(range(0, {PH_BANDS})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.b AS ba, b.b AS bb
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT da, db,
+         bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+         + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+           AS hamming
+  FROM cand
+)
+SELECT da, db, CAST(hamming AS INT) AS hamming,
+       hamming <= {PH_HAMMING_MAX} AS is_near
+FROM ham
+ORDER BY hamming ASC, da ASC, db ASC
+LIMIT {PH_TOP}
+""",
+    description="perceptual-hash near-duplicate detection over binary"
+    " blobs: 64-bit aHash computed in the mapInPandas decode stage"
+    " (deterministic fake with a SQL twin), 4x16-bit Hamming-LSH"
+    " banding (pigeonhole-complete for <=15-bit distance), bit_count"
+    " XOR verify on bucket-mates only — image near-dup at corpus scale"
+    " with no all-pairs stage",
+    tags=("multimodal", "dedup", "mapInPandas", "lsh"),
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-level near-dup pass for media: dd_* families hash
+    TEXT; this hashes the BLOB through the decode boundary. Banding is
+    pigeonhole-complete: two 64-bit hashes within {PH_HAMMING_MAX} bits
+    differ in at most {PH_HAMMING_MAX} < 16 positions, so at least one of
+    the 4 bands matches exactly — the bucket join misses nothing at the
+    verify threshold. Scale: hash is a narrow Arrow pass; the join is
+    keyed by (band, value) — fan-in is Σ bucket², controlled by band
+    width exactly like dd_minhash_lsh's banding; verify is integer XOR
+    popcount. Spark computes bands in Python (the production decode
+    shape); the oracle derives identical bands from the ASCII bytes, so
+    the driver hash pins decode arithmetic AND the LSH+verify plumbing."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= PH_POINTS
+    )
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    ph = phash_bands(blobs)
+    bands = ph.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"), F.col(f"b{j}").alias("val")
+                )
+                for j in range(PH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bv.j", "bv.val")
+    right = bands.select(
+        F.col("doc_id").alias("db"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+        F.col("j").alias("rj"),
+        F.col("val").alias("rval"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("j") == F.col("rj"))
+            & (F.col("val") == F.col("rval"))
+            & (F.col("doc_id") < F.col("db")),
+        )
+        .select(
+            F.col("doc_id").alias("da"),
+            "db",
+            "b0",
+            "b1",
+            "b2",
+            "b3",
+            "c0",
+            "c1",
+            "c2",
+            "c3",
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.expr(f"bit_count(b{j} ^ c{j})") for j in range(PH_BANDS)
+    )
+    return (
+        cand.select(
+            "da",
+            "db",
+            hamming.cast("int").alias("hamming"),
+        )
+        .withColumn("is_near", F.col("hamming") <= PH_HAMMING_MAX)
+        .orderBy(F.asc("hamming"), F.asc("da"), F.asc("db"))
+        .limit(PH_TOP)
+    )
