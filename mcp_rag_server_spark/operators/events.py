@@ -599,3 +599,99 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(norm)
         ).alias("p_transition"),
     ).orderBy("from_type", "to_type")
+
+
+#: Session-path mining: cap the path at the first PATH_MAX_EVENTS events
+#: of each session so the path alphabet stays bounded at any scale.
+PATH_MAX_EVENTS = 5
+PATH_TOP = 10
+
+
+@register(
+    "ev_session_paths",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+),
+ranked AS (
+  SELECT user_id, session_no, event_type,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_no,
+         array_to_string(list(event_type ORDER BY rn), '>') AS path
+  FROM ranked WHERE rn <= {PATH_MAX_EVENTS}
+  GROUP BY user_id, session_no
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP}
+""",
+    description="session-path mining: sessionize (30-min gap), take each"
+    " session's first 5 event types in event-time order, collapse to a"
+    " 'view>click>purchase' path string, top-10 paths by frequency —"
+    " the clickstream-pattern query behind funnel design",
+    tags=("events", "window", "sequence", "session"),
+)
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path assembly is ORDER-INSENSITIVE by construction: events are
+    collected as (ts, event_id, event_type) structs, array_sort'ed (the
+    struct's lexicographic order IS the session's event-time order, with
+    event_id breaking ts ties), then projected to the type sequence — so
+    the result is identical no matter what order the shuffle delivers
+    rows in, the same discipline every collect_list in this repo
+    follows. The {PATH_MAX_EVENTS}-event cap bounds per-session state and
+    the path-string alphabet (≤ |types|^{PATH_MAX_EVENTS} keys) at any
+    corpus size. Shape: one user-keyed window pass (lag + running sum
+    share it), one (user, session) aggregation, one bounded path
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        us - F.lag(us).over(w) > SESSION_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    )
+    paths = (
+        sess.withColumn("rn", rn)
+        .filter(F.col("rn") <= PATH_MAX_EVENTS)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), sp_e -> sp_e.event_type),"
+                " '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
