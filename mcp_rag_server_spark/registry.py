@@ -150,14 +150,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # The window is exactly the must-check set this round — the two
 # never-checked queries, the four new ones, the three whose behavior
 # changed, and every row whose latest driver check predates r3 — so
-# nothing needed evicting. EIGHT queries added after the window filled
+# nothing needed evicting. FIFTEEN queries added after the window filled
 # wait for r6, where they lead per the never-checked-first rule:
 # dd_incremental_minhash (the asymmetric incoming-vs-existing LSH
 # admission pass), rag_rrf_topk (reciprocal-rank fusion),
 # rag_bm25_topk (Okapi BM25), ev_gap_fill (timeline densify + ffill),
 # ev_transition_matrix (Markov event transitions), dd_substring_runs
 # (exact-substring duplicate runs), ta_zipf_fit (decimal-exact Zipf
-# regression), and sim_pq_train (PQ codebook Lloyd refinement) — all
+# regression), sim_pq_train (PQ codebook Lloyd refinement),
+# window_range_trailing30 (time-based RANGE frame),
+# ingest_partitioned_scan (hive-partitioned write + pruned read),
+# ingest_text_formats (JSONL/CSV schema-first round-trip),
+# ingest_bucketed_join (co-located bucketBy join, zero join-side
+# exchanges), ta_fuzzy_correct (SymSpell deletion-neighborhood
+# fuzzy correction), mm_phash_neardup (aHash Hamming-LSH
+# near-dup over binary blobs), and ev_session_paths (top session
+# paths via order-insensitive struct-sorted collection) — all
 # locally oracle-replayed green; r6 has ample slots (the must-check
 # set there is the ~29 r3-vintage rows plus behavior changes). The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this

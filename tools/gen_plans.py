@@ -32,7 +32,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "grouping_sets_sales", "dd_incremental_minhash", "rag_rrf_topk",
          # round-5 late additions
          "rag_bm25_topk", "ev_gap_fill", "ev_transition_matrix",
-         "dd_substring_runs", "ta_zipf_fit", "sim_pq_train"]
+         "dd_substring_runs", "ta_zipf_fit", "sim_pq_train",
+         "window_range_trailing30", "ingest_partitioned_scan",
+         "ingest_text_formats", "ingest_bucketed_join", "ta_fuzzy_correct", "mm_phash_neardup", "ev_session_paths"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
