@@ -695,3 +695,140 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(PATH_TOP)
     )
+
+
+#: Recursive reachability: keep only transition edges seen at least
+#: this often (sparsifies the |types|² graph so hop depths are
+#: non-trivial: at sf0.01, 'view' reaches signup/click at 1 hop and
+#: purchase/error only at 2).
+REACH_MIN_TRANSITIONS = 400
+REACH_START = "view"
+REACH_MAX_HOPS = 4
+
+_REACH_EDGES_SQL = f"""
+SELECT from_type, to_type FROM (
+  SELECT from_type, to_type, COUNT(*) AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM {{src}}
+  ) WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+) WHERE n >= {REACH_MIN_TRANSITIONS}
+"""
+
+_REACH_RECURSE_SQL = f"""
+WITH RECURSIVE reach(event_type, hops) AS (
+  SELECT '{REACH_START}', 0
+  UNION ALL
+  SELECT e.to_type, r.hops + 1
+  FROM reach r JOIN {{edges}} e ON e.from_type = r.event_type
+  WHERE r.hops < {REACH_MAX_HOPS}
+)
+SELECT event_type, CAST(MIN(hops) AS BIGINT) AS min_hops
+FROM reach
+GROUP BY event_type
+ORDER BY min_hops, event_type
+"""
+
+
+@register(
+    "sql_recursive_reach",
+    # DuckDB allows non-recursive CTEs inside WITH RECURSIVE, so the
+    # oracle prepends the edge derivation and reuses the IDENTICAL
+    # recursion text.
+    oracle=f"WITH RECURSIVE edges AS ({_REACH_EDGES_SQL.format(src='events')})"
+    + _REACH_RECURSE_SQL.format(edges="edges").replace(
+        "WITH RECURSIVE reach", ", reach"
+    ),
+    description="recursive-CTE reachability (Spark 4 WITH RECURSIVE):"
+    " min-hop distance from 'view' over the frequent-transition graph"
+    " (edges with >=400 observations) — iterative graph traversal"
+    " expressed declaratively, identical recursion SQL both engines",
+    tags=("events", "sql", "recursive", "graph"),
+)
+def sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursion SQL is IDENTICAL on both engines; the edge
+    derivation is materialized FIRST (a single-partition
+    localCheckpoint'd DataFrame) because a recursive member re-evaluates
+    every CTE it references per iteration — inlined, each of the
+    {REACH_MAX_HOPS} steps re-ran the lead window over the whole events
+    table (4.2 s at sf0.1; ~1.5 s materialized, and what remains is the
+    loop executor's fixed per-iteration job-scheduling cost, independent
+    of corpus size). That split is also the right scale design: derive
+    the small graph from big data once, then traverse. The recursion's
+    working set is one row per (reachable type, path) with depth capped
+    at {REACH_MAX_HOPS}. For unbounded graphs at 100 TB use the
+    star-contraction operator instead (O(log n) rounds, each a bounded
+    shuffle)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_reach_v"
+    )
+    edges = spark.sql(_REACH_EDGES_SQL.format(src="events_reach_v"))
+    edges.coalesce(1).localCheckpoint(eager=True).createOrReplaceTempView(
+        "edges_reach_v"
+    )
+    return spark.sql(_REACH_RECURSE_SQL.format(edges="edges_reach_v"))
+
+
+#: Conditional-aggregate pack threshold.
+COND_HIGH = 90.0
+
+
+@register(
+    "agg_conditional_argmax",
+    oracle=f"""
+WITH cond AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         CAST(count_if(value > {COND_HIGH}) AS BIGINT) AS n_high,
+         bool_or(value > {COND_HIGH}) AS any_high,
+         bool_and(value > 0) AS all_positive
+  FROM events GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rmax,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT c.event_type, c.n_events, c.n_high, c.any_high, c.all_positive,
+       mx.user_id AS top_value_user, mn.user_id AS bottom_value_user
+FROM cond c
+JOIN (SELECT event_type, user_id FROM ranked WHERE rmax = 1) mx
+  USING (event_type)
+JOIN (SELECT event_type, user_id FROM ranked WHERE rmin = 1) mn
+  USING (event_type)
+ORDER BY c.event_type
+""",
+    description="conditional/argmax aggregate pack: count_if, bool_or,"
+    " bool_and, and max_by/min_by with a total (value, event_id)"
+    " ordering key — single-pass map-side-combinable aggregates that"
+    " replace the rank-window-then-filter idiom for argmax",
+    tags=("events", "agg", "conditional"),
+)
+def agg_conditional_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by take struct(value, event_id) as their ordering key
+    — event_id makes the key TOTAL, so a duplicated max value cannot
+    produce engine-dependent winners (the same discipline as every
+    rank tie-break here; the oracle realizes the identical ordering as
+    rank-1 windows). Unlike the window idiom, max_by partial-aggregates:
+    one combined (event_type) row per map task crosses the wire instead
+    of a per-group sort — the argmax shape that scales. count_if/
+    bool_or/bool_and fold into the same single aggregation pass."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("value", "event_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"count_if(value > {COND_HIGH})").alias("n_high"),
+            F.expr(f"bool_or(value > {COND_HIGH})").alias("any_high"),
+            F.expr("bool_and(value > 0)").alias("all_positive"),
+            F.max_by("user_id", key).alias("top_value_user"),
+            F.min_by("user_id", key).alias("bottom_value_user"),
+        )
+        .orderBy("event_type")
+    )
