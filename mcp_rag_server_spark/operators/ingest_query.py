@@ -614,3 +614,100 @@ def ingest_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: GDPR-deletion geometry: hash-bucketed user partitions; the erasure
+#: set below hits a strict subset of buckets, so the rewrite must touch
+#: only those directories (dynamic partition overwrite).
+GDPR_BUCKETS = 16
+GDPR_DELETE_USERS = (3, 19, 35)  # all ≡ 3 (mod 16) → exactly ONE bucket
+
+
+@register(
+    "ingest_gdpr_delete",
+    oracle=f"""
+SELECT CAST(user_id % {GDPR_BUCKETS} AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MAX(event_id) AS max_event_id
+FROM events
+WHERE user_id NOT IN {GDPR_DELETE_USERS!r}
+GROUP BY user_id % {GDPR_BUCKETS}
+ORDER BY user_bucket
+""",
+    description="right-to-erasure deletion over a user-bucketed layout:"
+    " events stored partitionBy(user_bucket), the erasure set's bucket"
+    " rewritten via DYNAMIC partition overwrite (untouched buckets keep"
+    " their original files — asserted), then the whole store audited —"
+    " surgical compliance deletes instead of full-table rewrites",
+    tags=("ingest", "sources", "partitioning", "delete"),
+)
+def ingest_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion pipeline: (1) store events partitioned by
+    user_bucket = user_id % {GDPR_BUCKETS}; (2) read ONLY the buckets the
+    erasure set maps to (partition pruning bounds the read); (3)
+    anti-filter the erased users; (4) write back with
+    partitionOverwriteMode=dynamic — Spark replaces exactly the
+    partitions present in the written frame and leaves every other
+    directory's files untouched (this function asserts the untouched
+    buckets' files are byte-identical paths afterwards). At 100 TB a
+    deletion request rewrites |affected buckets| / {GDPR_BUCKETS} of the
+    store, not all of it — the entire point of keying the layout by the
+    deletion domain. The final audit aggregate runs over the whole
+    post-delete store and is hashed against the oracle's NOT IN."""
+    ev = load_table(spark, sf_dir, "events")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_gd_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    store = os.path.join(base, "store")
+    (
+        ev.withColumn("user_bucket", F.col("user_id") % GDPR_BUCKETS)
+        .repartition("user_bucket")
+        .write.partitionBy("user_bucket")
+        .parquet(store)
+    )
+    affected = sorted({u % GDPR_BUCKETS for u in GDPR_DELETE_USERS})
+
+    def clean_bucket_files() -> dict[str, list[str]]:
+        # enumerate the bucket dirs that actually exist (tiny fixtures
+        # may not populate all GDPR_BUCKETS values)
+        return {
+            d: sorted(os.listdir(os.path.join(store, d)))
+            for d in os.listdir(store)
+            if d.startswith("user_bucket=")
+            and int(d.split("=")[1]) not in affected
+        }
+
+    before = clean_bucket_files()
+    # Materialize the survivors BEFORE overwriting: the write targets
+    # the same path it reads, and dynamic overwrite deletes the source
+    # files at commit — a lazy plan would race its own input. (A table
+    # format's MERGE does this transactionally; on raw parquet the
+    # staged rewrite is the correct shape, and the staged set is one
+    # bucket's survivors, not the store.)
+    kept = (
+        spark.read.parquet(store)
+        .filter(F.col("user_bucket").isin(affected))
+        .filter(~F.col("user_id").isin(*GDPR_DELETE_USERS))
+        .localCheckpoint(eager=True)
+    )
+    (
+        kept.repartition("user_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("user_bucket")
+        .parquet(store)
+    )
+    after = clean_bucket_files()
+    # dynamic overwrite must not have touched the other buckets
+    assert before == after, "dynamic partition overwrite rewrote clean buckets"
+    return (
+        spark.read.parquet(store)
+        .groupBy(F.col("user_bucket").cast("bigint").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("user_bucket")
+    )
