@@ -456,3 +456,75 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+#: Pre-filtered search predicate: metadata constraints applied BEFORE
+#: any vector math (126 of 500 docs qualify at sf0.01 — selective but
+#: non-vacuous).
+FILT_LANG = "en"
+FILT_MIN_CHARS = 250
+FILT_K = 5
+
+
+@register(
+    "sim_filtered_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.label, d.lang, d.n_chars, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = '{FILT_LANG}' AND d.n_chars >= {FILT_MIN_CHARS}
+    AND e.vec_id <> 0
+)
+SELECT c.vec_id, c.label, c.lang, c.n_chars,
+       round({duckdb_cosine('c.embedding', 'q.qv')}, 4) AS score
+FROM cand c CROSS JOIN q
+ORDER BY score DESC, c.vec_id ASC
+LIMIT {FILT_K}
+""",
+    description="pre-filtered vector search: metadata predicate (lang +"
+    " min length) composed with cosine top-k, filter applied BEFORE any"
+    " scoring — the filtered-ANN query every real vector store serves"
+    " (post-filtering top-k instead can return fewer than k or force"
+    " huge overfetch)",
+    tags=("similarity", "vector", "topk", "filter"),
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-filtering (constrain, then rank) vs post-filtering (rank,
+    then drop) is the classic filtered-ANN design choice: post-filtering
+    a top-k can yield < k survivors or demand unbounded overfetch when
+    the predicate is selective. Here the metadata join + predicate cut
+    the candidate set before any vector math — the document side prunes
+    to (doc_id, lang, n_chars) and its filters push to the parquet scan;
+    scoring + heap top-k run on the survivors only. At 100 TB with the
+    IVF/PQ layouts this same composition applies the predicate in the
+    cell-pruned candidate stream before ADC scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(
+            docs.filter(
+                (F.col("lang") == FILT_LANG)
+                & (F.col("n_chars") >= FILT_MIN_CHARS)
+            ),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "lang",
+            "n_chars",
+            cosine_score("embedding", "qv").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(FILT_K)
+    )
