@@ -150,7 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # The window is exactly the must-check set this round — the two
 # never-checked queries, the four new ones, the three whose behavior
 # changed, and every row whose latest driver check predates r3 — so
-# nothing needed evicting. FIFTEEN queries added after the window filled
+# nothing needed evicting. NINETEEN queries added after the window filled
 # wait for r6, where they lead per the never-checked-first rule:
 # dd_incremental_minhash (the asymmetric incoming-vs-existing LSH
 # admission pass), rag_rrf_topk (reciprocal-rank fusion),
@@ -164,8 +164,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ingest_bucketed_join (co-located bucketBy join, zero join-side
 # exchanges), ta_fuzzy_correct (SymSpell deletion-neighborhood
 # fuzzy correction), mm_phash_neardup (aHash Hamming-LSH
-# near-dup over binary blobs), and ev_session_paths (top session
-# paths via order-insensitive struct-sorted collection) — all
+# near-dup over binary blobs), ev_session_paths (top session
+# paths via order-insensitive struct-sorted collection),
+# sql_recursive_reach (Spark 4 WITH RECURSIVE min-hop graph
+# traversal), and agg_conditional_argmax (count_if/bool_or/
+# bool_and/max_by/min_by with total ordering keys),
+# ingest_gdpr_delete (dynamic-partition-overwrite erasure), and
+# sim_filtered_topk (pre-filtered vector search) — all
 # locally oracle-replayed green; r6 has ample slots (the must-check
 # set there is the ~29 r3-vintage rows plus behavior changes). The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this

@@ -34,7 +34,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "rag_bm25_topk", "ev_gap_fill", "ev_transition_matrix",
          "dd_substring_runs", "ta_zipf_fit", "sim_pq_train",
          "window_range_trailing30", "ingest_partitioned_scan",
-         "ingest_text_formats", "ingest_bucketed_join", "ta_fuzzy_correct", "mm_phash_neardup", "ev_session_paths"]
+         "ingest_text_formats", "ingest_bucketed_join", "ta_fuzzy_correct", "mm_phash_neardup", "ev_session_paths",
+         "sql_recursive_reach", "agg_conditional_argmax",
+         "ingest_gdpr_delete", "sim_filtered_topk"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
