@@ -355,3 +355,63 @@ def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(deduped, output_mode="append")
     return out.orderBy("user_id", "event_type", "ts_sec")
+
+
+@register(
+    "st_enrich_static",
+    oracle=f"""
+SELECT date_trunc('hour', e.ts) AS window_start,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       {duckdb_dsum("e.value", 4)} AS total_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY date_trunc('hour', e.ts), COALESCE(c.c_mktsegment, 'UNKNOWN')
+ORDER BY window_start, segment
+""",
+    description="STREAMING stream-static enrichment: the event stream"
+    " LEFT-joined per micro-batch to the static customer dimension"
+    " (unmatched users kept as UNKNOWN), then watermarked 1h windows per"
+    " market segment — the enrich-then-aggregate topology most"
+    " production streams run",
+    tags=("streaming", "events", "join", "window"),
+)
+def st_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static joins need NO watermark and keep NO join state:
+    the static side is re-resolved per micro-batch (a dimension update
+    is picked up by the next batch — exactly the slowly-changing-dim
+    freshness real enrichment wants) and at fixture/dim scale the
+    planner broadcasts it inside each batch, so the stream never
+    shuffles before the windowed aggregation. The LEFT join keeps
+    events whose user has no customer row (segment='UNKNOWN') — an
+    inner join would silently drop them from the totals, the classic
+    enrichment bug. The windowed agg downstream is the standard
+    watermarked state-store aggregation (state = open windows ×
+    segments)."""
+    from mcp_rag_server_spark.catalog import load_table
+
+    stream = read_event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        dim, stream["user_id"] == dim["c_custkey"], "left"
+    ).select(
+        "ts",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "value",
+    )
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg).orderBy("window_start", "segment")
