@@ -432,3 +432,59 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     below_join = tree[tree.index("SortMergeJoin"):]
     assert "Exchange" not in below_join, below_join
     assert "Bucketed: true" in plan_string(df), "scans not bucketed"
+
+
+def test_bm25_single_corpus_shuffle_heap_topk(spark):
+    """rag_bm25_topk: the tf aggregation is the only corpus-wide
+    shuffle; everything downstream runs on the broadcast-filtered
+    sliver and the result is a heap top-k, not a global sort."""
+    df = q(spark, "rag_bm25_topk")
+    assert has_take_ordered(df)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_substring_runs_no_allpairs(spark):
+    """dd_substring_runs: duplicate detection is a count>=2 aggregation
+    keyed by shingle hash — a self-join of positioned shingles would be
+    quadratic in the corpus."""
+    df = q(spark, "dd_substring_runs")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert has_take_ordered(df)
+
+
+def test_phash_decode_is_arrow_batched(spark):
+    """mm_phash_neardup: the hash runs in the Arrow-batched Python
+    decode stage; the LSH join must be an equi-join on (band, value),
+    never a nested-loop over hash pairs."""
+    df = q(spark, "mm_phash_neardup")
+    plan = plan_string(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_correct_blocked_join(spark):
+    """ta_fuzzy_correct: candidates come from the deletion-key equi-join
+    (SymSpell blocking); Levenshtein runs as a post-join filter, never
+    as a join condition that forces a nested loop."""
+    plan = plan_string(q(spark, "ta_fuzzy_correct"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_single_user_keyed_shuffle_family(spark):
+    """ev_gap_fill: timeline explode is narrow; the hourly agg, span
+    agg, left join, and ffill window all key by user_id — no global
+    window, no cartesian."""
+    plan = plan_string(q(spark, "ev_gap_fill"))
+    assert "CartesianProduct" not in plan
+    # the ffill window partitions by user_id (a global window would
+    # print an empty partition spec); column ids like user_id#12L are
+    # stripped before matching
+    import re
+
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(user_id" in stripped, stripped[:2000]
