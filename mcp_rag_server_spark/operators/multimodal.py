@@ -250,33 +250,42 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Perceptual-hash geometry: 64 sample points → 64-bit aHash carried as
-#: 4×16-bit band values (PH_BANDS columns b0..b3). The banding IS the
-#: LSH: near-identical content differs in ≤ PH_HAMMING_MAX bits, so by
-#: pigeonhole at least one 16-bit band is byte-identical — candidates
-#: are exactly the pairs sharing a (band, value) bucket.
+#: PH_BANDS band values of PH_BW bits each. The banding IS the LSH, and
+#: its pigeonhole guarantee is exact only below the band count: d <
+#: PH_BANDS flipped bits cannot touch every band, so candidate recall
+#: is COMPLETE for hamming ≤ PH_BANDS−1 = 3 and PROBABILISTIC for
+#: 4..PH_HAMMING_MAX (a pair differing by exactly one bit per band is
+#: missed — tests/test_blocking_properties.py pins both the guarantee
+#: and that boundary counterexample). This is the standard
+#: Hamming-LSH trade (cf. the SimHash dedup literature): more/narrower
+#: bands widen the complete radius but coarsen the buckets — an 8×8
+#: variant measured here blew candidate fan-in up 7× on this corpus —
+#: and dd_lsh_band_audit measures exactly this dial for MinHash.
 PH_POINTS = 64
 PH_BANDS = 4
+PH_BW = 16  # bits per band; PH_BANDS * PH_BW == PH_POINTS
 PH_HAMMING_MAX = 6
 PH_TOP = 15
 
-PHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+_PH_COLS = [f"b{j}" for j in range(PH_BANDS)]
+PHASH_SCHEMA = "doc_id bigint, " + ", ".join(f"{c} int" for c in _PH_COLS)
 
 
 def fake_phash(blob: bytes) -> list[int]:
     """STUB perceptual hash (no image libs): average-hash over 64 bytes
     sampled evenly from the blob — bit_i = sample_i > mean(samples),
-    packed into 4 little-endian 16-bit bands. A real deployment decodes
-    pixels, downsamples to 8x8 luma, and applies the identical
-    bit = px > mean rule (the classic aHash); the arithmetic after
-    'decode' is byte-for-byte what runs here."""
+    packed into PH_BANDS little-endian PH_BW-bit bands. A real
+    deployment decodes pixels, downsamples to 8x8 luma, and applies the
+    identical bit = px > mean rule (the classic aHash); the arithmetic
+    after 'decode' is byte-for-byte what runs here."""
     n = len(blob)
     v = [blob[(i * n) // PH_POINTS] for i in range(PH_POINTS)]
     mean = sum(v) / float(PH_POINTS)
     bands = []
     for j in range(PH_BANDS):
         acc = 0
-        for k in range(16):
-            if v[16 * j + k] > mean:
+        for k in range(PH_BW):
+            if v[PH_BW * j + k] > mean:
                 acc |= 1 << k
         bands.append(acc)
     return bands
@@ -290,11 +299,16 @@ def phash_bands(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = [fake_phash(x) for x in b[blob_col]]
-            out = pd.DataFrame(rows, columns=["b0", "b1", "b2", "b3"])
+            out = pd.DataFrame(rows, columns=_PH_COLS)
             out.insert(0, "doc_id", b[id_col].values)
             yield out
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+_PH_HAM_SQL = " + ".join(
+    f"bit_count(xor(ba[{j + 1}], bb[{j + 1}]))" for j in range(PH_BANDS)
+)
 
 
 @register(
@@ -311,8 +325,8 @@ WITH samp AS (
 ph AS (
   SELECT doc_id,
          list_transform(range(0, {PH_BANDS}), j ->
-           CAST(list_sum(list_transform(range(0, 16),
-             k -> CASE WHEN v[16*j + k + 1] > list_sum(v) / {PH_POINTS}.0
+           CAST(list_sum(list_transform(range(0, {PH_BW}),
+             k -> CASE WHEN v[{PH_BW}*j + k + 1] > list_sum(v) / {PH_POINTS}.0
                        THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END))
                 AS BIGINT)) AS b
   FROM samp
@@ -326,10 +340,7 @@ cand AS (
     ON a.j = b.j AND a.val = b.val AND a.doc_id < b.doc_id
 ),
 ham AS (
-  SELECT da, db,
-         bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
-         + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
-           AS hamming
+  SELECT da, db, {_PH_HAM_SQL} AS hamming
   FROM cand
 )
 SELECT da, db, CAST(hamming AS INT) AS hamming,
@@ -341,23 +352,34 @@ LIMIT {PH_TOP}
     description="perceptual-hash near-duplicate detection over binary"
     " blobs: 64-bit aHash computed in the mapInPandas decode stage"
     " (deterministic fake with a SQL twin), 4x16-bit Hamming-LSH"
-    " banding (pigeonhole-complete for <=15-bit distance), bit_count"
-    " XOR verify on bucket-mates only — image near-dup at corpus scale"
-    " with no all-pairs stage",
+    " banding (candidate recall complete for distance <= 3,"
+    " probabilistic to the verify threshold 6 — property-tested with"
+    " the boundary counterexample), bit_count XOR verify on"
+    " bucket-mates only — image near-dup at corpus scale with no"
+    " all-pairs stage",
     tags=("multimodal", "dedup", "mapInPandas", "lsh"),
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-level near-dup pass for media: dd_* families hash
-    TEXT; this hashes the BLOB through the decode boundary. Banding is
-    pigeonhole-complete: two 64-bit hashes within {PH_HAMMING_MAX} bits
-    differ in at most {PH_HAMMING_MAX} < 16 positions, so at least one of
-    the 4 bands matches exactly — the bucket join misses nothing at the
-    verify threshold. Scale: hash is a narrow Arrow pass; the join is
-    keyed by (band, value) — fan-in is Σ bucket², controlled by band
-    width exactly like dd_minhash_lsh's banding; verify is integer XOR
-    popcount. Spark computes bands in Python (the production decode
-    shape); the oracle derives identical bands from the ASCII bytes, so
-    the driver hash pins decode arithmetic AND the LSH+verify plumbing."""
+    TEXT; this hashes the BLOB through the decode boundary. The recall
+    contract is stated EXACTLY: hamming ≤ 3 < PH_BANDS flips cannot
+    touch all 4 bands, so those pairs are caught with certainty; for
+    distances 4..6 a pair spreading its differences one-per-band can be
+    missed (the property suite constructs that counterexample — an
+    earlier revision of this operator claimed completeness at 6 and was
+    falsified by it). The same suite shows the complete-at-6
+    alternatives and why they lose: 8×8-bit bands are complete to 7 but
+    coarsen buckets ~7× on this corpus, band-PAIR keys are complete to
+    6 but push real near-pairs past the threshold once the hash has
+    honest entropy — probabilistic-above-a-floor with a cheap verify is
+    the standard Hamming-LSH operating point (SimHash dedup
+    literature), and dd_lsh_band_audit exists precisely to measure that
+    dial. Scale: hash is a narrow Arrow pass; the join is keyed by
+    (band, value) — fan-in is Σ bucket², controlled by band width;
+    verify is integer XOR popcount. Spark computes bands in Python (the
+    production decode shape); the oracle derives identical bands from
+    the ASCII bytes, so the driver hash pins the decode arithmetic AND
+    the LSH+verify plumbing."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= PH_POINTS
     )
@@ -365,10 +387,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = phash_bands(blobs)
     bands = ph.select(
         "doc_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
+        *_PH_COLS,
         F.explode(
             F.array(*[
                 F.struct(
@@ -377,13 +396,10 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(PH_BANDS)
             ])
         ).alias("bv"),
-    ).select("doc_id", "b0", "b1", "b2", "b3", "bv.j", "bv.val")
+    ).select("doc_id", *_PH_COLS, "bv.j", "bv.val")
     right = bands.select(
         F.col("doc_id").alias("db"),
-        F.col("b0").alias("c0"),
-        F.col("b1").alias("c1"),
-        F.col("b2").alias("c2"),
-        F.col("b3").alias("c3"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(PH_BANDS)],
         F.col("j").alias("rj"),
         F.col("val").alias("rval"),
     )
@@ -397,14 +413,8 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_id").alias("da"),
             "db",
-            "b0",
-            "b1",
-            "b2",
-            "b3",
-            "c0",
-            "c1",
-            "c2",
-            "c3",
+            *_PH_COLS,
+            *[f"c{j}" for j in range(PH_BANDS)],
         )
         .distinct()
     )
