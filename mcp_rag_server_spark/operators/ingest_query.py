@@ -698,6 +698,22 @@ def ingest_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("user_bucket")
         .parquet(store)
     )
+    # Dynamic overwrite replaces only partitions PRESENT in the written
+    # frame — a bucket whose every row was erased contributes none, so
+    # its old files silently survive (the classic delete-everything
+    # no-op; the sf0.001 fixture, one user per bucket, exposed it: the
+    # erased user's whole bucket stayed on disk). Fully-emptied buckets
+    # need the explicit directory delete a table format's commit would
+    # have done.
+    present = {
+        r.user_bucket
+        for r in kept.select("user_bucket").distinct().collect()
+    }
+    for b in affected:
+        if b not in present:
+            shutil.rmtree(
+                os.path.join(store, f"user_bucket={b}"), ignore_errors=True
+            )
     after = clean_bucket_files()
     # dynamic overwrite must not have touched the other buckets
     assert before == after, "dynamic partition overwrite rewrote clean buckets"

@@ -242,3 +242,36 @@ def test_band_audit_full_corpus_branch_parity(spark, tmp_path):
     assert canon_rows(list(spdf.columns), srows) == canon_rows(
         list(ddf.columns), drows
     )
+
+
+def test_gdpr_delete_drops_fully_emptied_bucket(spark):
+    """Dynamic partition overwrite replaces only partitions PRESENT in
+    the written frame — erasing every row of a bucket contributes no
+    partition, so without the explicit directory delete the old files
+    silently survive. sf0.001 has exactly one user per bucket, so the
+    erased user's whole bucket must vanish from the result (this
+    fixture caught the bug: a cross-SF oracle sweep mismatched only
+    here while sf0.01, where the bucket keeps other users, passed)."""
+    import duckdb as _duckdb
+
+    from test_oracle_parity import canon_rows
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    spdf = (
+        load_all()["ingest_gdpr_delete"].spark_fn(spark, sf).toPandas()
+    )
+    # bucket 3 (users 3/19/35 all ≡ 3 mod 16) must be gone entirely
+    assert 3 not in set(spdf["user_bucket"])
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    ddf = con.execute(load_all()["ingest_gdpr_delete"].oracle).fetchdf()
+    con.close()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert canon_rows(list(spdf.columns), srows) == canon_rows(
+        list(ddf.columns), drows
+    )
