@@ -49,16 +49,18 @@ from mcp_rag_server_spark.registry import register
 def chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """splitChunks (reference src/indexer.ts:201-215) as a Python UDTF:
     ``eval`` yields one row per character window. Registered and invoked
-    through SQL LATERAL — the standard table-function call shape. Scale
-    note: UDTF rows cross the Python boundary one at a time; prefer the
-    codegen chunker (chunk_split) unless the fan-out logic needs Python.
+    through SQL LATERAL — the standard table-function call shape.
+    ``useArrow=True`` moves the Python boundary to Arrow batches
+    (ArrowEvalPythonUDTF — plan-linted: the row-at-a-time
+    BatchEvalPython path is banned repo-wide); prefer the codegen
+    chunker (chunk_split) unless the fan-out logic needs Python.
     """
     from pyspark.sql.functions import udtf
 
     stride = chunk_stride(DOC_CHUNK_SIZE, DOC_CHUNK_OVERLAP)
     size = DOC_CHUNK_SIZE
 
-    @udtf(returnType="chunk int, chunk_text string")
+    @udtf(returnType="chunk int, chunk_text string", useArrow=True)
     class ChunkUDTF:
         def eval(self, text: str):  # noqa: D102 - UDTF contract
             if not text:
