@@ -528,3 +528,253 @@ def ta_dedup_budget_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Full admission pipeline gates (each chosen non-vacuous on the
+#: comparison fixture: lang keeps 167/500, quality trims short docs,
+#: the fingerprint groups drop ~20% near-dups, the char budget
+#: truncates every source's tail).
+ADM_MIN_TOKENS = 20
+ADM_MAX_TOKENS = 1000
+ADM_MIN_DISTINCT = 0.3
+ADM_CHAR_BUDGET = 1200
+
+_ADM_EN_LEX = "['the', 'a', 'of', 'value', 'fast']"
+_ADM_TECH_LEX = "['query', 'data', 'stream', 'group', 'filter']"
+
+
+@register(
+    "ta_admission_pipeline",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             {_ADM_EN_LEX})) >=
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+             {_ADM_TECH_LEX})) AS en_like
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         n_tokens BETWEEN {ADM_MIN_TOKENS} AND {ADM_MAX_TOKENS}
+           AND distinct_ratio >= {ADM_MIN_DISTINCT} AS quality_ok
+  FROM feat
+),
+surv AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY CASE WHEN len(string_split(text, ' ')) >= 3
+             THEN list_min(list_transform(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> array_to_string(
+                   list_slice(string_split(text, ' '), i, i + 2), ' ')),
+               s -> md5(s)))
+             ELSE md5(text) END
+           ORDER BY doc_id) AS dup_rn
+  FROM flagged WHERE en_like AND quality_ok
+),
+scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(aug, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+         + len(regexp_extract_all(aug, '555-[0-9]{{4}}')) AS n_pii,
+         length(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '555-[0-9]{{4}}', '[PHONE]', 'g')) AS clean_len
+  FROM (
+    SELECT doc_id, source,
+           text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com now'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS aug
+    FROM surv WHERE dup_rn = 1
+  )
+),
+budgeted AS (
+  SELECT *,
+         SUM(clean_len) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM scrubbed
+),
+drops AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(CASE WHEN NOT en_like THEN 1 END) AS drop_lang,
+         COUNT(CASE WHEN en_like AND NOT quality_ok THEN 1 END)
+           AS drop_quality
+  FROM flagged GROUP BY source
+),
+dupdrops AS (
+  SELECT source, COUNT(CASE WHEN dup_rn > 1 THEN 1 END) AS drop_dup
+  FROM surv GROUP BY source
+),
+final AS (
+  SELECT source,
+         COUNT(CASE WHEN n_pii > 0 THEN 1 END) AS n_redacted,
+         COUNT(CASE WHEN cum_chars <= {ADM_CHAR_BUDGET} THEN 1 END) AS kept,
+         COUNT(CASE WHEN cum_chars > {ADM_CHAR_BUDGET} THEN 1 END)
+           AS drop_budget,
+         CAST(COALESCE(SUM(CASE WHEN cum_chars <= {ADM_CHAR_BUDGET}
+                           THEN clean_len END), 0) AS BIGINT) AS chars_kept
+  FROM budgeted GROUP BY source
+)
+SELECT d.source, d.n_docs, d.drop_lang, d.drop_quality,
+       dd.drop_dup, f.n_redacted, f.kept, f.drop_budget, f.chars_kept
+FROM drops d
+JOIN dupdrops dd USING (source)
+JOIN final f USING (source)
+ORDER BY d.source
+""",
+    description="the FULL admission pipeline as one plan: lexicon"
+    " language gate -> token/diversity quality gate -> near-dup"
+    " fingerprint dedup -> PII redaction -> per-source character"
+    " budget, with per-source drop accounting at every stage — the"
+    " five-stage chain real corpus builds run, hash-checked end to end"
+    " including cross-stage semantics",
+    tags=("text", "quality", "dedup", "pii", "mixture", "pipeline"),
+)
+def ta_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends ta_dedup_budget_pipeline's 2-stage composition to the
+    full 5-stage admission chain, still ONE Catalyst plan with no
+    materialization between stages. The hash covers every cross-stage
+    contract the per-operator checks cannot see: a non-English doc must
+    not reach dedup, a duplicate must not be scrubbed or consume
+    budget, and the budget counts REDACTED lengths (scrub shortens
+    docs, so a scrub regression moves the cutoff). Stage keys differ —
+    md5-fingerprint for the dedup window, source for the budget window
+    — so the plan shuffles once per key, same as its 2-stage sibling;
+    the drop-accounting branches are per-source aggregates joined at
+    the end (broadcast-sized). Gates reuse the registered operators'
+    exact expressions (ta_langid_heuristic's lexicons, ta_fingerprint's
+    1-perm MinHash, ta_pii_scrub's inject+redact)."""
+    from pyspark.sql import Window
+
+    from mcp_rag_server_spark.functions.text import word_shingles_sql
+    from mcp_rag_server_spark.operators.training_prep import (
+        EMAIL_RE,
+        PHONE_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    en_lex = F.array(*[F.lit(w) for w in ("the", "a", "of", "value", "fast")])
+    tech_lex = F.array(
+        *[F.lit(w) for w in ("query", "data", "stream", "group", "filter")]
+    )
+    n_tokens = F.size(F.split("text", " "))
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            F.size(F.array_intersect(toks, en_lex))
+            >= F.size(F.array_intersect(toks, tech_lex))
+        ).alias("en_like"),
+        (
+            n_tokens.between(ADM_MIN_TOKENS, ADM_MAX_TOKENS)
+            & (
+                F.size(F.array_distinct(F.split("text", " "))).cast("double")
+                / n_tokens
+                >= ADM_MIN_DISTINCT
+            )
+        ).alias("quality_ok"),
+    )
+    sh_sql = word_shingles_sql("split(text, ' ')", 3, var="adm")
+    fp = F.expr(
+        f"CASE WHEN size({sh_sql}) > 0 "
+        f"THEN array_min(transform({sh_sql}, admv -> md5(admv))) "
+        f"ELSE md5(text) END"
+    )
+    surv = flagged.filter(F.col("en_like") & F.col("quality_ok")).select(
+        "doc_id",
+        "source",
+        "text",
+        F.row_number()
+        .over(Window.partitionBy(fp).orderBy("doc_id"))
+        .alias("dup_rn"),
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = (
+        surv.filter(F.col("dup_rn") == 1)
+        .select("doc_id", "source", aug.alias("aug"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.regexp_count("aug", F.lit(EMAIL_RE))
+                + F.regexp_count("aug", F.lit(PHONE_RE))
+            ).alias("n_pii"),
+            F.length(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("aug"), EMAIL_RE, "[EMAIL]"),
+                    PHONE_RE,
+                    "[PHONE]",
+                )
+            ).alias("clean_len"),
+        )
+    )
+    budgeted = scrubbed.withColumn(
+        "cum_chars",
+        F.sum("clean_len").over(
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    drops = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(~F.col("en_like"), 1)).alias("drop_lang"),
+        F.count(
+            F.when(F.col("en_like") & ~F.col("quality_ok"), 1)
+        ).alias("drop_quality"),
+    )
+    dupdrops = surv.groupBy("source").agg(
+        F.count(F.when(F.col("dup_rn") > 1, 1)).alias("drop_dup")
+    )
+    in_budget = F.col("cum_chars") <= ADM_CHAR_BUDGET
+    final = budgeted.groupBy("source").agg(
+        F.count(F.when(F.col("n_pii") > 0, 1)).alias("n_redacted"),
+        F.count(F.when(in_budget, 1)).alias("kept"),
+        F.count(F.when(~in_budget, 1)).alias("drop_budget"),
+        F.coalesce(
+            F.sum(F.when(in_budget, F.col("clean_len"))), F.lit(0)
+        ).alias("chars_kept"),
+    )
+    return (
+        drops.join(dupdrops, "source")
+        .join(final, "source")
+        .select(
+            "source",
+            "n_docs",
+            "drop_lang",
+            "drop_quality",
+            "drop_dup",
+            "n_redacted",
+            "kept",
+            "drop_budget",
+            "chars_kept",
+        )
+        .orderBy("source")
+    )
