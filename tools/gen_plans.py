@@ -36,7 +36,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "window_range_trailing30", "ingest_partitioned_scan",
          "ingest_text_formats", "ingest_bucketed_join", "ta_fuzzy_correct", "mm_phash_neardup", "ev_session_paths",
          "sql_recursive_reach", "agg_conditional_argmax",
-         "ingest_gdpr_delete", "sim_filtered_topk", "st_enrich_static"]
+         "ingest_gdpr_delete", "sim_filtered_topk", "st_enrich_static",
+         "ta_admission_pipeline"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
