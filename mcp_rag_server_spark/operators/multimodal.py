@@ -431,3 +431,105 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("hamming"), F.asc("da"), F.asc("db"))
         .limit(PH_TOP)
     )
+
+
+#: Resize target: every image downsampled to a RS_T×RS_T thumbnail
+#: (nearest-neighbor) regardless of source dimensions.
+RS_T = 4
+
+
+def fake_resize(blob: bytes) -> dict:
+    """STUB resize (no image libs): the fake 'image' is byte_len-derived
+    W×H with pixel(x, y) = blob[(y*W + x) % len] (the same
+    byte-arithmetic family as fake_image_decoder); nearest-neighbor
+    downsample to RS_T×RS_T and an exact integer checksum of the
+    thumbnail. A PIL deployment swaps in Image.resize with the same
+    dict contract — the Arrow plumbing, schema, and per-row shape are
+    the production path either way."""
+    n = len(blob)
+    w = 1 + n % FAKE_W_MOD
+    h = 1 + (n * 7) % FAKE_H_MOD
+    acc = 0
+    for ty in range(RS_T):
+        for tx in range(RS_T):
+            x = (tx * w) // RS_T
+            y = (ty * h) // RS_T
+            acc += blob[(y * w + x) % n]
+    return {
+        "orig_w": w,
+        "orig_h": h,
+        "new_w": RS_T,
+        "new_h": RS_T,
+        "thumb_sum": acc,
+    }
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_w int, orig_h int, new_w int, new_h int,"
+    " thumb_sum bigint"
+)
+
+
+def resize_images(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, binary) → resize metadata + thumbnail checksum via
+    mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [fake_resize(x) for x in b[blob_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", b[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(CAST(text AS BLOB)) AS n,
+         1 + octet_length(CAST(text AS BLOB)) % {FAKE_W_MOD} AS w,
+         1 + (octet_length(CAST(text AS BLOB)) * 7) % {FAKE_H_MOD} AS h
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS orig_w,
+       CAST(h AS INTEGER) AS orig_h,
+       {RS_T} AS new_w,
+       {RS_T} AS new_h,
+       CAST(list_sum(list_transform(range(0, {RS_T * RS_T}), i ->
+         ascii(substr(text,
+           (((i // {RS_T}) * h // {RS_T}) * w
+            + ((i % {RS_T}) * w // {RS_T})) % n + 1, 1))))
+        AS BIGINT) AS thumb_sum
+FROM dims
+ORDER BY doc_id
+""",
+    description="image resize through the decode boundary: deterministic"
+    f" fake W×H pixel grid nearest-neighbor downsampled to {RS_T}x{RS_T}"
+    " in mapInPandas, with an exact thumbnail checksum the SQL twin"
+    " re-derives byte-for-byte — the resize stage of every multimodal"
+    " preprocessing pipeline (decode/feature/frame-sample siblings"
+    " above), Arrow-batched and shuffle-free",
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize: thumb(tx, ty) = px(tx·W//T, ty·H//T) —
+    integer-exact in both engines (the corpus is ASCII — checked by
+    the phash oracle family too — so the oracle reads each sampled
+    byte as ascii(substr(text, k+1, 1)), the char code being the
+    byte). The checksum makes the WHOLE
+    thumbnail hash-checked: any off-by-one in the sampling grid, the
+    byte indexing, or the batch plumbing flips it. Plan: one narrow
+    Arrow pass, no shuffle before the presentation sort — resizing a
+    100 TB image corpus is exactly this plan with a PIL decoder
+    injected."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return resize_images(blobs).orderBy("doc_id")
