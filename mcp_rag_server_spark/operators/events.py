@@ -832,3 +832,81 @@ def agg_conditional_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: CEP pattern: the strict-ADJACENT view→click→purchase sequence (no
+#: intervening event), with a completion deadline.
+CEP_DEADLINE_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "ev_cep_conversion",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         epoch_us(lead(ts, 2) OVER w) - epoch_us(ts) AS span_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+  SELECT user_id, span_us FROM seq
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+)
+SELECT user_id,
+       COUNT(*) AS n_patterns,
+       CAST(COUNT(CASE WHEN span_us <= {CEP_DEADLINE_US} THEN 1 END)
+            AS BIGINT) AS n_within_24h,
+       CAST(MIN(span_us) // 1000000 AS BIGINT) AS fastest_span_s
+FROM hits
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="complex-event-pattern detection: STRICT-adjacent"
+    " view->click->purchase runs per user (no intervening event —"
+    " stricter than ev_funnel's any-order stage minima) with a 24h"
+    " completion deadline — the MATCH_RECOGNIZE-style contiguous"
+    " sequence query, composed from lead() offsets",
+    tags=("events", "window", "sequence", "cep"),
+)
+def ev_cep_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length contiguous patterns need no state machine: the
+    k-step pattern is a conjunction over lead(·, 0..k-1) on ONE
+    user-keyed window (all three leads share the same sort — one
+    shuffle, one per-key pass; ev_funnel covers the unordered-stage
+    variant, ev_session_paths the whole-sequence census). The deadline
+    span is an exact integer epoch difference floor-divided to seconds
+    — no float, engine-identical. Variable-length patterns (A then
+    eventually B with conditions) escalate to
+    applyInPandasWithState/transformWithState, already registered in
+    the streaming pack."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        (
+            F.unix_micros(F.lead("ts", 2).over(w)) - F.unix_micros("ts")
+        ).alias("span_us"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_patterns"),
+            F.count(
+                F.when(F.col("span_us") <= CEP_DEADLINE_US, 1)
+            ).alias("n_within_24h"),
+            (F.floor(F.min("span_us") / 1_000_000))
+            .cast("bigint")
+            .alias("fastest_span_s"),
+        )
+        .orderBy("user_id")
+    )
