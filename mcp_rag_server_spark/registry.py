@@ -150,7 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # The window is exactly the must-check set this round — the two
 # never-checked queries, the four new ones, the three whose behavior
 # changed, and every row whose latest driver check predates r3 — so
-# nothing needed evicting. TWENTY-TWO queries added after the window filled
+# nothing needed evicting. TWENTY-THREE queries added after the window filled
 # wait for r6, where they lead per the never-checked-first rule:
 # dd_incremental_minhash (the asymmetric incoming-vs-existing LSH
 # admission pass), rag_rrf_topk (reciprocal-rank fusion),
@@ -173,8 +173,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # sim_filtered_topk (pre-filtered vector search),
 # st_enrich_static (stream-static dimension enrichment), and
 # ta_admission_pipeline (the 5-stage lang→quality→dedup→PII→
-# budget admission chain as one plan), and mm_image_resize
-# (nearest-neighbor thumbnail through the decode boundary) — all
+# budget admission chain as one plan), mm_image_resize
+# (nearest-neighbor thumbnail through the decode boundary), and
+# ev_cep_conversion (strict-adjacent sequence pattern with a
+# completion deadline) — all
 # locally oracle-replayed green; r6 has ample slots (the must-check
 # set there is the ~29 r3-vintage rows plus behavior changes). The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
