@@ -23,13 +23,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from test_oracle_parity import canon_rows  # noqa: E402
 
+from mcp_rag_server_spark.catalog import TABLES  # noqa: E402
 from mcp_rag_server_spark.registry import load_all  # noqa: E402
 from mcp_rag_server_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events"
-    " documents embeddings"
-).split()
 
 
 def main() -> int:
