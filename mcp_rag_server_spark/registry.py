@@ -177,8 +177,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (nearest-neighbor thumbnail through the decode boundary), and
 # ev_cep_conversion (strict-adjacent sequence pattern with a
 # completion deadline) — all
-# locally oracle-replayed green; r6 has ample slots (the must-check
-# set there is the ~29 r3-vintage rows plus behavior changes). The 49 round-4-green rows (plus the r3-green remainder)
+# locally oracle-replayed green. r6 window arithmetic: 23 never-checked
+# queries (these 21 + dd_incremental_minhash + rag_rrf_topk) plus the
+# ~29 r3-vintage rows total ~52 for 50 slots — never-checked first, so
+# the 2 least-risky r3-vintage re-checks (unchanged files, green since
+# r3) slide to r7; r6's builder should confirm with
+# tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row
