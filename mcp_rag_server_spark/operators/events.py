@@ -910,3 +910,91 @@ def ev_cep_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ev_hypertable_rollup",
+    oracle=f"""
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS m, event_type,
+         COUNT(*) AS n, {duckdb_dsum('value', 4)} AS v
+  FROM events GROUP BY date_trunc('minute', ts), event_type
+),
+hour AS (
+  SELECT date_trunc('hour', m) AS h, event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM minute GROUP BY date_trunc('hour', m), event_type
+),
+day AS (
+  SELECT date_trunc('day', h) AS d, event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM hour GROUP BY date_trunc('day', h), event_type
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM minute) AS n_minute_rows,
+         (SELECT COUNT(*) FROM hour) AS n_hour_rows
+)
+SELECT d.d AS day, d.event_type, d.n AS n_events, d.v AS total_value,
+       d.v / d.n AS avg_value,
+       c.n_minute_rows, c.n_hour_rows
+FROM day d CROSS JOIN counts c
+ORDER BY day, event_type
+""",
+    description="hypertable-style continuous-aggregate rollup: minute ->"
+    " hour -> day, each level re-aggregated FROM the level below (never"
+    " from raw) with decimal-exact composable partials — the"
+    " multi-resolution lattice time-series stores maintain; the day"
+    " level is hashed against the oracle's identical chain, so a"
+    " non-composable partial (an avg carried instead of sum+count)"
+    " breaks the hash",
+    tags=("events", "window", "rollup", "timeseries"),
+)
+def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate contract is that partials COMPOSE:
+    count and decimal-sum re-aggregate exactly level-to-level, and avg
+    is derived (sum/count, one IEEE division) only at read time — carry
+    an average through the lattice and day-level numbers drift, which
+    the hash would catch. Each level is one keyed partial aggregation
+    whose input is the (much smaller) level below: at 100 TB the
+    minute level is the only scan of raw events, hour reads ~1/60th of
+    that, day ~1/1440th — the entire economics of hypertable rollups,
+    and the same shape foreachBatch MERGE maintains incrementally in
+    the streaming pack (st_latest_state). The minute/hour row counts
+    ride along so the hash also pins the intermediate cardinalities,
+    not just the top of the lattice."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum("value", 4).alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("v"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("h")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("v").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    counts = minute.agg(F.count("*").alias("n_minute_rows")).crossJoin(
+        hour.agg(F.count("*").alias("n_hour_rows"))
+    )
+    return (
+        day.crossJoin(F.broadcast(counts))
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            "total_value",
+            (F.col("total_value") / F.col("n_events")).alias("avg_value"),
+            "n_minute_rows",
+            "n_hour_rows",
+        )
+        .orderBy("day", "event_type")
+    )
