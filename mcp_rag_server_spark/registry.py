@@ -150,7 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # The window is exactly the must-check set this round — the two
 # never-checked queries, the four new ones, the three whose behavior
 # changed, and every row whose latest driver check predates r3 — so
-# nothing needed evicting. TWENTY-THREE queries added after the window filled
+# nothing needed evicting. TWENTY-FOUR queries added after the window filled
 # wait for r6, where they lead per the never-checked-first rule:
 # dd_incremental_minhash (the asymmetric incoming-vs-existing LSH
 # admission pass), rag_rrf_topk (reciprocal-rank fusion),
@@ -176,11 +176,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # budget admission chain as one plan), mm_image_resize
 # (nearest-neighbor thumbnail through the decode boundary), and
 # ev_cep_conversion (strict-adjacent sequence pattern with a
-# completion deadline) — all
-# locally oracle-replayed green. r6 window arithmetic: 23 never-checked
-# queries (these 21 + dd_incremental_minhash + rag_rrf_topk) plus the
-# ~29 r3-vintage rows total ~52 for 50 slots — never-checked first, so
-# the 2 least-risky r3-vintage re-checks (unchanged files, green since
+# completion deadline), and ev_hypertable_rollup (minute→hour→day
+# continuous-aggregate lattice) — all
+# locally oracle-replayed green. r6 window arithmetic: 24 never-checked
+# queries (these 22 + dd_incremental_minhash + rag_rrf_topk) plus the
+# ~29 r3-vintage rows total ~53 for 50 slots — never-checked first, so
+# the ~3 least-risky r3-vintage re-checks (unchanged files, green since
 # r3) slide to r7; r6's builder should confirm with
 # tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this

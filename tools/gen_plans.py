@@ -37,7 +37,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ingest_text_formats", "ingest_bucketed_join", "ta_fuzzy_correct", "mm_phash_neardup", "ev_session_paths",
          "sql_recursive_reach", "agg_conditional_argmax",
          "ingest_gdpr_delete", "sim_filtered_topk", "st_enrich_static",
-         "ta_admission_pipeline", "mm_image_resize", "ev_cep_conversion"]
+         "ta_admission_pipeline", "mm_image_resize", "ev_cep_conversion",
+         "ev_hypertable_rollup"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
