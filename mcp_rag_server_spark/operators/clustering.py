@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
 
 KM_DIMS = 64
@@ -204,6 +205,136 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("dd").cast("decimal(18,6)")).cast("double"), 4
             ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+#: SemDeDup cosine threshold — same contract as dedup.py's
+#: COSINE_NEARDUP_THRESHOLD (rounded-4 score is the decision value).
+SEMDEDUP_THRESHOLD = 0.35
+
+_SD_ORACLE = f"""
+WITH pos AS (SELECT unnest(range(1, {KM_DIMS} + 1)) AS i),
+elem AS (
+  SELECT e.vec_id, e.label, CAST(p.i - 1 AS INT) AS d,
+         CAST(e.embedding[p.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN pos p
+),
+c0e AS (
+  SELECT label AS cluster, d,
+         CAST(SUM(CAST(round(x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM elem GROUP BY label, d
+),
+c0 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM c0e GROUP BY cluster),
+d1 AS (
+  SELECT e.vec_id, c.cluster, {{dist}} AS dd
+  FROM embeddings e CROSS JOIN c0 c
+),
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS drop_id, b.cluster
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({{cos}}, 4) >= {SEMDEDUP_THRESHOLD}
+),
+drops AS (SELECT cluster, COUNT(DISTINCT drop_id) AS n_dropped FROM pairs
+          GROUP BY cluster),
+sizes AS (SELECT cluster, COUNT(*) AS n_vectors FROM asg GROUP BY cluster)
+SELECT s.cluster, s.n_vectors,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       s.n_vectors - COALESCE(d.n_dropped, 0) AS n_kept,
+       CAST(s.n_vectors - COALESCE(d.n_dropped, 0) AS DOUBLE)
+         / s.n_vectors AS keep_ratio
+FROM sizes s LEFT JOIN drops d ON s.cluster = d.cluster
+ORDER BY s.cluster
+"""
+
+
+@register(
+    "dd_semdedup",
+    oracle=_SD_ORACLE.format(
+        dist=_km_duck_dist("e.embedding", "c.cvec"),
+        cos=duckdb_cosine("ea.embedding", "eb.embedding"),
+    ),
+    description="SemDeDup cluster-blocked semantic dedup: k-means-assign"
+    " embeddings to learned centroids, find within-cluster cosine pairs"
+    " >= 0.35, drop the higher id of each pair — per-cluster kept/"
+    "dropped census hashed against the oracle's identical chain"
+    " (Abbas et al. 2023, SemDeDup)",
+    tags=("dedup", "vector", "clustering"),
+)
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's economics: the quadratic cosine stage is confined
+    WITHIN learned clusters (cluster = blocking key), so cost is
+    Σ cluster² instead of corpus² — same bound shape as MinHash
+    banding, but over embedding space, which catches semantic dups
+    lexical shingles miss. The assignment reuses the kmeans pack's
+    broadcast-centroid arg-min (one combined row per vector crosses
+    the wire); the pair join shuffles both sides once on cluster; at
+    100 TB cluster count scales with corpus (fixed expected cluster
+    size) so the per-cluster work is constant and the whole pass is
+    one keyed self-join. Keep-decision is the deterministic lowest-id
+    rule (a vector is dropped iff a smaller-id neighbor scores >=
+    threshold on the ROUNDED-4 value, dedup.py's decision contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elem = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        F.col("label").alias("cluster"),
+        F.col("pos").cast("int").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    c0 = _centroids_from(elem)
+    asg = _assign(emb, c0, keep_embedding=True).select(
+        "vec_id", "cluster", "embedding"
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            cosine_score("a.embedding", "b.embedding")
+            >= F.lit(SEMDEDUP_THRESHOLD)
+        )
+        .select(
+            F.col("b.vec_id").alias("drop_id"),
+            F.col("b.cluster").alias("cluster"),
+        )
+    )
+    drops = pairs.groupBy("cluster").agg(
+        F.countDistinct("drop_id").alias("n_dropped")
+    )
+    sizes = asg.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    return (
+        sizes.join(drops, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).alias("n_kept"),
+            (
+                (
+                    F.col("n_vectors")
+                    - F.coalesce(F.col("n_dropped"), F.lit(0))
+                ).cast("double")
+                / F.col("n_vectors")
+            ).alias("keep_ratio"),
         )
         .orderBy("cluster")
     )

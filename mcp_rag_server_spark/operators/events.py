@@ -998,3 +998,67 @@ def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+#: EWMA lookback depth (terms) and dyadic decay alpha = 1/2.
+EWMA_LAGS = 8
+
+
+def _ewma_sql() -> str:
+    """ONE SQL text for both engines (parity by construction): hourly
+    decimal-exact totals, then an EWMA whose 8 dyadic-weight terms are
+    a FIXED-operand-order double expression over lag() columns —
+    per-row IEEE math (registry rule 3), no order-dependent float
+    aggregate anywhere."""
+    lags = ",\n         ".join(
+        f"lag(v, {k}) OVER (PARTITION BY event_type ORDER BY h) AS l{k}"
+        for k in range(EWMA_LAGS)
+    )
+    num = " + ".join(
+        f"COALESCE(l{k}, CAST(0 AS DOUBLE)) * CAST({0.5 ** (k + 1)!r} AS DOUBLE)"
+        for k in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{k} IS NOT NULL THEN CAST({0.5 ** (k + 1)!r} AS DOUBLE)"
+        f" ELSE CAST(0 AS DOUBLE) END)"
+        for k in range(EWMA_LAGS)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+),
+lagged AS (
+  SELECT event_type, h, v,
+         {lags}
+  FROM hourly
+)
+SELECT event_type, h AS hour, v AS hourly_value,
+       ({num}) / ({den}) AS ewma
+FROM lagged
+ORDER BY event_type, hour
+"""
+
+
+@register(
+    "ev_ewma_value",
+    oracle=_ewma_sql(),
+    description="exponentially-weighted moving average (alpha=1/2,"
+    " 8-term truncation) over per-type hourly value totals — the"
+    " time-series smoothing primitive, as one keyed window with"
+    " fixed-operand-order dyadic-weight terms (identical IEEE math in"
+    " both engines, no order-dependent float aggregate)",
+    tags=("events", "window", "timeseries", "ewma"),
+)
+def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truncated-EWMA formulation keeps smoothing DISTRIBUTABLE:
+    the textbook recursive EWMA (s_t = a·v_t + (1-a)·s_{t-1}) is a
+    sequential scan, but with a = 1/2 the weight of the 9th-newest
+    point is < 0.2%, so an 8-term window is numerically the same
+    smoother and runs as ONE per-type window (one shuffle, lag() reads
+    no state beyond the frame). Spark executes the literal oracle text
+    — parity by construction — and at 100 TB the window partitions by
+    series key exactly like ev_gap_fill/ev_scd2_intervals."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ewma_sql())

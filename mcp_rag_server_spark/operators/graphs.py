@@ -1,0 +1,187 @@
+"""Iterative graph centrality as joins + aggregations (PageRank).
+
+The dedup pack covers the *contraction* style of graph iteration
+(star-contraction connected components, dedup.py); this module covers
+the *propagation* style: power-iteration PageRank, the canonical
+"rank ⋈ edges → re-aggregate" loop behind link analysis, influence
+scoring, and graph-based data valuation. Each iteration is exactly two
+distributed primitives —
+
+  scatter: ranks ⋈ edges on src  → per-edge contribution rank·w/wout
+  gather:  one shuffle keyed by dst → decimal-exact contribution sums
+
+— so an iteration costs one keyed join plus one bounded shuffle. The
+rank table is one row per node: it shuffles BY KEY with the edge list
+(at 100 TB both sides hash-partition on src, and a pre-bucketed edge
+table makes the scatter join exchange-free across all iterations —
+same layout argument as ingest_bucketed_join). A fixed iteration count
+keeps the whole computation SQL-expressible, so the DuckDB oracle
+replays it CTE-for-CTE and the driver hash-checks real iterative graph
+analytics, not just its plumbing.
+
+The graph here is the event-type transition graph (same user-ordered
+lead() edge derivation as ev_transition_matrix) — small, but the plan
+shape is node-count-invariant: nothing below ever enumerates nodes on
+the driver (node count rides as a broadcast 1-row aggregate).
+
+Determinism discipline (registry rules): per-edge contributions are
+IEEE double math in a fixed operand order (identical in both engines),
+rounded to 9 and summed as DECIMAL(19,9) — order-independent — then
+cast back to double for the damping update. Reference: Page et al.
+1999 (the PageRank technical report); teleport term (1-d)/N with
+d = 0.85. Every node in this graph has out-edges (it appears as a
+transition source), so no dangling-mass redistribution is needed; a
+corpus with sinks would add the standard dangling-sum broadcast term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+
+#: Damping factor (Page et al. 1999) and fixed power-iteration count.
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled oracle iteration: scatter (c{i}), gather (s{i}),
+    damping update (r{i})."""
+    prev = f"r{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT e.dst AS node, r.rank * e.w / e.wout AS c
+  FROM ewn e JOIN {prev} r ON r.node = e.src
+),
+s{i} AS (
+  SELECT node, CAST(SUM(CAST(round(c, 9) AS DECIMAL(19,9))) AS DOUBLE) AS s
+  FROM c{i} GROUP BY node
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({1 - PR_DAMPING} AS DOUBLE) / nn.n
+           + CAST({PR_DAMPING} AS DOUBLE)
+             * COALESCE(s.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n CROSS JOIN nn LEFT JOIN s{i} s ON n.node = s.node
+)"""
+
+
+_PR_ORACLE = f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w
+  FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+),
+outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src
+),
+ewn AS (
+  SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN outw o ON e.src = o.src
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+ne AS (SELECT COUNT(*) AS n_edges FROM edges),
+r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+),{",".join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))}
+SELECT r.node AS event_type,
+       round(r.rank, 6) AS pagerank,
+       nn.n AS n_nodes,
+       ne.n_edges
+FROM r{PR_ITERS} r CROSS JOIN nn CROSS JOIN ne
+ORDER BY pagerank DESC, event_type
+"""
+
+
+@register(
+    "ev_pagerank_types",
+    oracle=_PR_ORACLE,
+    description="power-iteration PageRank over the event-type transition"
+    " graph (3 unrolled scatter/gather iterations, decimal-exact"
+    " contribution sums, damping 0.85) — the rank ⋈ edges → re-aggregate"
+    " loop of link analysis, hash-checked against the oracle's identical"
+    " CTE chain",
+    tags=("events", "graph", "iterative", "pagerank"),
+)
+def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration with the damping update r' = (1-d)/N + d·Σ
+    rank·w/wout. The edge+out-weight table is built once and cached —
+    every iteration's scatter join re-scans it (the same
+    materialize-the-loop-invariant move as sql_recursive_reach and the
+    star-contraction rounds). Contributions are summed per dst through
+    round-9 DECIMAL(19,9) partials so the gather is order-independent;
+    the (1-d)/N teleport and d·s update are fixed-operand-order IEEE
+    double math, identical in DuckDB. N and |E| ride along as broadcast
+    1-row aggregates (never a driver-side count), so the plan shape is
+    unchanged when the node table is a billion users instead of five
+    event types."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = trans.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    ewn = edges.join(outw, "src").cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .cache()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1).cast("double") / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.withColumnRenamed("node", "src")
+            .join(ewn, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("wout")).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum(F.round(F.col("c"), 9).cast("decimal(19,9)"))
+            .cast("double")
+            .alias("s")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1 - PR_DAMPING).cast("double") / F.col("n")
+                    + F.lit(PR_DAMPING)
+                    * F.coalesce(F.col("s"), F.lit(0).cast("double"))
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            F.col("node").alias("event_type"),
+            F.round(F.col("rank"), 6).alias("pagerank"),
+            F.col("n").alias("n_nodes"),
+            "n_edges",
+        )
+        .orderBy(F.col("pagerank").desc(), "event_type")
+    )

@@ -136,3 +136,257 @@ def agg_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p", "n_rows", in_bound.alias("approx_in_bound")
     ).orderBy("p")
+
+
+#: Bloom prefilter geometry: m bits, k md5-seeded hash positions.
+BLOOM_M = 8192
+BLOOM_K = 3
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(dialect: str, key_expr: str, seed: int) -> str:
+    """Bit position ``h_seed(key) mod m`` from an 8-hex-digit md5 prefix
+    — the same cross-engine 32-bit fold as dedup.py's _hexval8."""
+    if dialect == "spark":
+        h = f"substr(md5(concat('b{seed}:', CAST({key_expr} AS STRING))), 1, 8)"
+        return f"CAST(conv({h}, 16, 10) AS BIGINT) % {BLOOM_M}"
+    h = f"substr(md5('b{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+    return f"CAST('0x' || {h} AS BIGINT) % {BLOOM_M}"
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bloom_pos('duckdb', 'c_custkey', j)} AS pos FROM build"
+        for j in range(BLOOM_K)
+    )}
+  )
+),
+pk AS (SELECT DISTINCT o_custkey FROM orders),
+probe AS (
+  {" UNION ALL ".join(
+      f"SELECT o_custkey, {_bloom_pos('duckdb', 'o_custkey', j)} AS pos"
+      " FROM pk"
+      for j in range(BLOOM_K)
+  )}
+),
+flags AS (
+  SELECT p.o_custkey,
+         BOOL_AND(b.pos IS NOT NULL) AS is_candidate
+  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.o_custkey
+),
+verdicts AS (
+  SELECT f.o_custkey, f.is_candidate,
+         (c.c_custkey IS NOT NULL) AS is_true
+  FROM flags f LEFT JOIN build c ON f.o_custkey = c.c_custkey
+),
+keystats AS (
+  SELECT COUNT(*) AS n_probe_keys,
+         COUNT(CASE WHEN is_candidate THEN 1 END) AS n_candidate_keys,
+         COUNT(CASE WHEN is_true THEN 1 END) AS n_true_keys,
+         COUNT(CASE WHEN is_candidate AND NOT is_true THEN 1 END)
+           AS n_fp_keys,
+         COUNT(CASE WHEN is_true AND NOT is_candidate THEN 1 END)
+           AS n_missed_keys
+  FROM verdicts
+),
+rowstats AS (
+  SELECT COUNT(*) AS n_candidate_rows
+  FROM orders o JOIN verdicts v
+    ON o.o_custkey = v.o_custkey AND v.is_candidate
+)
+SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+       (SELECT COUNT(*) FROM bits) AS n_bits_set,
+       k.n_probe_keys, k.n_candidate_keys, k.n_true_keys, k.n_fp_keys,
+       k.n_missed_keys, r.n_candidate_rows,
+       CAST(k.n_fp_keys AS DOUBLE)
+         / (k.n_probe_keys - k.n_true_keys) AS fp_rate
+FROM keystats k CROSS JOIN rowstats r
+""",
+    description="Bloom-filter semi-join prefilter audit: a k=3/m=8192"
+    " md5-seeded bloom built from BUILDING-segment customers prunes the"
+    " orders probe side before the true join; candidate/true/false-"
+    "positive accounting (zero missed keys = the no-false-negative"
+    " contract) is hashed against an oracle replaying the identical"
+    " bit math",
+    tags=("join", "sketch", "bloom", "approx"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter pattern behind Spark's own
+    InSubqueryExec/bloom runtime filters and every warehouse's
+    semi-join pushdown, made explicit and auditable: build-side keys
+    hash to k bit positions (the distinct-position table IS the bitmap
+    — ≤ m rows, broadcast), the probe side keeps a key only when ALL k
+    of its positions are set, and the true join runs on the survivors.
+    At 100 TB the win is shuffle mass: the probe shuffle carries only
+    candidates (true matches + the hashed fp_rate), and the bitmap
+    rides the broadcast lane no matter how large the probe is. The
+    no-false-negative contract (n_missed_keys = 0) and the measured
+    fp_rate are both inside the driver hash. Spark's native
+    bloom_filter_agg produces an engine-specific binary the oracle
+    can't replay — this md5-position formulation keeps the identical
+    membership math runnable in DuckDB."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT).select(
+        "c_custkey"
+    )
+    bits = None
+    for j in range(BLOOM_K):
+        part = build.select(
+            F.expr(_bloom_pos("spark", "c_custkey", j)).alias("pos")
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+
+    pk = orders.select("o_custkey").distinct()
+    probe = None
+    for j in range(BLOOM_K):
+        part = pk.select(
+            "o_custkey",
+            F.expr(_bloom_pos("spark", "o_custkey", j)).alias("pos"),
+        )
+        probe = part if probe is None else probe.unionByName(part)
+    flags = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(True))), "pos", "left")
+        .groupBy("o_custkey")
+        .agg(F.bool_and(F.col("hit").isNotNull()).alias("is_candidate"))
+    )
+    verdicts = flags.join(
+        F.broadcast(build.withColumn("t", F.lit(True))),
+        flags.o_custkey == build.c_custkey,
+        "left",
+    ).select(
+        "o_custkey",
+        "is_candidate",
+        F.col("t").isNotNull().alias("is_true"),
+    )
+    keystats = verdicts.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.count(F.when(F.col("is_candidate"), 1)).alias("n_candidate_keys"),
+        F.count(F.when(F.col("is_true"), 1)).alias("n_true_keys"),
+        F.count(
+            F.when(F.col("is_candidate") & ~F.col("is_true"), 1)
+        ).alias("n_fp_keys"),
+        F.count(
+            F.when(F.col("is_true") & ~F.col("is_candidate"), 1)
+        ).alias("n_missed_keys"),
+    )
+    rowstats = (
+        orders.join(
+            F.broadcast(verdicts.filter(F.col("is_candidate"))),
+            "o_custkey",
+        )
+        .agg(F.count("*").alias("n_candidate_rows"))
+    )
+    nb = build.agg(F.count("*").alias("n_build_keys"))
+    nbits = bits.agg(F.count("*").alias("n_bits_set"))
+    return (
+        nb.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(keystats))
+        .crossJoin(F.broadcast(rowstats))
+        .select(
+            "n_build_keys",
+            "n_bits_set",
+            "n_probe_keys",
+            "n_candidate_keys",
+            "n_true_keys",
+            "n_fp_keys",
+            "n_missed_keys",
+            "n_candidate_rows",
+            (
+                F.col("n_fp_keys").cast("double")
+                / (F.col("n_probe_keys") - F.col("n_true_keys"))
+            ).alias("fp_rate"),
+        )
+    )
+
+
+#: Equi-width histogram bucket count.
+HIST_NB = 20
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle=f"""
+WITH ext AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem
+),
+b AS (
+  SELECT CAST(LEAST(FLOOR((l_extendedprice - e.lo)
+                          / ((e.hi - e.lo) / {HIST_NB})),
+                    {HIST_NB - 1}) AS INT) AS bucket,
+         l_extendedprice, e.lo, e.hi
+  FROM lineitem CROSS JOIN ext e
+)
+SELECT bucket,
+       lo + bucket * ((hi - lo) / {HIST_NB}) AS bucket_lo,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+            AS DOUBLE) AS sum_price
+FROM b
+GROUP BY bucket, lo, hi
+ORDER BY bucket
+""",
+    description=f"equi-width histogram ({HIST_NB} buckets) over"
+    " l_extendedprice with data-derived [min,max] edges riding a"
+    " broadcast 1-row aggregate — the profile/EDA primitive behind"
+    " optimizer column statistics, one narrow pass + one bounded-key"
+    " aggregation",
+    tags=("agg", "histogram", "profile"),
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes: a 1-row min/max aggregate (broadcast back onto the
+    scan — never a driver-side collect) and one group-by on the derived
+    bucket id, whose cardinality is the constant NB regardless of table
+    size, so the final shuffle carries NB combined rows per map task.
+    The bucket edges and the FLOOR assignment are fixed-operand-order
+    IEEE double math — identical in DuckDB — and per-bucket sums go
+    through round-4 DECIMAL partials (order-independent) like every
+    float aggregate in the registry."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(HIST_NB)
+    b = li.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+            F.lit(HIST_NB - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "l_extendedprice",
+        "lo",
+        "hi",
+    )
+    return (
+        b.groupBy("bucket", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.round(F.col("l_extendedprice"), 4).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (
+                F.col("lo")
+                + F.col("bucket") * ((F.col("hi") - F.col("lo")) / F.lit(HIST_NB))
+            ).alias("bucket_lo"),
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("bucket")
+    )

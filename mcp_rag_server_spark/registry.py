@@ -216,6 +216,7 @@ def load_all() -> dict[str, QuerySpec]:
         embed,
         events,
         fileops,
+        graphs,
         ingest_query,
         maps,
         multimodal,
