@@ -1081,3 +1081,75 @@ def dd_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_run_tokens"), F.asc("doc_id"))
         .limit(SUBSTR_TOP)
     )
+
+
+#: Containment threshold (Broder 1997's asymmetric resemblance).
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAIN_ORACLE = """
+WITH t AS (SELECT doc_id, source,
+                  list_distinct(string_split(text, ' ')) AS toks
+           FROM documents)
+SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(a.toks), 4) AS containment,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+         AS jaccard
+FROM t a JOIN t b
+  ON a.source = b.source AND a.doc_id <> b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(a.toks), 4) >= {thr}
+ORDER BY doc_contained, doc_container
+"""
+
+
+@register(
+    "dd_containment",
+    oracle=_CONTAIN_ORACLE.format(thr=CONTAINMENT_THRESHOLD),
+    description="Broder containment near-dup pairs (|A∩B|/|A| >= 0.8,"
+    " same-source blocked): catches a document EMBEDDED in a larger one"
+    " — the asymmetric overlap symmetric Jaccard dilutes below its"
+    " threshold; reports both scores per ordered pair",
+    tags=("dedup", "containment", "jaccard"),
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment c(A,B) = |A∩B|/|A| (Broder 1997, resemblance vs
+    containment): a short doc fully quoted inside a long one has
+    c(A,B) ~= 1 while Jaccard ~= |A|/|B| — arbitrarily small, so the
+    dd_jaccard_same_source edge never fires. Ordered pairs (a<>b, not
+    a<b) because containment is directional. Blocking and plan shape
+    are identical to the Jaccard pass: one same-source self-join (at
+    100 TB the blocking key becomes an LSH band as in dd_minhash_lsh;
+    for containment specifically the banding would minhash A only —
+    the probe side — which dd_incremental_minhash's asymmetric layout
+    already demonstrates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+        "double"
+    )
+    containment = F.round(inter / F.size(F.col("a.toks")), 4)
+    jaccard = F.round(
+        inter / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_contained"),
+            F.col("b.doc_id").alias("doc_container"),
+            containment.alias("containment"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_contained", "doc_container")
+    )

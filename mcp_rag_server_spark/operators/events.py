@@ -1062,3 +1062,96 @@ def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     series key exactly like ev_gap_fill/ev_scd2_intervals."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ewma_sql())
+
+
+#: Two-sided 95% critical value for the two-proportion z-test.
+ABTEST_Z_CRIT = 1.96
+
+
+def _abtest_sql() -> str:
+    """ONE SQL text for both engines: md5-parity arm assignment, exact
+    per-arm user/conversion counts (conversion = purchase share of a
+    user's events > 20% — a metric that actually varies per user; a
+    raw any-purchase flag saturates at p = 1 on this corpus), then the
+    two-proportion z statistic as fixed-operand-order IEEE double math
+    (sqrt is correctly rounded per IEEE 754 — identical in both
+    engines), NULL-guarded when the pooled rate degenerates to 0 or 1
+    (z is undefined there; the guard is an exact integer test)."""
+    arm = (
+        "CASE WHEN CAST(conv(substr(md5(concat('arm:', CAST(user_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B'"
+        " END"
+    )
+    return f"""
+WITH peruser AS (
+  SELECT user_id, {{arm}} AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   * 5 > COUNT(*) THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM peruser GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'A' THEN c END) AS conv_a,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'B' THEN c END) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / n_a AS p_a,
+       CAST(conv_b AS DOUBLE) / n_b AS p_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN NULL ELSE
+       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt(
+             (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (CAST(1 AS DOUBLE)
+                - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
+           ) END AS z_score,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN NULL ELSE
+       abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / sqrt(
+             (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (CAST(1 AS DOUBLE)
+                - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
+           )) > {ABTEST_Z_CRIT} END AS significant_95
+FROM w
+"""
+
+
+@register(
+    "ev_abtest_ztest",
+    oracle=_abtest_sql().format(
+        arm="CASE WHEN CAST('0x' || substr(md5('arm:' || CAST(user_id AS"
+        " VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+    ),
+    description="two-proportion z-test on purchase conversion between"
+    " md5-parity experiment arms — deterministic A/B bucketing, exact"
+    " per-arm counts, z statistic and 95% verdict as fixed-order IEEE"
+    " math hashed against the oracle's identical formula",
+    tags=("events", "abtest", "stats"),
+)
+def ev_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis end-to-end in one plan: hash-parity arm
+    assignment (the md5 fold every dedup/sampling op uses — i.e. a
+    REAL deterministic bucketing function, not rand()), one user-keyed
+    partial aggregation for per-user conversion, one 2-row arm
+    aggregate, then the pooled two-proportion z statistic. Counts are
+    exact integers; the statistic is per-row IEEE math over them
+    (sqrt/divide are correctly-rounded IEEE ops, registry rule 3), so
+    the full significance verdict sits inside the driver hash. At
+    100 TB the only corpus-wide shuffle is the user-keyed aggregation,
+    which partial-aggregates map-side."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    arm = (
+        "CASE WHEN CAST(conv(substr(md5(concat('arm:', CAST(user_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B'"
+        " END"
+    )
+    return spark.sql(_abtest_sql().format(arm=arm))

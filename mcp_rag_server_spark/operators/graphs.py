@@ -117,10 +117,14 @@ ORDER BY pagerank DESC, event_type
 )
 def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power iteration with the damping update r' = (1-d)/N + d·Σ
-    rank·w/wout. The edge+out-weight table is built once and cached —
-    every iteration's scatter join re-scans it (the same
-    materialize-the-loop-invariant move as sql_recursive_reach and the
-    star-contraction rounds). Contributions are summed per dst through
+    rank·w/wout. The edge+out-weight and node tables are built once and
+    localCheckpoint'd — every iteration's scatter join re-scans the
+    materialized result, and the checkpoint TRUNCATES LINEAGE so the
+    physical plan of iteration i does not replay the window/groupBy
+    chain i times (the same materialize-the-loop-invariant move as
+    sql_recursive_reach and the star-contraction rounds; with a plain
+    .cache() the static plan re-derived the subtree per iteration —
+    75 exchanges in the PLANS.md dump vs 13 after). Contributions are summed per dst through
     round-9 DECIMAL(19,9) partials so the gather is order-independent;
     the (1-d)/N teleport and d·s update are fixed-operand-order IEEE
     double math, identical in DuckDB. N and |E| ride along as broadcast
@@ -135,15 +139,15 @@ def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     edges = trans.groupBy("src", "dst").agg(F.count("*").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    ewn = edges.join(outw, "src").cache()
+    ewn = edges.join(outw, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count("*").alias("n"))
-    ne = edges.agg(F.count("*").alias("n_edges"))
+    ne = ewn.agg(F.count("*").alias("n_edges"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1).cast("double") / F.col("n")).alias("rank")

@@ -1358,3 +1358,168 @@ def window_range_trailing30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+_DIST_PACK_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         ntile(4) OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       pct_rank, cume, quartile
+FROM ranked
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+"""
+
+
+@register(
+    "window_distribution_pack",
+    oracle=_DIST_PACK_SQL,
+    description="distribution window functions — percent_rank, cume_dist,"
+    " ntile(4) — per order-priority partition with a total tie-break"
+    " ordering; the three analytic shapes the rank pack lacked, sampled"
+    " to every 100th key AFTER the windows so the full-partition values"
+    " are what gets hashed",
+    tags=("relational", "window", "distribution"),
+)
+def window_distribution_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n are exact
+    rationals evaluated as one double division — identical in both
+    engines — and ntile is pure integer bucketing, so all three hash
+    cleanly under the total (price, key) ordering. One keyed window =
+    one shuffle on o_orderpriority; the %100 sample filter sits ABOVE
+    the window (it must — sampling before the window would change
+    every distribution value) so the hashed values cover the full
+    partitions while the result stays bounded. Spark runs the literal
+    oracle text (WINDOW clause syntax is shared)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_DIST_PACK_SQL)
+
+
+_SIMPSON_SQL = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_sources,
+         CAST(SUM(n * (n - 1)) AS BIGINT) AS pair_num
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, n_sources, pair_num,
+       CAST(n_docs * (n_docs - 1) AS BIGINT) AS pair_den,
+       CAST(pair_num AS DOUBLE) / (n_docs * (n_docs - 1)) AS simpson,
+       CASE WHEN pair_num = 0 THEN NULL
+            ELSE CAST(n_docs * (n_docs - 1) AS DOUBLE) / pair_num
+       END AS effective_sources
+FROM tot
+ORDER BY lang
+"""
+
+
+@register(
+    "ta_simpson_diversity",
+    oracle=_SIMPSON_SQL,
+    description="Simpson diversity of the source mixture per language:"
+    " the collision probability Σ n_i(n_i-1) / N(N-1) as EXACT integer"
+    " numerator/denominator (hash-pinned) plus the double ratio and the"
+    " effective-source-count inverse — the mixture-balance diagnostic"
+    " for training-corpus curation, zero float aggregation",
+    tags=("textanalysis", "diversity", "mixture"),
+)
+def ta_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's index is the diversity measure that stays EXACT
+    distributed: it is a pure count statistic (the probability two
+    random docs share a source), so numerator and denominator are
+    integer partial sums — no log, no float aggregate — and the hash
+    pins the exact rationals, not a rounded transcendental (Shannon
+    entropy would hang parity on cross-libm log()). Two bounded-key
+    aggregations: (lang, source) then lang. The effective-source count
+    1/λ is the curation signal: a lang whose effective sources ≪
+    actual sources is dominated by one crawl and needs re-weighting
+    (ta_mix_temperature is the re-weighting step downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = per.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pair_num"),
+    )
+    pair_den = F.col("n_docs") * (F.col("n_docs") - 1)
+    return tot.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "pair_num",
+        pair_den.alias("pair_den"),
+        (F.col("pair_num").cast("double") / pair_den).alias("simpson"),
+        F.when(F.col("pair_num") == 0, F.lit(None).cast("double"))
+        .otherwise(pair_den.cast("double") / F.col("pair_num"))
+        .alias("effective_sources"),
+    ).orderBy("lang")
+
+
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(18,4)))
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+              AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(19,4))
+                  * CAST(round(l_extendedprice, 4) AS DECIMAL(19,4)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(19,4))
+                  * CAST(round(l_quantity, 4) AS DECIMAL(19,4)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(19,4))
+                  * CAST(round(l_extendedprice, 4) AS DECIMAL(19,4)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS pearson_r,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+         AS intercept
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_pearson_corr",
+    oracle=_CORR_SQL,
+    description="engine-exact distributed Pearson correlation + OLS"
+    " slope/intercept of extendedprice on quantity per returnflag —"
+    " decimal-exact moment sums (n, Σx, Σy, Σxy, Σx², Σy²) then one"
+    " fixed-order IEEE evaluation of the closed forms; the distributed"
+    " twin of corr()/regr_slope() without their order-dependent float"
+    " accumulation",
+    tags=("relational", "agg", "stats", "regression"),
+)
+def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in corr()/regr_*() accumulate doubles in partition order —
+    nondeterministic across partitionings and engines. The moment-sum
+    formulation is the fix that also SCALES: the five sums are
+    DECIMAL partial aggregates (order-independent, map-side combined;
+    products of two round-4 DECIMAL(19,4) values sum exactly in
+    DECIMAL(38,8); 19 not 18 because DuckDB keeps int64 storage at 18
+    and overflows the mantissa product, while ≥19 promotes to int128), so one bounded-key shuffle carries six numbers per
+    group and the correlation/regression math happens once per group
+    at the top, rounded to 9 (the moment sums carry ~18 significant
+    digits, and the two engines' decimal→double casts can differ by
+    one ulp there — DuckDB converts the int128 mantissa then divides,
+    Java rounds the decimal value once; round-9 absorbs it). Same discipline as ta_zipf_fit's
+    closed-form least squares, applied to the Pearson/OLS pair."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_CORR_SQL)

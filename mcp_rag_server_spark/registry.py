@@ -177,13 +177,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (nearest-neighbor thumbnail through the decode boundary), and
 # ev_cep_conversion (strict-adjacent sequence pattern with a
 # completion deadline), and ev_hypertable_rollup (minute→hour→day
-# continuous-aggregate lattice) — all
-# locally oracle-replayed green. r6 window arithmetic: 24 never-checked
-# queries (these 22 + dd_incremental_minhash + rag_rrf_topk) plus the
-# ~29 r3-vintage rows total ~53 for 50 slots — never-checked first, so
-# the ~3 least-risky r3-vintage re-checks (unchanged files, green since
-# r3) slide to r7; r6's builder should confirm with
-# tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
+# continuous-aggregate lattice), plus the second-sitting eleven:
+# ev_pagerank_types (unrolled power-iteration PageRank),
+# join_bloom_prefilter (bloom semi-join prefilter with FP accounting),
+# agg_histogram_equiwidth (equi-width histogram), dd_semdedup
+# (cluster-blocked semantic dedup), ev_ewma_value (dyadic-weight
+# EWMA), zorder_layout (Morton-interleave multi-dim skipping audit),
+# dd_containment (Broder asymmetric containment pairs),
+# ev_abtest_ztest (two-proportion z-test on md5-parity arms),
+# window_distribution_pack (percent_rank/cume_dist/ntile),
+# ta_simpson_diversity (exact Simpson mixture diversity), and
+# agg_pearson_corr (decimal-exact moments -> Pearson/OLS) — all
+# locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
+# arithmetic: 35 never-checked queries (the 22 above +
+# dd_incremental_minhash + rag_rrf_topk + these 11) plus ~29
+# r3-vintage rows total ~64 for 50 slots — never-checked first, then
+# r3-vintage oldest-first; the remainder slides to r7; r6's builder
+# should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row
@@ -218,6 +228,7 @@ def load_all() -> dict[str, QuerySpec]:
         fileops,
         graphs,
         ingest_query,
+        layout,
         maps,
         multimodal,
         python_api,

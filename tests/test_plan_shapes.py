@@ -488,3 +488,118 @@ def test_gap_fill_single_user_keyed_shuffle_family(spark):
 
     stripped = re.sub(r"#\d+L?", "", plan)
     assert "windowspecdefinition(user_id" in stripped, stripped[:2000]
+
+
+# --- round-5 third-sitting additions ---
+
+
+def test_pagerank_loop_invariants_are_checkpointed(spark):
+    """ev_pagerank_types: the edge/node tables are localCheckpoint'd
+    loop invariants — iteration i must scan the materialized result
+    (plan shows Scan ExistingRDD), never replay the lead-window edge
+    derivation per iteration; the per-iteration gather is a keyed
+    aggregation, no cartesian anywhere."""
+    plan = plan_string(q(spark, "ev_pagerank_types"))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    # the window chain appears at most once (checkpoint truncation):
+    assert plan.count("windowspecdefinition") <= 1
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark):
+    """join_bloom_prefilter: the bitmap (distinct positions) and the
+    build keys ride the broadcast lane; the probe side never shuffles
+    for membership."""
+    df = q(spark, "join_bloom_prefilter")
+    assert broadcast_join_count(df) >= 3
+    assert "CartesianProduct" not in plan_string(df)
+
+
+def test_histogram_edges_are_broadcast_single_pass(spark):
+    """agg_histogram_equiwidth: min/max is a 1-row broadcast aggregate;
+    the bucket group-by is the only other exchange family (no sort of
+    the raw table)."""
+    df = q(spark, "agg_histogram_equiwidth")
+    assert broadcast_join_count(df) >= 1
+    assert count_exchanges(df) <= 3
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark):
+    """dd_semdedup: the quadratic cosine stage must be an equi-join on
+    cluster (SortMergeJoin/ShuffledHashJoin on the blocking key) —
+    the only nested-loop joins allowed are the broadcast-centroid
+    cross joins inside the kmeans assignment (IdentityBroadcastMode,
+    k x dims build side, same as sim_kmeans_refine)."""
+    import re
+
+    plan = plan_string(q(spark, "dd_semdedup"))
+    assert "CartesianProduct" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    # the pair join is the only Inner SMJ in the plan; its presence
+    # (vs a nested loop carrying the cosine predicate) is the pin, and
+    # every nested-loop join is a centroid broadcast (the tree shows
+    # exactly one BNLJ per kmeans assignment, each over the k-row
+    # centroid build side — plan_lint would flag a CartesianProduct)
+    assert "SortMergeJoin Inner" in stripped, "pair join lost its equi-key"
+
+
+def test_ewma_single_keyed_window(spark):
+    """ev_ewma_value: one per-type window carries all 8 lag terms —
+    a per-lag window would shuffle 8 times."""
+    df = q(spark, "ev_ewma_value")
+    plan = plan_string(df)
+    import re
+
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_zorder_is_integer_codegen_no_shuffle_before_agg(spark):
+    """zorder_layout: bucket + interleave are pure projection over the
+    scan (wholestage codegen); the z_part aggregation and the 1-row
+    extent aggregate are the only exchanges."""
+    df = q(spark, "zorder_layout")
+    assert count_exchanges(df) <= 3
+    assert "EvalPython" not in plan_string(df)
+
+
+def test_containment_blocked_like_jaccard(spark):
+    """dd_containment: ordered pairs come from the same-source equi
+    self-join — the asymmetric score must not force a nested loop."""
+    plan = plan_string(q(spark, "dd_containment"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_abtest_single_user_shuffle(spark):
+    """ev_abtest_ztest: the user-keyed conversion aggregate is the only
+    corpus-wide shuffle; arms/stat stages aggregate 2-row inputs."""
+    df = q(spark, "ev_abtest_ztest")
+    assert count_exchanges(df) <= 3
+    assert "EvalPython" not in plan_string(df)
+
+
+def test_distribution_pack_single_priority_window(spark):
+    """window_distribution_pack: percent_rank/cume_dist/ntile share ONE
+    priority-keyed window (one shuffle), and the %100 sample is a
+    post-window filter."""
+    df = q(spark, "window_distribution_pack")
+    plan = plan_string(df)
+    import re
+
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(o_orderpriority" in stripped
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_pearson_moments_partial_aggregate(spark):
+    """agg_pearson_corr: five decimal moment sums partial-aggregate
+    map-side into one returnflag-keyed shuffle; no second pass over
+    the table (a centered two-pass formulation would scan twice)."""
+    import re
+
+    df = q(spark, "agg_pearson_corr")
+    assert count_exchanges(df) <= 2
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

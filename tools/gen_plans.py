@@ -38,7 +38,13 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "sql_recursive_reach", "agg_conditional_argmax",
          "ingest_gdpr_delete", "sim_filtered_topk", "st_enrich_static",
          "ta_admission_pipeline", "mm_image_resize", "ev_cep_conversion",
-         "ev_hypertable_rollup"]
+         "ev_hypertable_rollup",
+         # round-5 second-sitting additions
+         "ev_pagerank_types", "join_bloom_prefilter",
+         "agg_histogram_equiwidth", "dd_semdedup", "ev_ewma_value",
+         "zorder_layout", "dd_containment", "ev_abtest_ztest",
+         "window_distribution_pack", "ta_simpson_diversity",
+         "agg_pearson_corr"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
