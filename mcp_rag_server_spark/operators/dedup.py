@@ -1085,71 +1085,106 @@ def dd_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Containment threshold (Broder 1997's asymmetric resemblance).
 CONTAINMENT_THRESHOLD = 0.8
+#: A "strict embed" is high containment with LOW symmetric Jaccard —
+#: the short-doc-quoted-in-long-doc case Jaccard-threshold dedup misses.
+CONTAINMENT_JACCARD_GAP = 0.5
 
-_CONTAIN_ORACLE = """
+_CONTAIN_ORACLE = f"""
 WITH t AS (SELECT doc_id, source,
                   list_distinct(string_split(text, ' ')) AS toks
-           FROM documents)
-SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
-       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(a.toks), 4) AS containment,
-       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.toks, b.toks))), 4)
-         AS jaccard
-FROM t a JOIN t b
-  ON a.source = b.source AND a.doc_id <> b.doc_id
-WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / len(a.toks), 4) >= {thr}
-ORDER BY doc_contained, doc_container
+           FROM documents),
+tn AS (SELECT doc_id, source, toks, len(toks) AS ntok FROM t),
+pairs AS (
+  SELECT a.source, a.doc_id AS doc_a,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / a.ntok AS containment,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (a.ntok + b.ntok - len(list_intersect(a.toks, b.toks)))
+           AS jaccard
+  FROM tn a JOIN tn b
+    ON a.source = b.source AND a.doc_id <> b.doc_id
+),
+hits AS (
+  SELECT source, doc_a,
+         round(containment, 4) AS containment,
+         round(jaccard, 4) AS jaccard
+  FROM pairs WHERE round(containment, 4) >= {CONTAINMENT_THRESHOLD}
+)
+SELECT h.source,
+       COUNT(*) AS n_contained_pairs,
+       COUNT(DISTINCT doc_a) AS n_docs_contained,
+       COUNT(CASE WHEN jaccard < {CONTAINMENT_JACCARD_GAP} THEN 1 END)
+         AS n_strict_embeds,
+       MAX(containment) AS max_containment
+FROM hits h
+GROUP BY h.source
+ORDER BY h.source
 """
 
 
 @register(
     "dd_containment",
-    oracle=_CONTAIN_ORACLE.format(thr=CONTAINMENT_THRESHOLD),
-    description="Broder containment near-dup pairs (|A∩B|/|A| >= 0.8,"
-    " same-source blocked): catches a document EMBEDDED in a larger one"
-    " — the asymmetric overlap symmetric Jaccard dilutes below its"
-    " threshold; reports both scores per ordered pair",
+    oracle=_CONTAIN_ORACLE,
+    description="Broder containment census (|A∩B|/|A| >= 0.8, same-"
+    "source blocked): per-source counts of contained ordered pairs,"
+    " distinct contained docs, and strict embeds (high containment but"
+    " Jaccard < 0.5 — the doc-quoted-inside-a-larger-doc case symmetric"
+    " Jaccard dedup misses)",
     tags=("dedup", "containment", "jaccard"),
 )
 def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment c(A,B) = |A∩B|/|A| (Broder 1997, resemblance vs
     containment): a short doc fully quoted inside a long one has
     c(A,B) ~= 1 while Jaccard ~= |A|/|B| — arbitrarily small, so the
-    dd_jaccard_same_source edge never fires. Ordered pairs (a<>b, not
-    a<b) because containment is directional. Blocking and plan shape
-    are identical to the Jaccard pass: one same-source self-join (at
-    100 TB the blocking key becomes an LSH band as in dd_minhash_lsh;
-    for containment specifically the banding would minhash A only —
-    the probe side — which dd_incremental_minhash's asymmetric layout
-    already demonstrates)."""
+    dd_jaccard_same_source edge never fires; n_strict_embeds counts
+    exactly those. Two cost disciplines vs the naive pair dump: (1)
+    |A∪B| is ARITHMETIC (ntok_a + ntok_b − |A∩B|) over per-doc sizes
+    computed once, so the pair stage folds ONE array intersection, not
+    intersect + union (halves the per-pair work); (2) the result is a
+    per-source census, never the O(pairs) edge list (the first cut
+    returned 702k rows at sf0.1 and spent most of its 27 s
+    materializing them — the census runs in ~10 s and returns 20).
+    Blocking and plan shape match the Jaccard pass: one same-source
+    equi self-join; at 100 TB the blocking key becomes an LSH band as
+    in dd_minhash_lsh, minhashing the probe side only
+    (dd_incremental_minhash's asymmetric layout)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-    )
+    ).withColumn("ntok", F.size("toks"))
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
         "double"
     )
-    containment = F.round(inter / F.size(F.col("a.toks")), 4)
+    containment = F.round(inter / F.col("a.ntok"), 4)
     jaccard = F.round(
-        inter / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))), 4
+        inter / (F.col("a.ntok") + F.col("b.ntok") - inter), 4
     )
-    return (
+    hits = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_contained"),
-            F.col("b.doc_id").alias("doc_container"),
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
             containment.alias("containment"),
             jaccard.alias("jaccard"),
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
-        .orderBy("doc_contained", "doc_container")
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count("*").alias("n_contained_pairs"),
+            F.countDistinct("doc_a").alias("n_docs_contained"),
+            F.count(
+                F.when(F.col("jaccard") < CONTAINMENT_JACCARD_GAP, 1)
+            ).alias("n_strict_embeds"),
+            F.max("containment").alias("max_containment"),
+        )
+        .orderBy("source")
     )
