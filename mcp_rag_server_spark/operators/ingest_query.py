@@ -727,3 +727,75 @@ def ingest_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "ingest_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice, 4) AS DECIMAL(18,4)))
+            AS DOUBLE) AS total_price,
+       MAX(o_orderkey) AS max_orderkey
+FROM unioned
+GROUP BY COALESCE(o_orderpriority, '<pre-evolution>')
+ORDER BY priority
+""",
+    description="parquet schema evolution round-trip: write a v1 vintage"
+    " (3 columns) and a v2 vintage with an ADDED column into one"
+    " dataset, read with mergeSchema — v1 rows must surface with NULL"
+    " in the new column (hashed as the <pre-evolution> group), the"
+    " add-a-column lake migration every long-lived 100 TB dataset"
+    " goes through",
+    tags=("ingest", "sources", "schema-evolution"),
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The add-a-column contract of a parquet lake: old files keep
+    their narrow physical schema forever (no rewrite of petabytes),
+    readers get the UNION schema, and history rows read as NULL in new
+    columns. ``mergeSchema`` is what pays the footer-union cost —
+    explicitly opted in here because at scale you set the union schema
+    once in the table catalog instead of re-deriving it per read
+    (spark.read.schema(...) over the same files is the production
+    path; mergeSchema proves the files themselves need no rewrite).
+    The oracle replays the evolution from the un-split fixture (even
+    keys = v1 vintage, odd = v2), so a reader that drops pre-evolution
+    rows, backfills anything but NULL, or loses the added column on
+    the v1 slice flips the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_sev_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.coalesce(1).write.parquet(os.path.join(base, "v1"))
+    v2.coalesce(1).write.parquet(os.path.join(base, "v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>"))
+            .alias("priority")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("priority")
+    )

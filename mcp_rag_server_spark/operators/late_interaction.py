@@ -1,0 +1,235 @@
+"""Late-interaction and binary-quantization retrieval scoring.
+
+Two modern retrieval scorers the single-vector cosine family
+(similarity.py) and the codebook family (vector_audit.py) don't cover:
+
+sim_maxsim_topk — ColBERT-style MaxSim (Khattab & Zaharia, SIGIR'20):
+score(q, d) = Σ_i max_j sim(q_i, d_j) over per-token vectors. The
+fixture embedding is one 64-d vector, so "tokens" are modeled as its 8
+contiguous 8-d sub-blocks — the SHAPE of the computation (a sum over
+query tokens of a max over doc tokens, nested JVM folds, heap top-k)
+is exactly the late-interaction scorer, and the oracle replays it
+block for block. At 100 TB the doc sub-vectors are the stored
+representation and the same expression scores each candidate; the
+candidate set comes from an ANN prefilter (sim_ivf_topk /
+sim_hyperplane_lsh register that stage) — MaxSim is the re-rank leg.
+
+sim_binary_hamming_topk — 1-bit quantization: sign-binarize every
+dimension into a packed code and score by popcount of the XOR. This is
+the 64× compression point of the quantization ladder (float32 → SQ8 →
+PQ → 1-bit) and the scan is integer-only: two BIGINT XORs + popcounts
+per candidate, no float math at all. Codes pack 32 bits per BIGINT
+half (lo/hi) so the sign bit never goes near two's-complement edge
+cases in either engine.
+
+Determinism: MaxSim's per-block cosines are fixed-operand-order IEEE
+double math (registry rule 3) with the rounded-4 score as the sort
+key (rule 4); Hamming distances are exact integers. Both top-k orders
+carry a vec_id tie-break (rule 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+
+MAXSIM_BLOCKS = 8
+MAXSIM_DIM = 8
+MAXSIM_QUERY_ID = 0
+MAXSIM_TOP_K = 5
+
+
+def _ms_spark_subs(col: str) -> str:
+    """array of 8 sub-vectors (8 doubles each) from a 64-float array."""
+    return (
+        f"transform(sequence(0, {MAXSIM_BLOCKS - 1}), ms_b -> "
+        f"transform(slice({col}, ms_b * {MAXSIM_DIM} + 1, {MAXSIM_DIM}), "
+        f"ms_x -> CAST(ms_x AS DOUBLE)))"
+    )
+
+
+_MS_SPARK_COS = (
+    "(aggregate(zip_with(ms_q, ms_d, (ms_x, ms_y) -> ms_x * ms_y), "
+    "CAST(0 AS DOUBLE), (ms_a, ms_v) -> ms_a + ms_v) / "
+    "(sqrt(aggregate(transform(ms_q, ms_x -> ms_x * ms_x), "
+    "CAST(0 AS DOUBLE), (ms_a, ms_v) -> ms_a + ms_v)) * "
+    "sqrt(aggregate(transform(ms_d, ms_x -> ms_x * ms_x), "
+    "CAST(0 AS DOUBLE), (ms_a, ms_v) -> ms_a + ms_v)) + 1e-10))"
+)
+
+_MS_SPARK_SCORE = (
+    "round(aggregate(transform(qsubs, ms_q -> "
+    "array_max(transform(dsubs, ms_d -> " + _MS_SPARK_COS + "))), "
+    "CAST(0 AS DOUBLE), (ms_sa, ms_sv) -> ms_sa + ms_sv), 4)"
+)
+
+
+def _ms_duck_cos(qoff: int, doff: int) -> str:
+    """8-dim cosine between the query block at qoff and the doc block
+    at doff (1-based list offsets), same fold order as the Spark HOFs."""
+    rng = f"range(0, {MAXSIM_DIM})"
+    dot = (
+        f"list_sum(list_transform({rng}, ms_i -> "
+        f"CAST(q.embedding[{qoff} + ms_i] AS DOUBLE)"
+        f" * CAST(d.embedding[{doff} + ms_i] AS DOUBLE)))"
+    )
+    nq = (
+        f"sqrt(list_sum(list_transform({rng}, ms_i -> "
+        f"CAST(q.embedding[{qoff} + ms_i] AS DOUBLE)"
+        f" * CAST(q.embedding[{qoff} + ms_i] AS DOUBLE))))"
+    )
+    nd = (
+        f"sqrt(list_sum(list_transform({rng}, ms_i -> "
+        f"CAST(d.embedding[{doff} + ms_i] AS DOUBLE)"
+        f" * CAST(d.embedding[{doff} + ms_i] AS DOUBLE))))"
+    )
+    return f"({dot} / ({nq} * {nd} + 1e-10))"
+
+
+def _ms_oracle() -> str:
+    terms = []
+    for qb in range(MAXSIM_BLOCKS):
+        cands = ", ".join(
+            _ms_duck_cos(qb * MAXSIM_DIM + 1, db * MAXSIM_DIM + 1)
+            for db in range(MAXSIM_BLOCKS)
+        )
+        terms.append(f"greatest({cands})")
+    score = "round(" + " + ".join(terms) + ", 4)"
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings
+           WHERE vec_id = {MAXSIM_QUERY_ID}),
+scored AS (
+  SELECT d.vec_id, d.label, {score} AS maxsim
+  FROM embeddings d CROSS JOIN q
+  WHERE d.vec_id <> {MAXSIM_QUERY_ID}
+)
+SELECT vec_id, label, maxsim
+FROM scored
+ORDER BY maxsim DESC, vec_id
+LIMIT {MAXSIM_TOP_K}
+"""
+
+
+@register(
+    "sim_maxsim_topk",
+    oracle=_ms_oracle(),
+    description="ColBERT-style late-interaction MaxSim top-k: per-token"
+    " score = sum over 8 query sub-blocks of the max cosine against 8"
+    " doc sub-blocks, nested JVM folds + heap top-k, rounded-4 score is"
+    " the sort key (Khattab & Zaharia SIGIR'20)",
+    tags=("similarity", "vector", "late-interaction"),
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late interaction decomposed onto Spark: doc token-vectors are a
+    per-row nested array (the stored representation at scale), the
+    query's token-vectors ride a 1-row broadcast, and score is one
+    codegen'd nested fold — sum over query blocks of array_max over
+    doc blocks — followed by TakeOrderedAndProject (heap top-k, no
+    global sort). The whole scorer is JVM-side; nothing leaves the
+    executor but k rows. In production the corpus side is ANN-pruned
+    first; this registers the exact re-rank leg the pruned candidates
+    flow into."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MAXSIM_QUERY_ID).select(
+        F.expr(_ms_spark_subs("embedding")).alias("qsubs")
+    )
+    d = emb.filter(F.col("vec_id") != MAXSIM_QUERY_ID).select(
+        "vec_id",
+        "label",
+        F.expr(_ms_spark_subs("embedding")).alias("dsubs"),
+    )
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.expr(_MS_SPARK_SCORE).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(MAXSIM_TOP_K)
+    )
+
+
+HAM_QUERY_ID = 0
+HAM_TOP_K = 5
+
+
+def _pack_spark(col: str, lo_bit: int) -> str:
+    """Pack 32 sign bits (dims lo_bit..lo_bit+31) into a BIGINT."""
+    return (
+        f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (hb_acc, hb_i) -> "
+        f"hb_acc + IF(element_at({col}, hb_i + {lo_bit} + 1) > 0, "
+        f"shiftleft(CAST(1 AS BIGINT), hb_i), CAST(0 AS BIGINT)))"
+    )
+
+
+def _pack_duck(col: str, lo_bit: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 32), hb_i -> "
+        f"CASE WHEN {col}[hb_i + {lo_bit} + 1] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << hb_i) ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+_HAM_ORACLE = f"""
+WITH codes AS (
+  SELECT vec_id, label,
+         CAST({_pack_duck('embedding', 0)} AS BIGINT) AS lo,
+         CAST({_pack_duck('embedding', 32)} AS BIGINT) AS hi
+  FROM embeddings
+),
+q AS (SELECT lo AS q_lo, hi AS q_hi FROM codes WHERE vec_id = {HAM_QUERY_ID})
+SELECT c.vec_id, c.label,
+       CAST(bit_count(xor(c.lo, q.q_lo))
+            + bit_count(xor(c.hi, q.q_hi)) AS INT) AS hamming
+FROM codes c CROSS JOIN q
+WHERE c.vec_id <> {HAM_QUERY_ID}
+ORDER BY hamming, c.vec_id
+LIMIT {HAM_TOP_K}
+"""
+
+
+@register(
+    "sim_binary_hamming_topk",
+    oracle=_HAM_ORACLE,
+    description="1-bit binary-quantization retrieval: sign-binarized"
+    " 64-bit codes packed as two BIGINT halves, scored by XOR popcount"
+    " — the 64x-compression end of the quantization ladder, an"
+    " integer-only scan with exact Hamming distances and heap top-k",
+    tags=("similarity", "vector", "quantization", "hamming"),
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization ladder's last rung (float32 → SQ8 → PQ → 1-bit,
+    registered in that order across similarity.py/vector_audit.py):
+    each vector becomes sign bits packed 32-per-BIGINT, distance is
+    bit_count(xor) per half — two integer ops per candidate, no float
+    math in the scan, codes 64× smaller than the float vectors so the
+    whole index rides memory/broadcast tiers that floats never could.
+    Packing is a one-time narrow projection (at scale: computed at
+    write time and stored as two BIGINT columns; parquet min/max even
+    gives crude pruning on the high half). Exact integer distances +
+    vec_id tie-break make the top-k hash-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_pack_spark("embedding", 0)).alias("lo"),
+        F.expr(_pack_spark("embedding", 32)).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id") == HAM_QUERY_ID).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    return (
+        codes.filter(F.col("vec_id") != HAM_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.expr("bit_count(lo ^ q_lo)") + F.expr("bit_count(hi ^ q_hi)")
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(HAM_TOP_K)
+    )

@@ -1523,3 +1523,183 @@ def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form least squares, applied to the Pearson/OLS pair."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_CORR_SQL)
+
+
+_SET_ALL_SQL = """
+WITH r_side AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+a_side AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+exc AS (SELECT l_suppkey FROM r_side EXCEPT ALL SELECT l_suppkey FROM a_side),
+intr AS (SELECT l_suppkey FROM r_side INTERSECT ALL
+         SELECT l_suppkey FROM a_side)
+SELECT 'except_all' AS op,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_keys,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_key
+FROM exc
+UNION ALL
+SELECT 'intersect_all' AS op,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_keys,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_key
+FROM intr
+ORDER BY op
+"""
+
+
+@register(
+    "set_all_multiplicity",
+    oracle=_SET_ALL_SQL,
+    description="EXCEPT ALL / INTERSECT ALL multiset semantics: supplier"
+    " keys of returned vs accepted lineitems compared WITH multiplicity"
+    " (bag difference keeps max(m-n,0) copies, bag intersection"
+    " min(m,n)) — the ALL variants the distinct INTERSECT/EXCEPT pack"
+    " doesn't cover, summarized to hashed row/key counts",
+    tags=("relational", "setop"),
+)
+def set_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics distribute exactly like the distinct variants —
+    Spark plans exceptAll/intersectAll as a keyed count aggregation
+    plus a generate (multiplicity replay), one shuffle per side on the
+    compare key, no sort of either input. The summary row per op keeps
+    the result bounded while the hash still pins every multiplicity
+    (a lost or extra copy moves n_rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r_side = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a_side = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_keys"),
+            F.min("l_suppkey").cast("bigint").alias("min_key"),
+            F.max("l_suppkey").cast("bigint").alias("max_key"),
+        )
+
+    return (
+        summarize(r_side.exceptAll(a_side), "except_all")
+        .unionByName(summarize(r_side.intersectAll(a_side), "intersect_all"))
+        .orderBy("op")
+    )
+
+
+_VALUE_FRAMES_SQL = """
+WITH v AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         first_value(o_totalprice) OVER w AS frame_first,
+         last_value(o_totalprice) OVER w AS frame_last,
+         nth_value(o_totalprice, 2) OVER w AS frame_second,
+         MIN(o_orderkey) OVER wp AS run_min_key,
+         MAX(o_orderkey) OVER wd AS rem_max_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+         wp AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wd AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       frame_first, frame_last, frame_second,
+       run_min_key, rem_max_key
+FROM v
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+"""
+
+
+@register(
+    "window_value_frames",
+    oracle=_VALUE_FRAMES_SQL,
+    description="value window functions over explicit ROWS frames —"
+    " first_value/last_value/nth_value on a sliding ±3 frame plus"
+    " running-min and remaining-max frames — the frame-navigation"
+    " shapes the rank/lag packs don't cover, sampled post-window",
+    tags=("relational", "window", "frames"),
+)
+def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value read VALUES out of an explicit frame (vs
+    rank's positions and lag's fixed offsets): the ±3 sliding frame is
+    bounded-state streaming-friendly navigation, and the two prefix
+    frames express running-min-key / remaining-max-key without a
+    self-join. The remaining-side aggregate deliberately runs over a
+    DESC-sorted PREFIX frame, not last_value over CURRENT ROW →
+    UNBOUNDED FOLLOWING: Spark evaluates a shrinking
+    UnboundedFollowing frame from scratch per row — O(n²) per
+    partition, measured 128 s at sf0.1 — while prefix frames are
+    incremental O(n) (0.9 s; the identity: the remaining set in ASC
+    order is a prefix in DESC order). Cost: one extra in-partition
+    sort for the DESC window, same single shuffle (the plan pin
+    asserts two Window nodes, zero extra exchanges). Total (price,
+    key) ordering makes every frame content deterministic; the %100
+    filter samples AFTER the windows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_VALUE_FRAMES_SQL)
+
+
+_WMEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)) AS price,
+         CAST(round(l_quantity, 4) AS DECIMAL(18,4)) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price, wt,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, wt
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DECIMAL(18,4)) AS cw,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag)
+              AS DECIMAL(18,4)) AS tw
+  FROM w
+),
+hit AS (
+  SELECT l_returnflag, price, cw, tw
+  FROM cum
+  WHERE cw * 2 >= tw
+),
+med AS (
+  SELECT l_returnflag, price AS weighted_median, tw
+  FROM (SELECT l_returnflag, price, tw,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cw, price) AS rn
+        FROM hit)
+  WHERE rn = 1
+)
+SELECT l_returnflag,
+       CAST(weighted_median AS DOUBLE) AS weighted_median,
+       CAST(tw AS DOUBLE) AS total_weight
+FROM med
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_weighted_median",
+    oracle=_WMEDIAN_SQL,
+    description="exact weighted median (quantity-weighted"
+    " extendedprice) per returnflag via decimal cumulative-weight"
+    " prefix windows — the first value whose running weight reaches"
+    " half the total; the weighted-percentile primitive percentile()"
+    " cannot express",
+    tags=("relational", "agg", "percentile", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median = inverse CDF at 0.5 of a weighted empirical
+    distribution. Distributed form: one value-ordered prefix-sum
+    window per group over DECIMAL-exact weights, then the first row
+    where 2·cum ≥ total (the doubling keeps the half-threshold test in
+    exact integers-scaled-by-10⁴ — no division, no float compare).
+    The group total rides the same window spec as an unbounded frame,
+    so Catalyst computes both in one Window pass; one shuffle on
+    (returnflag) + the in-partition sort the window needs anyway. The
+    tie-break (price, wt) totalizes row order so cum weights — and
+    hence the selected row — are engine-identical."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_WMEDIAN_SQL)

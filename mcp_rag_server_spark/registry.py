@@ -186,12 +186,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # dd_containment (Broder asymmetric containment pairs),
 # ev_abtest_ztest (two-proportion z-test on md5-parity arms),
 # window_distribution_pack (percent_rank/cume_dist/ntile),
-# ta_simpson_diversity (exact Simpson mixture diversity), and
-# agg_pearson_corr (decimal-exact moments -> Pearson/OLS) — all
-# locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
-# arithmetic: 35 never-checked queries (the 22 above +
-# dd_incremental_minhash + rag_rrf_topk + these 11) plus ~29
-# r3-vintage rows total ~64 for 50 slots — never-checked first, then
+# ta_simpson_diversity (exact Simpson mixture diversity),
+# agg_pearson_corr (decimal-exact moments -> Pearson/OLS),
+# sim_maxsim_topk (ColBERT-style late-interaction MaxSim),
+# sim_binary_hamming_topk (1-bit sign codes, XOR-popcount scan), and
+# ev_cusum_drift (CUSUM change detection via the prefix identity),
+# set_all_multiplicity (EXCEPT/INTERSECT ALL bag semantics),
+# window_value_frames (first/last/nth_value over explicit frames —
+# with the shrinking-frame O(n^2) pitfall documented and avoided),
+# agg_weighted_median (exact weighted median via decimal prefix
+# windows), and ingest_schema_evolution (mergeSchema add-a-column
+# round-trip) — all locally oracle-replayed green at sf0.001 AND
+# sf0.01. r6 window arithmetic: 42 never-checked queries (the 22
+# above + dd_incremental_minhash + rag_rrf_topk + these 18) plus ~29
+# r3-vintage rows total ~71 for 50 slots — never-checked first, then
 # r3-vintage oldest-first; the remainder slides to r7; r6's builder
 # should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
@@ -228,6 +236,7 @@ def load_all() -> dict[str, QuerySpec]:
         fileops,
         graphs,
         ingest_query,
+        late_interaction,
         layout,
         maps,
         multimodal,

@@ -603,3 +603,82 @@ def test_pearson_moments_partial_aggregate(spark):
     assert count_exchanges(df) <= 2
     plan = plan_string(df)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_maxsim_is_broadcast_heap_topk(spark):
+    """sim_maxsim_topk: query sub-vectors broadcast, nested-fold score
+    in codegen, heap top-k — no shuffle of the corpus, no Python."""
+    df = q(spark, "sim_maxsim_topk")
+    assert has_take_ordered(df)
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_binary_hamming_is_integer_only_heap_topk(spark):
+    """sim_binary_hamming_topk: packed-code scan scored by xor/popcount
+    (integer-only), broadcast query code, heap top-k, zero shuffles."""
+    df = q(spark, "sim_binary_hamming_topk")
+    assert has_take_ordered(df)
+    assert count_exchanges(df) == 0
+    assert "EvalPython" not in plan_string(df)
+
+
+def test_cusum_single_type_keyed_shuffle(spark):
+    """ev_cusum_drift: the hourly agg and every window key by
+    event_type — one shuffle family, no global window."""
+    import re
+
+    df = q(spark, "ev_cusum_drift")
+    plan = plan_string(df)
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+    assert "CartesianProduct" not in plan
+
+
+def test_set_all_keeps_multiplicity_without_sort(spark):
+    """set_all_multiplicity: exceptAll/intersectAll plan as keyed count
+    aggregation + multiplicity replay (Generate), never a sort-based
+    dedup of either input and never a nested loop."""
+    plan = plan_string(q(spark, "set_all_multiplicity"))
+    assert "CartesianProduct" not in plan
+    assert "replicaterows(" in plan
+
+
+def test_value_frames_two_linear_windows_one_shuffle(spark):
+    """window_value_frames: the ASC windows (sliding + prefix) fuse into
+    one Window node, the DESC remaining-side prefix needs a second —
+    but both run off the SAME priority-keyed exchange (a shrinking
+    UnboundedFollowing frame would be O(n^2) per partition: 128 s vs
+    1.25 s at sf0.1, see the docstring)."""
+    import re
+
+    df = q(spark, "window_value_frames")
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert count_exchanges(df) <= 2  # window shuffle + final sample sort
+    # the pathological frame shape must not reappear:
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
+
+
+def test_weighted_median_single_group_keyed_window_pass(spark):
+    """agg_weighted_median: cumulative weight and group total share the
+    returnflag-keyed window shuffle; no join back to the table."""
+    import re
+
+    df = q(spark, "agg_weighted_median")
+    plan = plan_string(df)
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(l_returnflag" in stripped
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_schema_evolution_reads_union_schema(spark):
+    """ingest_schema_evolution: the merged read must surface the added
+    column over BOTH vintages (pre-evolution rows as NULL) — the scan's
+    ReadSchema carries the union; no Python, no cartesian."""
+    df = q(spark, "ingest_schema_evolution")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "o_orderpriority" in plan

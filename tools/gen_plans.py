@@ -44,7 +44,10 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "agg_histogram_equiwidth", "dd_semdedup", "ev_ewma_value",
          "zorder_layout", "dd_containment", "ev_abtest_ztest",
          "window_distribution_pack", "ta_simpson_diversity",
-         "agg_pearson_corr"]
+         "agg_pearson_corr",
+         "sim_maxsim_topk", "sim_binary_hamming_topk", "ev_cusum_drift",
+         "set_all_multiplicity", "window_value_frames",
+         "agg_weighted_median", "ingest_schema_evolution"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
