@@ -1155,3 +1155,223 @@ def ev_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " END"
     )
     return spark.sql(_abtest_sql().format(arm=arm))
+
+
+#: CUSUM alarm threshold in per-type stddev units.
+CUSUM_K_SIGMA = 3.0
+
+
+def _cusum_sql() -> str:
+    """ONE SQL text for both engines. The CUSUM recursion
+    s_t = max(0, s_{t-1} + y_t) is not a window aggregate, but it has
+    the exact prefix identity s_t = S_t − min(0, min_{j<=t} S_j) over
+    the running sum S — two prefix-window aggregates, both DECIMAL-
+    exact, so the distributed form is bit-identical to the sequential
+    recursion in both engines."""
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type, h, v,
+         CAST(round(
+           CAST(SUM(v) OVER (PARTITION BY event_type) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY event_type), 4)
+           AS DECIMAL(18,4)) AS mu,
+         CAST(SUM(v * v) OVER (PARTITION BY event_type) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type) AS m2,
+         CAST(SUM(v) OVER (PARTITION BY event_type) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type) AS m1
+  FROM hourly
+),
+prefix AS (
+  SELECT event_type, h, v, mu, m1, m2,
+         CAST(SUM(CAST(v - mu AS DECIMAL(18,4))) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(18,4)) AS s_run
+  FROM stats
+),
+cusum AS (
+  SELECT event_type, h, m1, m2,
+         CAST(s_run - LEAST(CAST(0 AS DECIMAL(18,4)), MIN(s_run) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS DECIMAL(18,4)) AS s_pos,
+         sqrt(GREATEST(m2 - m1 * m1, CAST(0 AS DOUBLE))) AS sigma
+  FROM prefix
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       round(CAST(MAX(s_pos) AS DOUBLE), 4) AS max_cusum,
+       COUNT(CASE WHEN CAST(s_pos AS DOUBLE)
+                       > {CUSUM_K_SIGMA} * sigma THEN 1 END)
+         AS n_alarm_hours,
+       MIN(CASE WHEN CAST(s_pos AS DOUBLE)
+                     > {CUSUM_K_SIGMA} * sigma THEN h END)
+         AS first_alarm_hour
+FROM cusum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_cusum_drift",
+    oracle=_cusum_sql(),
+    description="CUSUM drift detection over per-type hourly value"
+    " totals: the one-sided cumulative-sum statistic computed EXACTLY"
+    " via its prefix identity (running sum minus running min — two"
+    " decimal prefix windows), alarms where the statistic exceeds"
+    " 3 sigma; the change-point monitor that the z-score anomaly pack"
+    " can't express (CUSUM accumulates small persistent shifts)",
+    tags=("events", "window", "timeseries", "cusum"),
+)
+def ev_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_anomaly_zscore flags single outlier points; CUSUM catches
+    the other failure mode — a small persistent mean shift that never
+    trips a per-point threshold but accumulates. The textbook form is
+    a sequential recursion; the prefix identity
+    s_t = S_t − min(0, min_{j≤t} S_j) turns it into two keyed
+    prefix-window aggregates over DECIMAL-exact sums, so the whole
+    statistic (and the 3σ alarm verdict derived from decimal moments)
+    sits inside the driver hash with zero order-dependent float math.
+    One shuffle on event_type serves every window; at 100 TB the
+    series key partitions exactly like ev_ewma_value/ev_gap_fill."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cusum_sql())
+
+
+def _trend_sql() -> str:
+    """ONE SQL text for both engines: per-type hourly totals, integer
+    hour offsets from each series' start, decimal-exact regression
+    moments, closed-form OLS + 3-step forecast (same moment discipline
+    as agg_pearson_corr / ta_zipf_fit)."""
+    return """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(19,4)) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+idx AS (
+  SELECT event_type, v,
+         CAST(round(CAST(epoch_us(h) - MIN(epoch_us(h)) OVER (
+             PARTITION BY event_type) AS DOUBLE)
+           / 3600000000.0, 0) AS BIGINT) AS t
+  FROM hourly
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(t * t) AS BIGINT) AS sxx,
+         CAST(SUM(v) AS DOUBLE) AS sy,
+         CAST(SUM(t * v) AS DOUBLE) AS sxy,
+         CAST(MAX(t) AS BIGINT) AS tmax
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+         AS intercept,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (tmax + 1), 6)
+         AS fc_1h,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (tmax + 3), 6)
+         AS fc_3h
+FROM m
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_trend_forecast",
+    oracle=_trend_sql(),
+    description="per-type linear trend forecast: OLS of hourly value"
+    " totals on integer hour offsets via decimal/bigint-exact moment"
+    " sums, closed-form slope/intercept and +1h/+3h extrapolations —"
+    " the capacity-planning forecast primitive, engine-exact",
+    tags=("events", "timeseries", "regression", "forecast"),
+)
+def ev_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting as distributed regression: hour offsets are exact
+    integers (epoch-microsecond difference / 3600e6 — hours are exact
+    multiples, the round(...) is belt-and-braces for the double
+    division), so Σt/Σt² are exact BIGINT partials and Σv/Σtv exact
+    decimal partials; the OLS closed forms and the two extrapolations
+    evaluate once per series as fixed-operand-order IEEE math. Same
+    moment discipline as agg_pearson_corr, pointed at the time axis.
+    One bounded-key shuffle per aggregation level; the only window is
+    the per-series MIN for the offset origin."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = _trend_sql()
+    # Spark's epoch microseconds function is unix_micros; DuckDB's is
+    # epoch_us — the ONLY token that differs between the two texts.
+    return spark.sql(sql.replace("epoch_us(", "unix_micros("))
+
+
+#: Attribution lookback window (microseconds) — 24 h.
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _attrib_sql(dialect: str = "duckdb") -> str:
+    """IGNORE NULLS sits INSIDE the call in DuckDB and OUTSIDE it in
+    Spark — the one non-shared token besides epoch_us/unix_micros."""
+    inn = "IGNORE NULLS" if dialect == "duckdb" else ""
+    out = "" if dialect == "duckdb" else "IGNORE NULLS"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts, value,
+         last_value(CASE WHEN event_type = 'click' THEN ts END
+                    {inn}) {out} OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+),
+attributed AS (
+  SELECT date_trunc('hour', last_click_ts) AS click_hour, value
+  FROM seq
+  WHERE event_type = 'purchase'
+    AND last_click_ts IS NOT NULL
+    AND epoch_us(ts) - epoch_us(last_click_ts) <= {ATTR_WINDOW_US}
+)
+SELECT click_hour,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         AS attributed_value
+FROM attributed
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+
+@register(
+    "ev_attribution_last_touch",
+    oracle=_attrib_sql(),
+    description="last-touch attribution: each purchase's value is"
+    " credited to the hour of the user's most recent prior click"
+    " within a 24h lookback — one user-keyed IGNORE-NULLS carry"
+    " window (no purchases x clicks self-join), decimal-exact"
+    " hourly credit totals",
+    tags=("events", "window", "attribution"),
+)
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join everyone writes as purchases ⋈ clicks with
+    a BETWEEN predicate — a range join that explodes on hot users —
+    expressed instead as ONE ordered carry: last_value(click ts,
+    ignore nulls) over the user's history up to the row BEFORE the
+    purchase (strictly-prior contact; the 1-PRECEDING frame bound is
+    the strictness). O(1) state per row, one user-keyed shuffle, and
+    the 24h deadline is an exact integer micros difference. Same
+    carry-forward machinery as ev_gap_fill/tj_asof_last_order, pointed
+    at the marketing-attribution shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _attrib_sql("spark").replace("epoch_us(", "unix_micros(")
+    )

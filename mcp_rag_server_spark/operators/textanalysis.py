@@ -901,3 +901,202 @@ def ta_fuzzy_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typo")
     )
+
+
+def _re_count(dialect: str, col: str, pattern: str) -> str:
+    """Occurrence count of a regex — regexp_extract_all length; Spark
+    needs the explicit group-index 0 for the full match, DuckDB
+    defaults to it. Patterns below use only class/quantifier syntax
+    shared by Java regex and RE2."""
+    if dialect == "spark":
+        return f"size(regexp_extract_all({col}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def _fk_sql(dialect: str) -> str:
+    syl = _re_count(dialect, "text", "[aeiouyAEIOUY]+")
+    sen = _re_count(dialect, "text", "[.!?]")
+    return f"""
+WITH feats AS (
+  SELECT lang,
+         CAST({_re_count(dialect, "text", "[^ ]+")} AS DOUBLE) AS w,
+         CAST({syl} AS DOUBLE) AS syl,
+         CAST(GREATEST({sen}, 1) AS DOUBLE) AS sen
+  FROM documents
+),
+graded AS (
+  SELECT lang,
+         round(CAST(0.39 AS DOUBLE) * (w / sen)
+               + CAST(11.8 AS DOUBLE) * (syl / w)
+               - CAST(15.59 AS DOUBLE), 4) AS fk
+  FROM feats
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(fk AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_grade,
+       MIN(fk) AS min_grade,
+       MAX(fk) AS max_grade
+FROM graded
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "ta_readability_fk",
+    oracle=_fk_sql("duckdb"),
+    description="Flesch-Kincaid grade-level readability per language:"
+    " vowel-group syllable heuristic + word/sentence counts, the FK"
+    " formula as fixed-order IEEE math per doc, decimal-exact per-lang"
+    " averages — the readability quality feature beside the Gopher"
+    " rule census",
+    tags=("text", "quality", "readability"),
+)
+def ta_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK grade 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59
+    (Kincaid et al. 1975) with the standard vowel-group syllable
+    approximation — all three counts are single-pass regex counts in
+    codegen (no tokenizer UDF), the per-doc grade is per-row IEEE
+    math rounded to 4, and the per-lang average goes through the
+    usual decimal partial sum. One narrow scan + one bounded-key
+    aggregation; the regex work is the same whole-stage-codegen shape
+    as ta_gopher_rules' rule features."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_fk_sql("spark"))
+
+
+#: Code-detection lexicon and thresholds.
+CODE_KEYWORDS = ("def", "return", "import", "class", "function")
+CODE_SYMBOL_RATIO = 0.02
+CODE_KEYWORD_MIN = 2
+
+
+def _code_sql(dialect: str) -> str:
+    sym = _re_count(dialect, "text", "[{{}};=<>()]")
+    if dialect == "spark":
+        kw = (
+            "size(array_intersect(array_distinct(split(text, ' ')), "
+            f"array({', '.join(repr(k) for k in CODE_KEYWORDS)})))"
+        )
+    else:
+        kw = (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"[{', '.join(repr(k) for k in CODE_KEYWORDS)}]))"
+        )
+    return f"""
+WITH feats AS (
+  SELECT source,
+         CAST({sym} AS DOUBLE) / GREATEST(LENGTH(text), 1)
+           AS symbol_ratio,
+         {kw} AS kw_hits
+  FROM documents
+),
+flagged AS (
+  SELECT source,
+         CASE WHEN symbol_ratio > {CODE_SYMBOL_RATIO}
+                   OR kw_hits >= {CODE_KEYWORD_MIN}
+              THEN 1 ELSE 0 END AS is_code
+  FROM feats
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_code) AS BIGINT) AS n_code_like,
+       round(CAST(SUM(is_code) AS DOUBLE) / COUNT(*), 4) AS code_ratio
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "ta_code_detect",
+    oracle=_code_sql("duckdb"),
+    description="code-vs-prose heuristic census per source: symbol-"
+    "density ratio + code-keyword lexicon hits (The-Stack-style"
+    " filter features), flagged fraction hashed per source — the"
+    " corpus-composition signal a code/prose mixture needs before"
+    " setting sampling weights",
+    tags=("text", "quality", "code"),
+)
+def ta_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two cheap surface features decide the flag: density of
+    code-punctuation characters and membership hits against a tiny
+    keyword lexicon (the same array-intersect shape as
+    ta_langid_heuristic — deterministic, no model). On this synthetic
+    corpus the flag is a fixture-dependent mix; the OPERATOR — regex
+    feature extraction in codegen, threshold disjunction, per-source
+    census — is the real filter stage, and both engines replay it
+    token for token. Note the symbol-class regex doubles its braces
+    for Python's f-string, not for the regex engines."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_code_sql("spark"))
+
+
+def _confusion_sql(dialect: str) -> str:
+    if dialect == "spark":
+        en = (
+            "size(array_intersect(array_distinct(split(text, ' ')), "
+            "array('the', 'a', 'of', 'value', 'fast')))"
+        )
+        tech = (
+            "size(array_intersect(array_distinct(split(text, ' ')), "
+            "array('query', 'data', 'stream', 'group', 'filter')))"
+        )
+    else:
+        en = (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), "
+            "['the', 'a', 'of', 'value', 'fast']))"
+        )
+        tech = (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), "
+            "['query', 'data', 'stream', 'group', 'filter']))"
+        )
+    return f"""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN {en} >= {tech} THEN 'en-like' ELSE 'tech-like' END
+           AS pred_class
+  FROM documents
+),
+cells AS (
+  SELECT lang, pred_class, COUNT(*) AS n
+  FROM pred GROUP BY lang, pred_class
+),
+tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM cells
+  GROUP BY lang
+)
+SELECT c.lang, c.pred_class, c.n, t.lang_total,
+       round(CAST(c.n AS DOUBLE) / t.lang_total, 4) AS row_frac
+FROM cells c JOIN tot t ON c.lang = t.lang
+ORDER BY c.lang, c.pred_class
+"""
+
+
+@register(
+    "ta_lang_confusion",
+    oracle=_confusion_sql("duckdb"),
+    description="classifier evaluation as a confusion matrix: the"
+    " langid heuristic's predicted class against the labeled lang,"
+    " cell counts + per-label row fractions — the eval-harness shape"
+    " (truth x prediction contingency) every classifier in the"
+    " pipeline gets judged by",
+    tags=("text", "lang", "eval"),
+)
+def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ta_langid_heuristic registers the classifier; this registers
+    its EVALUATION — the (truth label × predicted class) contingency
+    table with per-truth-row normalization, the exact shape accuracy/
+    recall/precision read off of. Two bounded-key aggregations and a
+    broadcast-size join on the label; at 100 TB the matrix is still
+    |labels|×|classes| rows. Cell counts are exact integers; row
+    fractions one rounded division each."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_confusion_sql("spark"))

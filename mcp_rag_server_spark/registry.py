@@ -195,13 +195,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # window_value_frames (first/last/nth_value over explicit frames —
 # with the shrinking-frame O(n^2) pitfall documented and avoided),
 # agg_weighted_median (exact weighted median via decimal prefix
-# windows), and ingest_schema_evolution (mergeSchema add-a-column
-# round-trip) — all locally oracle-replayed green at sf0.001 AND
-# sf0.01. r6 window arithmetic: 42 never-checked queries (the 22
-# above + dd_incremental_minhash + rag_rrf_topk + these 18) plus ~29
-# r3-vintage rows total ~71 for 50 slots — never-checked first, then
-# r3-vintage oldest-first; the remainder slides to r7; r6's builder
-# should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
+# windows), ingest_schema_evolution (mergeSchema add-a-column
+# round-trip), ev_trend_forecast (decimal-exact OLS trend + forecast),
+# and ev_attribution_last_touch (last-touch credit via one IGNORE-
+# NULLS carry window, never the purchases x clicks range join),
+# ta_readability_fk (Flesch-Kincaid grade census), ta_code_detect
+# (code-vs-prose filter features), and ta_lang_confusion (the langid
+# heuristic's truth x prediction contingency) — all locally
+# oracle-replayed green at sf0.001 AND sf0.01. r6 window arithmetic:
+# 47 never-checked queries (the 22 above + dd_incremental_minhash +
+# rag_rrf_topk + these 23) plus ~29 r3-vintage rows total ~76 for 50
+# slots — never-checked first, then r3-vintage oldest-first; the
+# remainder slides to r7; r6's builder should confirm with
+# tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row

@@ -682,3 +682,61 @@ def test_schema_evolution_reads_union_schema(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "o_orderpriority" in plan
+
+
+def test_trend_forecast_moment_partials(spark):
+    """ev_trend_forecast: moments partial-aggregate into one
+    type-keyed shuffle; the only window is the per-series offset
+    origin; no second scan of events."""
+    import re
+
+    df = q(spark, "ev_trend_forecast")
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+
+
+def test_attribution_is_carry_window_not_range_join(spark):
+    """ev_attribution_last_touch: ONE user-keyed IGNORE-NULLS carry
+    window — never the purchases x clicks range self-join (no second
+    scan, no join at all)."""
+    import re
+
+    df = q(spark, "ev_attribution_last_touch")
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(user_id" in stripped
+
+
+def test_readability_regex_in_codegen_single_pass(spark):
+    """ta_readability_fk: three regex counts + FK formula are one
+    narrow codegen projection; no Python, one scan."""
+    import re
+
+    df = q(spark, "ta_readability_fk")
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_code_detect_no_python(spark):
+    """ta_code_detect: feature extraction is regex/array codegen."""
+    plan = plan_string(q(spark, "ta_code_detect"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_confusion_broadcast_label_join(spark):
+    """ta_lang_confusion: the row-total join keys on the label — a
+    broadcast-size side, never a shuffle of the corpus twice."""
+    import re
+
+    df = q(spark, "ta_lang_confusion")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    # contingency cells + totals derive from ONE scan via reuse or two
+    # cheap scans — but never a per-row Python stage
+    assert "EvalPython" not in plan

@@ -47,7 +47,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "agg_pearson_corr",
          "sim_maxsim_topk", "sim_binary_hamming_topk", "ev_cusum_drift",
          "set_all_multiplicity", "window_value_frames",
-         "agg_weighted_median", "ingest_schema_evolution"]
+         "agg_weighted_median", "ingest_schema_evolution",
+         "ev_trend_forecast", "ev_attribution_last_touch",
+         "ta_readability_fk", "ta_code_detect", "ta_lang_confusion"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
