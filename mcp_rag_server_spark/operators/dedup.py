@@ -1188,3 +1188,97 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_graph_triangles",
+    oracle=f"""
+WITH {_DUCKDB_PAIRS_CTE},
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL
+    SELECT doc_b FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+         (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+           AS n_wedges,
+         (SELECT n_triangles FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6)
+       END AS global_clustering
+FROM agg
+""",
+    description="triangle count + global clustering coefficient over"
+    " the same-source >=0.9-Jaccard duplicate graph: the ordered"
+    " edge-edge-edge equi-join (a<b<c canonical form counts each"
+    " triangle once), wedges from exact integer degrees — the graph"
+    " statistic that separates clique-like dup clusters from chains",
+    tags=("dedup", "graph", "triangles"),
+)
+def dd_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (dd_connected_components) says WHICH docs
+    group together; the triangle census says HOW DENSE the groups are
+    — near-clique components are true duplicate families, while long
+    low-triangle chains are transitive-closure artifacts that a keep-
+    one-per-component rule would over-delete. Canonical ordered edges
+    (doc_a < doc_b, from the shared edge builder) make the triangle
+    join exact-once: e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c by
+    construction — three hash equi-joins, no orientation dedup pass,
+    no cartesian. At 100 TB the standard refinement orients edges by
+    (degree, id) so the join fans out from low-degree endpoints;
+    wedge counts are one exact integer aggregation over degrees."""
+    edges = _jaccard_pair_edges(load_table(spark, sf_dir, "documents")).cache()
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (F.lit(3) * F.col("n_triangles")).cast("double")
+                    / F.col("n_wedges"),
+                    6,
+                )
+            )
+            .alias("global_clustering"),
+        )
+    )

@@ -778,3 +778,72 @@ def ta_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KL_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+corpus AS (
+  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+),
+ctot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM corpus),
+src AS (
+  SELECT source, t, COUNT(*) AS cnt_s FROM tok GROUP BY source, t
+),
+stot AS (
+  SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_s,
+         COUNT(*) AS n_distinct
+  FROM src GROUP BY source
+),
+terms AS (
+  SELECT s.source,
+         CAST(round(
+           (CAST(s.cnt_s AS DOUBLE) / st.n_s)
+           * ln((CAST(s.cnt_s AS DOUBLE) / st.n_s)
+                / (CAST(c.cnt AS DOUBLE) / ct.n)), 10)
+           AS DECIMAL(18,10)) AS term
+  FROM src s
+  JOIN corpus c ON s.t = c.t
+  JOIN stot st ON s.source = st.source
+  CROSS JOIN ctot ct
+)
+SELECT t.source, st.n_s AS n_tokens, st.n_distinct,
+       round(CAST(SUM(t.term) AS DOUBLE), 6) AS kl_divergence
+FROM terms t JOIN stot st ON t.source = st.source
+GROUP BY t.source, st.n_s, st.n_distinct
+ORDER BY t.source
+"""
+
+
+@register(
+    "ta_kl_source_drift",
+    oracle=_KL_SQL,
+    description="per-source distribution drift: KL(P_source ||"
+    " P_corpus) over token unigram distributions — per-term"
+    " p·ln(p/q) rounded-10 then decimal-summed (the ta_unigram_logprob"
+    " log-parity discipline), the drift diagnostic that flags a crawl"
+    " whose vocabulary diverges from the corpus before it skews"
+    " training",
+    tags=("text", "quality", "drift", "mixture"),
+)
+def ta_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL from each source's token distribution to the corpus-wide one
+    — the per-source twin of ta_unigram_logprob's per-doc surprisal
+    (same rounded-log-then-decimal determinism, so the transcendental
+    never rides a float aggregate). Every support point of P_source is
+    in P_corpus by construction (the corpus contains the source), so
+    no smoothing term is needed and KL is finite. Shapes: token
+    explode → two keyed partial aggs (corpus, per-source) → one
+    token-keyed equi-join (the vocabulary join — Heaps-sublinear in
+    corpus size) with totals broadcast; the final per-source sum is 20
+    rows. A hot source (huge n_s) is still one partial-agg key — no
+    skewed pair stage anywhere."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        _KL_SQL.replace(
+            "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+        )
+    )

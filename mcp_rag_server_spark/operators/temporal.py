@@ -227,3 +227,88 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_ts")
     )
+
+
+def _nearest_sql(dialect: str = "duckdb") -> str:
+    """Shared text modulo two tokens: epoch_us/unix_micros and the
+    IGNORE NULLS placement (inside the call for DuckDB, outside for
+    Spark)."""
+    inn = "IGNORE NULLS" if dialect == "duckdb" else ""
+    out = "" if dialect == "duckdb" else "IGNORE NULLS"
+    return f"""
+WITH unioned AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS TIMESTAMP) AS od_date, 1 AS src
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS user_id, o_orderdate AS ts,
+         CAST(NULL AS BIGINT) AS event_id, o_orderdate AS od_date, 0 AS src
+  FROM orders
+),
+carried AS (
+  SELECT user_id, ts, event_id, src,
+         last_value(od_date {inn}) {out} OVER (
+           PARTITION BY user_id ORDER BY ts, src, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prior_order,
+         last_value(od_date {inn}) {out} OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC, src DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS next_order
+  FROM unioned
+),
+ev AS (
+  SELECT event_id, user_id, ts, prior_order, next_order,
+         CASE
+           WHEN prior_order IS NULL THEN next_order
+           WHEN next_order IS NULL THEN prior_order
+           WHEN epoch_us(ts) - epoch_us(prior_order)
+                <= epoch_us(next_order) - epoch_us(ts)
+             THEN prior_order
+           ELSE next_order
+         END AS nearest_order
+  FROM carried WHERE src = 1
+)
+SELECT event_id, user_id, ts, prior_order, next_order, nearest_order,
+       CAST((CASE
+         WHEN nearest_order IS NULL THEN NULL
+         WHEN epoch_us(ts) >= epoch_us(nearest_order)
+           THEN epoch_us(ts) - epoch_us(nearest_order)
+         ELSE epoch_us(nearest_order) - epoch_us(ts)
+       END) // 1000000 AS BIGINT) AS nearest_gap_s
+FROM ev
+WHERE event_id % 100 = 0
+ORDER BY event_id
+"""
+
+
+@register(
+    "tj_nearest_order",
+    oracle=_nearest_sql(),
+    description="nearest-event temporal join: for each event, the"
+    " user's closest order in EITHER time direction — prior via the"
+    " ASC carry window, next via the DESC-prefix identity (no shrinking"
+    " frame), tie broken toward the prior side; |gap| in exact integer"
+    " seconds, sampled post-window",
+    tags=("temporal", "asof", "join", "nearest"),
+)
+def tj_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tj_asof_last_order answers "most recent at-or-before"; the
+    nearest-neighbor variant needs the NEXT order too, and the naive
+    next-side window (CURRENT ROW → UNBOUNDED FOLLOWING with
+    first_value) is Spark's O(n²) shrinking frame
+    (window_value_frames measured it at 100×). Both directions here
+    are incremental prefix carries — the next-order carry runs over
+    the DESC sort, where the future is a prefix. Same union trick as
+    the as-of join (order rows sort before event rows at equal ts on
+    the ASC side and after them on the DESC side, so an order at the
+    event's own timestamp is 'prior' — <= semantics, gap 0). One
+    shuffle on user_id; the tie and the gap are exact integer micros
+    arithmetic. The %100 sample sits above the windows."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    sql = _nearest_sql("spark").replace("epoch_us(", "unix_micros(")
+    # Spark has no // integer-division operator
+    sql = sql.replace("// 1000000", "DIV 1000000")
+    return spark.sql(sql)

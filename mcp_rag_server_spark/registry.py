@@ -201,13 +201,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # NULLS carry window, never the purchases x clicks range join),
 # ta_readability_fk (Flesch-Kincaid grade census), ta_code_detect
 # (code-vs-prose filter features), and ta_lang_confusion (the langid
-# heuristic's truth x prediction contingency) — all locally
-# oracle-replayed green at sf0.001 AND sf0.01. r6 window arithmetic:
-# 47 never-checked queries (the 22 above + dd_incremental_minhash +
-# rag_rrf_topk + these 23) plus ~29 r3-vintage rows total ~76 for 50
-# slots — never-checked first, then r3-vintage oldest-first; the
-# remainder slides to r7; r6's builder should confirm with
-# tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
+# heuristic's truth x prediction contingency), tj_nearest_order
+# (nearest-in-time join via ASC+DESC prefix carries), and
+# dd_graph_triangles (triangle census + clustering coefficient over
+# the duplicate graph), and st_incremental_rollup (streaming
+# continuous aggregate via the generalized exactly-once foreachBatch
+# merge), and ta_kl_source_drift (KL(P_source||P_corpus) token-
+# distribution drift) — all locally oracle-replayed green at sf0.001
+# AND sf0.01. r6 window arithmetic: 51 never-checked queries (the 22
+# above + dd_incremental_minhash + rag_rrf_topk + these 27) plus ~29
+# r3-vintage rows total ~80 for 50 slots — the never-checked set now
+# OVERFILLS the window by one: r6 takes the 50 oldest-registered
+# never-checked, the newest (plus every r3-vintage re-check) slides
+# to r7; r6's builder should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row
@@ -263,6 +269,7 @@ def load_all() -> dict[str, QuerySpec]:
     from mcp_rag_server_spark.streaming import (  # noqa: F401
         cdc_stream,
         events_stream,
+        rollup_stream,
         stateful,
     )
 

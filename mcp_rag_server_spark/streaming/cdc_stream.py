@@ -122,21 +122,24 @@ def _recover_snapshot_swap(tgt: str) -> None:
         shutil.rmtree(nxt)
 
 
-def apply_batch(tgt: str, batch: DataFrame, batch_id: int) -> None:
-    """Merge one micro-batch into the snapshot at ``tgt``, idempotently:
-    a batch_id at or below the snapshot's recorded high-water mark is a
+def apply_merge_batch(tgt, batch, batch_id, snapshot_fn, merge_fn) -> None:
+    """Generic idempotent foreachBatch MERGE: collapse the micro-batch
+    with ``snapshot_fn``, combine with the existing snapshot via the
+    associative+commutative ``merge_fn``, and swap atomically. A
+    batch_id at or below the snapshot's recorded high-water mark is a
     checkpoint replay (crash after the snapshot swap but before the
-    checkpoint commit) and is skipped — re-merging it would double-count
-    n_events. An interrupted swap from a previous crash is rolled
-    forward first, so the pre-merge read never sees a missing
-    snapshot."""
+    checkpoint commit) and is skipped — re-merging would double-count.
+    An interrupted swap from a previous crash is rolled forward first,
+    so the pre-merge read never sees a missing snapshot. Shared by the
+    SCD-1 merge below and the incremental rollup
+    (streaming/rollup_stream.py)."""
     s = batch.sparkSession
     _recover_snapshot_swap(tgt)
     if os.path.exists(tgt) and batch_id <= applied_batch_id(tgt):
         return
-    snap = _batch_snapshot(batch)
+    snap = snapshot_fn(batch)
     if os.path.exists(tgt):
-        snap = _merge_snapshots(s.read.parquet(tgt), snap)
+        snap = merge_fn(s.read.parquet(tgt), snap)
     nxt = tgt + ".next"
     snap.write.mode("overwrite").parquet(nxt)
     with open(os.path.join(nxt, "_batch_id"), "w", encoding="ascii") as fh:
@@ -145,6 +148,11 @@ def apply_batch(tgt: str, batch: DataFrame, batch_id: int) -> None:
         shutil.rmtree(tgt)
     os.rename(nxt, tgt)
     s.catalog.refreshByPath(tgt)
+
+
+def apply_batch(tgt: str, batch: DataFrame, batch_id: int) -> None:
+    """SCD-1 instantiation of :func:`apply_merge_batch`."""
+    apply_merge_batch(tgt, batch, batch_id, _batch_snapshot, _merge_snapshots)
 
 
 def run_scd1_stream(spark: SparkSession, src_dir: str, target_dir: str) -> str:

@@ -1,0 +1,135 @@
+"""Streaming continuous-aggregate maintenance: the incremental twin of
+the batch hypertable rollup (operators/events.py::ev_hypertable_rollup).
+
+The batch lattice re-aggregates minute → hour → day from scratch; a
+production hypertable maintains the hour level INCREMENTALLY — each
+micro-batch's partial aggregates merge into the stored rollup by
+key-wise addition. That works, and is hash-provable, precisely because
+the partials are composable (count and decimal sum — the same
+composability contract the batch rollup's docstring states): merging
+per-batch partials in ANY split of the change log yields the identical
+table, so the streamed result equals the one-shot batch aggregate and
+the driver hash can compare it to a plain SQL oracle.
+
+Crash-safety is the shared apply_merge_batch discipline
+(streaming/cdc_stream.py): staged-write + marker + atomic swap, replay
+skipped via the _batch_id high-water mark — an at-least-once stream
+becomes an exactly-once table.
+
+Scale shape: each batch shuffles once on (hour, event_type); the
+snapshot is O(hours × types), not O(events); on Delta/Iceberg the
+union+sum+swap becomes MERGE INTO with aggregate update expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.streaming.cdc_stream import (
+    N_SPLIT_FILES,
+    apply_merge_batch,
+)
+
+
+def _rollup_snapshot(batch: DataFrame) -> DataFrame:
+    """One micro-batch → (hour, event_type) partials: count + exact
+    decimal sum (composable; an avg here would break the merge)."""
+    return batch.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).cast(
+            "decimal(18,4)"
+        ).alias("total_value"),
+    )
+
+
+def _rollup_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Key-wise addition — associative, commutative, split-invariant."""
+    return (
+        a.unionByName(b)
+        .groupBy("h", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("decimal(18,4)").alias("total_value"),
+        )
+    )
+
+
+def run_rollup_stream(spark: SparkSession, src_dir: str, target_dir: str) -> str:
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    tgt = os.path.join(target_dir, "hourly_rollup")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        apply_merge_batch(tgt, batch, batch_id, _rollup_snapshot, _rollup_merge)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tgt
+
+
+@register(
+    "st_incremental_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS h,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY h, event_type
+""",
+    description="STREAMING continuous aggregate: foreachBatch merges"
+    " each micro-batch's (hour, type) count+decimal-sum partials into"
+    " the stored rollup by key-wise addition (exactly-once via the"
+    " shared staged-swap + batch_id high-water discipline); the"
+    " maintained table hash-matches the one-shot batch aggregate —"
+    " the incremental twin of ev_hypertable_rollup's lattice base",
+    tags=("streaming", "rollup", "events", "timeseries"),
+)
+def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events split into N files and streamed one per trigger, so the
+    rollup genuinely merges N times; composable partials make the
+    result split-invariant, which is what lets the driver hash a
+    STREAMED table against a plain batch oracle. Same digest-keyed
+    single-writer temp contract as st_latest_state."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_st_rollup_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)
+    tgt = run_rollup_stream(spark, src, os.path.join(base, "out"))
+    return (
+        spark.read.parquet(tgt)
+        .select(
+            "h",
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("h", "event_type")
+    )

@@ -740,3 +740,35 @@ def test_lang_confusion_broadcast_label_join(spark):
     # contingency cells + totals derive from ONE scan via reuse or two
     # cheap scans — but never a per-row Python stage
     assert "EvalPython" not in plan
+
+
+def test_nearest_order_two_prefix_windows_no_join(spark):
+    """tj_nearest_order: prior+next carries are two prefix windows on
+    one user-keyed shuffle — never an events x orders join, never a
+    shrinking UnboundedFollowing frame."""
+    import re
+
+    df = q(spark, "tj_nearest_order")
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
+
+
+def test_triangles_are_equi_joins_on_cached_edges(spark):
+    """dd_graph_triangles: the triangle pass is hash equi-joins over
+    the cached canonical edge list — no cartesian, no orientation
+    dedup stage."""
+    plan = plan_string(q(spark, "dd_graph_triangles"))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_kl_drift_vocab_join_no_python(spark):
+    """ta_kl_source_drift: the per-term stage is a token-keyed
+    equi-join over aggregated vocabularies (never over raw token
+    occurrences), logs ride codegen — no Python, no cartesian on the
+    data path (the 1-row corpus total is a broadcast cross join)."""
+    plan = plan_string(q(spark, "ta_kl_source_drift"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

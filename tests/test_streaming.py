@@ -243,3 +243,36 @@ def test_scd1_swap_recovery_discards_partial_first_batch(spark, tmp_path):
         == 50
     )
     assert not os.path.exists(tgt + ".next")
+
+
+def test_incremental_rollup_replay_is_idempotent(spark):
+    """Re-applying an already-merged batch_id must be a no-op (the
+    _batch_id high-water mark) — otherwise a checkpoint replay would
+    double-count the rollup partials."""
+    import os
+    import shutil
+    import tempfile
+
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.streaming.cdc_stream import apply_merge_batch
+    from mcp_rag_server_spark.streaming.rollup_stream import (
+        _rollup_merge,
+        _rollup_snapshot,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_rollup_replay")
+    shutil.rmtree(base, ignore_errors=True)
+    tgt = os.path.join(base, "snap")
+    os.makedirs(base, exist_ok=True)
+    apply_merge_batch(tgt, ev, 0, _rollup_snapshot, _rollup_merge)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(tgt).collect()
+    )
+    # replay the same batch — must be skipped, not re-merged
+    apply_merge_batch(tgt, ev, 0, _rollup_snapshot, _rollup_merge)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(tgt).collect()
+    )
+    assert first == second
+    shutil.rmtree(base, ignore_errors=True)

@@ -49,7 +49,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "set_all_multiplicity", "window_value_frames",
          "agg_weighted_median", "ingest_schema_evolution",
          "ev_trend_forecast", "ev_attribution_last_touch",
-         "ta_readability_fk", "ta_code_detect", "ta_lang_confusion"]
+         "ta_readability_fk", "ta_code_detect", "ta_lang_confusion",
+         "tj_nearest_order", "dd_graph_triangles",
+         "st_incremental_rollup", "ta_kl_source_drift"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
