@@ -27,6 +27,7 @@ from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.vector import (
     array_float_literal,
     cosine_score,
+    cosine_sql,
     duckdb_cosine,
 )
 from mcp_rag_server_spark.registry import register
@@ -739,3 +740,98 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
+
+
+#: Context packing: queries, candidate pool per query, token budget.
+PACK_QUERIES = 3
+PACK_POOL = 20
+PACK_BUDGET_TOKENS = 600
+
+
+def _pack_sql(dialect: str) -> str:
+    ntok = (
+        "size(split(d.text, ' '))"
+        if dialect == "spark"
+        else "len(string_split(d.text, ' '))"
+    )
+    cos = (
+        "rag_cos_ph"
+        if dialect == "spark"
+        else f"round({duckdb_cosine('e.embedding', 'q.qv')}, 4)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {PACK_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {cos} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+),
+pool AS (
+  SELECT q_id, vec_id, score FROM (
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {PACK_POOL}
+),
+with_tokens AS (
+  SELECT p.q_id, p.vec_id, p.score,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM pool p JOIN documents d ON p.vec_id = d.doc_id
+),
+running AS (
+  SELECT q_id, vec_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM with_tokens
+),
+packed AS (
+  SELECT * FROM running WHERE cum_tokens <= {PACK_BUDGET_TOKENS}
+)
+SELECT q_id,
+       COUNT(*) AS n_docs_packed,
+       CAST(MAX(cum_tokens) AS BIGINT) AS tokens_used,
+       MIN(score) AS min_score_packed,
+       MAX(score) AS top_score
+FROM packed
+GROUP BY q_id
+ORDER BY q_id
+""", cos
+
+
+@register(
+    "rag_context_pack",
+    oracle=_pack_sql("duckdb")[0],
+    description="RAG context packing under a token budget: per query,"
+    " greedy take of top-cosine candidates while the running token sum"
+    " fits 600 — rank + prefix-sum windows over the bounded candidate"
+    " pool, per-query packed-set census hashed (the context-window"
+    " assembly step between retrieval and generation)",
+    tags=("rag", "vector", "budget", "window"),
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step RAG serving actually ships: retrieval gives a ranked
+    pool, the prompt has a token budget, and the packer takes
+    best-first until the budget closes (greedy by rounded-4 score with
+    vec_id tie-break — deterministic, and optimal when candidates are
+    valued by rank). Shapes: the scored scan + per-query rank window
+    bound the pool to PACK_POOL rows per query, so the token join
+    against documents and the prefix-sum budget window run on
+    queries×pool rows, not the corpus; both windows share the q_id
+    partitioning (one shuffle). Token counts reuse the whitespace
+    tokenizer contract of ta_token_stats (vec_id = doc_id in the
+    fixtures; in production the chunk store carries its own token
+    counts at write time)."""
+    sql, cos = _pack_sql("spark")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    spark_cos = "round(" + cosine_sql("e.embedding", "q.qv") + ", 4)"
+    return spark.sql(sql.replace("rag_cos_ph", spark_cos))

@@ -1100,3 +1100,128 @@ def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_confusion_sql("spark"))
+
+
+#: BPE training: unrolled merge iterations.
+BPE_ITERS = 3
+
+
+def _bpe_sql(dialect: str) -> str:
+    """Unrolled distributed BPE merge learning (Sennrich et al.
+    ACL'16): word-frequency table → space-separated symbol strings →
+    per-iteration (pair count, arg-max merge, replace-all apply).
+    Replace-all is left-to-right non-overlapping in BOTH engines
+    (verified: ' a a a ' -> ' aa a '), which IS greedy BPE merge
+    application, so the chain is engine-identical."""
+    if dialect == "spark":
+        chars = "array_join(split(word, ''), ' ')"
+
+        def pairs(t: str) -> str:
+            return (
+                f"CASE WHEN size({t}) < 2 THEN array() "
+                f"ELSE transform(sequence(1, size({t}) - 1), bp_k -> "
+                f"concat(element_at({t}, bp_k), ' ', "
+                f"element_at({t}, bp_k + 1))) END"
+            )
+
+        def nsyms(s: str) -> str:
+            return f"size(split({s}, ' '))"
+
+        ex = "explode"
+    else:
+        chars = "array_to_string(string_split(word, ''), ' ')"
+
+        def pairs(t: str) -> str:
+            return (
+                f"list_transform(range(1, len({t})), bp_k -> "
+                f"{t}[bp_k] || ' ' || {t}[bp_k + 1])"
+            )
+
+        def nsyms(s: str) -> str:
+            return f"len(string_split({s}, ' '))"
+
+        ex = "unnest"
+
+    iters = []
+    for i in range(1, BPE_ITERS + 1):
+        prev = f"s{i - 1}"
+        iters.append(f"""
+p{i} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, {ex}({pairs(f"string_to_array_{i}")}) AS pair
+        FROM (SELECT freq, sym, {_bpe_split(dialect, "sym")}
+                     AS string_to_array_{i}
+              FROM {prev}))
+  GROUP BY pair
+),
+t{i} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged, pair_count
+  FROM p{i} ORDER BY pair_count DESC, pair LIMIT 1
+),
+s{i} AS (
+  SELECT s.freq,
+         trim(replace(' ' || s.sym || ' ',
+                      ' ' || t.pair || ' ',
+                      ' ' || t.merged || ' ')) AS sym
+  FROM {prev} s CROSS JOIN t{i} t
+),
+c{i} AS (
+  SELECT CAST(SUM(freq * {nsyms("sym")}) AS BIGINT) AS corpus_tokens
+  FROM s{i}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, t{i}.pair, t{i}.merged, t{i}.pair_count,"
+        f" c{i}.corpus_tokens AS corpus_tokens_after"
+        f" FROM t{i} CROSS JOIN c{i}"
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT {ex}({_bpe_split(dialect, "text")}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+s0 AS (
+  SELECT freq, {chars} || ' </w>' AS sym FROM words
+),{",".join(iters)}
+{selects}
+ORDER BY merge_rank
+"""
+
+
+def _bpe_split(dialect: str, col: str) -> str:
+    if dialect == "spark":
+        return f"split({col}, ' ')"
+    return f"string_split({col}, ' ')"
+
+
+@register(
+    "ta_bpe_train",
+    oracle=_bpe_sql("duckdb"),
+    description="distributed BPE tokenizer training (Sennrich et al."
+    " ACL'16): 3 unrolled merge iterations over the word-frequency"
+    " table — weighted adjacent-pair counts, deterministic arg-max"
+    " merge selection, greedy replace-all application — each learned"
+    " merge and the shrinking corpus token count inside the driver"
+    " hash",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def ta_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training IS a distributed aggregation loop: pair counts are
+    a keyed partial-agg over the word-frequency table (vocabulary-
+    sized, never corpus-sized — the freq column carries the corpus
+    weight), the winning merge is a 1-row arg-max broadcast back, and
+    merge application is replace-all on the space-separated symbol
+    string — whose left-to-right non-overlapping semantics are exactly
+    greedy BPE and identical in both engines. The </w> end-of-word
+    marker keeps merges from crossing word boundaries, as in the
+    paper. Three unrolled iterations, each: one shuffle on pair, one
+    broadcast join. At 100 TB the word-frequency table is the only
+    state (Heaps-sublinear), so hundreds of merge iterations run at
+    vocabulary cost, not corpus cost — the reason every production
+    BPE trainer works from word counts."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_bpe_sql("spark"))

@@ -772,3 +772,31 @@ def test_kl_drift_vocab_join_no_python(spark):
     plan = plan_string(q(spark, "ta_kl_source_drift"))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_is_vocab_cost_with_broadcast_merges(spark):
+    """ta_bpe_train: pair counts aggregate the word-frequency table
+    (vocabulary-sized) and each winning merge joins back as a
+    broadcast 1-row build — no Python, no cartesian of words."""
+    df = q(spark, "ta_bpe_train")
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= BPE_BROADCASTS_MIN
+
+
+#: each of the 3 unrolled iterations broadcasts its 1-row top pair
+#: (plus the apply-side join); pin a floor, not the exact count.
+BPE_BROADCASTS_MIN = 3
+
+
+def test_context_pack_windows_share_qid_partitioning(spark):
+    """rag_context_pack: the rank window and the budget prefix-sum
+    window both partition by q_id (bounded pool), never empty-spec."""
+    import re
+
+    df = q(spark, "rag_context_pack")
+    plan = plan_string(df)
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(q_id" in stripped
+    assert "CartesianProduct" not in plan

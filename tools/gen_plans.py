@@ -51,7 +51,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_trend_forecast", "ev_attribution_last_touch",
          "ta_readability_fk", "ta_code_detect", "ta_lang_confusion",
          "tj_nearest_order", "dd_graph_triangles",
-         "st_incremental_rollup", "ta_kl_source_drift"]
+         "st_incremental_rollup", "ta_kl_source_drift",
+         "ta_bpe_train", "rag_context_pack"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
