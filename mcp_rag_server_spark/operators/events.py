@@ -1375,3 +1375,164 @@ def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _attrib_sql("spark").replace("epoch_us(", "unix_micros(")
     )
+
+
+#: PIT feature window (microseconds) — 24 h, strictly before the label.
+PIT_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _pit_sql() -> str:
+    """ONE SQL text for both engines (epoch token swapped): trailing
+    RANGE frame ending 1 microsecond BEFORE the label row — the
+    no-leakage contract of point-in-time feature joins."""
+    return f"""
+WITH feat AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER pit
+           AS views_24h,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER pit
+           AS clicks_24h,
+         CAST(COALESCE(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+                       OVER pit, 0) AS DOUBLE) AS value_24h,
+         COUNT(*) OVER pit AS events_24h
+  FROM events
+  WINDOW pit AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN {PIT_WINDOW_US} PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, ts,
+       views_24h, clicks_24h, value_24h, events_24h,
+       CAST(round(value, 4) AS DOUBLE) AS label_value
+FROM feat
+WHERE event_type = 'purchase' AND event_id % 20 = 0
+ORDER BY event_id
+"""
+
+
+@register(
+    "ev_pit_features",
+    oracle=_pit_sql(),
+    description="point-in-time-correct training features: per purchase"
+    " label, trailing-24h behavioral aggregates from a RANGE frame that"
+    " ends 1 microsecond BEFORE the label row — the feature-store"
+    " no-leakage join, as one user-keyed window (sampled post-window)",
+    tags=("events", "window", "features", "training"),
+)
+def ev_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set assembly step feature stores exist for: every
+    label row gets features computed ONLY from strictly-earlier data.
+    The 1-PRECEDING upper bound on the value-based RANGE frame is the
+    leakage guard — same-microsecond peers (and the label itself) are
+    excluded BY VALUE, so the result is deterministic with no row
+    tie-break and auditable by construction (a frame ending at CURRENT
+    ROW would leak the label's own value into value_24h). One
+    user-keyed shuffle serves all four feature aggregates; at 100 TB
+    this replaces the per-feature correlated subqueries a naive
+    training-set builder runs, and the same frame maintains online in
+    the streaming pack's stateful shapes."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_pit_sql().replace("epoch_us(", "unix_micros("))
+
+
+def _km_sql() -> str:
+    """Kaplan-Meier per first-view-month cohort (ONE SQL text; epoch
+    token swapped per engine). Product-limit via exp(Σ rounded ln
+    terms) — the cumulative product as a prefix sum under the
+    rounded-log parity discipline; a time where d = n (everyone left
+    dies) zeroes the curve from there on via the dead-flag counter."""
+    return """
+WITH t0s AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+),
+obs_end AS (SELECT MAX(ts) AS tmax FROM events),
+subj AS (
+  SELECT s.user_id,
+         date_trunc('month', s.t0) AS cohort,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s.t0
+                  THEN e.ts END) AS tp,
+         s.t0
+  FROM t0s s JOIN events e ON e.user_id = s.user_id
+  WHERE s.t0 IS NOT NULL
+  GROUP BY s.user_id, s.t0
+),
+durs AS (
+  SELECT cohort,
+         CAST((epoch_us(COALESCE(tp, o.tmax)) - epoch_us(t0)) // 3600000000
+              AS BIGINT) AS dur_h,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM subj CROSS JOIN obs_end o
+),
+times AS (
+  SELECT cohort, dur_h,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+  FROM durs GROUP BY cohort, dur_h
+),
+risk AS (
+  SELECT cohort, dur_h, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+           - CAST(COALESCE(SUM(d + c) OVER (
+               PARTITION BY cohort ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_at_risk
+  FROM times
+),
+terms AS (
+  SELECT cohort, dur_h, d, c, n_at_risk,
+         CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(18,8))
+              WHEN d = n_at_risk THEN CAST(0 AS DECIMAL(18,8))
+              ELSE CAST(round(ln(CAST(n_at_risk - d AS DOUBLE)
+                                 / n_at_risk), 8) AS DECIMAL(18,8))
+         END AS lterm,
+         CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+),
+curve AS (
+  SELECT cohort, dur_h, d, c, n_at_risk,
+         CAST(SUM(lterm) OVER (PARTITION BY cohort ORDER BY dur_h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(18,8)) AS cuml,
+         CAST(SUM(dead) OVER (PARTITION BY cohort ORDER BY dur_h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_dead_times
+  FROM terms
+)
+SELECT cohort, dur_h, n_at_risk, d AS n_events, c AS n_censored,
+       CASE WHEN n_dead_times > 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(exp(CAST(cuml AS DOUBLE)), 6) END AS survival
+FROM curve
+WHERE d > 0 OR c > 0
+ORDER BY cohort, dur_h
+"""
+
+
+@register(
+    "ev_survival_km",
+    oracle=_km_sql(),
+    description="Kaplan-Meier survival curves per first-view-month"
+    " cohort: time from first view to first purchase with censoring at"
+    " observation end — the product-limit estimator as a prefix sum of"
+    " rounded-ln terms (cumulative product under the log-parity"
+    " discipline), risk sets from exact prefix counts",
+    tags=("events", "survival", "stats", "window"),
+)
+def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis distributes cleanly once the product-limit
+    Π(1 − d_i/n_i) becomes exp(Σ ln(...)): the sum is a cohort-keyed
+    prefix window over DECIMAL-exact rounded-8 log terms (same
+    transcendental discipline as ta_unigram_logprob/ta_kl_source_drift
+    — the log never rides a float aggregate), the risk set n_i is an
+    exact suffix count from two prefix aggregates, and censored
+    subjects (no purchase by observation end) leave the risk set
+    without an event term — the estimator's whole point. A time where
+    d = n zeroes the curve onward via the dead-time counter (ln(0)
+    never evaluates — the CASE guards it). Stratifying by first-view
+    cohort keeps every window keyed (no global window) and is what a
+    real retention analysis does anyway. Durations bucket to hours so
+    the curve table is subjects-bounded per cohort."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = _km_sql().replace("epoch_us(", "unix_micros(")
+    sql = sql.replace("// 3600000000", "DIV 3600000000")
+    return spark.sql(sql)

@@ -847,3 +847,84 @@ def ta_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
         )
     )
+
+
+#: DSIR smoothing: additive (add-1) over the corpus vocabulary.
+DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+corpus AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+ctot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM corpus
+),
+target AS (
+  SELECT t, COUNT(*) AS cnt_t FROM tok WHERE lang = '{lang}' GROUP BY t
+),
+ttot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS n_t FROM target),
+terms AS (
+  SELECT k.doc_id, k.source,
+         CAST(round(
+           ln((CAST(COALESCE(tg.cnt_t, 0) + 1 AS DOUBLE)
+               / (tt.n_t + ct.v))
+              / (CAST(c.cnt + 1 AS DOUBLE) / (ct.n + ct.v))), 8)
+           AS DECIMAL(18,8)) AS lterm
+  FROM tok k
+  JOIN corpus c ON k.t = c.t
+  LEFT JOIN target tg ON k.t = tg.t
+  CROSS JOIN ctot ct CROSS JOIN ttot tt
+),
+docw AS (
+  SELECT doc_id, source,
+         round(CAST(SUM(lterm) AS DOUBLE), 6) AS log_weight
+  FROM terms GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(log_weight AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_log_weight,
+       MAX(log_weight) AS max_log_weight,
+       COUNT(CASE WHEN log_weight > 0 THEN 1 END) AS n_target_leaning
+FROM docw
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "ta_dsir_weights",
+    oracle=_DSIR_SQL.format(lang=DSIR_TARGET_LANG),
+    description="DSIR-style importance-resampling weights (Xie et al."
+    " 2023): per-doc log weight = sum of ln(p_target/p_raw) over"
+    " add-1-smoothed unigram LMs (target = the en slice, raw = whole"
+    " corpus), rounded-8 terms decimal-summed; per-source selection"
+    " pressure hashed — the data-selection method behind"
+    " domain-targeted pretraining mixes",
+    tags=("text", "quality", "selection", "mixture"),
+)
+def ta_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling: documents are scored
+    by how much more likely their tokens are under a TARGET domain LM
+    than under the RAW corpus LM — log w(x) = Σ_t ln(p_T(t)/p_R(t)) —
+    then sampled proportionally. Both LMs here are add-1-smoothed
+    unigram tables (the hashed-ngram variant in the paper swaps the
+    token key for a hash bucket — same plan), so the whole scorer is
+    two vocabulary aggregations, one token-keyed join back to token
+    occurrences, and a doc-keyed decimal sum of rounded-8 log terms
+    (the ta_unigram_logprob/ta_kl_source_drift parity discipline).
+    Smoothing uses the corpus vocabulary size for BOTH LMs, so every
+    token has nonzero mass under the target even when absent from it.
+    Per-source means + the positive-weight count summarize where
+    selection pressure lands; the per-doc weights feed the
+    ta_stratified_sample/ta_mix_temperature stages downstream."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        _DSIR_SQL.format(lang=DSIR_TARGET_LANG).replace(
+            "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+        )
+    )

@@ -1703,3 +1703,95 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence the selected row — are engine-identical."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_WMEDIAN_SQL)
+
+
+_GINI_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS x
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS i
+  FROM per_user
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(i * x) AS DOUBLE) AS six
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n,
+       round(sx, 4) AS total_value,
+       round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+FROM m
+ORDER BY event_type
+"""
+
+
+@register(
+    "agg_gini_index",
+    oracle=_GINI_SQL,
+    description="exact Gini coefficient of per-user value concentration"
+    " per event type — rank-weighted decimal moment sums then one"
+    " fixed-order closed-form evaluation; the inequality/concentration"
+    " diagnostic (is 1% of users 90% of the volume?) behind skew-aware"
+    " capacity planning",
+    tags=("relational", "agg", "stats", "gini"),
+)
+def agg_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini via the rank formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) over
+    ascending-sorted values: the sort is a per-type rank window (total
+    (x, user_id) ordering so ranks are engine-identical), Σx and Σi·x
+    are decimal-exact partials (BIGINT rank × DECIMAL value), and the
+    closed form evaluates once per type. One keyed shuffle for the
+    user aggregation, one for the rank window — no pairwise |x_i−x_j|
+    stage (the naive mean-absolute-difference form is O(n²)). The
+    hashed value answers the planning question directly: a type whose
+    gini approaches 1 is a hot-key workload (ev_salted_hot_key_join
+    is the mitigation on the books)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GINI_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 10 = 0
+ORDER BY c.c_custkey, t.rk
+"""
+
+
+@register(
+    "sql_lateral_topn",
+    oracle=_LATERAL_SQL,
+    description="correlated LATERAL subquery: top-2 orders per customer"
+    " via a per-row dependent subquery with ORDER BY + LIMIT — the"
+    " lateral-join SQL surface (Spark 4 decorrelates it to a ranked"
+    " window, DuckDB executes it natively; identical rows either way)",
+    tags=("relational", "sql", "lateral", "topk"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface registration matters because the EXECUTION
+    diverges: DuckDB runs the lateral subquery per outer row; Spark's
+    optimizer DECORRELATES it into a join + per-key rank window
+    (DecorrelateInnerQuery) — same semantics, cluster-friendly plan
+    (no per-row re-execution at 100 TB). The total (price, key)
+    ordering inside the subquery makes the top-2 rows engine-identical
+    even under price ties. The %10 outer filter bounds the result; it
+    pushes into the decorrelated join's probe side."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

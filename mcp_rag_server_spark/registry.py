@@ -209,13 +209,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # merge), and ta_kl_source_drift (KL(P_source||P_corpus) token-
 # distribution drift), ta_bpe_train (distributed BPE merge learning,
 # 3 unrolled iterations at vocabulary cost), and rag_context_pack
-# (token-budget context assembly via rank + prefix-sum windows) — all
-# locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
-# arithmetic: 53 never-checked queries (the 22 above +
-# dd_incremental_minhash + rag_rrf_topk + these 29) plus ~29
-# r3-vintage rows total ~82 for 50 slots — the never-checked set now
-# OVERFILLS the window: r6 takes the 50 oldest-registered
-# never-checked, the newest 3 (plus every r3-vintage re-check) slide
+# (token-budget context assembly via rank + prefix-sum windows),
+# ev_pit_features (point-in-time no-leakage training features via a
+# 1-PRECEDING RANGE frame), ta_dsir_weights (DSIR importance-
+# resampling log weights over add-1 unigram LMs), and agg_gini_index
+# (exact rank-formula Gini concentration), sql_lateral_topn
+# (correlated LATERAL subquery, decorrelated to a ranked join), and
+# ev_survival_km (Kaplan-Meier cohort survival via exp of prefix-
+# summed rounded-ln terms) — all locally oracle-replayed green at
+# sf0.001 AND sf0.01. r6 window arithmetic: 58 never-checked queries
+# (the 22 above + dd_incremental_minhash + rag_rrf_topk + these 34)
+# plus ~29 r3-vintage rows total ~87 for 50 slots — the never-checked
+# set OVERFILLS the window: r6 takes the 50 oldest-registered
+# never-checked, the newest 8 (plus every r3-vintage re-check) slide
 # to r7; r6's builder should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,

@@ -800,3 +800,66 @@ def test_context_pack_windows_share_qid_partitioning(spark):
     stripped = re.sub(r"#\d+L?", "", plan)
     assert "windowspecdefinition(q_id" in stripped
     assert "CartesianProduct" not in plan
+
+
+def test_pit_features_single_user_window_range_frame(spark):
+    """ev_pit_features: all four feature aggregates share ONE
+    user-keyed RANGE-frame window (a per-feature subquery would scan
+    events 4x); no join, no Python."""
+    import re
+
+    df = q(spark, "ev_pit_features")
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_dsir_vocab_joins_no_python(spark):
+    """ta_dsir_weights: LM tables join on the token key (vocabulary-
+    sized); logs in codegen; the 1-row totals are broadcast cross
+    joins, never a data-path cartesian."""
+    plan = plan_string(q(spark, "ta_dsir_weights"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_two_keyed_shuffles_no_pairs(spark):
+    """agg_gini_index: rank-formula Gini — user agg + rank window, no
+    O(n^2) pairwise-difference stage (no self-join of per_user)."""
+    import re
+
+    df = q(spark, "agg_gini_index")
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+
+
+def test_lateral_is_decorrelated_to_ranked_join(spark):
+    """sql_lateral_topn: Spark must decorrelate the LATERAL subquery —
+    the plan is a join + per-key rank window, never a per-outer-row
+    re-execution (no CartesianProduct, exactly one Window)."""
+    import re
+
+    df = q(spark, "sql_lateral_topn")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    # decorrelation yields the explicit rk window plus the LIMIT-2
+    # pushdown's own rank filter — both keyed by the correlation key
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(o_custkey" in stripped
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2, plan
+
+
+def test_survival_windows_all_cohort_keyed(spark):
+    """ev_survival_km: risk-set and product-limit accumulations all
+    partition by cohort — no global window, no pairwise stage."""
+    import re
+
+    df = q(spark, "ev_survival_km")
+    plan = plan_string(df)
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(cohort" in stripped
+    assert "windowspecdefinition()" not in stripped.replace(" ", "")
+    assert "CartesianProduct" not in plan

@@ -52,7 +52,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_readability_fk", "ta_code_detect", "ta_lang_confusion",
          "tj_nearest_order", "dd_graph_triangles",
          "st_incremental_rollup", "ta_kl_source_drift",
-         "ta_bpe_train", "rag_context_pack"]
+         "ta_bpe_train", "rag_context_pack",
+         "ev_pit_features", "ta_dsir_weights", "agg_gini_index",
+         "sql_lateral_topn", "ev_survival_km"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
