@@ -1091,7 +1091,9 @@ CONTAINMENT_JACCARD_GAP = 0.5
 
 _CONTAIN_ORACLE = f"""
 WITH t AS (SELECT doc_id, source,
-                  list_distinct(string_split(text, ' ')) AS toks
+                  list_distinct(list_transform(string_split(text, ' '),
+                    ct_t -> CAST('0x' || substring(md5(ct_t), 1, 8)
+                                 AS BIGINT))) AS toks
            FROM documents),
 tn AS (SELECT doc_id, source, toks, len(toks) AS ntok FROM t),
 pairs AS (
@@ -1144,38 +1146,55 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source census, never the O(pairs) edge list (the first cut
     returned 702k rows at sf0.1 and spent most of its 27 s
     materializing them — the census runs in ~10 s and returns 20).
-    Blocking and plan shape match the Jaccard pass: one same-source
-    equi self-join; at 100 TB the blocking key becomes an LSH band as
-    in dd_minhash_lsh, minhashing the probe side only
+    (3) token sets are 32-bit md5 folds (the _hexval8 fold every
+    hash op here uses), computed ONCE per doc, so the per-pair
+    intersection compares BIGINTs instead of strings — 10.4 s →
+    ~5.0 s steady at sf0.1 on top of the first two fixes. The fold is
+    engine-identical, so a (vanishingly rare, ~1e-5/doc) in-doc
+    collision changes both engines' counts the same way — the
+    operator's contract is containment over hashed-token fingerprints,
+    which is also exactly what a production pass stores. Blocking and
+    plan shape match the Jaccard pass: one same-source equi self-join;
+    at 100 TB the blocking key becomes an LSH band as in
+    dd_minhash_lsh, minhashing the probe side only
     (dd_incremental_minhash's asymmetric layout)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "source",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        F.expr(
+            "array_distinct(transform(split(text, ' '), ct_t -> "
+            "CAST(conv(substring(md5(ct_t), 1, 8), 16, 10) AS BIGINT)))"
+        ).alias("toks"),
     ).withColumn("ntok", F.size("toks"))
     a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
-        "double"
+    # materialize the intersection size ONCE per pair: containment,
+    # jaccard, and the threshold filter all derive from this column
+    # (inline expressions would re-evaluate the array_intersect per
+    # use — filter + two projections = 3x the pair work)
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        .cast("double")
+        .alias("inter"),
+        F.col("a.ntok").alias("ntok_a"),
+        F.col("b.ntok").alias("ntok_b"),
     )
-    containment = F.round(inter / F.col("a.ntok"), 4)
-    jaccard = F.round(
-        inter / (F.col("a.ntok") + F.col("b.ntok") - inter), 4
-    )
-    hits = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.source").alias("source"),
-            F.col("a.doc_id").alias("doc_a"),
-            containment.alias("containment"),
-            jaccard.alias("jaccard"),
-        )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
-    )
+    hits = pairs.select(
+        "source",
+        "doc_a",
+        F.round(F.col("inter") / F.col("ntok_a"), 4).alias("containment"),
+        F.round(
+            F.col("inter")
+            / (F.col("ntok_a") + F.col("ntok_b") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    ).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     return (
         hits.groupBy("source")
         .agg(
