@@ -1536,3 +1536,91 @@ def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = _km_sql().replace("epoch_us(", "unix_micros(")
     sql = sql.replace("// 3600000000", "DIV 3600000000")
     return spark.sql(sql)
+
+
+def _ks_sql() -> str:
+    """Two-sample KS per event type between md5-parity user arms:
+    D = max over observed values of |F_A − F_B|, from exact prefix
+    counts over the merged per-type value sequence."""
+    arm_spark = (
+        "CASE WHEN CAST(conv(substr(md5(concat('arm:', CAST(user_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B'"
+        " END"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT event_type, {{arm}} AS arm, round(value, 4) AS v
+  FROM events
+),
+counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tagged GROUP BY event_type
+),
+steps AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS db
+  FROM tagged GROUP BY event_type, v
+),
+cdf AS (
+  SELECT event_type, v,
+         CAST(SUM(da) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cb
+  FROM steps
+),
+d AS (
+  SELECT c.event_type,
+         MAX(ABS(CAST(c.ca AS DOUBLE) / k.n_a
+                 - CAST(c.cb AS DOUBLE) / k.n_b)) AS ks_d,
+         MAX(k.n_a) AS n_a, MAX(k.n_b) AS n_b
+  FROM cdf c JOIN counts k ON c.event_type = k.event_type
+  GROUP BY c.event_type
+)
+SELECT event_type, n_a, n_b,
+       round(ks_d, 6) AS ks_d,
+       ks_d > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+         AS reject_95
+FROM d
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_ks_test",
+    oracle=_ks_sql().format(
+        arm="CASE WHEN CAST('0x' || substr(md5('arm:' || CAST(user_id AS"
+        " VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+    ),
+    description="two-sample Kolmogorov-Smirnov test per event type"
+    " between md5-parity experiment arms: D = max |F_A - F_B| from"
+    " exact prefix counts over the merged value sequence, with the"
+    " 95% critical-value verdict — the distribution-level A/B"
+    " comparison the mean-level z-test can't see",
+    tags=("events", "abtest", "stats", "ks"),
+)
+def ev_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_abtest_ztest compares arm MEANS; KS compares the whole
+    distributions — it catches a treatment that shifts variance or
+    shape while leaving the mean alone. The empirical CDFs never
+    materialize per row: the per-type value sequence aggregates to one
+    row per distinct (type, value) with per-arm step counts, a
+    type-keyed prefix window turns steps into cumulative counts, and D
+    is the max of |ca/n_a − cb/n_b| — exact integers until one final
+    rounded division per distinct value. Checking D only at observed
+    values is exact (the CDF difference is constant between steps).
+    One shuffle on event_type serves the step aggregation and the
+    prefix window; the asymptotic 1.36·sqrt((n+m)/nm) critical value
+    gives the hashed 95% verdict."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    arm = (
+        "CASE WHEN CAST(conv(substr(md5(concat('arm:', CAST(user_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B'"
+        " END"
+    )
+    return spark.sql(_ks_sql().format(arm=arm))

@@ -233,3 +233,107 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("hamming"), F.asc("vec_id"))
         .limit(HAM_TOP_K)
     )
+
+
+MIPS_QUERY_ID = 0
+MIPS_TOP_K = 5
+
+
+def _mips_oracle() -> str:
+    dot = (
+        "round(list_sum(list_transform(range(1, 65), mip_i -> "
+        "CAST(d.embedding[mip_i] AS DOUBLE)"
+        " * CAST(q.embedding[mip_i] AS DOUBLE))), 4)"
+    )
+    nsq = (
+        "list_sum(list_transform(range(1, 65), mip_i -> "
+        "CAST({v}.embedding[mip_i] AS DOUBLE)"
+        " * CAST({v}.embedding[mip_i] AS DOUBLE)))"
+    )
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings
+           WHERE vec_id = {MIPS_QUERY_ID}),
+scored AS (
+  SELECT d.vec_id, d.label,
+         {dot} AS dot,
+         round({nsq.format(v="d")}, 6) AS dn2
+  FROM embeddings d CROSS JOIN q
+  WHERE d.vec_id <> {MIPS_QUERY_ID}
+),
+aug AS (
+  SELECT s.vec_id, s.label, s.dot,
+         round(2 * s.dot - s.dn2, 4) AS neg_aug_l2
+  FROM scored s
+)
+SELECT vec_id, label, dot, neg_aug_l2
+FROM aug
+ORDER BY neg_aug_l2 DESC, vec_id
+LIMIT {MIPS_TOP_K}
+"""
+
+
+@register(
+    "sim_mips_augmented",
+    oracle=_mips_oracle(),
+    description="maximum-inner-product search via the norm-augmentation"
+    " reduction (Shrivastava & Li, NeurIPS'14 ALSH): augmented squared-"
+    "L2 ordering -||x||² + 2q·x reproduces the MIPS ranking exactly —"
+    " both the raw dot and the reduced score ride the hash, heap top-k",
+    tags=("similarity", "vector", "mips"),
+)
+def sim_mips_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS doesn't fit metric ANN indexes directly (inner product
+    violates the triangle inequality); the standard fix augments each
+    vector with sqrt(M² − ||x||²) so query-to-augmented-L2 order
+    equals inner-product order: ||x̂ − q̂||² = M² + ||q||² − 2q·x + ||x||²
+    − ||x||² terms collapse so minimizing augmented L2 maximizes
+    2q·x − ||x||² + const. The registered score is that monotone core
+    (the per-corpus constant M² drops out of the ordering), and the
+    raw dot column riding the hash proves the reduction reproduces the
+    MIPS order (a wrong augmentation reorders rows and flips the
+    hash). Shapes: one broadcast query, one codegen
+    fold per row for dot and squared norm, heap top-k; at scale the
+    augmented vectors feed the existing IVF/LSH index path
+    (vector_lsh.py) unchanged — that is the reduction's whole point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == MIPS_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    dot = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, qv, (mip_x, mip_y) -> "
+            "CAST(mip_x AS DOUBLE) * CAST(mip_y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (mip_a, mip_v) -> mip_a + mip_v)"
+        ),
+        4,
+    )
+    nsq = F.round(
+        F.expr(
+            "aggregate(transform(embedding, mip_x -> "
+            "CAST(mip_x AS DOUBLE) * CAST(mip_x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (mip_a, mip_v) -> mip_a + mip_v)"
+        ),
+        6,
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != MIPS_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            dot.alias("dot"),
+            nsq.alias("dn2"),
+        )
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "dot",
+            F.round(F.lit(2) * F.col("dot") - F.col("dn2"), 4).alias(
+                "neg_aug_l2"
+            ),
+        )
+        .orderBy(F.desc("neg_aug_l2"), F.asc("vec_id"))
+        .limit(MIPS_TOP_K)
+    )

@@ -863,3 +863,24 @@ def test_survival_windows_all_cohort_keyed(spark):
     assert "windowspecdefinition(cohort" in stripped
     assert "windowspecdefinition()" not in stripped.replace(" ", "")
     assert "CartesianProduct" not in plan
+
+
+def test_mips_is_broadcast_heap_topk(spark):
+    """sim_mips_augmented: broadcast query, codegen dot+norm folds,
+    heap top-k, zero shuffles — same scan shape as rag_topk."""
+    df = q(spark, "sim_mips_augmented")
+    assert has_take_ordered(df)
+    assert count_exchanges(df) == 0
+    assert "EvalPython" not in plan_string(df)
+
+
+def test_ks_cdf_is_step_aggregated_prefix_window(spark):
+    """ev_ks_test: the CDFs come from a (type, value) step aggregation
+    + type-keyed prefix window — never a per-row cross-arm join."""
+    import re
+
+    df = q(spark, "ev_ks_test")
+    plan = plan_string(df)
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+    assert "CartesianProduct" not in plan
