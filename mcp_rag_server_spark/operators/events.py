@@ -1624,3 +1624,58 @@ def ev_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " END"
     )
     return spark.sql(_ks_sql().format(arm=arm))
+
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+),
+grp AS (
+  SELECT user_id, d,
+         CAST(d - CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY d) AS INT) AS DATE) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len,
+         MIN(d) AS streak_start
+  FROM grp GROUP BY user_id, anchor
+),
+best AS (
+  SELECT user_id, len, streak_start FROM (
+    SELECT user_id, len, streak_start,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, streak_start) AS rn
+    FROM streaks) WHERE rn = 1
+)
+SELECT CAST(len AS BIGINT) AS streak_days,
+       COUNT(*) AS n_users,
+       MIN(user_id) AS example_user
+FROM best
+GROUP BY len
+ORDER BY streak_days
+"""
+
+
+@register(
+    "ev_purchase_streaks",
+    oracle=_STREAK_SQL,
+    description="longest consecutive-day purchase streak per user via"
+    " the date-minus-row-number gaps-and-islands anchor (distinct"
+    " purchase days -> constant anchor within a run), histogrammed"
+    " into a streak-length census",
+    tags=("events", "window", "streaks"),
+)
+def ev_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands identity in its date form: within
+    a run of CONSECUTIVE days, date − row_number() is constant, so the
+    anchor date IS the island key and streak length is a plain count —
+    no self-join, no recursive walk. Differs from ev_sessionize's
+    gap-threshold islands (time differences) by being calendar-exact:
+    two purchases 47h apart on adjacent days still extend the streak.
+    Two user-keyed windows (row_number, best-streak rank) on one
+    shuffle; the census aggregation is bounded by max streak length.
+    Date arithmetic (DATE minus integer) is engine-identical."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_STREAK_SQL)

@@ -799,3 +799,66 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+#: Merge-on-read deletes: every 7th doc is tombstoned.
+MOR_DELETE_MOD = 7
+
+
+@register(
+    "ingest_mor_deletes",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_live,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS live_chars,
+       MAX(doc_id) AS max_live_doc
+FROM documents
+WHERE doc_id % {MOR_DELETE_MOD} <> 0
+GROUP BY source
+ORDER BY source
+""",
+    description="merge-on-read deletion vectors: base files stay"
+    " immutable, deletes land as a tombstone sidecar, and the read"
+    " path applies them as a broadcast anti-join — the Iceberg/Delta"
+    " DV strategy beside ingest_gdpr_delete's copy-on-write partition"
+    " overwrite; the live-row census is hashed against an oracle that"
+    " filters the same ids",
+    tags=("ingest", "sources", "deletes", "mor"),
+)
+def ingest_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER deletion strategy: ingest_gdpr_delete rewrites the
+    affected partition (copy-on-write — reads stay cheap, deletes pay
+    a rewrite); merge-on-read writes a tombstone sidecar and pays at
+    READ time with an anti-join against the delete set. Here the base
+    table is written once, tombstones (every 7th doc_id) land as a
+    separate tiny parquet, and the read path is
+    base LEFT ANTI JOIN deletes — broadcast, since delete sets are
+    small relative to bases by design; at 100 TB the engine compacts
+    tombstones into the base when their ratio passes a threshold
+    (exactly what ingest_compacted's rewrite path does). A reader that
+    forgets the anti-join (or applies it to the wrong id) resurfaces a
+    tombstoned row and flips the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_mor_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs.coalesce(1).write.parquet(os.path.join(base, "base"))
+    docs.filter(F.col("doc_id") % MOR_DELETE_MOD == 0).select(
+        "doc_id"
+    ).coalesce(1).write.parquet(os.path.join(base, "deletes"))
+    base_df = spark.read.parquet(os.path.join(base, "base"))
+    dels = spark.read.parquet(os.path.join(base, "deletes"))
+    live = base_df.join(F.broadcast(dels), "doc_id", "left_anti")
+    return (
+        live.groupBy("source")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("live_chars"),
+            F.max("doc_id").alias("max_live_doc"),
+        )
+        .orderBy("source")
+    )

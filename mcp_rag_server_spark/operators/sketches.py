@@ -390,3 +390,60 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs),
+expected AS (
+  SELECT d, n, t.n_total,
+         round(ln(1 + CAST(1 AS DOUBLE) / d) / ln(CAST(10 AS DOUBLE)), 8)
+           AS p_benford
+  FROM obs CROSS JOIN tot t
+)
+SELECT d AS first_digit, n AS n_observed, n_total,
+       p_benford,
+       round(CAST(n AS DOUBLE) / n_total, 6) AS p_observed,
+       round((CAST(n AS DOUBLE) - n_total * p_benford)
+             * (CAST(n AS DOUBLE) - n_total * p_benford)
+             / (n_total * p_benford), 6) AS chi2_term
+FROM expected
+ORDER BY first_digit
+"""
+
+
+@register(
+    "agg_benford_audit",
+    oracle=_BENFORD_SQL,
+    description="Benford's-law first-digit audit over order totals:"
+    " observed vs log10(1+1/d) expected frequencies with per-digit"
+    " chi-square terms — the data-forensics screen for fabricated or"
+    " truncated numeric columns, exact counts + rounded-log expecteds",
+    tags=("agg", "audit", "benford", "quality"),
+)
+def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First significant digits of natural multiplicative data follow
+    P(d) = log10(1 + 1/d) (Benford 1938); fabricated, capped, or
+    unit-mangled columns don't — auditors and data-quality monitors
+    screen for exactly this. The digit extract is string head of the
+    integer part (explicit FLOOR first — a bare double→BIGINT cast
+    TRUNCATES in Spark but ROUNDS half-even in DuckDB, which moved
+    89999.99 across the 8/9 digit boundary; FLOOR is engine-identical
+    — codegen), counts are exact, and the expected
+    probabilities are rounded-8 ln ratios (log-parity discipline), so
+    the per-digit chi-square terms hash identically. One bounded-key
+    (9-digit) aggregation after a narrow scan; the verdict is read by
+    summing chi2_term against the chi-square critical value — the
+    per-digit terms are kept so the hash pins WHERE any deviation
+    lives, not just its total."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _BENFORD_SQL.replace("AS VARCHAR", "AS STRING")
+    )

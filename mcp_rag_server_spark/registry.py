@@ -218,12 +218,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ev_survival_km (Kaplan-Meier cohort survival via exp of prefix-
 # summed rounded-ln terms), sim_mips_augmented (MIPS via the norm-
 # augmentation reduction), and ev_ks_test (two-sample KS from exact
-# prefix-count CDFs) — all locally oracle-replayed green at sf0.001
-# AND sf0.01. r6 window arithmetic: 60 never-checked queries (the 22
-# above + dd_incremental_minhash + rag_rrf_topk + these 36) plus ~29
-# r3-vintage rows total ~89 for 50 slots — the never-checked set
-# OVERFILLS the window: r6 takes the 50 oldest-registered
-# never-checked, the newest 10 (plus every r3-vintage re-check) slide
+# prefix-count CDFs), ingest_mor_deletes (merge-on-read deletion
+# vectors via broadcast anti-join), ev_purchase_streaks (calendar
+# gaps-and-islands streak census), and agg_benford_audit (first-digit
+# forensics vs log10(1+1/d)) — all locally oracle-replayed green at
+# sf0.001 AND sf0.01. r6 window arithmetic: 63 never-checked queries
+# (the 22 above + dd_incremental_minhash + rag_rrf_topk + these 39)
+# plus ~29 r3-vintage rows total ~92 for 50 slots — the never-checked
+# set OVERFILLS the window: r6 takes the 50 oldest-registered
+# never-checked, the newest 13 (plus every r3-vintage re-check) slide
 # to r7; r6's builder should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,

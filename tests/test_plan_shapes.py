@@ -884,3 +884,39 @@ def test_ks_cdf_is_step_aggregated_prefix_window(spark):
     stripped = re.sub(r"#\d+L?", "", plan)
     assert "windowspecdefinition(event_type" in stripped
     assert "CartesianProduct" not in plan
+
+
+def test_mor_read_is_broadcast_anti_join(spark):
+    """ingest_mor_deletes: the read path applies tombstones as a
+    broadcast LEFT ANTI join — the delete set never shuffles the
+    base."""
+    df = q(spark, "ingest_mor_deletes")
+    plan = plan_string(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_streaks_anchor_windows_user_keyed(spark):
+    """ev_purchase_streaks: both windows (anchor row_number, best-
+    streak rank) key by user_id; no self-join of the day table."""
+    import re
+
+    df = q(spark, "ev_purchase_streaks")
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(user_id" in stripped
+
+
+def test_benford_is_bounded_digit_aggregation(spark):
+    """agg_benford_audit: a narrow scan into a 9-key aggregation; the
+    expected-prob math is codegen over the aggregated rows."""
+    import re
+
+    df = q(spark, "agg_benford_audit")
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    # two scans: the digit census and the 1-row total (a window-ized
+    # total over the 9-row aggregate would need a global-window
+    # allowlist entry for less than one scan's worth of work)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan

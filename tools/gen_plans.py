@@ -55,7 +55,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_bpe_train", "rag_context_pack",
          "ev_pit_features", "ta_dsir_weights", "agg_gini_index",
          "sql_lateral_topn", "ev_survival_km",
-         "sim_mips_augmented", "ev_ks_test"]
+         "sim_mips_augmented", "ev_ks_test",
+         "ingest_mor_deletes", "ev_purchase_streaks",
+         "agg_benford_audit"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
