@@ -862,3 +862,87 @@ def ingest_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Time travel: the delta vintage is every 3rd doc (an "append batch").
+TT_DELTA_MOD = 3
+
+
+@register(
+    "ingest_time_travel",
+    oracle=f"""
+WITH v0 AS (SELECT * FROM documents WHERE doc_id % {TT_DELTA_MOD} <> 0),
+v1 AS (SELECT * FROM documents)
+SELECT 0 AS version, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+       MAX(doc_id) AS max_doc_id
+FROM v0
+UNION ALL
+SELECT 1 AS version, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+       MAX(doc_id) AS max_doc_id
+FROM v1
+ORDER BY version
+""",
+    description="snapshot time travel: versioned manifests over"
+    " immutable data files — version 0 reads only the base file list,"
+    " version 1 adds the append batch; both versions' censuses are"
+    " hashed from ONE physical layout (the lakehouse as-of-version"
+    " read, manifest-driven, no file rewrites)",
+    tags=("ingest", "sources", "time-travel", "versioning"),
+)
+def ingest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel is a MANIFEST property, not a data property: data
+    files are immutable and append-only; each commit writes a manifest
+    listing the files in that version, and an as-of-version read just
+    loads the listed files (Iceberg snapshots / Delta log checkpoints
+    in miniature; our compacted chunk store's staged-swap metadata is
+    the same discipline one version deep). Here commit 0 writes the
+    base file + manifest-0, commit 1 adds the delta file + manifest-1;
+    the query reads BOTH versions through their manifests and hashes
+    both censuses — a reader that resolves versions from directory
+    listing instead of the manifest would see delta files in v0 and
+    flip the hash. At 100 TB manifests also carry per-file min/max for
+    planning; the version column here is the audit that the manifest
+    indirection works."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ingest_tt_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    f_base = os.path.join(base, "data_base")
+    f_delta = os.path.join(base, "data_delta")
+    docs.filter(F.col("doc_id") % TT_DELTA_MOD != 0).coalesce(1).write.parquet(
+        f_base
+    )
+    docs.filter(F.col("doc_id") % TT_DELTA_MOD == 0).coalesce(1).write.parquet(
+        f_delta
+    )
+    # manifests: newline-separated data paths per version
+    with open(os.path.join(base, "manifest_v0"), "w", encoding="utf-8") as fh:
+        fh.write(f_base + "\n")
+    with open(os.path.join(base, "manifest_v1"), "w", encoding="utf-8") as fh:
+        fh.write(f_base + "\n" + f_delta + "\n")
+
+    def read_version(v: int):
+        with open(
+            os.path.join(base, f"manifest_v{v}"), encoding="utf-8"
+        ) as fh:
+            paths = [p for p in fh.read().splitlines() if p]
+        return spark.read.parquet(*paths)
+
+    def census(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+
+    return (
+        census(read_version(0), 0)
+        .unionByName(census(read_version(1), 1))
+        .orderBy("version")
+    )

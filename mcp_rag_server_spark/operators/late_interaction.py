@@ -30,7 +30,7 @@ carry a vec_id tie-break (rule 5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
@@ -336,4 +336,114 @@ def sim_mips_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("neg_aug_l2"), F.asc("vec_id"))
         .limit(MIPS_TOP_K)
+    )
+
+
+HN_ANCHORS = 5
+
+
+def _hn_oracle() -> str:
+    cos = (
+        "round(list_sum(list_transform(range(1, 65), hn_i -> "
+        "CAST(d.embedding[hn_i] AS DOUBLE)"
+        " * CAST(a.embedding[hn_i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(range(1, 65), hn_i -> "
+        "CAST(d.embedding[hn_i] AS DOUBLE)"
+        " * CAST(d.embedding[hn_i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), hn_i -> "
+        "CAST(a.embedding[hn_i] AS DOUBLE)"
+        " * CAST(a.embedding[hn_i] AS DOUBLE)))) + 1e-10), 4)"
+    )
+    return f"""
+WITH anchors AS (
+  SELECT vec_id AS a_id, label AS a_label, embedding
+  FROM embeddings WHERE vec_id < {HN_ANCHORS}
+),
+scored AS (
+  SELECT a.a_id, a.a_label, d.vec_id, d.label, {cos} AS score
+  FROM embeddings d CROSS JOIN anchors a
+  WHERE d.vec_id <> a.a_id
+),
+picks AS (
+  SELECT a_id, a_label,
+         CASE WHEN label = a_label THEN 'positive'
+              ELSE 'hard_negative' END AS role,
+         vec_id, score,
+         row_number() OVER (
+           PARTITION BY a_id,
+             CASE WHEN label = a_label THEN 'positive'
+                  ELSE 'hard_negative' END
+           ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT a_id, a_label, role, vec_id, score
+FROM picks WHERE rn = 1
+ORDER BY a_id, role
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_hn_oracle(),
+    description="contrastive training-pair mining: per anchor, the"
+    " highest-cosine SAME-label vector (positive) and the highest-"
+    "cosine DIFFERENT-label vector (hard negative) from one scored"
+    " scan + one (anchor, role)-keyed rank window — the triplet-mining"
+    " step of embedding-model training",
+    tags=("similarity", "vector", "training", "mining"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives — the wrong-label vectors CLOSEST to the anchor
+    — are what make contrastive training work (random negatives are
+    trivially separable and teach nothing); this registers the mining
+    pass that produces (anchor, positive, hard-negative) triplets.
+    One broadcast of the anchor batch, one codegen cosine per
+    (vector, anchor), then a single rank window keyed by (anchor,
+    role) picks both roles' argmax in one shuffle — at 100 TB the
+    corpus side is ANN-pruned per anchor first (sim_ivf_topk's cell
+    route) and the same window runs on candidates. Rounded-4 score
+    with vec_id tie-break keeps the picked ids engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, a_emb, (hn_x, hn_y) -> "
+            "CAST(hn_x AS DOUBLE) * CAST(hn_y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (hn_a, hn_v) -> hn_a + hn_v) / "
+            "(sqrt(aggregate(transform(embedding, hn_x -> "
+            "CAST(hn_x AS DOUBLE) * CAST(hn_x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (hn_a, hn_v) -> hn_a + hn_v)) * "
+            "sqrt(aggregate(transform(a_emb, hn_x -> "
+            "CAST(hn_x AS DOUBLE) * CAST(hn_x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (hn_a, hn_v) -> hn_a + hn_v)) + 1e-10)"
+        ),
+        4,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "a_label",
+            "vec_id",
+            "label",
+            cos.alias("score"),
+        )
+    )
+    role = F.when(F.col("label") == F.col("a_label"), "positive").otherwise(
+        "hard_negative"
+    )
+    w = Window.partitionBy("a_id", "role").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("role", role)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "a_label", "role", "vec_id", "score")
+        .orderBy("a_id", "role")
     )

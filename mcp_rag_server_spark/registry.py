@@ -221,13 +221,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # prefix-count CDFs), ingest_mor_deletes (merge-on-read deletion
 # vectors via broadcast anti-join), ev_purchase_streaks (calendar
 # gaps-and-islands streak census), and agg_benford_audit (first-digit
-# forensics vs log10(1+1/d)) — all locally oracle-replayed green at
-# sf0.001 AND sf0.01. r6 window arithmetic: 63 never-checked queries
-# (the 22 above + dd_incremental_minhash + rag_rrf_topk + these 39)
-# plus ~29 r3-vintage rows total ~92 for 50 slots — the never-checked
-# set OVERFILLS the window: r6 takes the 50 oldest-registered
-# never-checked, the newest 13 (plus every r3-vintage re-check) slide
-# to r7; r6's builder should confirm with tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
+# forensics vs log10(1+1/d)), sim_hard_negatives (contrastive
+# triplet mining: per-anchor argmax positive + hard negative in one
+# role-keyed window), and ingest_time_travel (manifest-driven
+# as-of-version reads over immutable files) — all locally
+# oracle-replayed green at sf0.001 AND sf0.01. r6 window arithmetic:
+# 65 never-checked queries (the 22 above + dd_incremental_minhash +
+# rag_rrf_topk + these 41) plus ~29 r3-vintage rows total ~94 for 50
+# slots — the never-checked set OVERFILLS the window: r6 takes the 50
+# oldest-registered never-checked, the newest 15 (plus every
+# r3-vintage re-check) slide to r7; r6's builder should confirm with
+# tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row

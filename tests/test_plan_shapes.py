@@ -920,3 +920,28 @@ def test_benford_is_bounded_digit_aggregation(spark):
     # total over the 9-row aggregate would need a global-window
     # allowlist entry for less than one scan's worth of work)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_hard_negatives_single_role_keyed_window(spark):
+    """sim_hard_negatives: broadcast anchors, one (anchor, role) rank
+    window picks both roles in a single shuffle."""
+    import re
+
+    df = q(spark, "sim_hard_negatives")
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "EvalPython" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(a_id, role" in stripped
+
+
+def test_time_travel_v0_reads_only_base_file(spark):
+    """ingest_time_travel: the version-0 branch's scan must list ONLY
+    the base data path — manifest indirection, not directory listing."""
+    df = q(spark, "ingest_time_travel")
+    plan = plan_string(df)
+    # formatted plans elide long path lists; the visible evidence is
+    # the v0 scan listing ONLY the base path and the v1 scan listing
+    # base + 1 elided extra entry
+    assert "data_base]" in plan, plan
+    assert "data_base, ... 1 entries]" in plan, plan
