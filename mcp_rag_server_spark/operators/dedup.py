@@ -1301,3 +1301,109 @@ def dd_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+@register(
+    "dd_cluster_aware_sample",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component
+  FROM reach GROUP BY src
+),
+clustered AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(l.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+picked AS (
+  SELECT doc_id, source, component,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+         row_number() OVER (
+           PARTITION BY component
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM clustered
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_sampled,
+       CAST(SUM(CASE WHEN rn = 1 THEN cluster_size ELSE 0 END)
+            AS BIGINT) AS mass_carried,
+       MAX(cluster_size) AS max_cluster
+FROM picked
+GROUP BY source
+ORDER BY source
+""",
+    description="duplicate-aware representative sampling: one doc per"
+    " near-dup component (lowest-md5 pick — unbiased within cluster,"
+    " unlike the canonical min-id keep), each carrying its cluster"
+    " size as an inverse-probability weight; per-source census with"
+    " the mass-conservation check (Σ carried weights = Σ docs across"
+    " sources) inside the hash",
+    tags=("dedup", "sampling", "graph", "training"),
+)
+def dd_cluster_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling for training or eval AFTER dedup clustering: a uniform
+    doc sample over-represents big near-dup families; sampling one
+    representative per component and weighting it by cluster size
+    keeps estimates unbiased (Horvitz-Thompson with p = 1/cluster).
+    The md5-rank pick is deterministic yet hash-uniform within the
+    cluster — deliberately different from dd_keep_canonical's min-id
+    rule, which is canonicalization, not sampling. Components come
+    from the same star-contraction run (O(log n) rounds); singleton
+    docs are their own component via the left join + coalesce, so
+    every doc is in exactly one cluster and the hashed per-source
+    mass_carried sums to the corpus size — a lost or double-counted
+    doc anywhere in the chain breaks that identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pair_edges(docs)
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"),
+    ).distinct()
+    labels, _ = star_contraction_components(edges)
+    clustered = (
+        docs.select("doc_id", "source")
+        .join(
+            labels.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    )
+    wsz = Window.partitionBy("component")
+    wpick = Window.partitionBy("component").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    picked = clustered.select(
+        "source",
+        F.count("*").over(wsz).alias("cluster_size"),
+        F.row_number().over(wpick).alias("rn"),
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_sampled"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.col("cluster_size")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("mass_carried"),
+            F.max("cluster_size").alias("max_cluster"),
+        )
+        .orderBy("source")
+    )

@@ -224,14 +224,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # forensics vs log10(1+1/d)), sim_hard_negatives (contrastive
 # triplet mining: per-anchor argmax positive + hard negative in one
 # role-keyed window), and ingest_time_travel (manifest-driven
-# as-of-version reads over immutable files) — all locally
-# oracle-replayed green at sf0.001 AND sf0.01. r6 window arithmetic:
-# 65 never-checked queries (the 22 above + dd_incremental_minhash +
-# rag_rrf_topk + these 41) plus ~29 r3-vintage rows total ~94 for 50
-# slots — the never-checked set OVERFILLS the window: r6 takes the 50
-# oldest-registered never-checked, the newest 15 (plus every
-# r3-vintage re-check) slide to r7; r6's builder should confirm with
-# tools/rotation_audit.py. The 49 round-4-green rows (plus the r3-green remainder)
+# as-of-version reads over immutable files), and
+# dd_cluster_aware_sample (Horvitz-Thompson one-per-component
+# sampling with cluster-size weights and the mass-conservation
+# identity hashed) — all locally oracle-replayed green at sf0.001 AND
+# sf0.01. r6 window arithmetic: 66 never-checked queries (the 22
+# above + dd_incremental_minhash + rag_rrf_topk + these 42) plus ~29
+# r3-vintage rows total ~95 for 50 slots — the never-checked set
+# OVERFILLS the window: r6 takes the 50 oldest-registered
+# never-checked, the newest 16 (plus every r3-vintage re-check) slide
+# to r7; r6's builder should confirm with tools/rotation_audit.py.
+# Separate r6 suggestion: migrating _jaccard_pair_edges to hashed-
+# token intersections (the dd_containment optimization, ~2x on the
+# whole CC family's ~21 s) changes the hashes of three driver-green
+# queries (dd_jaccard_same_source, dd_connected_components,
+# dd_keep_canonical, plus dd_graph_triangles) — do it at an r6 window
+# boundary where all four get fresh rows, not mid-round. The 49 round-4-green rows (plus the r3-green remainder)
 # sit out solely on freshness: many are file-stale through this
 # round's edits (dedup.py, relational.py, fileops.py, ingest_query.py,
 # cdc_stream.py, files.py import closures), but each has a green row

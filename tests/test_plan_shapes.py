@@ -945,3 +945,16 @@ def test_time_travel_v0_reads_only_base_file(spark):
     # base + 1 elided extra entry
     assert "data_base]" in plan, plan
     assert "data_base, ... 1 entries]" in plan, plan
+
+
+def test_cluster_sample_no_cartesian_component_windows(spark):
+    """dd_cluster_aware_sample: cluster size and md5 pick are two
+    component-keyed windows over the labeled corpus; no cartesian,
+    and the label join keys on doc_id."""
+    import re
+
+    df = q(spark, "dd_cluster_aware_sample")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(component" in stripped

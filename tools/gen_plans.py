@@ -58,7 +58,7 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "sim_mips_augmented", "ev_ks_test",
          "ingest_mor_deletes", "ev_purchase_streaks",
          "agg_benford_audit", "sim_hard_negatives",
-         "ingest_time_travel"]
+         "ingest_time_travel", "dd_cluster_aware_sample"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
