@@ -1759,18 +1759,19 @@ def agg_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LATERAL_SQL = """
-SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice, t.rk
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice,
+       row_number() OVER (PARTITION BY c.c_custkey
+                          ORDER BY t.o_totalprice DESC, t.o_orderkey) AS rk
 FROM customer c,
 LATERAL (
-  SELECT o_orderkey, o_totalprice,
-         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  SELECT o_orderkey, o_totalprice
   FROM orders o
   WHERE o.o_custkey = c.c_custkey
   ORDER BY o_totalprice DESC, o_orderkey
   LIMIT 2
 ) t
 WHERE c.c_custkey % 10 = 0
-ORDER BY c.c_custkey, t.rk
+ORDER BY c.c_custkey, rk
 """
 
 
@@ -1790,8 +1791,11 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DecorrelateInnerQuery) — same semantics, cluster-friendly plan
     (no per-row re-execution at 100 TB). The total (price, key)
     ordering inside the subquery makes the top-2 rows engine-identical
-    even under price ties. The %10 outer filter bounds the result; it
-    pushes into the decorrelated join's probe side."""
+    even under price ties; the display rank is computed in the OUTER
+    query keyed by the customer (a rank placed inside the lateral body
+    decorrelates into an un-keyed window — the plan lint caught
+    exactly that). The %10 outer filter bounds the result; it pushes
+    into the decorrelated join's probe side."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
