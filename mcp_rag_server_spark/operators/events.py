@@ -1679,3 +1679,154 @@ def ev_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Date arithmetic (DATE minus integer) is engine-identical."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_STREAK_SQL)
+
+
+#: Robust anomaly threshold: |x - median| > K * MAD * 1.4826.
+MAD_K = 3.0
+MAD_CONSISTENCY = 1.4826
+
+
+def _mad_sql() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+med AS (
+  SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.h, h.v, m.med,
+         round(ABS(h.v - m.med), 6) AS adev
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_hours,
+       MAX(d.med) AS median_value,
+       MAX(m.mad) AS mad,
+       COUNT(CASE WHEN d.adev > {MAD_K} * m.mad * {MAD_CONSISTENCY}
+                  THEN 1 END) AS n_anomalies
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register(
+    "ev_anomaly_mad",
+    oracle=_mad_sql(),
+    description="robust (median/MAD) anomaly census per event type:"
+    " hours where |v - median| > 3 * MAD * 1.4826 — the outlier"
+    " detector that, unlike ev_anomaly_zscore's moments, is not itself"
+    " corrupted by the outliers it hunts; exact interpolated medians"
+    " rounded-6 for parity",
+    tags=("events", "anomaly", "robust", "stats"),
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-score detector's weakness is that extreme points inflate
+    the very mean/stddev that judge them; median and MAD have a 50%
+    breakdown point, so one wild hour cannot hide itself. Spark's
+    exact percentile() and DuckDB's quantile_cont share linear-
+    interpolation semantics (the agg_exact_percentiles parity
+    precedent); rounding each to 6 before the comparisons keeps the
+    census engine-identical. Two bounded-key aggregations over the
+    hourly table (itself one keyed partial agg), one small join back —
+    the medians are per-type scalars, broadcast-sized at any scale."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _mad_sql().replace("quantile_cont(v, 0.5)", "percentile(v, 0.5)")
+        .replace("quantile_cont(adev, 0.5)", "percentile(adev, 0.5)")
+    )
+
+
+#: Autocorrelation lags: adjacent hour and daily seasonality.
+ACF_LAGS = (1, 24)
+
+
+def _acf_sql() -> str:
+    moments = ",\n         ".join(
+        f"""COUNT(l{k}) AS n{k},
+         CAST(SUM(CAST(round(v * l{k}, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS sxy{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL
+                       THEN CAST(round(v, 4) AS DECIMAL(18,4)) END)
+              AS DOUBLE) AS sx{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL
+                       THEN CAST(round(l{k}, 4) AS DECIMAL(18,4)) END)
+              AS DOUBLE) AS sy{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL
+                       THEN CAST(round(v * v, 4) AS DECIMAL(28,4)) END)
+              AS DOUBLE) AS sxx{k},
+         CAST(SUM(CAST(round(l{k} * l{k}, 4) AS DECIMAL(28,4))) AS DOUBLE)
+           AS syy{k}"""
+        for k in ACF_LAGS
+    )
+    lag_cols = ",\n         ".join(
+        f"lag(v, {k}) OVER (PARTITION BY event_type ORDER BY h) AS l{k}"
+        for k in ACF_LAGS
+    )
+    out_cols = ",\n       ".join(
+        f"""n{k} AS n_pairs_{k},
+       round((n{k} * sxy{k} - sx{k} * sy{k})
+             / sqrt((n{k} * sxx{k} - sx{k} * sx{k})
+                    * (n{k} * syy{k} - sy{k} * sy{k})), 6) AS acf_{k}"""
+        for k in ACF_LAGS
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+lagged AS (
+  SELECT event_type, h, v,
+         {lag_cols}
+  FROM hourly
+),
+m AS (
+  SELECT event_type,
+         {moments}
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type,
+       {out_cols}
+FROM m
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_autocorr",
+    oracle=_acf_sql(),
+    description="lag-1 and lag-24 autocorrelation of per-type hourly"
+    " totals (Pearson over lagged pairs via decimal-exact moments,"
+    " wide one-row-per-type output so BOTH lags come from one window"
+    " pass and one aggregation) — the seasonality diagnostic: a daily"
+    " cycle shows as high lag-24 ACF",
+    tags=("events", "timeseries", "stats", "autocorrelation"),
+)
+def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation as the agg_pearson_corr moment discipline over
+    (v_t, v_{t-k}) pairs produced by lag() — no self-join of the
+    series with itself (the textbook formulation shifts and joins;
+    the window carries the shifted copy for free on the same
+    series-keyed sort both lags share). Pair moments are round-4
+    DECIMAL partials restricted to rows where the lag exists, so each
+    lag's Pearson is computed over exactly its pair set; the closed
+    form evaluates once per (type, lag) and rounds to 6 (the moment
+    magnitudes sit near the engines' decimal→double ulp boundary).
+    Wide output (acf_1, acf_24 as columns) rather than a long-format
+    union: a UNION of per-lag branches made Spark inline the whole
+    window+aggregate subtree per branch — twice the work for the same
+    numbers.
+    Lag-24 is the capacity-planning signal: strong daily seasonality
+    justifies ev_seasonal per-hour provisioning rather than a flat
+    ev_trend_forecast extrapolation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_acf_sql())

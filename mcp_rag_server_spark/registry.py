@@ -227,12 +227,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # as-of-version reads over immutable files), and
 # dd_cluster_aware_sample (Horvitz-Thompson one-per-component
 # sampling with cluster-size weights and the mass-conservation
-# identity hashed) — all locally oracle-replayed green at sf0.001 AND
-# sf0.01. r6 window arithmetic: 66 never-checked queries (the 22
-# above + dd_incremental_minhash + rag_rrf_topk + these 42) plus ~29
-# r3-vintage rows total ~95 for 50 slots — the never-checked set
+# identity hashed), ev_anomaly_mad (median/MAD robust anomaly
+# census), ev_autocorr (lag-1/lag-24 ACF, wide output from one window
+# pass), and st_lambda_cutover (batch history + exactly-once streamed
+# head merged into one table, hashed against the full-range oracle) —
+# all locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
+# arithmetic: 69 never-checked queries (the 22 above +
+# dd_incremental_minhash + rag_rrf_topk + these 45) plus ~29
+# r3-vintage rows total ~98 for 50 slots — the never-checked set
 # OVERFILLS the window: r6 takes the 50 oldest-registered
-# never-checked, the newest 16 (plus every r3-vintage re-check) slide
+# never-checked, the newest 19 (plus every r3-vintage re-check) slide
 # to r7; r6's builder should confirm with tools/rotation_audit.py.
 # Separate r6 suggestion: migrating _jaccard_pair_edges to hashed-
 # token intersections (the dd_containment optimization, ~2x on the

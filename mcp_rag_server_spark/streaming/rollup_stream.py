@@ -23,6 +23,7 @@ union+sum+swap becomes MERGE INTO with aggregate update expressions.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 import shutil
@@ -130,6 +131,85 @@ def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+#: Streamed head length (hours before the corpus max timestamp).
+CUTOVER_HEAD_HOURS = 72
+
+
+@register(
+    "st_lambda_cutover",
+    oracle="""
+SELECT date_trunc('hour', ts) AS h,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY h, event_type
+""",
+    description="lambda-architecture cutover: history BEFORE the"
+    " hour-aligned cutover aggregated in batch, the 72h head AFTER it"
+    " maintained by the exactly-once streaming rollup, key-wise merged"
+    " into ONE table that hash-matches the full-range batch oracle —"
+    " the backfill + streaming seam every migration crosses",
+    tags=("streaming", "rollup", "events", "lambda"),
+)
+def st_lambda_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seam nobody's architecture diagram shows: history backfills
+    through the batch path while new data arrives through the stream,
+    and the two must compose into one consistent table. Composable
+    partials make the seam exact — the same (count, decimal-sum)
+    algebra the incremental rollup merges across micro-batches also
+    merges the batch half with the streamed half, and an hour-aligned
+    cutover keeps the halves' keys disjoint (the key-wise merge would
+    be correct even if they overlapped — that is the point of the
+    algebra). The streamed head runs the full exactly-once machinery
+    (split files, checkpointed foreachBatch, staged swaps); the final
+    hash against the ONE-SHOT full-range oracle proves the seam loses
+    and double-counts nothing. The cutover literal derives from a
+    1-row max(ts) aggregate — control-plane metadata, same contract
+    as the ingest store's bucket listing."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_st_lambda_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutover = max_ts.replace(
+        minute=0, second=0, microsecond=0
+    ) - datetime.timedelta(hours=CUTOVER_HEAD_HOURS)
+
+    batch_half = (
+        ev.filter(F.col("ts") < F.lit(cutover))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
+    )
+    src = os.path.join(base, "head_src")
+    ev.filter(F.col("ts") >= F.lit(cutover)).repartition(
+        N_SPLIT_FILES
+    ).write.mode("overwrite").parquet(src)
+    tgt = run_rollup_stream(spark, src, os.path.join(base, "out"))
+    stream_half = spark.read.parquet(tgt)
+    return (
+        batch_half.unionByName(stream_half)
+        .groupBy("h", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("h", "event_type")
     )

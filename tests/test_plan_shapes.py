@@ -958,3 +958,22 @@ def test_cluster_sample_no_cartesian_component_windows(spark):
     assert "CartesianProduct" not in plan
     stripped = re.sub(r"#\d+L?", "", plan)
     assert "windowspecdefinition(component" in stripped
+
+
+def test_mad_medians_are_broadcast_scalars(spark):
+    """ev_anomaly_mad: per-type median/MAD join back as broadcast-size
+    sides; no Python, no cartesian on the data path."""
+    plan = plan_string(q(spark, "ev_anomaly_mad"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_one_window_no_self_join(spark):
+    """ev_autocorr: both lags ride ONE series-keyed window — never the
+    shifted self-join of the series."""
+    import re
+
+    df = q(spark, "ev_autocorr")
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan

@@ -58,7 +58,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "sim_mips_augmented", "ev_ks_test",
          "ingest_mor_deletes", "ev_purchase_streaks",
          "agg_benford_audit", "sim_hard_negatives",
-         "ingest_time_travel", "dd_cluster_aware_sample"]
+         "ingest_time_travel", "dd_cluster_aware_sample",
+         "ev_anomaly_mad", "ev_autocorr", "st_lambda_cutover"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
