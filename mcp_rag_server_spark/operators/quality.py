@@ -928,3 +928,77 @@ def ta_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
         )
     )
+
+
+#: Fixed logistic-regression weights for the quality scorer
+#: (intercept, tokens/100, distinct-ratio, mean-wordlen/10).
+LR_W0 = -1.5
+LR_W_TOK = 1.2
+LR_W_DIV = 2.0
+LR_W_WLEN = 0.8
+LR_THRESHOLD = 0.5
+
+_LR_SQL = f"""
+WITH feats AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS f_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS f_div,
+         (CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))) / 10
+           AS f_wlen
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         round(CAST(1 AS DOUBLE)
+               / (CAST(1 AS DOUBLE)
+                  + exp(-({LR_W0} + {LR_W_TOK} * f_tok
+                          + {LR_W_DIV} * f_div
+                          + {LR_W_WLEN} * f_wlen))), 6) AS p_keep
+  FROM feats
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_p_keep,
+       COUNT(CASE WHEN p_keep >= {LR_THRESHOLD} THEN 1 END) AS n_kept
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "ta_logreg_quality",
+    oracle=_LR_SQL,
+    description="model-based quality filtering (inference shape): a"
+    " fixed-weight logistic scorer over cheap text features — sigmoid"
+    " per doc as rounded per-row IEEE math, per-source keep rates"
+    " hashed; the fastText/logreg quality-classifier stage of"
+    " production pipelines, with weights as config instead of a"
+    " container-prohibited model artifact",
+    tags=("text", "quality", "model", "inference"),
+)
+def ta_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality stages so far are RULES (ta_gopher_rules) and
+    STATISTICS (ta_unigram_logprob); production pipelines usually end
+    with a learned scorer — typically logistic regression or fastText
+    over cheap features. Inference is just expressions: z = w·x in
+    fixed operand order, sigmoid as 1/(1+exp(−z)) rounded to 6 (the
+    transcendental-rounding parity discipline — exp differs by ≤1 ulp
+    across libms, the rounding absorbs it), then per-source keep-rate
+    aggregation through decimal partials. Weights live in constants
+    exactly as a deployed scorer's coefficients live in config; the
+    real-model twin (sentence-transformers/fastText artifacts) is
+    container-policy-gated like F4's embedder, and this registers the
+    full serving plumbing that scorer would drop into."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    sql = _LR_SQL.replace(
+        "len(string_split(text, ' '))", "size(split(text, ' '))"
+    ).replace(
+        "len(list_distinct(string_split(text, ' ')))",
+        "size(array_distinct(split(text, ' ')))",
+    )
+    return spark.sql(sql)

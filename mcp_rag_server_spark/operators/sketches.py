@@ -447,3 +447,75 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _BENFORD_SQL.replace("AS VARCHAR", "AS STRING")
     )
+
+
+_FPRINT_SQL = """
+WITH rowh AS (
+  SELECT source,
+         md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+             || CAST(n_chars AS VARCHAR) || '|' || md5(text)) AS rh
+  FROM documents
+),
+persource AS (
+  SELECT source,
+         COUNT(*) AS n_rows,
+         md5(string_agg(rh, '' ORDER BY rh)) AS source_digest
+  FROM rowh GROUP BY source
+)
+SELECT source, n_rows, source_digest
+FROM persource
+ORDER BY source
+"""
+
+
+@register(
+    "agg_table_fingerprint",
+    oracle=_FPRINT_SQL,
+    description="order-insensitive table content fingerprint: per-row"
+    " md5 over canonicalized columns, sorted and folded to one digest"
+    " per source partition — the Merkle-leaf checksum replicas compare"
+    " to verify a 100 TB copy without moving data; any changed, lost,"
+    " or duplicated row anywhere flips its partition digest",
+    tags=("agg", "integrity", "fingerprint", "audit"),
+)
+def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication/migration verification needs a content equality
+    check that is ORDER-INSENSITIVE (two copies of a table rarely
+    store rows in the same order) and cheap to compare (one digest per
+    partition, not per row). Per-row md5 over a canonical column
+    serialization, sorted WITHIN the partition, folded with one more
+    md5: the sort makes the digest a pure set property, and comparing
+    N_partitions digests verifies the whole table — the Merkle-tree
+    leaf level (parent levels fold the partition digests the same
+    way). This digest IS this engine's driver-correctness mechanism
+    turned into an operator: the oracle computes the identical digest
+    in DuckDB, so the hash check proves two ENGINES agree on content,
+    which is exactly the cross-replica guarantee. The in-partition
+    sort is bounded by partition size; at 100 TB you fingerprint at
+    file or bucket granularity (the compacted store's unit), never
+    globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    rowh = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("n_chars").cast("string"),
+                F.md5("text"),
+            )
+        ).alias("rh"),
+    )
+    return (
+        rowh.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    "", F.array_sort(F.collect_list("rh"))
+                )
+            ).alias("source_digest"),
+        )
+        .orderBy("source")
+    )

@@ -231,13 +231,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # census), ev_autocorr (lag-1/lag-24 ACF, wide output from one window
 # pass), and st_lambda_cutover (batch history + exactly-once streamed
 # head merged into one table, hashed against the full-range oracle) —
-# all locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
-# arithmetic: 69 never-checked queries (the 22 above +
-# dd_incremental_minhash + rag_rrf_topk + these 45) plus ~29
-# r3-vintage rows total ~98 for 50 slots — the never-checked set
-# OVERFILLS the window: r6 takes the 50 oldest-registered
-# never-checked, the newest 19 (plus every r3-vintage re-check) slide
-# to r7; r6's builder should confirm with tools/rotation_audit.py.
+# agg_table_fingerprint (order-insensitive Merkle-leaf content
+# digests for replica verification), and ta_logreg_quality (fixed-
+# weight logistic quality scorer — the learned-filter serving shape)
+# — all locally oracle-replayed green at sf0.001 AND sf0.01. r6
+# window arithmetic: 71 never-checked queries (the 22 above +
+# dd_incremental_minhash + rag_rrf_topk + these 47) plus ~29
+# r3-vintage rows total ~100 for 50 slots — the never-checked set
+# OVERFILLS the window 2x: r6 takes the 50 oldest-registered
+# never-checked, the rest (plus every r3-vintage re-check) slide to
+# r7; r6's builder should confirm with tools/rotation_audit.py.
 # Separate r6 suggestion: migrating _jaccard_pair_edges to hashed-
 # token intersections (the dd_containment optimization, ~2x on the
 # whole CC family's ~21 s) changes the hashes of three driver-green

@@ -977,3 +977,29 @@ def test_autocorr_one_window_no_self_join(spark):
     plan = plan_string(df)
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_fingerprint_sort_is_within_group(spark):
+    """agg_table_fingerprint: the digest's row-hash sort happens inside
+    the collect_list/array_sort per source group — no global sort of
+    row hashes."""
+    import re
+
+    df = q(spark, "agg_table_fingerprint")
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    # one keyed aggregation; the only Sort is the final ORDER BY of 20
+    # result rows after its exchange
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_logreg_inference_is_pure_codegen(spark):
+    """ta_logreg_quality: feature extraction + sigmoid are one narrow
+    codegen projection — the learned-scorer serving path with zero
+    Python."""
+    import re
+
+    df = q(spark, "ta_logreg_quality")
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
