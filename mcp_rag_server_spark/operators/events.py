@@ -1830,3 +1830,61 @@ def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_trend_forecast extrapolation."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_acf_sql())
+
+
+_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+  FROM events
+),
+prof AS (
+  SELECT event_type, hour_of_day,
+         COUNT(*) AS n_events,
+         CAST(SUM(v) AS DECIMAL(18,4)) AS total_value
+  FROM hourly GROUP BY event_type, hour_of_day
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(total_value) AS DECIMAL(18,4)) AS day_total
+  FROM prof GROUP BY event_type
+),
+shaped AS (
+  SELECT p.event_type, p.hour_of_day, p.n_events,
+         CAST(p.total_value AS DOUBLE) AS total_value,
+         round(CAST(p.total_value AS DOUBLE)
+               / CAST(t.day_total AS DOUBLE), 6) AS value_share,
+         row_number() OVER (PARTITION BY p.event_type
+                            ORDER BY p.total_value DESC, p.hour_of_day)
+           AS peak_rank
+  FROM prof p JOIN tot t ON p.event_type = t.event_type
+)
+SELECT event_type, hour_of_day, n_events, total_value, value_share,
+       peak_rank = 1 AS is_peak_hour
+FROM shaped
+ORDER BY event_type, hour_of_day
+"""
+
+
+@register(
+    "ev_seasonal_profile",
+    oracle=_SEASONAL_SQL,
+    description="hour-of-day seasonal profile per event type: activity"
+    " share and the arg-max peak hour over the 24-bucket clock-time"
+    " census — the provisioning curve the lag-24 autocorrelation"
+    " (ev_autocorr) justifies reading",
+    tags=("events", "timeseries", "seasonal"),
+)
+def ev_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational complement to ev_autocorr: ACF says whether a
+    daily cycle exists; this says what SHAPE it has — per-type share
+    of value by clock hour plus the deterministic peak-hour flag (rank
+    on the exact DECIMAL total with an hour tie-break, so the flag is
+    engine-identical even with tied hours). 24×5 bounded keys, one
+    partial-agg shuffle, a broadcast-size totals join, one tiny rank
+    window. extract(hour) is clock-time bucketing — the right axis for
+    provisioning, vs date_trunc's absolute-time buckets everywhere
+    else in the pack."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SEASONAL_SQL)

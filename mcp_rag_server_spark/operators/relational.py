@@ -1799,3 +1799,50 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+#: Columns profiled (name, cast-to-double expr usable in both engines).
+PROFILE_COLS = (
+    ("l_quantity", "l_quantity"),
+    ("l_extendedprice", "l_extendedprice"),
+    ("l_discount", "l_discount"),
+    ("l_tax", "l_tax"),
+)
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({expr}) AS n_null,
+       COUNT(DISTINCT {expr}) AS n_distinct,
+       round(MIN({expr}), 4) AS min_value,
+       round(MAX({expr}), 4) AS max_value,
+       COUNT(CASE WHEN {expr} = 0 THEN 1 END) AS n_zero
+FROM lineitem"""
+    for name, expr in PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+@register(
+    "agg_column_profile",
+    oracle=_PROFILE_SQL,
+    description="column-profiling pass over four lineitem measures:"
+    " null/zero/distinct counts and min/max per column — the data-"
+    "quality profile every onboarding pipeline runs first, one"
+    " aggregate scan per column batch with exact distincts",
+    tags=("relational", "agg", "profile", "quality"),
+)
+def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile-first discipline: nulls, zeros, cardinality, and
+    range per column BEFORE any modeling decision (these four numbers
+    catch unit mistakes, sentinel values, and join-key explosions
+    before they cost a cluster-day). Exact COUNT(DISTINCT) per column
+    is the expensive honest version (the HLL sketch in agg_hll_audit
+    is the at-scale substitute — both registered, the trade-off
+    documented there); everything else partial-aggregates. Column
+    batches union AFTER aggregation — four 1-row aggregates, so the
+    union carries 4 rows, not 4 scans' worth of raw data (Spark still
+    scans per branch; at 100 TB you fold all columns into ONE
+    aggregate row and unpivot it — registered as the
+    unpivot_lineitem_metrics shape)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PROFILE_SQL)

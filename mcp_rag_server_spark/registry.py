@@ -234,10 +234,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # agg_table_fingerprint (order-insensitive Merkle-leaf content
 # digests for replica verification), and ta_logreg_quality (fixed-
 # weight logistic quality scorer — the learned-filter serving shape)
-# — all locally oracle-replayed green at sf0.001 AND sf0.01. r6
-# window arithmetic: 71 never-checked queries (the 22 above +
-# dd_incremental_minhash + rag_rrf_topk + these 47) plus ~29
-# r3-vintage rows total ~100 for 50 slots — the never-checked set
+# agg_column_profile (null/zero/distinct/range data profiling), and
+# ev_seasonal_profile (hour-of-day provisioning curve + peak flag) —
+# all locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
+# arithmetic: 73 never-checked queries (the 22 above +
+# dd_incremental_minhash + rag_rrf_topk + these 49) plus ~29
+# r3-vintage rows total ~102 for 50 slots — the never-checked set
 # OVERFILLS the window 2x: r6 takes the 50 oldest-registered
 # never-checked, the rest (plus every r3-vintage re-check) slide to
 # r7; r6's builder should confirm with tools/rotation_audit.py.

@@ -1003,3 +1003,23 @@ def test_logreg_inference_is_pure_codegen(spark):
     plan = plan_string(df)
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_column_profile_aggregates_before_union(spark):
+    """agg_column_profile: each branch reduces to ONE row before the
+    union — the union never carries raw lineitem rows."""
+    plan = plan_string(q(spark, "agg_column_profile"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_profile_bounded_keys_small_window(spark):
+    """ev_seasonal_profile: 24x|types| keys; the peak rank window
+    partitions by event_type over the aggregated profile."""
+    import re
+
+    df = q(spark, "ev_seasonal_profile")
+    plan = plan_string(df)
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+    assert "CartesianProduct" not in plan
