@@ -1846,3 +1846,113 @@ def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivot_lineitem_metrics shape)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PROFILE_SQL)
+
+
+#: Market-basket: minimum pair support and result size.
+MB_MIN_PAIRS = 3
+MB_TOP_K = 20
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+supp AS (
+  SELECT l_partkey, COUNT(*) AS n_orders_with
+  FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {MB_MIN_PAIRS}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_together,
+         sa.n_orders_with AS n_a, sb.n_orders_with AS n_b,
+         round(CAST(p.n_together AS DOUBLE) * n.n
+               / (sa.n_orders_with * sb.n_orders_with), 6) AS lift
+  FROM pairs p
+  JOIN supp sa ON p.part_a = sa.l_partkey
+  JOIN supp sb ON p.part_b = sb.l_partkey
+  CROSS JOIN n_orders n
+)
+SELECT part_a, part_b, n_together, n_a, n_b, lift
+FROM scored
+ORDER BY lift DESC, part_a, part_b
+LIMIT {MB_TOP_K}
+"""
+
+
+@register(
+    "join_market_basket",
+    oracle=_BASKET_SQL,
+    description="market-basket association mining: co-purchased part"
+    " pairs within orders, scored by lift = P(a,b)/(P(a)P(b)) over"
+    " exact order counts, support-thresholded before scoring, heap"
+    " top-20 — the A-priori pair stage as one basket-keyed self-join",
+    tags=("relational", "join", "association", "basket"),
+)
+def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining's pair stage: the self-join keys on the
+    BASKET (orderkey), so pair work is Σ basket_size² — bounded by
+    order width, never parts² (the same blocking bound as every dedup
+    pair stage here). The support HAVING prunes before the lift join,
+    which then touches only surviving pairs against the broadcast-
+    sized per-part support table; lift's exact integer counts make the
+    rounded score engine-identical, and the (lift, part_a, part_b)
+    total order makes the top-20 stable. At 100 TB the A-priori
+    escalation (triples from frequent pairs) repeats the same
+    keyed-join shape on the pruned survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders_with")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= MB_MIN_PAIRS)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders_with").alias("n_a"),
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders_with").alias("n_b"),
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_together").cast("double")
+                * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(MB_TOP_K)
+    )

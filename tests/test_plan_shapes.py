@@ -1023,3 +1023,13 @@ def test_seasonal_profile_bounded_keys_small_window(spark):
     stripped = re.sub(r"#\d+L?", "", plan)
     assert "windowspecdefinition(event_type" in stripped
     assert "CartesianProduct" not in plan
+
+
+def test_market_basket_is_basket_keyed_pair_join(spark):
+    """join_market_basket: pairs come from the orderkey-keyed equi
+    self-join (Σ basket² bound), support tables join broadcast-size,
+    result is heap top-k."""
+    df = q(spark, "join_market_basket")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert has_take_ordered(df)

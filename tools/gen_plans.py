@@ -61,7 +61,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ingest_time_travel", "dd_cluster_aware_sample",
          "ev_anomaly_mad", "ev_autocorr", "st_lambda_cutover",
          "agg_table_fingerprint", "ta_logreg_quality",
-         "agg_column_profile", "ev_seasonal_profile"]
+         "agg_column_profile", "ev_seasonal_profile",
+         "join_market_basket"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
