@@ -1888,3 +1888,65 @@ def ev_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     else in the pack."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SEASONAL_SQL)
+
+
+_RFM_SQL = """
+WITH obs AS (SELECT MAX(ts) AS tmax FROM events),
+rfm AS (
+  SELECT e.user_id,
+         CAST((epoch_us(o.tmax) - epoch_us(MAX(e.ts))) // 86400000000
+              AS BIGINT) AS recency_days,
+         COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END)
+           AS frequency,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                       THEN CAST(round(e.value, 4) AS DECIMAL(18,4)) END)
+              AS DOUBLE) AS monetary
+  FROM events e CROSS JOIN obs o
+  GROUP BY e.user_id, o.tmax
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score,
+       COUNT(*) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS example_user,
+       round(CAST(SUM(CAST(round(monetary, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE), 4) AS segment_value
+FROM scored
+GROUP BY r_score, f_score
+ORDER BY r_score, f_score
+"""
+
+
+@register(
+    "ev_rfm_segments",
+    oracle=_RFM_SQL,
+    description="RFM customer segmentation: per-user recency/frequency/"
+    "monetary features, quintile scores via deterministic total-ordered"
+    " ntile, and the (R,F) segment census with per-segment value — the"
+    " lifecycle-marketing segmentation grid",
+    tags=("events", "segmentation", "rfm", "window"),
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical customer-value segmentation: one user-keyed
+    aggregation computes all three features (recency as exact integer
+    days from the corpus max — a control-plane-free broadcast 1-row
+    aggregate; frequency and monetary as exact counts/decimal sums),
+    then ntile(5) per feature assigns quintiles. The ntile windows are
+    GLOBAL by nature (a quintile is a rank over the whole user base) —
+    but their input is the per-user feature table, one row per user,
+    the same bounded-by-users contract as chunks_table's allowlisted
+    window; at larger scale the exact ntile swaps for
+    approx-percentile bucket edges (agg_percentile_audit registers
+    that estimator's contract). The (user_id) tie-breaks make every
+    quintile boundary engine-identical. Output is the 5×5 (R,F) grid
+    census, bounded regardless of user count."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = _RFM_SQL.replace("epoch_us(", "unix_micros(").replace(
+        "// 86400000000", "DIV 86400000000"
+    )
+    return spark.sql(sql)

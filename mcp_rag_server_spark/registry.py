@@ -236,11 +236,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # weight logistic quality scorer — the learned-filter serving shape)
 # agg_column_profile (null/zero/distinct/range data profiling), and
 # ev_seasonal_profile (hour-of-day provisioning curve + peak flag),
-# and join_market_basket (A-priori pair stage: co-purchase lift over
-# basket-keyed self-join) — all locally oracle-replayed green at
-# sf0.001 AND sf0.01. r6 window arithmetic: 74 never-checked queries
-# (the 22 above + dd_incremental_minhash + rag_rrf_topk + these 50)
-# plus ~29 r3-vintage rows total ~103 for 50 slots — the never-checked set
+# join_market_basket (A-priori pair stage: co-purchase lift over
+# basket-keyed self-join), and ev_rfm_segments (RFM quintile
+# segmentation, allowlisted bounded-input global ntiles) — all
+# locally oracle-replayed green at sf0.001 AND sf0.01. r6 window
+# arithmetic: 75 never-checked queries (the 22 above +
+# dd_incremental_minhash + rag_rrf_topk + these 51) plus ~29
+# r3-vintage rows total ~104 for 50 slots — the never-checked set
 # OVERFILLS the window 2x: r6 takes the 50 oldest-registered
 # never-checked, the rest (plus every r3-vintage re-check) slide to
 # r7; r6's builder should confirm with tools/rotation_audit.py.

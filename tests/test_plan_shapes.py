@@ -1033,3 +1033,19 @@ def test_market_basket_is_basket_keyed_pair_join(spark):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert has_take_ordered(df)
+
+
+def test_rfm_windows_input_is_per_user_rows(spark):
+    """ev_rfm_segments: the three ntile windows (allowlisted global —
+    quintiles rank the whole user base) must consume the PER-USER
+    feature table, never raw events: the aggregation sits below the
+    windows in the plan."""
+    import re
+
+    df = q(spark, "ev_rfm_segments")
+    plan = plan_string(df)
+    # windows appear above exactly one pre-aggregated subtree: the
+    # user-keyed HashAggregate is between the scan and the Window ops
+    tree = plan.split("\n\n")[0]
+    first_window = tree.index("Window")
+    assert "HashAggregate" in tree[:first_window], tree[:first_window]

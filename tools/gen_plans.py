@@ -62,7 +62,7 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_anomaly_mad", "ev_autocorr", "st_lambda_cutover",
          "agg_table_fingerprint", "ta_logreg_quality",
          "agg_column_profile", "ev_seasonal_profile",
-         "join_market_basket"]
+         "join_market_basket", "ev_rfm_segments"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",

@@ -58,6 +58,12 @@ ALLOW: dict[tuple[str, str], str] = {
         "recall ranks over bounded top-k unions per nprobe",
     ("sim_ivfpq_topk", "global_window"):
         "coarse-cell ranking over k_cells rows (x2: rank + prune)",
+    ("ev_rfm_segments", "global_window"):
+        "quintiles are by definition ranks over the whole user base;"
+        " the window input is the per-user FEATURE table (one row per"
+        " user, same bounded contract as chunks_table's per-file"
+        " rows), and the at-scale substitute (approx-percentile bucket"
+        " edges) is registered via agg_percentile_audit (x3: R/F/M)",
 }
 
 ALLOW_GW_COUNT: dict[str, int] = {
@@ -66,6 +72,7 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ta_zipf_fit": 1,
     "sim_ivf_recall": 1,
     "sim_ivfpq_topk": 2,
+    "ev_rfm_segments": 3,
 }
 
 
