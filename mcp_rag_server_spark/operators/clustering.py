@@ -211,8 +211,6 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: SemDeDup cosine threshold — same contract as dedup.py's
 #: COSINE_NEARDUP_THRESHOLD (rounded-4 score is the decision value).
-#: SemDeDup cosine threshold — same contract as dedup.py's
-#: COSINE_NEARDUP_THRESHOLD (rounded-4 score is the decision value).
 SEMDEDUP_THRESHOLD = 0.35
 
 _SD_ORACLE = f"""

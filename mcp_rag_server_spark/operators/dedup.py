@@ -31,7 +31,14 @@ from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
 
 N_MINHASH = 8
-N_BANDS = 2  # 2 bands x 4 rows: P(candidate) = 1-(1-j^4)^2
+#: Default banding: 2 bands x 4 rows, P(candidate) = 1-(1-j^4)^2.
+#: Audit-backed (dd_lsh_band_audit, r5): on the fixture corpus 2x4
+#: reaches recall 1.0 vs exact-Jaccard truth at 25 candidate pairs,
+#: where 8x1 needs 888 candidates for the same recall — 2x4 is the
+#: selectivity/recall knee, so it is the default for every banded
+#: consumer (dd_minhash_lsh, dd_incremental_minhash, and the
+#: _jaccard_pair_edges builder behind the connected-components family).
+N_BANDS = 2
 JACCARD_THRESHOLD = 0.5
 COSINE_NEARDUP_THRESHOLD = 0.35
 
@@ -208,6 +215,48 @@ def _duckdb_band_exprs(n_bands: int) -> str:
     )
 
 
+def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b): docs
+    sharing at least one LSH bucket under the default N_BANDS banding.
+    Shared by dd_minhash_lsh and the connected-components edge builder.
+
+    Long-format LSH buckets: (doc_id, band_idx, band_key). A single
+    equi-join on (band_idx, band_key) covers every band in ONE shuffle —
+    the idiomatic LSH bucket join. An OR of band equalities would force
+    a nested-loop join (quadratic, exactly what LSH exists to avoid).
+    The signature subtree (8 md5-min-hashes per doc) is cached: it is
+    referenced by both join sides and recomputing it dominates runtime
+    otherwise; at 100 TB you'd checkpoint signatures to parquet instead.
+    """
+    bands_long = (
+        _spark_minhash_signature(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        .cache()
+    )
+    # Eagerly materialize the cache: the self-join below scans bands_long
+    # from BOTH sides in one job, and concurrent stage execution would
+    # compute the (lazily-)cached signature twice before either populates
+    # it. One count() = one signature computation, then both join sides
+    # read memory.
+    bands_long.count()
+    a, b_ = bands_long.alias("a"), bands_long.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dd_minhash_lsh",
     oracle=f"""
@@ -244,40 +293,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set — never corpus². Token sets are joined back only for
     candidates (two broadcast-able sides at this selectivity)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Long-format LSH buckets: (doc_id, band_idx, band_key). A single
-    # equi-join on (band_idx, band_key) covers every band in ONE shuffle —
-    # the idiomatic LSH bucket join. An OR of band equalities would force
-    # a nested-loop join (quadratic, exactly what LSH exists to avoid).
-    # The signature subtree (8 md5-min-hashes per doc) is cached: it is
-    # referenced by both join sides and recomputing it dominates runtime
-    # otherwise; at 100 TB you'd checkpoint signatures to parquet instead.
-    bands_long = (
-        _spark_minhash_signature(docs)
-        .select(
-            "doc_id",
-            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
-                "band_idx", "band_key"
-            ),
-        )
-        .cache()
-    )
-    # Eagerly materialize the cache: the self-join below scans bands_long
-    # from BOTH sides in one job, and concurrent stage execution would
-    # compute the (lazily-)cached signature twice before either populates
-    # it. One count() = one signature computation, then both join sides
-    # read memory.
-    bands_long.count()
-    a, b_ = bands_long.alias("a"), bands_long.alias("b")
-    cands = (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = _lsh_candidate_pairs(docs)
     toksets = docs.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
@@ -472,48 +488,98 @@ def dd_lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_bands")
 
 
-@register(
-    "dd_jaccard_same_source",
-    oracle="""
-WITH t AS (SELECT doc_id, source,
-                  list_distinct(string_split(text, ' ')) AS toks
-           FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
-       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
-FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
-ORDER BY doc_a, doc_b
-""",
-    description="blocked n-gram Jaccard near-dup (source blocks bound the"
-    " pair space)",
-    tags=("dedup", "jaccard"),
-)
-def dd_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _jaccard_pair_edges(docs: DataFrame) -> DataFrame:
+    """Same-source ≥0.9-token-Jaccard near-dup pairs as (doc_a, doc_b,
+    source, jaccard) — the edge list behind dd_jaccard_same_source and
+    the whole connected-components family (dd_connected_components /
+    dd_keep_canonical / dd_cluster_aware_sample / dd_graph_triangles).
+
+    Candidates come from the SAME 2x4 banded-MinHash buckets as
+    dd_minhash_lsh (:func:`_lsh_candidate_pairs`), and only bucket-mates
+    are exact-verified — the all-pairs-per-source theta join this
+    replaces was O(|source|²) and, at 20-28 s per consumer at sf0.1, the
+    repo's last quadratic scale-killer (r5 verdict). Cost is now
+    signature (one shuffle) + Σ bucket² over colliding buckets + a
+    candidate-sized verify join; at 100 TB, fold source into the band
+    key so buckets never span sources.
+
+    Recall contract (same style as mm_phash_neardup): a true pair at
+    token-Jaccard j is a candidate with p = 1-(1-j')^2 where j' ≈ j⁴ is
+    the per-band (4-row) collision rate on shingle similarity — ≥0.88
+    at j=0.9 and →1 rapidly above; dd_lsh_band_audit measured recall
+    1.0 for this banding on the fixture corpus (25 candidates vs 888
+    for 8x1). Docs with fewer than 3 tokens have no shingle signature
+    and cannot be edge endpoints. The DuckDB oracle mirrors the
+    candidate generation exactly, so the parity gate checks the same
+    contract, not all-pairs truth.
+    """
+    cands = _lsh_candidate_pairs(docs)
     t = docs.select(
         "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
-    a, b = t.alias("a"), t.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
+    ta, tb = t.alias("ta"), t.alias("tb")
+    jac = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast(
         "double"
-    ) / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    ) / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.9)
+        cands.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .filter((F.col("ta.source") == F.col("tb.source")) & (jac >= 0.9))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.source").alias("source"),
+            "doc_a",
+            "doc_b",
+            F.col("ta.source").alias("source"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+
+
+#: DuckDB twin of :func:`_jaccard_pair_edges` — a CTE-list fragment
+#: ending in ``pairs(doc_a, doc_b, source, jaccard)``. The candidate
+#: stage mirrors the Spark side's banded buckets (band-OR join ≡ the
+#: long-format bucket equi-join after DISTINCT), then exact-verifies
+#: same-source bucket-mates at raw Jaccard ≥ 0.9.
+_DUCKDB_PAIRS_CTE = (
+    _duckdb_minhash_cte()
+    + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id AND ({_audit_band_or(N_BANDS)})
+),
+t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+pairs AS (
+  SELECT c.doc_a, c.doc_b, ta.source,
+         round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.doc_a
+  JOIN t tb ON tb.doc_id = c.doc_b
+  WHERE ta.source = tb.source
+    AND CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+)
+""".rstrip()
+)
+
+
+@register(
+    "dd_jaccard_same_source",
+    oracle=f"""
+WITH {_DUCKDB_PAIRS_CTE}
+SELECT doc_a, doc_b, source, jaccard
+FROM pairs
+ORDER BY doc_a, doc_b
+""",
+    description="blocked n-gram Jaccard near-dup: LSH-bucketed candidates"
+    " (2x4 banding) exact-verified within source blocks — never an"
+    " all-pairs-per-source join",
+    tags=("dedup", "jaccard", "lsh"),
+)
+def dd_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_pair_edges(docs).orderBy("doc_a", "doc_b")
 
 
 def _simhash_sql(dialect: str) -> str:
@@ -608,40 +674,6 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= COSINE_NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
-
-
-def _jaccard_pair_edges(docs: DataFrame) -> DataFrame:
-    """Same-source ≥0.9-Jaccard pairs as (doc_a, doc_b) — the edge list
-    dd_jaccard_same_source reports; reused by the connected-components
-    operator below."""
-    t = docs.select(
-        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    a, b = t.alias("a"), t.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.9)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-
-
-_DUCKDB_PAIRS_CTE = """
-t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
-      FROM documents),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
-)
-""".strip()
 
 
 @register(
@@ -1258,7 +1290,11 @@ def dd_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cartesian. At 100 TB the standard refinement orients edges by
     (degree, id) so the join fans out from low-degree endpoints;
     wedge counts are one exact integer aggregation over degrees."""
-    edges = _jaccard_pair_edges(load_table(spark, sf_dir, "documents")).cache()
+    edges = (
+        _jaccard_pair_edges(load_table(spark, sf_dir, "documents"))
+        .select("doc_a", "doc_b")
+        .cache()
+    )
     deg = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))

@@ -1181,7 +1181,12 @@ stats AS (
            CAST(SUM(v) OVER (PARTITION BY event_type) AS DOUBLE)
              / COUNT(*) OVER (PARTITION BY event_type), 4)
            AS DECIMAL(18,4)) AS mu,
-         CAST(SUM(v * v) OVER (PARTITION BY event_type) AS DOUBLE)
+         -- one operand widened to DECIMAL(19,4): DECIMAL(18,4)² products
+         -- sum in int64 mantissas in DuckDB and can overflow at larger
+         -- fixtures; 19+ digits forces the int128 path (same discipline
+         -- as agg_pearson_corr)
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) OVER (
+             PARTITION BY event_type) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY event_type) AS m2,
          CAST(SUM(v) OVER (PARTITION BY event_type) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY event_type) AS m1
@@ -1584,7 +1589,11 @@ d AS (
 )
 SELECT event_type, n_a, n_b,
        round(ks_d, 6) AS ks_d,
-       ks_d > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+       -- n_a cast to DOUBLE BEFORE the multiply: a BIGINT n_a * n_b
+       -- overflows int64 when per-arm counts exceed ~3e9 rows (the
+       -- 100 TB regime this targets)
+       ks_d > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * n_b))
          AS reject_95
 FROM d
 ORDER BY event_type
@@ -1907,8 +1916,7 @@ rfm AS (
 scored AS (
   SELECT user_id, recency_days, frequency, monetary,
          ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
-         ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
-         ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+         ntile(5) OVER (ORDER BY frequency, user_id) AS f_score
   FROM rfm
 )
 SELECT r_score, f_score,
@@ -1936,7 +1944,11 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation computes all three features (recency as exact integer
     days from the corpus max — a control-plane-free broadcast 1-row
     aggregate; frequency and monetary as exact counts/decimal sums),
-    then ntile(5) per feature assigns quintiles. The ntile windows are
+    then ntile(5) assigns R and F quintiles (no monetary quintile: the
+    grid below is (R,F), and a dead m_score window would not only waste
+    a global sort — monetary is NULL for never-purchasing users, and
+    Spark orders NULLS FIRST ascending vs DuckDB's NULLS LAST, a parity
+    trap on an unused column). The ntile windows are
     GLOBAL by nature (a quintile is a rank over the whole user base) —
     but their input is the per-user feature table, one row per user,
     the same bounded-by-users contract as chunks_table's allowlisted

@@ -1722,7 +1722,10 @@ m AS (
   SELECT event_type,
          COUNT(*) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx,
-         CAST(SUM(i * x) AS DOUBLE) AS six
+         -- x widened to DECIMAL(19,4): the BIGINT-rank x DECIMAL product
+         -- sums in int64 mantissas in DuckDB below 19 digits and can
+         -- overflow at larger fixtures (agg_pearson_corr discipline)
+         CAST(SUM(i * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS six
   FROM ranked GROUP BY event_type
 )
 SELECT event_type, n,
@@ -1851,20 +1854,45 @@ def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Market-basket: minimum pair support and result size.
 MB_MIN_PAIRS = 3
 MB_TOP_K = 20
+#: Skew guard: a basket wider than this keeps only its MB_BASKET_CAP
+#: lowest-md5 items (deterministic, unbiased w.r.t. part identity) —
+#: the basket-keyed self-join is Σ basket², so ONE mega-basket
+#: (a crawl dump order, a bot cart) is quadratic without a cap. The
+#: fixture's TPC-H orders are ≤7 items, so the cap never fires at test
+#: scale; items_dropped in the hashed output proves the accounting
+#: (same drop-accounting discipline as ta_mixture_cap).
+MB_BASKET_CAP = 32
 
 _BASKET_SQL = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
-n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+ranked AS (
+  SELECT l_orderkey, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY md5(CAST(l_partkey AS VARCHAR)), l_partkey) AS rn
+  FROM items
+),
+capped AS (
+  SELECT l_orderkey, l_partkey FROM ranked WHERE rn <= {MB_BASKET_CAP}
+),
+dropacct AS (
+  SELECT CAST(COUNT(CASE WHEN rn > {MB_BASKET_CAP} THEN 1 END) AS BIGINT)
+           AS items_dropped,
+         CAST(COUNT(DISTINCT CASE WHEN rn > {MB_BASKET_CAP}
+                                  THEN l_orderkey END) AS BIGINT)
+           AS baskets_capped
+  FROM ranked
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM capped),
 supp AS (
   SELECT l_partkey, COUNT(*) AS n_orders_with
-  FROM items GROUP BY l_partkey
+  FROM capped GROUP BY l_partkey
 ),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          COUNT(*) AS n_together
-  FROM items a JOIN items b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
   HAVING COUNT(*) >= {MB_MIN_PAIRS}
@@ -1873,14 +1901,16 @@ scored AS (
   SELECT p.part_a, p.part_b, p.n_together,
          sa.n_orders_with AS n_a, sb.n_orders_with AS n_b,
          round(CAST(p.n_together AS DOUBLE) * n.n
-               / (sa.n_orders_with * sb.n_orders_with), 6) AS lift
+               / (CAST(sa.n_orders_with AS DOUBLE) * sb.n_orders_with),
+               6) AS lift
   FROM pairs p
   JOIN supp sa ON p.part_a = sa.l_partkey
   JOIN supp sb ON p.part_b = sb.l_partkey
   CROSS JOIN n_orders n
 )
-SELECT part_a, part_b, n_together, n_a, n_b, lift
-FROM scored
+SELECT part_a, part_b, n_together, n_a, n_b, lift,
+       d.items_dropped, d.baskets_capped
+FROM scored CROSS JOIN dropacct d
 ORDER BY lift DESC, part_a, part_b
 LIMIT {MB_TOP_K}
 """
@@ -1899,22 +1929,45 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining's pair stage: the self-join keys on the
     BASKET (orderkey), so pair work is Σ basket_size² — bounded by
     order width, never parts² (the same blocking bound as every dedup
-    pair stage here). The support HAVING prunes before the lift join,
+    pair stage here). Σ basket² still dies on ONE mega-basket, so
+    baskets wider than MB_BASKET_CAP keep only their lowest-md5 items
+    (one basket-keyed rank window — the same shuffle key the pair join
+    needs anyway) with the dropped-item count carried in the hashed
+    output. The support HAVING prunes before the lift join,
     which then touches only surviving pairs against the broadcast-
     sized per-part support table; lift's exact integer counts make the
-    rounded score engine-identical, and the (lift, part_a, part_b)
+    rounded score engine-identical (one operand cast to double before
+    the n_a*n_b product — BIGINT would overflow past ~3e9-order
+    supports), and the (lift, part_a, part_b)
     total order makes the top-20 stable. At 100 TB the A-priori
     escalation (triples from frequent pairs) repeats the same
     keyed-join shape on the pruned survivors."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(
+    wcap = Window.partitionBy("l_orderkey").orderBy(
+        F.md5(F.col("l_partkey").cast("string")), F.col("l_partkey")
+    )
+    ranked = items.withColumn("rn", F.row_number().over(wcap))
+    capped = ranked.filter(F.col("rn") <= MB_BASKET_CAP).select(
+        "l_orderkey", "l_partkey"
+    )
+    dropacct = ranked.agg(
+        F.count(F.when(F.col("rn") > MB_BASKET_CAP, 1))
+        .cast("bigint")
+        .alias("items_dropped"),
+        F.countDistinct(
+            F.when(F.col("rn") > MB_BASKET_CAP, F.col("l_orderkey"))
+        )
+        .cast("bigint")
+        .alias("baskets_capped"),
+    )
+    n_orders = capped.agg(
         F.countDistinct("l_orderkey").alias("n")
     )
-    supp = items.groupBy("l_partkey").agg(
+    supp = capped.groupBy("l_partkey").agg(
         F.count("*").alias("n_orders_with")
     )
-    a, b = items.alias("a"), items.alias("b")
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(
             b,
@@ -1940,6 +1993,7 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "part_a")
         .join(sb, "part_b")
         .crossJoin(F.broadcast(n_orders))
+        .crossJoin(F.broadcast(dropacct))
         .select(
             "part_a",
             "part_b",
@@ -1949,9 +2003,11 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_together").cast("double")
                 * F.col("n")
-                / (F.col("n_a") * F.col("n_b")),
+                / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
+            "items_dropped",
+            "baskets_capped",
         )
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(MB_TOP_K)

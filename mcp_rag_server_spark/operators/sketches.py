@@ -451,9 +451,17 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FPRINT_SQL = """
 WITH rowh AS (
+  -- every field COALESCEd to the chr(1) sentinel BEFORE hashing: a NULL
+  -- anywhere would otherwise make Spark's concat_ws silently skip the
+  -- field while DuckDB's || nulls the whole row-hash (string_agg then
+  -- drops it) — the two engines would fingerprint different row SETS.
+  -- chr(1) cannot collide with real values (doc_id/n_chars render as
+  -- digits, lang is alphanumeric, text rides through md5 first).
   SELECT source,
-         md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
-             || CAST(n_chars AS VARCHAR) || '|' || md5(text)) AS rh
+         md5(COALESCE(CAST(doc_id AS VARCHAR), chr(1)) || '|'
+             || COALESCE(lang, chr(1)) || '|'
+             || COALESCE(CAST(n_chars AS VARCHAR), chr(1)) || '|'
+             || COALESCE(md5(text), chr(1))) AS rh
   FROM documents
 ),
 persource AS (
@@ -495,15 +503,16 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     file or bucket granularity (the compacted store's unit), never
     globally."""
     docs = load_table(spark, sf_dir, "documents")
+    sent = F.lit("\x01")  # NULL sentinel — see the oracle's comment
     rowh = docs.select(
         "source",
         F.md5(
             F.concat_ws(
                 "|",
-                F.col("doc_id").cast("string"),
-                F.col("lang"),
-                F.col("n_chars").cast("string"),
-                F.md5("text"),
+                F.coalesce(F.col("doc_id").cast("string"), sent),
+                F.coalesce(F.col("lang"), sent),
+                F.coalesce(F.col("n_chars").cast("string"), sent),
+                F.coalesce(F.md5("text"), sent),
             )
         ).alias("rh"),
     )

@@ -755,6 +755,22 @@ def test_nearest_order_two_prefix_windows_no_join(spark):
     assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
 
 
+def test_jaccard_edges_are_lsh_bucketed_not_all_pairs(spark):
+    """dd_jaccard_same_source (and the whole CC family behind the same
+    edge builder): candidates come from the banded-MinHash bucket
+    equi-join — the plan must join on band_key and contain no
+    nested-loop/cartesian stage. The r5-era all-pairs-per-source theta
+    join (O(|source|²), 20-28 s per consumer at sf0.1) must not come
+    back."""
+    import re
+
+    plan = plan_string(q(spark, "dd_jaccard_same_source"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "band_key" in stripped, stripped[:2000]
+
+
 def test_triangles_are_equi_joins_on_cached_edges(spark):
     """dd_graph_triangles: the triangle pass is hash equi-joins over
     the cached canonical edge list — no cartesian, no orientation

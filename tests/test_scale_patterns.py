@@ -275,3 +275,25 @@ def test_gdpr_delete_drops_fully_emptied_bucket(spark):
     assert canon_rows(list(spdf.columns), srows) == canon_rows(
         list(ddf.columns), drows
     )
+
+
+def test_scan_parallelism_scales_with_file_count(spark, tmp_path):
+    """The bench fixtures are single-row-group files, so headline scans
+    (tpch_q1) run as ONE task — a fixture artifact, not an engine limit
+    (BASELINE.md caveat). This pins the 100x claim the bench can't
+    show: the same lineitem data written as N files yields a scan whose
+    partition count scales with N (Spark's file-split packing charges
+    each file openCostInBytes, so small files land in distinct splits),
+    while the single-file original stays a single task. At 100 TB the
+    writer's job is therefore layout (file count x row-group size), and
+    the reader parallelizes for free."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    single = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert single.rdd.getNumPartitions() == 1
+
+    multi_dir = str(tmp_path / "lineitem_multifile")
+    li.repartition(8).write.parquet(multi_dir)
+    multi = spark.read.parquet(multi_dir)
+    assert multi.rdd.getNumPartitions() >= 8
+    # same rows either way — layout must never change content
+    assert multi.count() == li.count()
