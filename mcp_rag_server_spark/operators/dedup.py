@@ -1443,3 +1443,271 @@ def dd_cluster_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_soft_dedup_weights",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component
+  FROM reach GROUP BY src
+),
+clustered AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         COALESCE(l.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+weighted AS (
+  SELECT doc_id, source, n_chars,
+         COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+         CAST(round(CAST(1 AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY component), 8)
+              AS DECIMAL(18,8)) AS w
+  FROM clustered
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN cluster_size > 1 THEN 1 END) AS n_dup_docs,
+       round(CAST(SUM(w) AS DOUBLE), 4) AS effective_docs,
+       round(CAST(SUM(w * n_chars) AS DOUBLE), 4) AS effective_chars
+FROM weighted
+GROUP BY source
+ORDER BY source
+""",
+    description="soft dedup: every doc kept but down-weighted by"
+    " 1/near-dup-cluster-size, per-source raw vs effective doc and"
+    " char mass — the keep-everything alternative to hard dedup that"
+    " preserves the deduplicated token distribution in expectation",
+    tags=("dedup", "graph", "weights", "training"),
+)
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard dedup (dd_keep_canonical) DROPS duplicates; soft dedup
+    keeps every copy but weights it 1/cluster_size, so each duplicate
+    FAMILY contributes one doc's worth of mass to training sampling —
+    the down-weighting used when copies carry distinct metadata worth
+    keeping (provenance, formatting) or when the loss re-weights
+    per-example. Components come from the same star-contraction run as
+    the rest of the CC family (LSH-bucketed edges, O(log n) rounds);
+    singletons get weight 1 via the left join + coalesce. The weight is
+    round(1/k, 8) summed as DECIMAL — transcendental-free, but the
+    rounding still pins the 1/k doubles before any aggregation order
+    can matter, so per-source effective_docs hashes identically and
+    Σ effective_docs over sources = the number of dedup'd families
+    (each family sums to exactly k·(1/k) within rounding) — the
+    mass-conservation check a pipeline asserts before trusting the
+    weights at 100 TB. effective_chars is the same identity in token
+    currency (weighted by n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pair_edges(docs)
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"),
+    ).distinct()
+    labels, _ = star_contraction_components(edges)
+    clustered = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(
+            labels.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    )
+    wsz = Window.partitionBy("component")
+    weighted = clustered.select(
+        "source",
+        "n_chars",
+        F.count("*").over(wsz).alias("cluster_size"),
+        F.round(F.lit(1.0) / F.count("*").over(wsz), 8)
+        .cast("decimal(18,8)")
+        .alias("w"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("cluster_size") > 1, 1)).alias(
+                "n_dup_docs"
+            ),
+            F.round(F.sum("w").cast("double"), 4).alias("effective_docs"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars")).cast("double"), 4
+            ).alias("effective_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dd_cross_source_matrix",
+    oracle=f"""
+WITH {_duckdb_minhash_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id AND ({_audit_band_or(N_BANDS)})
+),
+t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+SELECT least(ta.source, tb.source) AS source_a,
+       greatest(ta.source, tb.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       round(MAX(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.toks, tb.toks)))), 6)
+         AS max_jaccard
+FROM cand c
+JOIN t ta ON ta.doc_id = c.doc_a
+JOIN t tb ON tb.doc_id = c.doc_b
+WHERE ta.source <> tb.source
+  AND CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+GROUP BY least(ta.source, tb.source), greatest(ta.source, tb.source)
+ORDER BY source_a, source_b
+""",
+    description="cross-source near-dup census: which source pairs share"
+    " sequence-level copies (LSH bucket-mates, verified ≥0.9 token"
+    " Jaccard, source-pair normalized) — the crawl-provenance matrix"
+    " that tells a pipeline which feeds mirror each other",
+    tags=("dedup", "lsh", "provenance"),
+)
+def dd_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same-source edge builder deliberately blocks within source;
+    this is its complement — near-dups ACROSS sources, aggregated to a
+    (source_a, source_b) matrix. A hot cell means two feeds mirror each
+    other (the same crawl syndicated twice), which changes dedup
+    ordering (dedup the mirrored pair jointly before per-source caps)
+    and mixture weights (the union is smaller than the sum). Candidates
+    come from the shared banded buckets (:func:`_lsh_candidate_pairs` —
+    shingle-sequence similarity, so bag-of-words coincidences in the
+    word-soup fixture stay out); least/greatest normalizes the pair so
+    the cell is orientation-free. Same recall contract as
+    :func:`_jaccard_pair_edges`; output is bounded by sources², not
+    docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _lsh_candidate_pairs(docs)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    ta, tb = t.alias("ta"), t.alias("tb")
+    jac = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    return (
+        cands.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .filter((F.col("ta.source") != F.col("tb.source")) & (jac >= 0.9))
+        .groupBy(
+            F.least("ta.source", "tb.source").alias("source_a"),
+            F.greatest("ta.source", "tb.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max(jac), 6).alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_MH_EST_ORACLE = (
+    f"WITH {_duckdb_minhash_cte()},\n"
+    + f"""
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id AND ({_audit_band_or(N_BANDS)})
+),
+shsets AS (SELECT doc_id, list(DISTINCT v) AS s FROM sh GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({" + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH))}
+              AS DOUBLE) / {N_MINHASH} AS est_j,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS exact_j
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_a
+  JOIN sigs b ON b.doc_id = c.doc_b
+  JOIN shsets sa ON sa.doc_id = c.doc_a
+  JOIN shsets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(est_j, 4) AS est_jaccard,
+       round(exact_j, 6) AS exact_jaccard,
+       round(abs(est_j - exact_j), 4) AS abs_err
+FROM scored
+ORDER BY doc_a, doc_b
+""".strip()
+)
+
+
+@register(
+    "dd_minhash_est_audit",
+    oracle=_MH_EST_ORACLE,
+    description="MinHash estimator audit: per LSH candidate pair, the"
+    " signature-agreement Jaccard estimate (matching components / 8)"
+    " beside the exact shingle-set Jaccard and the absolute error —"
+    " the calibration check on the sketch the whole dedup family"
+    " trusts",
+    tags=("dedup", "minhash", "sketch", "audit"),
+)
+def dd_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E[fraction of agreeing minhash components] = Jaccard — that
+    unbiasedness is the entire justification for banding (the LSH
+    collision curve is a function of it), so the audit measures it on
+    the pairs the pipeline actually surfaces: every banded candidate,
+    estimate beside exact shingle-set truth. A drifting estimator
+    (broken permutation family, biased fold) shows up as abs_err rows
+    the driver hash pins. Cost discipline: signatures and candidates
+    are the cached artifacts every other dd_* query builds; the exact
+    side's shingle SETS are assembled only for candidate docs' rows
+    (collect_set after the candidate join at 100 TB — here corpus-wide
+    for oracle symmetry, bounded by the fixture). With 8 components
+    the estimator's std dev at j=0.5 is ~0.18 — the audit documents
+    the k you would raise for tighter bands, not a defect."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _spark_minhash_sigs(docs)
+    cands = _lsh_candidate_pairs(docs)
+    shs = _spark_shingle_values(docs).groupBy("doc_id").agg(
+        F.collect_set("v").alias("s")
+    )
+    sa_, sb_ = sigs.alias("sga"), sigs.alias("sgb")
+    ha, hb = shs.alias("sha"), shs.alias("shb")
+    est = (
+        sum(
+            F.when(F.col(f"sga.mh{j}") == F.col(f"sgb.mh{j}"), 1).otherwise(0)
+            for j in range(N_MINHASH)
+        ).cast("double")
+        / N_MINHASH
+    )
+    exact = F.size(F.array_intersect(F.col("sha.s"), F.col("shb.s"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sha.s"), F.col("shb.s")))
+    return (
+        cands.join(sa_, F.col("sga.doc_id") == F.col("doc_a"))
+        .join(sb_, F.col("sgb.doc_id") == F.col("doc_b"))
+        .join(ha, F.col("sha.doc_id") == F.col("doc_a"))
+        .join(hb, F.col("shb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1962,3 +1962,94 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "// 86400000000", "DIV 86400000000"
     )
     return spark.sql(sql)
+
+
+def _welch_sql() -> str:
+    """Welch's unequal-variance t-test per event type between md5-parity
+    user arms. Moments are decimal-exact (one operand widened to
+    DECIMAL(19,4) in the square sum — the int128 discipline); the
+    t statistic and Welch–Satterthwaite df are derived doubles rounded
+    once at the end, and the verdict uses the large-sample 1.96
+    critical value (n per arm is far past the t→normal regime; no
+    t-table dependency)."""
+    return """
+WITH tagged AS (
+  SELECT event_type, {arm} AS arm,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type, arm,
+         COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
+  FROM tagged GROUP BY event_type, arm
+),
+wide AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'A' THEN s1 END) AS s1_a,
+         MAX(CASE WHEN arm = 'B' THEN s1 END) AS s1_b,
+         MAX(CASE WHEN arm = 'A' THEN s2 END) AS s2_a,
+         MAX(CASE WHEN arm = 'B' THEN s2 END) AS s2_b
+  FROM m GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n_a, n_b,
+         s1_a / n_a AS m_a,
+         s1_b / n_b AS m_b,
+         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a,
+         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b
+  FROM wide
+),
+welch AS (
+  SELECT event_type, n_a, n_b,
+         (m_a - m_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+         (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+           / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+              + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df,
+         m_a - m_b AS mean_diff
+  FROM stats
+)
+SELECT event_type, n_a, n_b,
+       round(mean_diff, 6) AS mean_diff,
+       round(t_stat, 4) AS t_stat,
+       round(df, 2) AS df_welch,
+       abs(t_stat) > 1.96 AS reject_95
+FROM welch
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_welch_ttest",
+    oracle=_welch_sql().format(
+        arm="CASE WHEN CAST('0x' || substr(md5('arm:' || CAST(user_id AS"
+        " VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+    ),
+    description="Welch's unequal-variance t-test per event type between"
+    " md5-parity experiment arms: decimal-exact moments, the"
+    " Welch-Satterthwaite df, and the 95% verdict — the MEAN-level"
+    " companion to the proportion z-test and the distribution-level KS",
+    tags=("events", "abtest", "stats", "ttest"),
+)
+def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_abtest_ztest compares proportions and ev_ks_test whole
+    distributions; the workhorse experiment readout is a difference of
+    MEANS under unequal variances — Welch's t. Everything before the
+    final expressions is exact: counts and decimal sums partial-
+    aggregate map-side (one shuffle on (event_type, arm), pivoted to
+    one row per type), variances come from the moment identity over
+    those exact sums, and t/df are single derived doubles rounded
+    once. The 1.96 verdict is the large-sample limit — at fixture and
+    at 100 TB arm sizes, t's distribution is indistinguishable from
+    normal, which keeps the critical value a constant instead of a
+    df-indexed table lookup."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    arm = (
+        "CASE WHEN CAST(conv(substr(md5(concat('arm:', CAST(user_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B'"
+        " END"
+    )
+    return spark.sql(_welch_sql().format(arm=arm))

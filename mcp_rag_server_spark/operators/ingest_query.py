@@ -946,3 +946,71 @@ def ingest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(read_version(1), 1))
         .orderBy("version")
     )
+
+
+@register(
+    "ingest_orc_roundtrip",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM events WHERE user_id < {TXT_USERS}
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       MAX(event_id) AS max_event_id,
+       MAX(ts) AS max_ts
+FROM src
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="ORC source/sink round-trip: the events slice written as"
+    " ORC (Spark's built-in second columnar format), read back"
+    " schema-first with its filter pushed to the ORC reader, and"
+    " aggregated against the parquet-derived oracle — byte-identical"
+    " values prove the columnar interchange path (warehouse migrations"
+    " read exactly this way)",
+    tags=("ingest", "sources", "orc"),
+)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive/Trino estates are full of ORC; a migration pipeline reads
+    ORC and writes parquet (or serves both), so the engine registers
+    the round trip: write the slice as ORC, read it back, aggregate.
+    The oracle aggregates the SAME slice straight from parquet — the
+    hash therefore proves ORC preserved longs, doubles (decimal-summed
+    after a round-trip through ORC's DOUBLE), strings, and
+    micros-precision timestamps bit-for-bit. The read is schema-first
+    (no inference pass) and the user_id predicate is applied on the
+    ORC scan — ORC carries min/max stripe stats just as parquet does,
+    so the same pushdown discipline holds. Bounded file count
+    (repartition 4) like every ingest fixture here."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < TXT_USERS)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_orc_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    odir = os.path.join(base, "events_orc")
+    ev.repartition(4).write.orc(odir)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, value double,"
+        " ts timestamp"
+    )
+    back = spark.read.schema(schema).orc(odir).filter(
+        F.col("user_id") < TXT_USERS
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )

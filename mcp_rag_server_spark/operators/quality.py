@@ -25,7 +25,7 @@ whole-stage codegen, aggregations as partial-agg shuffles on small keys
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
@@ -1002,3 +1002,179 @@ def ta_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size(array_distinct(split(text, ' ')))",
     )
     return spark.sql(sql)
+
+
+_CALIB_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
+           AS n_stop
+  FROM documents
+),
+labeled AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens >= {RULE_MIN_TOKENS}
+               AND n_tokens <= {RULE_MAX_TOKENS}
+               AND {_MW_SQL} >= {RULE_MIN_MEAN_WORDLEN}
+               AND {_MW_SQL} <= {RULE_MAX_MEAN_WORDLEN}
+               AND distinct_ratio >= {RULE_MIN_DISTINCT_RATIO}
+               AND n_stop > 0 THEN 1 ELSE 0 END AS gopher_pass,
+         round(CAST(1 AS DOUBLE)
+               / (CAST(1 AS DOUBLE)
+                  + exp(-({LR_W0}
+                          + {LR_W_TOK} * (CAST(n_tokens AS DOUBLE) / 100)
+                          + {LR_W_DIV} * distinct_ratio
+                          + {LR_W_WLEN}
+                            * ((CAST(n_chars AS DOUBLE) / n_tokens) / 10)))),
+               6) AS p_keep
+  FROM feat
+),
+bucketed AS (
+  SELECT LEAST(CAST(FLOOR(p_keep * 5) AS BIGINT), 4) AS score_bucket,
+         gopher_pass, p_keep
+  FROM labeled
+)
+SELECT score_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(gopher_pass) AS BIGINT) AS n_gopher_pass,
+       round(CAST(SUM(gopher_pass) AS DOUBLE) / COUNT(*), 4)
+         AS gopher_pass_rate,
+       round(CAST(SUM(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_p_keep
+FROM bucketed
+GROUP BY score_bucket
+ORDER BY score_bucket
+"""
+
+
+@register(
+    "ta_quality_calibration",
+    oracle=_CALIB_SQL,
+    description="quality-scorer calibration: the logistic p_keep"
+    " (ta_logreg_quality's scorer) bucketed into five fixed-width score"
+    " bands, each band's Gopher-rule pass rate beside its mean score —"
+    " the reliability table checked before swapping rules for a model",
+    tags=("text", "quality", "model", "calibration"),
+)
+def ta_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before a pipeline replaces its rule battery (ta_gopher_rules)
+    with a learned scorer (ta_logreg_quality), the operator checks
+    AGREEMENT: bucket the model score into fixed bands and measure how
+    often the rules pass within each band. A calibrated scorer shows a
+    monotone pass-rate curve; a flat or inverted band means the model
+    and the rules disagree about what quality IS — deploy-blocking
+    either way. Fixed-width buckets (LEAST(FLOOR(p·5),4)) rather than
+    ntile quintiles: the bucketing is then a per-row expression — no
+    corpus-wide window, nothing global, one partial-agg shuffle on a
+    5-value key (the global-ntile version of this table is exactly the
+    shape the plan lint exists to reject at corpus scale). The sigmoid
+    is rounded-6 before bucketing and decimal-summed for the mean
+    (transcendental-rounding discipline), FLOOR precedes the integer
+    cast (Spark truncates, DuckDB rounds half-even), and both label
+    and score come from ONE feature scan."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    sql = (
+        _CALIB_SQL.replace("len(", "size(")
+        .replace("string_split(", "split(")
+        .replace("list_distinct(", "array_distinct(")
+        .replace("list_filter(", "filter(")
+    )
+    return spark.sql(sql)
+
+
+@register(
+    "ta_bigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w1,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+bg AS (SELECT w1, w2, COUNT(*) AS cbg FROM bi2 GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cw1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS vsz FROM tok),
+s AS (
+  SELECT b.doc_id,
+         CAST(round(ln((c1.cw1 + v.vsz) / (bg.cbg + 1)), 8)
+              AS DECIMAL(18,8)) AS s
+  FROM bi2 b
+  JOIN bg ON bg.w1 = b.w1 AND bg.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal,
+       round(exp(CAST(SUM(s) AS DOUBLE) / COUNT(*)), 4) AS ppl
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    description="per-doc bigram-LM surprisal and perplexity under an"
+    " add-1-smoothed corpus bigram model — the conditional"
+    " (context-aware) quality tier above the unigram proxy: word-salad"
+    " scores high even when every token is individually common",
+    tags=("text", "quality", "lm", "bigram"),
+)
+def ta_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ta_unigram_logprob ranks docs by token RARITY; a shuffled bag of
+    common words still scores as fluent there. The bigram conditional
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) (add-1 smoothing over the
+    corpus vocabulary) penalizes improbable TRANSITIONS — the cheapest
+    model that distinguishes word salad from prose, and the standard
+    middle tier between unigram stats and a real LM perplexity pass.
+    Shape: the bigram table aggregates occurrences to (w1,w2,count)
+    partials (vocabulary², not corpus, after aggregation), the w1
+    marginals derive from it, V is a 1-row broadcast, and each
+    occurrence's surprisal is a rounded-8 ln decimal-summed per doc
+    (the transcendental-rounding discipline); perplexity = exp of the
+    derived mean, rounded once. Docs with fewer than two tokens have
+    no bigram and drop out in BOTH engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = tok.select(
+        "doc_id", "w1", F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bg = bi.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    c1 = bg.groupBy("w1").agg(F.sum("cbg").cast("bigint").alias("cw1"))
+    v = tok.agg(F.countDistinct("w1").cast("double").alias("vsz"))
+    s = (
+        bi.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("cw1") + F.col("vsz")) / (F.col("cbg") + 1)
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("s"),
+        )
+    )
+    mean_raw = F.sum("s").cast("double") / F.count("*")
+    return (
+        s.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(mean_raw, 6).alias("mean_surprisal"),
+            F.round(F.exp(mean_raw), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -528,3 +528,216 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: KMV (k-minimum-values) sketch size. 64 keeps the union estimate's
+#: relative SD ~1/sqrt(62) ≈ 13% — coarse, but the point of the audit
+#: is the INTERSECTION path HLL cannot take at all.
+KMV_K = 64
+
+def _kmv_sql(dialect: str) -> str:
+    """One SQL text for both engines: KMV sketches per event_type over
+    distinct users, then pairwise union/Jaccard/intersection ESTIMATES
+    beside their exact answers. The sketch element is the 32-bit md5
+    fold of 'kmv:'||user_id (engine-identical strings → identical
+    integers), so both engines build bit-identical sketches and every
+    estimate divides exact integers — rounded once at the end."""
+    if dialect == "spark":
+        fold = (
+            "CAST(conv(substr(md5('kmv:' || CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+    else:
+        fold = (
+            "CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),"
+            " 1, 8) AS BIGINT)"
+        )
+    k = KMV_K
+    return f"""
+WITH hd AS (
+  SELECT DISTINCT event_type, {fold} AS hv FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+  FROM hd
+),
+sk AS (SELECT event_type, hv FROM rk WHERE r <= {k}),
+ex AS (SELECT event_type, COUNT(*) AS n_exact FROM hd GROUP BY event_type),
+types AS (SELECT DISTINCT event_type FROM sk),
+pair_hashes AS (
+  SELECT s.event_type AS type_a, t.event_type AS type_b, s.hv
+  FROM sk s JOIN types t ON s.event_type < t.event_type
+  UNION
+  SELECT t.event_type, s.event_type, s.hv
+  FROM sk s JOIN types t ON t.event_type < s.event_type
+),
+pu AS (
+  SELECT type_a, type_b, hv,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS r
+  FROM pair_hashes
+),
+upto AS (SELECT type_a, type_b, hv FROM pu WHERE r <= {k}),
+ustats AS (
+  SELECT type_a, type_b, COUNT(*) AS ku, MAX(hv) AS u_max
+  FROM upto GROUP BY type_a, type_b
+),
+nboth AS (
+  SELECT u.type_a, u.type_b, COUNT(*) AS n_both
+  FROM upto u
+  JOIN sk sa ON sa.event_type = u.type_a AND sa.hv = u.hv
+  JOIN sk sb ON sb.event_type = u.type_b AND sb.hv = u.hv
+  GROUP BY u.type_a, u.type_b
+),
+exact_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_inter_exact
+  FROM hd a JOIN hd b
+    ON a.hv = b.hv AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+est AS (
+  SELECT s.type_a, s.type_b, s.ku,
+         COALESCE(b.n_both, 0) AS n_both,
+         CASE WHEN s.ku < {k} THEN CAST(s.ku AS DOUBLE)
+              ELSE ({k} - 1)
+                   / (CAST(s.u_max AS DOUBLE) / 4294967296.0)
+         END AS est_union
+  FROM ustats s
+  LEFT JOIN nboth b ON b.type_a = s.type_a AND b.type_b = s.type_b
+)
+SELECT e.type_a, e.type_b,
+       ea.n_exact AS n_a, eb.n_exact AS n_b,
+       (ea.n_exact + eb.n_exact - COALESCE(x.n_inter_exact, 0))
+         AS n_union_exact,
+       COALESCE(x.n_inter_exact, 0) AS n_inter_exact,
+       round(e.est_union, 1) AS est_union,
+       round(CAST(e.n_both AS DOUBLE) / e.ku, 4) AS est_jaccard,
+       round(CAST(e.n_both AS DOUBLE) / e.ku * e.est_union, 1)
+         AS est_inter
+FROM est e
+JOIN ex ea ON ea.event_type = e.type_a
+JOIN ex eb ON eb.event_type = e.type_b
+LEFT JOIN exact_inter x
+  ON x.type_a = e.type_a AND x.type_b = e.type_b
+ORDER BY e.type_a, e.type_b
+"""
+
+
+@register(
+    "agg_kmv_distinct_audit",
+    oracle=_kmv_sql("duckdb"),
+    description="KMV (k-minimum-values) sketch audit: pairwise"
+    " union/Jaccard/INTERSECTION estimates between event-type user"
+    " sets beside their exact answers — the mergeable set-operation"
+    " sketch HLL cannot provide (HLL unions but never intersects)",
+    tags=("agg", "sketch", "kmv", "audit"),
+)
+def agg_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_hll_audit covers distinct COUNTS; audience-overlap questions
+    (how many users both click AND purchase?) need set INTERSECTION,
+    which HLL sketches cannot answer. KMV (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD'07 "distinct-value synopses") keeps the k
+    smallest hash values per set: D̂ = (k-1)/max_kth_normalized_hash,
+    sketches union by merging+truncating to k, and the fraction ρ of
+    union-sketch members present in both input sketches estimates
+    Jaccard, giving |A∩B| ≈ ρ·D̂_union. Everything here is integer-
+    exact until the final divisions (engine-identical md5-fold
+    elements, rank windows over ≤k·types rows), and each estimate row
+    carries its exact answer, so the driver hash pins the estimator's
+    output, not a tolerance. Scale shape: the sketch build is one
+    rank window per type over DISTINCT (type, hash) — partial-agg
+    friendly, sketch size constant; the pairwise stage touches only
+    k·types rows (broadcast-sized regardless of corpus). With k=64
+    the sketch is exact below 64 distinct users (the CASE branch),
+    measured ~13% RSD above."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kmv_sql("spark"))
+
+
+#: Count-min geometry: d seeded hash rows of w buckets, and the number
+#: of audited heavy hitters.
+CM_W = 512
+CM_D = 3
+CM_TOP = 10
+
+
+def _cm_pos(dialect: str, seed: int) -> str:
+    """Bucket position for seed ``seed`` — the bloom-filter fold reused
+    with the CM width."""
+    if dialect == "spark":
+        h = f"substr(md5(concat('cm{seed}:', CAST(user_id AS STRING))), 1, 8)"
+        return f"CAST(conv({h}, 16, 10) AS BIGINT) % {CM_W}"
+    h = f"substr(md5('cm{seed}:' || CAST(user_id AS VARCHAR)), 1, 8)"
+    return f"CAST('0x' || {h} AS BIGINT) % {CM_W}"
+
+
+def _cm_sql(dialect: str) -> str:
+    """One SQL text per engine: build the d×w counter table from raw
+    event rows, probe it for the exact top-CM_TOP users, report
+    estimate beside exact count. CM guarantees est ≥ exact always and
+    est ≤ exact + εN with high probability — the audit hashes the
+    overestimate itself."""
+    build = "\nUNION ALL\n".join(
+        f"SELECT {j} AS seed, {_cm_pos(dialect, j)} AS pos, COUNT(*) AS cnt"
+        f" FROM events GROUP BY {_cm_pos(dialect, j)}"
+        for j in range(CM_D)
+    )
+    probe_pos = "\nUNION ALL\n".join(
+        f"SELECT user_id, n_exact, {j} AS seed, {_cm_pos(dialect, j)} AS pos"
+        f" FROM topk"
+        for j in range(CM_D)
+    )
+    return f"""
+WITH cm AS (
+{build}
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+),
+topk AS (
+  SELECT user_id, n_exact FROM exact
+  ORDER BY n_exact DESC, user_id LIMIT {CM_TOP}
+),
+probe AS (
+{probe_pos}
+),
+est AS (
+  SELECT p.user_id, p.n_exact, MIN(c.cnt) AS cm_est
+  FROM probe p JOIN cm c ON c.seed = p.seed AND c.pos = p.pos
+  GROUP BY p.user_id, p.n_exact
+)
+SELECT user_id, n_exact, cm_est,
+       cm_est - n_exact AS overestimate,
+       cm_est >= n_exact AS never_underestimates
+FROM est
+ORDER BY n_exact DESC, user_id
+"""
+
+
+@register(
+    "agg_cm_sketch_audit",
+    oracle=_cm_sql("duckdb"),
+    description="count-min sketch audit: a d=3 x w=512 counter table"
+    " built in one pass estimates per-user event frequencies; the"
+    " exact top-10 heavy hitters are probed against it with the"
+    " overestimate and the never-underestimates guarantee hashed —"
+    " the point-query frequency sketch beside HLL (cardinality), KMV"
+    " (set ops), and bloom (membership)",
+    tags=("agg", "sketch", "countmin", "audit"),
+)
+def agg_cm_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min (Cormode & Muthukrishnan 2005) answers 'how often did
+    key x occur?' from d·w counters instead of a per-key table: each
+    of d seeded hashes increments one of w counters, a point query
+    takes the MIN across its d counters — collisions only ever ADD,
+    so est ≥ exact unconditionally (the hashed boolean) and
+    est ≤ exact + e/w·N with probability 1-e^-d. The build is d
+    partial-aggregating GROUP BYs over a bucket column (at 100 TB:
+    one pass, d·w longs of state — broadcastable); the probe joins
+    the CM_TOP audited keys (exact heap top-k) against d·CM_TOP
+    bucket rows. Deterministic md5-seeded folds make both engines
+    build the identical counter table, so the estimates — not just
+    the bounds — hash across engines."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cm_sql("spark"))

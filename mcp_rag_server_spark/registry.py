@@ -140,7 +140,29 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 # r7 plan: the remaining never-checked queries (the 3 displaced by the
 # CC-family re-checks — set_all_multiplicity, sim_binary_hamming_topk,
-# sim_filtered_topk — plus the ~25 the 50-slot window could not take:
+# sim_filtered_topk — the four registered mid-r6 after this window was
+# fixed: dd_soft_dedup_weights (1/cluster-size down-weighting with the
+# mass-conservation identity hashed), dd_cross_source_matrix
+# (cross-source near-dup provenance census over the shared LSH
+# buckets), agg_kmv_distinct_audit (KMV sketches: the set-INTERSECTION
+# estimates HLL cannot provide, exact answers beside them), and
+# ta_quality_calibration (model-score vs Gopher-rule reliability
+# table, fixed-width buckets so nothing is global),
+# dd_minhash_est_audit (signature-agreement Jaccard estimate vs exact
+# shingle truth on every banded candidate — the sketch calibration
+# check), agg_cm_sketch_audit (count-min heavy-hitter audit: d x w
+# counter table, never-underestimates guarantee hashed),
+# ev_welch_ttest (unequal-variance mean test with Welch-Satterthwaite
+# df beside the z/KS tests), and ta_winnowing_fingerprint (MOSS
+# winnowing: per-window k-gram hash minima with packed-position
+# tie-break, per-doc fingerprint-set digest), ingest_orc_roundtrip
+# (ORC write/read-back with pushdown, hashed against the
+# parquet-derived oracle), sim_knn_graph (k-NN neighborhood graph:
+# label-blocked half-matrix scored once + mirrored, per-vector rank),
+# and ta_bigram_logprob (add-1-smoothed bigram-LM surprisal and
+# perplexity per doc — the conditional tier above the unigram proxy)
+# — all eleven locally oracle-replayed green at sf0.001 AND sf0.01 —
+# plus the ~25 the 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,
 # sql_lateral_topn, sql_recursive_reach, st_enrich_static,
 # st_incremental_rollup, st_lambda_cutover, ta_admission_pipeline,

@@ -104,3 +104,90 @@ def test_fake_phash_matches_oracle_arithmetic():
                     acc |= 1 << k
             expect.append(acc)
         assert fake_phash(text) == expect, n
+
+
+# ---- winnowing guarantee (ta_winnowing_fingerprint) ----------------
+
+import hashlib as _hashlib
+
+from mcp_rag_server_spark.operators.textanalysis import (
+    WINNOW_K,
+    WINNOW_POS_MOD,
+    WINNOW_W,
+)
+
+
+def _winnow_hashes(tokens: list[str]) -> list[int]:
+    """Mirror of _winnow_sql's k-gram fold: 32-bit int from the first 8
+    hex digits of md5 over the space-joined k-gram."""
+    out = []
+    for i in range(len(tokens) - WINNOW_K + 1):
+        kg = " ".join(tokens[i : i + WINNOW_K])
+        out.append(int(_hashlib.md5(kg.encode()).hexdigest()[:8], 16))
+    return out
+
+
+def _winnow_select(tokens: list[str]) -> set[int]:
+    """Mirror of the SQL selection: per full window of WINNOW_W packed
+    hashes, the minimum of h*2^20+i; returns the selected HASH parts
+    (the cross-doc-comparable fingerprint identity)."""
+    hs = _winnow_hashes(tokens)
+    sel = set()
+    for end in range(WINNOW_W - 1, len(hs)):
+        window = [
+            hs[j] * WINNOW_POS_MOD + j
+            for j in range(end - WINNOW_W + 1, end + 1)
+        ]
+        sel.add(min(window) // WINNOW_POS_MOD)
+    return sel
+
+
+_TOK = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(prefix_a=_TOK, suffix_a=_TOK, prefix_b=_TOK, suffix_b=_TOK, run=st.lists(
+    st.sampled_from(["pp", "qq", "rr", "ss", "tt", "uu"]),
+    min_size=WINNOW_W + WINNOW_K - 1,
+    max_size=WINNOW_W + WINNOW_K + 4,
+))
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+    prefix_a, suffix_a, prefix_b, suffix_b, run
+):
+    """The winnowing contract (Schleimer et al. §2): any shared token
+    run of length ≥ w+k-1 yields at least one COMMON selected
+    fingerprint hash in both documents, wherever the run sits. The
+    shared run contributes w identical consecutive k-gram hashes to
+    both docs; the window ending at that run's last hash exists in
+    both, its value sequence is identical, and the packed (hash, pos)
+    min breaks ties at the same relative offset — so the selected
+    hash agrees. Mirrored exactly from _winnow_sql's arithmetic."""
+    doc_a = prefix_a + run + suffix_a
+    doc_b = prefix_b + run + suffix_b
+    assert _winnow_select(doc_a) & _winnow_select(doc_b)
+
+
+# ---- KMV mergeability (agg_kmv_distinct_audit) ---------------------
+
+from mcp_rag_server_spark.operators.sketches import KMV_K
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=10**9), max_size=200),
+    b=st.sets(st.integers(min_value=0, max_value=10**9), max_size=200),
+)
+def test_kmv_union_of_sketches_is_sketch_of_union(a, b):
+    """The property agg_kmv_distinct_audit's pair stage relies on:
+    taking the k smallest of (sketch(A) ∪ sketch(B)) equals the
+    sketch of A ∪ B — so the pairwise union sketch built from the two
+    per-type sketches is exactly what a direct pass over the combined
+    set would produce, and the (k-1)/u_k estimate applies to it
+    unchanged. This is what makes KMV sketches mergeable artifacts at
+    100 TB (combine per-shard sketches, never re-scan)."""
+    sk = lambda s: set(sorted(s)[:KMV_K])
+    assert sk(sk(a) | sk(b)) == sk(a | b)

@@ -1065,3 +1065,138 @@ def test_rfm_windows_input_is_per_user_rows(spark):
     tree = plan.split("\n\n")[0]
     first_window = tree.index("Window")
     assert "HashAggregate" in tree[:first_window], tree[:first_window]
+
+
+def test_soft_dedup_weights_component_window_no_cartesian(spark):
+    """dd_soft_dedup_weights: the weight is a component-keyed window
+    over the labeled corpus (same shape as dd_cluster_aware_sample);
+    no cartesian, no per-row Python."""
+    import re
+
+    plan = plan_string(q(spark, "dd_soft_dedup_weights"))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(component" in stripped
+
+
+def test_cross_source_matrix_is_lsh_bucketed(spark):
+    """dd_cross_source_matrix: candidates ride the banded bucket
+    equi-join (band_key in the join keys); never a nested-loop or
+    cartesian pair stage."""
+    import re
+
+    plan = plan_string(q(spark, "dd_cross_source_matrix"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "band_key" in stripped
+
+
+def test_kmv_audit_windows_are_keyed_joins_are_equi(spark):
+    """agg_kmv_distinct_audit: both rank windows are keyed (per type /
+    per type pair — never a global sort), the sketch joins are hash
+    equi-joins, and nothing drops to per-row Python."""
+    import re
+
+    plan = plan_string(q(spark, "agg_kmv_distinct_audit"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(event_type" in stripped
+    assert "windowspecdefinition(type_a" in stripped
+
+
+def test_quality_calibration_has_no_window_at_all(spark):
+    """ta_quality_calibration: fixed-width score buckets are per-row
+    expressions — the plan must contain NO window operator (the ntile
+    version of this table would be a corpus-wide global sort) and no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "ta_quality_calibration"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0, plan
+
+
+def test_minhash_est_audit_rides_bucket_join(spark):
+    """dd_minhash_est_audit: candidate pairs come from the banded
+    bucket equi-join; signature/shingle-set joins are hash equi-joins
+    on doc_id — no cartesian, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "dd_minhash_est_audit"))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "band_key" in stripped
+
+
+def test_cm_sketch_probe_is_heap_topk(spark):
+    """agg_cm_sketch_audit: the audited heavy hitters come from a heap
+    top-k (TakeOrderedAndProject), never a global sort of the per-user
+    counts; the counter build and probe stay JVM-side."""
+    df = q(spark, "agg_cm_sketch_audit")
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_welch_ttest_single_keyed_shuffle_no_window(spark):
+    """ev_welch_ttest: moments partial-aggregate on (event_type, arm)
+    then pivot per type — no window operator, no join, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_welch_ttest"))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnowing_windows_are_doc_keyed(spark):
+    """ta_winnowing_fingerprint: every window (k-gram lead, rank, the
+    running min frame) partitions by doc_id — nothing global, no
+    Python, no join on the data path (the final LEFT JOIN keys on
+    doc_id)."""
+    import re
+
+    plan = plan_string(q(spark, "ta_winnowing_fingerprint"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(doc_id" in stripped
+
+
+def test_orc_roundtrip_pushes_filter_to_orc_scan(spark):
+    """ingest_orc_roundtrip: the read-back is a native ORC columnar
+    scan with the user_id predicate pushed to it — the same pushdown
+    discipline the parquet fixtures get."""
+    df = q(spark, "ingest_orc_roundtrip")
+    plan = plan_string(df)
+    assert "Scan orc" in plan, plan[:2000]
+    assert "PushedFilters: [" in plan
+    assert "user_id" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_knn_graph_scores_each_pair_once(spark):
+    """sim_knn_graph: the pair scores are computed once (cached
+    half-matrix) and mirrored by projection — the plan reads the
+    InMemoryRelation from both union branches instead of containing
+    two scoring joins; the rank window keys on vec_id."""
+    import re
+
+    plan = plan_string(q(spark, "sim_knn_graph"))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(vec_id" in stripped
+
+
+def test_bigram_logprob_joins_aggregated_vocab(spark):
+    """ta_bigram_logprob: the LM tables join back as broadcasts of
+    AGGREGATED (w1,w2)/(w1) counts — never a join of raw occurrence
+    rows against raw occurrence rows; the surprisal ln stays in
+    codegen (no Python)."""
+    plan = plan_string(q(spark, "ta_bigram_logprob"))
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # bg, c1, vocab size

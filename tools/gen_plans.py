@@ -62,7 +62,14 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_anomaly_mad", "ev_autocorr", "st_lambda_cutover",
          "agg_table_fingerprint", "ta_logreg_quality",
          "agg_column_profile", "ev_seasonal_profile",
-         "join_market_basket", "ev_rfm_segments"]
+         "join_market_basket", "ev_rfm_segments",
+         # round-6 additions
+         "dd_jaccard_same_source", "dd_soft_dedup_weights",
+         "dd_cross_source_matrix", "agg_kmv_distinct_audit",
+         "ta_quality_calibration", "dd_minhash_est_audit",
+         "agg_cm_sketch_audit", "ev_welch_ttest",
+         "ta_winnowing_fingerprint", "ingest_orc_roundtrip",
+         "sim_knn_graph", "ta_bigram_logprob"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
