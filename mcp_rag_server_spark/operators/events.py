@@ -2053,3 +2053,234 @@ def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " END"
     )
     return spark.sql(_welch_sql().format(arm=arm))
+
+
+def _mi_sql() -> str:
+    """MI and chi-square between event_type and hour-of-day from one
+    exact contingency table. Each cell's ln ratio is rounded-8 then
+    decimal-weighted by the exact cell count (transcendental-rounding
+    discipline); marginal products cast to DOUBLE before multiplying
+    (BIGINT n_x*n_y overflows at ~3e9-row margins)."""
+    return """
+WITH cells AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+         COUNT(*) AS n_xy
+  FROM events GROUP BY event_type, CAST(extract(hour FROM ts) AS BIGINT)
+),
+mx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       FROM cells GROUP BY event_type),
+my AS (SELECT hr, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY hr),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT c.n_xy,
+         CAST(round(ln((CAST(t.n AS DOUBLE) * c.n_xy)
+                       / (CAST(x.n_x AS DOUBLE) * y.n_y)), 8)
+              AS DECIMAL(19,8)) AS lr,
+         CAST(round(
+           (c.n_xy - CAST(x.n_x AS DOUBLE) * y.n_y / t.n)
+           * (c.n_xy - CAST(x.n_x AS DOUBLE) * y.n_y / t.n)
+           / (CAST(x.n_x AS DOUBLE) * y.n_y / t.n), 6)
+              AS DECIMAL(18,6)) AS chi_term
+  FROM cells c
+  JOIN mx x ON x.event_type = c.event_type
+  JOIN my y ON y.hr = c.hr
+  CROSS JOIN tot t
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM mx) AS n_types,
+         (SELECT COUNT(*) FROM my) AS n_hours
+)
+SELECT t.n AS n_events,
+       c.n_types, c.n_hours,
+       (c.n_types - 1) * (c.n_hours - 1) AS dof,
+       round(CAST(SUM(x.lr * x.n_xy) AS DOUBLE) / t.n, 6) AS mi_nats,
+       round(CAST(SUM(x.chi_term) AS DOUBLE), 2) AS chi2
+FROM terms x CROSS JOIN tot t CROSS JOIN counts c
+GROUP BY t.n, c.n_types, c.n_hours
+"""
+
+
+@register(
+    "ev_mutual_information",
+    oracle=_mi_sql(),
+    description="exact mutual information and chi-square between"
+    " event_type and hour-of-day from one contingency pass — the"
+    " dependence screen (is traffic mix time-of-day dependent?) behind"
+    " feature selection and stratification decisions, decimal-exact"
+    " cell weights with rounded-ln terms",
+    tags=("events", "stats", "mi", "chi2"),
+)
+def ev_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the exact
+    (type × hour) contingency table; chi² is the same table against
+    independence expecteds. Both reduce to ONE partial-aggregated
+    group-by (the cell table — |types|·24 rows) plus broadcast-sized
+    marginal joins, so the screen costs a single shuffle at any corpus
+    size. Cross-engine: each cell's ln ratio is rounded-8 then
+    multiplied by the exact BIGINT cell count inside DECIMAL (19,8 —
+    the product of an 8-dp decimal and a count needs the int128
+    path), chi² terms are rounded-6 per cell and decimal-summed; dof
+    is exact. MI=0 ⇔ independent; paired with chi² the row answers
+    'dependent, and is it significant' in one hash."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mi_sql())
+
+
+_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type, COUNT(*) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+rowtot AS (
+  SELECT from_type, CAST(SUM(c) AS BIGINT) AS n
+  FROM trans GROUP BY from_type
+),
+terms AS (
+  SELECT t.from_type, r.n,
+         CAST(round(ln(CAST(r.n AS DOUBLE) / t.c), 8)
+              AS DECIMAL(19,8)) * t.c AS w
+  FROM trans t JOIN rowtot r ON r.from_type = t.from_type
+)
+SELECT from_type,
+       MAX(n) AS n_transitions,
+       round(CAST(SUM(w) AS DOUBLE) / MAX(n), 6) AS entropy_nats,
+       round(exp(CAST(SUM(w) AS DOUBLE) / MAX(n)), 4) AS perplexity
+FROM terms
+GROUP BY from_type
+ORDER BY from_type
+"""
+
+
+@register(
+    "ev_entropy_rate",
+    oracle=_ENTROPY_SQL,
+    description="Markov transition entropy per source state: H of the"
+    " next-event distribution from each event_type (rounded-ln terms"
+    " weighted by exact transition counts) with its perplexity — the"
+    " predictability readout over the same chain ev_transition_matrix"
+    " tabulates",
+    tags=("events", "stats", "markov", "entropy"),
+)
+def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_transition_matrix gives the chain's probabilities; the
+    entropy of each row answers the operational question — how
+    PREDICTABLE is what follows a given event? (perplexity e^H = the
+    effective branching factor: 1 = deterministic funnel step, |types|
+    = uniform noise). H = Σ (c/n)·ln(n/c) over the row's exact
+    transition counts; each ln is rounded-8 then decimal-weighted by
+    the exact count (the transcendental discipline), so the per-state
+    entropies hash across engines. Shape: one user-keyed lead window
+    (the same shuffle the transition matrix uses) aggregated to a
+    |types|² table — constant-size after the first aggregation
+    regardless of corpus."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ENTROPY_SQL)
+
+
+#: DiD design: hours of "post" period before the corpus max timestamp.
+DID_POST_HOURS = 72
+
+
+def _did_sql() -> str:
+    """Difference-in-differences per event type: md5-parity arms ×
+    pre/post periods (post = the last DID_POST_HOURS before the corpus
+    max, hour-aligned). Cell moments are decimal-exact; the estimator
+    and its large-sample SE are derived doubles rounded once."""
+    cut = (
+        "(SELECT (epoch_us(date_trunc('hour', MAX(ts)))"
+        f" - {DID_POST_HOURS} * 3600000000) AS cut FROM events)"
+    )
+    return f"""
+WITH cutoff AS {cut},
+tagged AS (
+  SELECT event_type, {{arm}} AS arm,
+         CASE WHEN epoch_us(e.ts) >= c.cut THEN 'post' ELSE 'pre' END
+           AS period,
+         CAST(round(e.value, 4) AS DECIMAL(18,4)) AS v
+  FROM events e CROSS JOIN cutoff c
+),
+m AS (
+  SELECT event_type, arm, period,
+         COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
+  FROM tagged GROUP BY event_type, arm, period
+),
+cells AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN s1 / n END)
+           AS m_a_pre,
+         MAX(CASE WHEN arm = 'A' AND period = 'post' THEN s1 / n END)
+           AS m_a_post,
+         MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN s1 / n END)
+           AS m_b_pre,
+         MAX(CASE WHEN arm = 'B' AND period = 'post' THEN s1 / n END)
+           AS m_b_post,
+         MAX(CASE WHEN arm = 'A' AND period = 'pre'
+                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_a_pre,
+         MAX(CASE WHEN arm = 'A' AND period = 'post'
+                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_a_post,
+         MAX(CASE WHEN arm = 'B' AND period = 'pre'
+                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_b_pre,
+         MAX(CASE WHEN arm = 'B' AND period = 'post'
+                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_b_post,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM m GROUP BY event_type
+),
+did AS (
+  SELECT event_type, n_total,
+         (m_b_post - m_b_pre) - (m_a_post - m_a_pre) AS est,
+         sqrt(vn_a_pre + vn_a_post + vn_b_pre + vn_b_post) AS se
+  FROM cells
+)
+SELECT event_type, n_total,
+       round(est, 6) AS did_estimate,
+       round(se, 6) AS std_error,
+       round(est / se, 4) AS z_stat,
+       abs(est / se) > 1.96 AS reject_95
+FROM did
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_did_estimator",
+    oracle=_did_sql().format(
+        arm="CASE WHEN CAST('0x' || substr(md5('arm:' || CAST(e.user_id AS"
+        " VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+    ),
+    description="difference-in-differences per event type: md5-parity"
+    " arms x hour-aligned pre/post periods, the 2x2 cell means from"
+    " decimal-exact moments, the DiD estimate with its large-sample SE"
+    " and 95% verdict — the quasi-experimental readout when treatment"
+    " wasn't randomized at assignment time",
+    tags=("events", "abtest", "stats", "did"),
+)
+def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When exposure correlates with time (a staged rollout), a naive
+    post-period A/B diff confounds treatment with drift; DiD subtracts
+    each arm's own pre-period baseline, removing any additive
+    arm-level and period-level effects. All four cell moments come
+    from ONE (type, arm, period)-keyed partial aggregation — the
+    pivot to a 2×2 is a constant-size MAX-CASE fold, the cutoff is a
+    1-row scalar subquery in integer epoch micros (no driver
+    collect), and the estimate/SE/z are single derived doubles
+    rounded once (SE via Var(x̄) sums — the four cells are disjoint
+    samples). The md5 arms make the fixture's verdict deterministic;
+    in production the arm expression is the rollout flag."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    arm = (
+        "CASE WHEN CAST(conv(substr(md5(concat('arm:', CAST(e.user_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B'"
+        " END"
+    )
+    return spark.sql(
+        _did_sql().format(arm=arm).replace("epoch_us(", "unix_micros(")
+    )

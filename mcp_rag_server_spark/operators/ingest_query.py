@@ -1014,3 +1014,95 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Malformed-row fixture: the bad-lines file planted beside the good
+#: CSV part files, and its line count.
+CSV_BAD_LINES = (
+    "notanint,12,click,0.5",
+    "77,13,purchase,not_a_double",
+    "too,few",
+)
+
+
+@register(
+    "ingest_csv_malformed",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM events WHERE user_id < {TXT_USERS}
+),
+good AS (
+  SELECT event_type,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM src GROUP BY event_type
+)
+SELECT event_type, n_rows, total_value FROM good
+UNION ALL
+SELECT '_corrupt' AS event_type,
+       CAST({len(CSV_BAD_LINES)} AS BIGINT) AS n_rows,
+       CAST(NULL AS DOUBLE) AS total_value
+ORDER BY event_type
+""",
+    description="malformed-CSV handling: a planted bad-lines file rides"
+    " beside the good part files, PERMISSIVE parsing captures each"
+    " broken row in the corrupt-record column, and the result hashes"
+    " good aggregates beside the exact corrupt count — the"
+    " quarantine-don't-crash ingestion contract batch loaders need",
+    tags=("ingest", "sources", "csv", "quality"),
+)
+def ingest_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real CSV feeds contain garbage; the production contract is (1)
+    never fail the job, (2) never silently drop — count and quarantine.
+    PERMISSIVE mode + columnNameOfCorruptRecord gives exactly that:
+    type-mismatched or short rows parse to NULLs with the raw line
+    preserved in the corrupt column. Three planted shapes cover the
+    failure classes (bad bigint, bad double, wrong arity). The parsed
+    frame is cached before aggregating — Spark disallows queries that
+    read ONLY the internal corrupt column straight off the files
+    (SPARK-21610); at 100 TB the same pipeline points
+    badRecordsPath/observed-metrics at the quarantine instead of
+    caching. Written headerless so the planted file's first line is
+    data, not a phantom header."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < TXT_USERS)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_bad_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    cdir = os.path.join(base, "csv")
+    ev.drop("ts").repartition(4).write.csv(cdir)
+    with open(os.path.join(cdir, "part-99999-bad.csv"), "w") as fh:
+        fh.write("\n".join(CSV_BAD_LINES) + "\n")
+
+    schema = (
+        "event_id bigint, user_id bigint, event_type string,"
+        " value double, _corrupt string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(cdir)
+        .cache()
+    )
+    good = (
+        parsed.filter(F.col("_corrupt").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    bad = parsed.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("_corrupt").alias("event_type"),
+        F.count("*").alias("n_rows"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return good.unionByName(bad).orderBy("event_type")

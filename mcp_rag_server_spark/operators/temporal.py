@@ -312,3 +312,89 @@ def tj_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark has no // integer-division operator
     sql = sql.replace("// 1000000", "DIV 1000000")
     return spark.sql(sql)
+
+
+#: Interval half-width for the union op: each event claims
+#: [ts, ts + 30 min) of activity.
+IU_SPAN_US = 1_800_000_000
+
+
+def _interval_union_sql() -> str:
+    """Merge overlapping per-user activity intervals (each event opens a
+    30-minute interval) into maximal islands — the classic interval
+    union: a row starts a new island iff its start exceeds the running
+    max of all PRIOR ends (one prefix-max window), island ids are the
+    prefix sum of those flags (second window on the same sort), then
+    per-island extents aggregate. All arithmetic in integer epoch
+    micros — exact in both engines."""
+    return f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {IU_SPAN_US} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+             PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  -- the SAME total (s, event_id) order as the flag window: a tie
+  -- order that differed between the two windows could hand a
+  -- tied row the neighboring island's id
+  SELECT user_id, s, e,
+         CAST(SUM(new_island) OVER (
+             PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island,
+         MIN(s) AS island_start,
+         MAX(e) AS island_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+       CAST(MAX(island_end - island_start) AS BIGINT) AS longest_us
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "tj_interval_union",
+    oracle=_interval_union_sql(),
+    description="interval union (merge overlapping intervals): each"
+    " event opens a 30-min activity interval, overlapping intervals"
+    " per user coalesce into maximal islands via a prefix-max window"
+    " — per-user island count, exact covered time, longest stretch;"
+    " the coverage/utilization primitive sessionization's gap rule"
+    " cannot express",
+    tags=("temporal", "interval", "window"),
+)
+def tj_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_sessionize splits on GAPS between points; interval union
+    merges on OVERLAP between spans — the right primitive when rows
+    carry durations (meeting-room coverage, on-call windows, machine
+    utilization). The distributed form is two windows on ONE
+    user-keyed sort: a running max of prior interval ends decides
+    island starts (an interval overlaps the union of everything
+    before it iff its start ≤ that max), and a prefix sum of the
+    start flags numbers the islands — O(n log n) in the sort, never
+    the naive interval×interval overlap join. Ordering is total
+    ((s, event_id) / (s, e)), micros are exact BIGINTs, so island
+    boundaries — and the hashed coverage sums — are engine-identical.
+    The sentinel -1 is safe: epoch micros of every fixture ts is
+    positive."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _interval_union_sql().replace("epoch_us(", "unix_micros(")
+    )

@@ -1347,3 +1347,144 @@ def ta_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_winnow_sql("spark"))
+
+
+@register(
+    "ta_ngram_novelty",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT source, sh
+  FROM (SELECT source,
+               unnest({duckdb_word_shingles("string_split(text, ' ')", 3)})
+                 AS sh
+        FROM documents)
+),
+spread AS (
+  SELECT sh, COUNT(*) AS n_sources FROM sh GROUP BY sh
+)
+SELECT s.source,
+       COUNT(*) AS n_shingles,
+       COUNT(CASE WHEN p.n_sources = 1 THEN 1 END) AS n_exclusive,
+       round(CAST(COUNT(CASE WHEN p.n_sources = 1 THEN 1 END) AS DOUBLE)
+             / COUNT(*), 4) AS exclusivity,
+       round(CAST(SUM(CAST(p.n_sources AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 4) AS mean_spread
+FROM sh s JOIN spread p ON p.sh = s.sh
+GROUP BY s.source
+ORDER BY s.source
+""",
+    description="per-source 3-gram novelty census: how many of a"
+    " source's distinct shingles appear in NO other source"
+    " (exclusivity) and how widely its shingles spread across sources"
+    " — the bag-level provenance-overlap screen complementing the"
+    " pair-level cross-source near-dup matrix",
+    tags=("text", "ngram", "novelty", "provenance"),
+)
+def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_cross_source_matrix finds sequence-level COPIES between
+    source pairs; this measures bag-level OVERLAP for each source
+    alone: a source whose shingles are mostly exclusive contributes
+    novel text, one whose mean spread approaches the source count is
+    syndicated boilerplate (and a candidate to dedup jointly or
+    down-weight in the mixture). Shape: distinct (source, shingle)
+    pairs — an explode that aggregates before any join — then the
+    shingle-spread table joins back shingle-keyed; both sides carry
+    (shingle, counts) partials, never raw documents. All counts
+    exact; ratios rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(word_shingles("split(text, ' ')", 3)).alias("sh"),
+        )
+        .distinct()
+    )
+    spread = sh.groupBy("sh").agg(F.count("*").alias("n_sources"))
+    return (
+        sh.join(spread, "sh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("n_sources") == 1, 1)).alias(
+                "n_exclusive"
+            ),
+            F.round(
+                F.count(F.when(F.col("n_sources") == 1, 1)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("exclusivity"),
+            F.round(
+                F.sum(F.col("n_sources").cast("bigint")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_spread"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Weighted-sample size per source (Efraimidis–Spirakis k).
+ES_K = 3
+
+
+def _es_sample_sql(dialect: str) -> str:
+    """Efraimidis–Spirakis weighted sampling without replacement, with
+    the md5 fold standing in for the uniform draw: rank by
+    ln(u)/weight descending, keep the top ES_K per source. Weight =
+    n_chars, so selection probability tilts toward longer docs while
+    staying fully deterministic and engine-identical."""
+    if dialect == "spark":
+        fold = (
+            "CAST(conv(substr(md5(concat('es:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        fold = (
+            "CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)),"
+            " 1, 8) AS BIGINT)"
+        )
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln(({fold} + 1) / 4294967296.0) / n_chars AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, es_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT source, rnk, doc_id, n_chars, round(es_key, 8) AS es_key
+FROM ranked
+WHERE rnk <= {ES_K}
+ORDER BY source, rnk
+"""
+
+
+@register(
+    "ta_weighted_sample_es",
+    oracle=_es_sample_sql("duckdb"),
+    description="weighted sampling without replacement"
+    " (Efraimidis-Spirakis): per-source top-3 docs by ln(u)/weight"
+    " with the md5 fold as the uniform draw — selection probability"
+    " proportional to doc length, zero RNG, engine-identical picks",
+    tags=("text", "sampling", "weighted", "training"),
+)
+def ta_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ta_stratified_sample draws UNIFORMLY within strata; mixture
+    construction usually wants probability ∝ weight (tokens, quality
+    score). Efraimidis-Spirakis (2006) reduces weighted sampling
+    without replacement to a per-row key — u^(1/w), here the
+    monotone-equivalent ln(u)/w — and a top-k; the 'uniform' u is the
+    md5 fold of the doc id (+1, normalized to (0,1]), which keeps the
+    draw deterministic, reproducible across engines and runs, and
+    re-derivable row-locally at 100 TB (no RNG state to coordinate
+    across executors — the same no-rand discipline every sampler here
+    follows). One narrow scan computes keys; the per-source top-k is
+    a keyed rank window; ln of an exact integer ratio is
+    engine-identical IEEE, so even the rounded key column hashes."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_es_sample_sql("spark"))

@@ -654,3 +654,129 @@ def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+#: Embedding dimensionality for the drift audit (matches the fixture).
+DRIFT_DIMS = 64
+
+
+@register(
+    "sim_centroid_drift",
+    oracle=f"""
+WITH pos AS (SELECT unnest(range(1, {DRIFT_DIMS} + 1)) AS i),
+elem AS (
+  SELECT e.label, e.vec_id % 2 AS half, CAST(p.i - 1 AS INT) AS d,
+         CAST(e.embedding[p.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN pos p
+),
+means AS (
+  SELECT label, half, d,
+         CAST(SUM(CAST(round(x, 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM elem GROUP BY label, half, d
+),
+counts AS (
+  SELECT label,
+         CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END)
+              AS BIGINT) AS n_first,
+         CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
+              AS BIGINT) AS n_second
+  FROM embeddings GROUP BY label
+),
+paired AS (
+  SELECT a.label, a.d, a.c AS ca, b.c AS cb
+  FROM means a JOIN means b
+    ON a.label = b.label AND a.d = b.d AND a.half = 0 AND b.half = 1
+),
+sums AS (
+  SELECT label,
+         CAST(SUM(CAST(round(ca * cb, 8) AS DECIMAL(18,8))) AS DOUBLE)
+           AS dot,
+         CAST(SUM(CAST(round(ca * ca, 8) AS DECIMAL(18,8))) AS DOUBLE)
+           AS na,
+         CAST(SUM(CAST(round(cb * cb, 8) AS DECIMAL(18,8))) AS DOUBLE)
+           AS nb
+  FROM paired GROUP BY label
+)
+SELECT s.label, c.n_first, c.n_second,
+       round(s.dot / (sqrt(s.na) * sqrt(s.nb)), 6) AS drift_cosine
+FROM sums s JOIN counts c ON c.label = s.label
+ORDER BY s.label
+""",
+    description="index-staleness audit: per label, the cosine between"
+    " the centroid of even-id vectors and the centroid of odd-id"
+    " vectors (two disjoint halves standing in for index-build-time vs"
+    " current data) — a drift cosine near 1 means the coarse quantizer"
+    " still fits; decimal-exact means and rounded-product sums make"
+    " the statistic hash across engines",
+    tags=("similarity", "vector", "audit", "drift"),
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/PQ codebooks are trained once and age as data arrives; the
+    operational question is WHEN to retrain. The standard cheap answer
+    compares the trained-time centroids against centroids of recent
+    data — here the even/odd vec_id halves give two deterministic
+    disjoint samples per label (the production form feeds build-time
+    and current snapshots). Each half's centroid uses the same
+    decimal-exact elementwise mean as the k-means trainer; the
+    64-term cosine sums round each product to 8 then decimal-sum
+    (float Σ order is engine-dependent — the rounding makes it not
+    matter), so the drift cosine itself is hashable. Everything
+    partial-aggregates: element rows → (label, half, d) means →
+    64-row-per-label joins — no full-vector shuffles, no windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elem = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("d", "x"),
+    )
+    means = elem.groupBy("label", "half", "d").agg(
+        (
+            F.sum(F.round(F.col("x").cast("double"), 7).cast("decimal(18,7)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    counts = emb.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        )
+        .cast("bigint")
+        .alias("n_first"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        )
+        .cast("bigint")
+        .alias("n_second"),
+    )
+    a = means.filter(F.col("half") == 0).select(
+        "label", "d", F.col("c").alias("ca")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "label", "d", F.col("c").alias("cb")
+    )
+    dsum8 = lambda e: F.sum(F.round(e, 8).cast("decimal(18,8)")).cast(
+        "double"
+    )
+    sums = (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            dsum8(F.col("ca") * F.col("cb")).alias("dot"),
+            dsum8(F.col("ca") * F.col("ca")).alias("na"),
+            dsum8(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+    )
+    return (
+        sums.join(counts, "label")
+        .select(
+            "label",
+            "n_first",
+            "n_second",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+                6,
+            ).alias("drift_cosine"),
+        )
+        .orderBy("label")
+    )

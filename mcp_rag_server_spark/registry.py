@@ -160,9 +160,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # parquet-derived oracle), sim_knn_graph (k-NN neighborhood graph:
 # label-blocked half-matrix scored once + mirrored, per-vector rank),
 # and ta_bigram_logprob (add-1-smoothed bigram-LM surprisal and
-# perplexity per doc — the conditional tier above the unigram proxy)
-# — all eleven locally oracle-replayed green at sf0.001 AND sf0.01 —
-# plus the ~25 the 50-slot window could not take:
+# perplexity per doc — the conditional tier above the unigram proxy),
+# st_kmv_sketch (KMV sketch maintained as streaming state via the
+# exactly-once merge — mergeability makes the streamed sketch equal
+# the batch-built one), ev_mutual_information (exact MI + chi-square
+# between event_type and hour from one contingency pass), and
+# ta_ngram_novelty (per-source shingle exclusivity / spread census),
+# tj_interval_union (merge-overlapping-intervals coverage islands via
+# a prefix-max window, never an overlap join), ev_entropy_rate
+# (per-state Markov transition entropy/perplexity), and
+# ta_weighted_sample_es (Efraimidis-Spirakis weighted top-k sampling
+# with the md5 fold as the uniform draw — RNG-free),
+# ingest_csv_malformed (PERMISSIVE corrupt-record quarantine with the
+# exact bad-row count hashed), ev_did_estimator
+# (difference-in-differences over md5 arms x hour-aligned pre/post
+# with large-sample SE), and sim_centroid_drift (even/odd-half
+# centroid cosine per label — the retrain-the-quantizer staleness
+# audit) — all twenty locally oracle-replayed green at sf0.001 AND
+# sf0.01 — plus the ~25 the 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,
 # sql_lateral_topn, sql_recursive_reach, st_enrich_static,
 # st_incremental_rollup, st_lambda_cutover, ta_admission_pipeline,

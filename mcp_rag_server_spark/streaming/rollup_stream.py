@@ -213,3 +213,137 @@ def st_lambda_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h", "event_type")
     )
+
+
+# ---- streaming KMV sketch ------------------------------------------
+
+from pyspark.sql import Window
+
+from mcp_rag_server_spark.operators.sketches import KMV_K
+
+_KMV_HV = (
+    "CAST(conv(substr(md5(concat('kmv:', CAST(user_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT)"
+)
+
+
+def _kmv_snapshot(batch: DataFrame) -> DataFrame:
+    """One micro-batch → per-type KMV sketch rows: the KMV_K smallest
+    distinct hash values per event_type (same md5 fold as the batch
+    agg_kmv_distinct_audit, so the streamed artifact is comparable)."""
+    hd = batch.selectExpr("event_type", f"{_KMV_HV} AS hv").distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    return (
+        hd.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("event_type", "hv")
+    )
+
+
+def _kmv_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketch union: k smallest of the distinct union — associative,
+    commutative, idempotent (tests/test_blocking_properties.py proves
+    sketch(sketch(A) ∪ sketch(B)) == sketch(A ∪ B), which is exactly
+    the split-invariance apply_merge_batch requires)."""
+    w = Window.partitionBy("event_type").orderBy("hv")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("event_type", "hv")
+    )
+
+
+@register(
+    "st_kmv_sketch",
+    oracle=f"""
+WITH hd AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+  FROM hd
+),
+sk AS (SELECT event_type, hv FROM rk WHERE r <= {KMV_K})
+SELECT event_type,
+       COUNT(*) AS n_sketch,
+       MAX(hv) AS u_max,
+       round(CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE ({KMV_K} - 1)
+                       / (CAST(MAX(hv) AS DOUBLE) / 4294967296.0)
+             END, 1) AS est_users
+FROM sk
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="STREAMING KMV sketch maintenance: each micro-batch's"
+    " per-type k-minimum-values rows merge into the stored sketch by"
+    " union+truncate (exactly-once via the shared staged-swap"
+    " discipline); mergeability makes the maintained sketch"
+    " bit-identical to the one a single batch pass would build, so"
+    " the streamed distinct-count estimates hash against a plain"
+    " batch oracle",
+    tags=("streaming", "sketch", "kmv", "events"),
+)
+def st_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-as-streaming-state pattern: a KMV sketch is a tiny
+    mergeable artifact (≤ k rows per key), so maintaining one under a
+    stream is the same foreachBatch merge the incremental rollup uses
+    — union the stored sketch with the batch's sketch, keep the k
+    smallest. Mergeability (proved as a property test) is what makes
+    the result SPLIT-INVARIANT: however the event log is cut into
+    micro-batches, the maintained sketch equals the batch-built one,
+    which is why a streaming artifact can be hash-gated by a batch
+    oracle at all — and why, at 100 TB, per-shard sketches combine
+    without re-scanning history. Same split-files + checkpoint +
+    staged-swap machinery as st_incremental_rollup."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_st_kmv_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    tgt = os.path.join(base, "out", "kmv_sketch")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        apply_merge_batch(tgt, batch, batch_id, _kmv_snapshot, _kmv_merge)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(base, "out", "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sk = spark.read.parquet(tgt)
+    est = F.when(
+        F.count("*") < KMV_K, F.count("*").cast("double")
+    ).otherwise(
+        (KMV_K - 1) / (F.max("hv").cast("double") / 4294967296.0)
+    )
+    return (
+        sk.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sketch"),
+            F.max("hv").alias("u_max"),
+            F.round(est, 1).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1200,3 +1200,97 @@ def test_bigram_logprob_joins_aggregated_vocab(spark):
     plan = plan_string(q(spark, "ta_bigram_logprob"))
     assert "EvalPython" not in plan
     assert plan.count("BroadcastExchange") >= 3  # bg, c1, vocab size
+
+
+def test_mutual_information_is_one_contingency_pass(spark):
+    """ev_mutual_information: the MI/chi2 terms join the cell table
+    against broadcast-sized marginals — no window, no cartesian on the
+    data path (the 1-row total/count sides are broadcast cross joins),
+    no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_mutual_information"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_joins_aggregated_spread(spark):
+    """ta_ngram_novelty: the spread table is aggregated (shingle,
+    n_sources) partials joined shingle-keyed — never doc x doc; no
+    Python."""
+    plan = plan_string(q(spark, "ta_ngram_novelty"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_union_two_windows_one_sort_no_join(spark):
+    """tj_interval_union: flag + island-number are two windows on the
+    SAME user-keyed (s, event_id) sort — never an interval x interval
+    overlap join, never a shrinking UnboundedFollowing frame."""
+    import re
+
+    df = q(spark, "tj_interval_union")
+    plan = plan_string(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
+
+
+def test_entropy_rate_joins_aggregated_transitions(spark):
+    """ev_entropy_rate: the entropy terms join AGGREGATED transition
+    counts against their row totals — user-keyed lead windows, then
+    constant-size tables; no Python, no cartesian. (Two Window nodes,
+    not one: Catalyst inlines the trans CTE into both the terms and
+    rowtot branches — same keyed shuffle either way.)"""
+    import re
+
+    plan = plan_string(q(spark, "ev_entropy_rate"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2
+
+
+def test_weighted_sample_window_is_source_keyed(spark):
+    """ta_weighted_sample_es: the top-k is a source-keyed rank window
+    over per-row keys — nothing global, no Python, no join."""
+    import re
+
+    plan = plan_string(q(spark, "ta_weighted_sample_es"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(source" in stripped
+
+
+def test_csv_malformed_single_cached_parse(spark):
+    """ingest_csv_malformed: good and corrupt branches both read the
+    ONE cached parse of the CSV directory (InMemoryTableScan on both
+    sides) — never two raw-file passes with different corrupt-column
+    projections (SPARK-21610 territory)."""
+    plan = plan_string(q(spark, "ingest_csv_malformed"))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_did_is_one_keyed_aggregation_no_window(spark):
+    """ev_did_estimator: the 2x2x|types| cell moments come from one
+    (type, arm, period) partial aggregation; the pivot is a MAX-CASE
+    fold — no window, no Python, cutoff via a broadcast scalar."""
+    import re
+
+    plan = plan_string(q(spark, "ev_did_estimator"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_centroid_drift_aggregates_before_joining(spark):
+    """sim_centroid_drift: the halves join on (label, d) AFTER the
+    elementwise mean aggregation — 64 rows per label per side, never
+    raw vectors; no window, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "sim_centroid_drift"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "CartesianProduct" not in plan

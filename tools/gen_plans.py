@@ -69,7 +69,11 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_quality_calibration", "dd_minhash_est_audit",
          "agg_cm_sketch_audit", "ev_welch_ttest",
          "ta_winnowing_fingerprint", "ingest_orc_roundtrip",
-         "sim_knn_graph", "ta_bigram_logprob"]
+         "sim_knn_graph", "ta_bigram_logprob",
+         "ev_mutual_information", "ta_ngram_novelty",
+         "tj_interval_union", "ev_entropy_rate",
+         "ta_weighted_sample_es", "ingest_csv_malformed",
+         "ev_did_estimator", "sim_centroid_drift"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
