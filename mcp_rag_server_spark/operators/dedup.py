@@ -1711,3 +1711,89 @@ def dd_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dd_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+clustered AS (
+  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+sizes AS (
+  SELECT component, COUNT(*) AS k FROM clustered GROUP BY component
+)
+SELECT k AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(k * COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST((k - 1) AS BIGINT) * COUNT(*) AS BIGINT)
+         AS docs_removable
+FROM sizes
+GROUP BY k
+ORDER BY k
+""",
+    description="near-dup severity histogram: how many clusters of each"
+    " size the duplicate graph contains, the docs they hold, and the"
+    " docs a keep-one rule would remove — the one-screen readout that"
+    " sizes a dedup pass before running it",
+    tags=("dedup", "graph", "histogram"),
+)
+def dd_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first question about any dedup pass is 'how much is there
+    to remove, and in what shape' — a few giant families (one crawl
+    mirrored everywhere) and a long tail of pairs want different
+    handling (cap the giants first, batch the tail). The histogram of
+    component sizes answers it in O(|components|) output: per size k,
+    cluster count, docs covered (k·count), and docs a keep-one rule
+    drops ((k-1)·count) — Σ docs_removable is exactly
+    dd_keep_canonical's total drop, a cross-operator identity the
+    hashes pin from both sides. Same star-contraction components as
+    the rest of the family; singletons count as size-1 clusters, so
+    Σ n_docs = corpus size (mass conservation again)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pair_edges(docs)
+    edges = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"),
+    ).distinct()
+    labels, _ = star_contraction_components(edges)
+    clustered = (
+        docs.select("doc_id")
+        .join(
+            labels.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    )
+    sizes = clustered.groupBy("component").agg(F.count("*").alias("k"))
+    return (
+        sizes.groupBy(F.col("k").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.col("cluster_size") * F.count("*"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.count("*"))
+            .cast("bigint")
+            .alias("docs_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -2284,3 +2284,85 @@ def ev_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _did_sql().format(arm=arm).replace("epoch_us(", "unix_micros(")
     )
+
+
+#: Bot heuristics: flag thresholds (events per active minute; coefficient
+#: of variation of inter-arrival micros). Production values for these
+#: heuristics sit at ~3/min and CV<0.4; the fixture's synthetic traffic
+#: is uniformly sparse (median ~0.0016/min, CV ~0.87), so the registered
+#: thresholds are set at the fixture's upper-decile rate and median CV —
+#: the GRID must be non-degenerate for the hash to pin the flag logic,
+#: and the thresholds are config, not algorithm.
+BOT_RATE_PER_MIN = 0.0018
+BOT_CV_MAX = 0.87
+
+
+_BOT_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         COUNT(*) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS span_us,
+         CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap,
+         CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap) AS DOUBLE)
+           / COUNT(*) AS m2_gap
+  FROM seq WHERE gap IS NOT NULL
+  GROUP BY user_id
+),
+feats AS (
+  SELECT user_id, n_gaps,
+         (n_gaps + 1) * 60000000.0 / span_us AS rate_per_min,
+         sqrt(GREATEST(m2_gap - mean_gap * mean_gap, CAST(0 AS DOUBLE)))
+           / mean_gap AS cv_gap
+  FROM gaps
+  WHERE span_us > 0 AND n_gaps >= 5
+),
+flagged AS (
+  SELECT user_id, n_gaps, rate_per_min, cv_gap,
+         CASE WHEN rate_per_min > {BOT_RATE_PER_MIN} THEN 1 ELSE 0 END
+           AS f_rate,
+         CASE WHEN cv_gap < {BOT_CV_MAX} THEN 1 ELSE 0 END AS f_regular
+  FROM feats
+)
+SELECT f_rate, f_regular,
+       COUNT(*) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS example_user,
+       round(CAST(SUM(CAST(round(rate_per_min, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 4) AS mean_rate,
+       round(CAST(SUM(CAST(round(cv_gap, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 4) AS mean_cv
+FROM flagged
+GROUP BY f_rate, f_regular
+ORDER BY f_rate, f_regular
+"""
+
+
+@register(
+    "ev_bot_heuristics",
+    oracle=_BOT_SQL,
+    description="bot-traffic heuristics: per-user event rate and"
+    " inter-arrival regularity (coefficient of variation) from one"
+    " lag window, the (rate, regularity) flag grid census with mean"
+    " features — the traffic-hygiene filter run before user events"
+    " feed training or analytics",
+    tags=("events", "quality", "bot", "window"),
+)
+def ev_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripted traffic looks different from humans on two cheap axes:
+    VOLUME (events per active minute) and REGULARITY (humans are
+    bursty — inter-arrival CV well above a timer loop's near-zero).
+    Both derive from one user-keyed lag window: exact integer gap
+    micros, decimal-exact first/second moments (the gap product runs
+    through DECIMAL(19,0) — int128 in DuckDB, since squared micro
+    gaps overflow int64 at day-scale gaps), CV from the moment
+    identity. Users with <5 gaps are excluded (CV of 2 points is
+    noise, same floor production heuristics use). Output is the 2×2
+    flag census — bounded regardless of user count — with rounded-6
+    decimal-summed feature means so the grid hashes exactly."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BOT_SQL.replace("epoch_us(", "unix_micros("))

@@ -176,8 +176,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (difference-in-differences over md5 arms x hour-aligned pre/post
 # with large-sample SE), and sim_centroid_drift (even/odd-half
 # centroid cosine per label — the retrain-the-quantizer staleness
-# audit) — all twenty locally oracle-replayed green at sf0.001 AND
-# sf0.01 — plus the ~25 the 50-slot window could not take:
+# audit), ev_bot_heuristics (rate + inter-arrival-regularity bot
+# flags from one lag window, bounded 2x2 census),
+# dd_cluster_size_hist (near-dup severity histogram with the
+# keep-one-drop identity hashed against dd_keep_canonical), and
+# ta_length_drift (leave-one-out two-sample KS of each source's
+# length distribution vs the rest — the allowlisted bounded-global
+# prefix runs over distinct lengths only) — all twenty-three locally
+# oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
+# 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,
 # sql_lateral_topn, sql_recursive_reach, st_enrich_static,
 # st_incremental_rollup, st_lambda_cutover, ta_admission_pipeline,

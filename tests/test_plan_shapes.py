@@ -1294,3 +1294,38 @@ def test_centroid_drift_aggregates_before_joining(spark):
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_bot_heuristics_one_lag_window_bounded_output(spark):
+    """ev_bot_heuristics: one user-keyed lag window feeds the moment
+    aggregation; the flag grid is a bounded-key group-by — no Python,
+    no cartesian, exactly one Window."""
+    import re
+
+    plan = plan_string(q(spark, "ev_bot_heuristics"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_cluster_size_hist_rides_shared_components(spark):
+    """dd_cluster_size_hist: sizes aggregate the star-contraction
+    labels (cached/checkpointed edge artifacts visible as scans) —
+    no cartesian, no Python."""
+    plan = plan_string(q(spark, "dd_cluster_size_hist"))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_length_drift_global_window_is_distinct_lengths_only(spark):
+    """ta_length_drift: the ONE unpartitioned prefix window runs over
+    the distinct-length table (bounded by max doc length), and the
+    per-source CDFs are source-partitioned — exactly one global
+    window in the plan, the allowlisted one."""
+    import re
+
+    plan = plan_string(q(spark, "ta_length_drift"))
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(source" in stripped
+    n_global = stripped.count("windowspecdefinition(v ASC")
+    assert n_global == 1, stripped[:1500]

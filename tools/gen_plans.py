@@ -73,7 +73,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_mutual_information", "ta_ngram_novelty",
          "tj_interval_union", "ev_entropy_rate",
          "ta_weighted_sample_es", "ingest_csv_malformed",
-         "ev_did_estimator", "sim_centroid_drift"]
+         "ev_did_estimator", "sim_centroid_drift",
+         "ev_bot_heuristics", "dd_cluster_size_hist",
+         "ta_length_drift"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",

@@ -63,7 +63,13 @@ ALLOW: dict[tuple[str, str], str] = {
         " the window input is the per-user FEATURE table (one row per"
         " user, same bounded contract as chunks_table's per-file"
         " rows), and the at-scale substitute (approx-percentile bucket"
-        " edges) is registered via agg_percentile_audit (x3: R/F/M)",
+        " edges) is registered via agg_percentile_audit (x2: R/F —"
+        " the dead M window was removed in r6)",
+    ("ta_length_drift", "global_window"):
+        "the corpus-wide CDF prefix runs over DISTINCT document"
+        " lengths — bounded by the max doc length (a data-domain"
+        " constant, ~hundreds of values), never by corpus row count;"
+        " the per-source CDFs are source-partitioned windows",
 }
 
 ALLOW_GW_COUNT: dict[str, int] = {
@@ -72,7 +78,8 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ta_zipf_fit": 1,
     "sim_ivf_recall": 1,
     "sim_ivfpq_topk": 2,
-    "ev_rfm_segments": 3,
+    "ev_rfm_segments": 2,
+    "ta_length_drift": 1,
 }
 
 
