@@ -81,7 +81,7 @@ names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
        "`tools/gen_plans.py` regenerates this file. Initial (pre-AQE) plan",
        "trees at sf0.001 for every bench-headline query plus the",
-       "scale-sensitive round-3/4/5 additions. Shuffle counts exclude broadcast",
+       "scale-sensitive round-3+ additions. Shuffle counts exclude broadcast",
        "exchanges; `TakeOrderedAndProject` = heap top-k, never a global sort.",
        ""]
 for n in names:
