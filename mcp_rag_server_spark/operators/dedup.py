@@ -576,6 +576,7 @@ ORDER BY doc_a, doc_b
     " (2x4 banding) exact-verified within source blocks — never an"
     " all-pairs-per-source join",
     tags=("dedup", "jaccard", "lsh"),
+    bench=True,
 )
 def dd_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -2366,3 +2366,127 @@ def ev_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-summed feature means so the grid hashes exactly."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BOT_SQL.replace("epoch_us(", "unix_micros("))
+
+
+_POWER_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
+  FROM vals GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         s1 / n AS mu,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM m
+)
+SELECT event_type, n AS n_events,
+       round(mu, 6) AS mean_value,
+       round(sqrt(var), 6) AS stddev,
+       round(2.8 * sqrt(2 * var / (CAST(n AS DOUBLE) / 2)), 6)
+         AS mde_abs,
+       round(2.8 * sqrt(2 * var / (CAST(n AS DOUBLE) / 2)) / mu, 6)
+         AS mde_rel,
+       CAST(CEIL(2 * 2.8 * 2.8 * var / (0.01 * mu * 0.01 * mu))
+            AS BIGINT) AS n_per_arm_for_1pct
+FROM stats
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_power_mde",
+    oracle=_POWER_SQL,
+    description="experiment power planning per event type: minimum"
+    " detectable effect at 80% power / 95% confidence for an A/B"
+    " split of the current traffic, and the per-arm sample size a 1%"
+    " relative lift would need — the pre-experiment readout computed"
+    " from the same decimal-exact moments the test family uses",
+    tags=("events", "abtest", "stats", "power"),
+)
+def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The test family (z/t/KS/DiD) reads experiments AFTER the fact;
+    the planning question comes first — 'can this metric even detect
+    the lift we care about?' MDE = (z_α/2 + z_β)·sqrt(2σ²/n_arm) with
+    the standard 1.96+0.84 ≈ 2.8 constant, n_arm = current traffic
+    halved; inverting gives the per-arm n a 1% relative lift needs.
+    Everything derives from one decimal-exact moment pass per type
+    (same int128-widened square sum as ev_welch_ttest) — the
+    statistics are single derived doubles rounded once, and CEIL
+    (engine-identical on exact doubles) makes the sample size an
+    integer both engines agree on. A type whose n_per_arm exceeds
+    plausible traffic is a metric you cannot ship an experiment on —
+    that is the decision this row feeds."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_POWER_SQL)
+
+
+#: Rolling-median window width (hours) and the robust-anomaly factor.
+RM_WINDOW_H = 24
+RM_DEV_FACTOR = 1.5
+
+
+def _rolling_median_sql(dialect: str) -> str:
+    """Per-type hourly totals with a trailing-24h exact rolling median
+    and a robust deviation flag. The median window aggregate is
+    ``percentile`` (Spark) / ``quantile_cont`` (DuckDB) — the same
+    continuous-interpolation definition — over a ROWS frame of
+    bounded width."""
+    med = "percentile(v, 0.5)" if dialect == "spark" else "quantile_cont(v, 0.5)"
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DOUBLE) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+roll AS (
+  SELECT event_type, h, v,
+         {med} OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN {RM_WINDOW_H - 1} PRECEDING AND CURRENT ROW)
+           AS med
+  FROM hourly
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       COUNT(CASE WHEN v > {RM_DEV_FACTOR} * med THEN 1 END)
+         AS n_spikes,
+       COUNT(CASE WHEN med > 0 AND v < med / {RM_DEV_FACTOR} THEN 1 END)
+         AS n_dips,
+       round(CAST(SUM(CAST(round(med, 4) AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_rolling_median
+FROM roll
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_rolling_median",
+    oracle=_rolling_median_sql("duckdb"),
+    description="trailing-24h EXACT rolling median of hourly volume per"
+    " event type with spike/dip counts at 1.5x deviation — the robust"
+    " smoother that flags what a rolling MEAN absorbs (one outlier"
+    " hour drags a mean for a day; the median shrugs it off)",
+    tags=("events", "timeseries", "window", "robust"),
+)
+def ev_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert baselines want a rolling MEDIAN: a single crazy hour
+    contaminates a trailing mean for the whole window, while the
+    median moves only when half the window moves. The exact median
+    rides a bounded ROWS frame (24 values re-ranked per row —
+    O(w log w)·n with w constant, NOT the O(n²) shrinking-frame trap;
+    at wider windows the substitute is percentile_approx, whose
+    contract agg_percentile_audit registers). Spark's percentile and
+    DuckDB's quantile_cont share the continuous-interpolation
+    definition, and the hashed census rounds the medians before the
+    decimal mean, so engines agree bit-for-bit. One (type)-keyed
+    shuffle serves the hourly aggregate and the window."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rolling_median_sql("spark"))

@@ -835,3 +835,103 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark_cos = "round(" + cosine_sql("e.embedding", "q.qv") + ", 4)"
     return spark.sql(sql.replace("rag_cos_ph", spark_cos))
+
+
+#: Multi-query fusion: the expansion-variant query vectors, per-list
+#: pool depth, and fused result size.
+MQF_QUERY_IDS = (0, 1, 2)
+MQF_POOL = 20
+MQF_TOP = 10
+
+
+@register(
+    "rag_multi_query_fusion",
+    oracle=f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id IN {MQF_QUERY_IDS}
+),
+cand AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN {MQF_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({{cos}}, 4) AS score
+  FROM cand c CROSS JOIN qs q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM scored
+),
+pooled AS (SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= {MQF_POOL}),
+fused AS (
+  SELECT vec_id,
+         COUNT(*) AS n_lists,
+         round(SUM(CAST(round(1.0 / (60 + rnk), 8) AS DECIMAL(18,8))), 8)
+           AS rrf_score
+  FROM pooled GROUP BY vec_id
+)
+SELECT vec_id, n_lists, CAST(rrf_score AS DOUBLE) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, vec_id
+LIMIT {MQF_TOP}
+""".replace(
+        "{cos}", duckdb_cosine("c.embedding", "q.qv")
+    ),
+    description="multi-query retrieval fusion (query expansion): three"
+    " query variants each retrieve a rank pool, reciprocal-rank fusion"
+    " merges them with appearance counts — the expansion/HyDE-style"
+    " consensus retrieval that rewards docs several phrasings agree on",
+    tags=("rag", "retrieval", "fusion", "expansion"),
+)
+def rag_multi_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion retrieves with several REPHRASINGS of one
+    intent (synonym rewrites, an LLM-hypothesized answer doc — here
+    three fixture vectors standing in for the variant embeddings) and
+    fuses by rank: RRF needs no score calibration across variants,
+    and a doc surfacing in multiple lists gets a consensus boost
+    (n_lists is carried in the hash). Scale shape: the variant set is
+    a broadcast-sized build side against ONE corpus scan — adding
+    variants widens the broadcast, never re-scans; the rank windows
+    partition by query_id over that single scored stream; the fused
+    table is ≤ variants·pool rows. Each reciprocal rank is rounded-8
+    then decimal-summed (the float-Σ ordering discipline), so the
+    fused scores — and the final heap top-10 — hash exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(*MQF_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(~F.col("vec_id").isin(*MQF_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    scored = cand.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        cosine_score("embedding", "qv").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    pooled = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MQF_POOL)
+    )
+    fused = pooled.groupBy("vec_id").agg(
+        F.count("*").alias("n_lists"),
+        F.round(
+            F.sum(
+                F.round(F.lit(1.0) / (F.lit(60) + F.col("rnk")), 8).cast(
+                    "decimal(18,8)"
+                )
+            ),
+            8,
+        )
+        .cast("double")
+        .alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("vec_id")).limit(
+        MQF_TOP
+    )

@@ -561,6 +561,7 @@ ORDER BY vec_id, rnk
     " graph-ANN indexes, semantic-dedup connectivity, and"
     " diversity-aware sampling",
     tags=("similarity", "vector", "graph", "knn"),
+    bench=True,
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN (HNSW/NSG), SemDeDup-style cluster pruning, and

@@ -1327,6 +1327,7 @@ ORDER BY k.doc_id
     " the local-similarity fingerprint scheme with a guaranteed-match"
     " window, beside the global min-hash fingerprint",
     tags=("text", "fingerprint", "winnowing"),
+    bench=True,
 )
 def ta_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (Schleimer, Wilkerson, Aiken SIGMOD'03 — MOSS's

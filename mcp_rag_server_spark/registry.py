@@ -182,9 +182,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # keep-one-drop identity hashed against dd_keep_canonical), and
 # ta_length_drift (leave-one-out two-sample KS of each source's
 # length distribution vs the rest — the allowlisted bounded-global
-# prefix runs over distinct lengths only) — all twenty-three locally
-# oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
-# 50-slot window could not take:
+# prefix runs over distinct lengths only), ev_power_mde (MDE /
+# required-sample-size experiment planning from the moment pass),
+# ev_rolling_median (trailing-24h exact rolling median with
+# spike/dip census — bounded ROWS frame), and
+# rag_multi_query_fusion (query-expansion RRF over three variant
+# vectors: broadcast variants x one corpus scan) — all twenty-six
+# locally oracle-replayed green at sf0.001 AND sf0.01 — plus the
+# ~25 the 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,
 # sql_lateral_topn, sql_recursive_reach, st_enrich_static,
 # st_incremental_rollup, st_lambda_cutover, ta_admission_pipeline,

@@ -1329,3 +1329,39 @@ def test_length_drift_global_window_is_distinct_lengths_only(spark):
     assert "windowspecdefinition(source" in stripped
     n_global = stripped.count("windowspecdefinition(v ASC")
     assert n_global == 1, stripped[:1500]
+
+
+def test_power_mde_single_moment_pass(spark):
+    """ev_power_mde: one (type)-keyed moment aggregation, derived
+    expressions only — no window, no join, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_power_mde"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_rolling_median_bounded_rows_frame(spark):
+    """ev_rolling_median: the median rides a type-keyed bounded ROWS
+    frame — one Window, no shrinking UnboundedFollowing frame, no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_rolling_median"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
+
+
+def test_multi_query_fusion_broadcasts_variants(spark):
+    """rag_multi_query_fusion: the variant vectors are a broadcast
+    build side against ONE corpus scan; rank windows key on query_id;
+    the fused top-10 is a heap top-k."""
+    import re
+
+    plan = plan_string(q(spark, "rag_multi_query_fusion"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(query_id" in stripped

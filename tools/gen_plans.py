@@ -75,7 +75,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_weighted_sample_es", "ingest_csv_malformed",
          "ev_did_estimator", "sim_centroid_drift",
          "ev_bot_heuristics", "dd_cluster_size_hist",
-         "ta_length_drift"]
+         "ta_length_drift", "ev_power_mde", "ev_rolling_median",
+         "rag_multi_query_fusion"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
