@@ -2012,3 +2012,90 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(MB_TOP_K)
     )
+
+
+_OLS_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_quantity, 4) AS DECIMAL(18,4)) AS x1,
+         CAST(round(l_discount, 4) AS DECIMAL(18,4)) AS x2,
+         CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT grp,
+         COUNT(*) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS sx1,
+         CAST(SUM(x2) AS DOUBLE) AS sx2,
+         CAST(SUM(y)  AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 AS DECIMAL(19,4)) * x1) AS DOUBLE) AS sx1x1,
+         CAST(SUM(CAST(x2 AS DECIMAL(19,4)) * x2) AS DOUBLE) AS sx2x2,
+         CAST(SUM(CAST(x1 AS DECIMAL(19,4)) * x2) AS DOUBLE) AS sx1x2,
+         CAST(SUM(CAST(x1 AS DECIMAL(19,4)) * y)  AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(x2 AS DECIMAL(19,4)) * y)  AS DOUBLE) AS sx2y,
+         CAST(SUM(CAST(y  AS DECIMAL(19,4)) * y)  AS DOUBLE) AS syy
+  FROM vals GROUP BY grp
+),
+solved AS (
+  SELECT grp, n, sy, sx1y, sx2y, syy,
+         n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+           - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+           + sx2 * (sx1 * sx1x2 - sx1x1 * sx2) AS det,
+         sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+           - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+           + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y) AS det0,
+         n * (sx1y * sx2x2 - sx1x2 * sx2y)
+           - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+           + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+         n * (sx1x1 * sx2y - sx1y * sx1x2)
+           - sx1 * (sx1 * sx2y - sx1y * sx2)
+           + sy * (sx1 * sx1x2 - sx1x1 * sx2) AS det2
+  FROM m
+),
+coefs AS (
+  SELECT grp, n, sy, sx1y, sx2y, syy,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM solved
+)
+SELECT grp AS l_returnflag, n AS n_rows,
+       round(b0, 6) AS beta_intercept,
+       round(b1, 6) AS beta_quantity,
+       round(b2, 6) AS beta_discount,
+       round(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+                 / (syy - sy * sy / n), 6) AS r_squared
+FROM coefs
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_ols_sufficient_stats",
+    oracle=_OLS_SQL,
+    description="distributed multivariate OLS via sufficient statistics:"
+    " per return flag, extendedprice regressed on quantity + discount —"
+    " one decimal-exact moment pass builds the normal equations, a"
+    " closed-form 3x3 Cramer solve yields coefficients and R², no"
+    " iteration, no driver-side math",
+    tags=("agg", "stats", "regression", "ml"),
+)
+def agg_ols_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear models over tabular features don't need an ML runtime at
+    any scale: OLS is EXACTLY solvable from sufficient statistics —
+    the (X'X, X'y) moments — which partial-aggregate map-side like any
+    sum. One pass computes ten decimal-exact moments per group (every
+    cross product widened through DECIMAL(19,4) — the int128
+    discipline; Σy² of 6M prices needs ~32 digits), the 3×3 normal
+    equations solve in closed form via Cramer's rule as plain
+    expressions, and R² falls out of the same moments. ONE shared SQL
+    text drives both engines, so every determinant multiplies in the
+    same operand order — the doubles are bit-identical and the
+    rounded coefficients hash. This is the 2-feature instance of the
+    general pattern (agg_pearson_corr is the 1-feature case): at any
+    feature count p the moment matrix is p², never n, and the solve is
+    driver-free constant work per group — the 100 TB shape for
+    fitting per-segment pricing/propensity baselines without leaving
+    SQL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_OLS_SQL)

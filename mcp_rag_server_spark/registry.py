@@ -187,9 +187,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ev_rolling_median (trailing-24h exact rolling median with
 # spike/dip census — bounded ROWS frame), and
 # rag_multi_query_fusion (query-expansion RRF over three variant
-# vectors: broadcast variants x one corpus scan) — all twenty-six
-# locally oracle-replayed green at sf0.001 AND sf0.01 — plus the
-# ~25 the 50-slot window could not take:
+# vectors: broadcast variants x one corpus scan), and
+# agg_ols_sufficient_stats (multivariate OLS solved closed-form
+# from one decimal-exact moment pass — cross-checked against numpy
+# lstsq in test_reference_semantics, which caught a det2 cofactor
+# bug the cross-engine hash could not) — all twenty-seven locally
+# oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
+# 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,
 # sql_lateral_topn, sql_recursive_reach, st_enrich_static,
 # st_incremental_rollup, st_lambda_cutover, ta_admission_pipeline,

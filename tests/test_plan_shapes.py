@@ -1365,3 +1365,15 @@ def test_multi_query_fusion_broadcasts_variants(spark):
     assert "TakeOrderedAndProject" in plan
     stripped = re.sub(r"#\d+L?", "", plan)
     assert "windowspecdefinition(query_id" in stripped
+
+
+def test_ols_is_one_moment_pass_no_window(spark):
+    """agg_ols_sufficient_stats: ten moments from ONE (returnflag)-keyed
+    aggregation, Cramer solve as expressions — no window, no join, no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "agg_ols_sufficient_stats"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0

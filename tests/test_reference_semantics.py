@@ -165,3 +165,38 @@ def test_normalize_event_ts_both_encodings(spark):
         spark.range(1).select(F.timestamp_micros(F.lit(micros)).alias("ts"))
     )
     assert dict(passthrough.dtypes)["ts"] == "timestamp"
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """agg_ols_sufficient_stats' closed-form Cramer solve must agree
+    with an independent dense least-squares solve (numpy lstsq) on the
+    same rounded inputs — guards the determinant cofactor algebra,
+    which a cross-engine hash alone cannot (both engines would compute
+    the same wrong formula; the r6 det2 cofactor bug was caught exactly
+    this way)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        load_all()["agg_ols_sufficient_stats"].spark_fn(spark, sf).toPandas()
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").toPandas()
+    for _, row in got.iterrows():
+        g = li[li["l_returnflag"] == row["l_returnflag"]]
+        X = np.column_stack(
+            [
+                np.ones(len(g)),
+                np.round(g["l_quantity"].to_numpy(float), 4),
+                np.round(g["l_discount"].to_numpy(float), 4),
+            ]
+        )
+        y = np.round(g["l_extendedprice"].to_numpy(float), 4)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert abs(row["beta_intercept"] - beta[0]) < 1e-3
+        assert abs(row["beta_quantity"] - beta[1]) < 1e-4
+        assert abs(row["beta_discount"] - beta[2]) < 1e-2
+        pred = X @ beta
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert abs(row["r_squared"] - r2) < 1e-5

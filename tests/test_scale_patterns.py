@@ -297,3 +297,53 @@ def test_scan_parallelism_scales_with_file_count(spark, tmp_path):
     assert multi.rdd.getNumPartitions() >= 8
     # same rows either way — layout must never change content
     assert multi.count() == li.count()
+
+
+def test_connected_components_match_union_find(spark):
+    """dd_connected_components' star-contraction labels must equal an
+    independent union-find closure over the same edge list (min node id
+    as the component label). Guards the contraction algebra itself —
+    the DuckDB recursive-CTE oracle is an independent engine but the
+    same reachability formulation; union-find is a different algorithm
+    entirely (same reasoning as the OLS-vs-numpy check)."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in load_all()["dd_jaccard_same_source"]
+        .spark_fn(spark, sf)
+        .collect()
+    ]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in load_all()["dd_connected_components"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        root = find(node)
+        want[node] = min(want.get(node, root), root)
+    # canonical label = min id in the component
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    want = {node: comp_min[find(node)] for node in parent}
+
+    assert got == want, (got, want)
