@@ -347,3 +347,110 @@ def test_connected_components_match_union_find(spark):
     want = {node: comp_min[find(node)] for node in parent}
 
     assert got == want, (got, want)
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """ev_pagerank_types' distributed scatter/gather must agree with a
+    direct in-memory power iteration over the same transition graph —
+    same damping, iteration count, and per-term round-9 contributions,
+    but computed by a plain Python loop instead of joins/aggregations
+    (independent-algorithm guard, like the OLS/union-find checks)."""
+    from collections import defaultdict
+
+    from mcp_rag_server_spark.operators.graphs import PR_DAMPING, PR_ITERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    edges: dict = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        for a, b in zip(types, types[1:]):
+            edges[(a, b)] += 1
+    outw: dict = defaultdict(int)
+    for (a, _b), w in edges.items():
+        outw[a] += w
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(PR_ITERS):
+        s: dict = defaultdict(float)
+        for (a, b), w in sorted(edges.items()):
+            s[b] += round(rank[a] * w / outw[a], 9)
+        rank = {
+            v: (1 - PR_DAMPING) / n + PR_DAMPING * s.get(v, 0.0)
+            for v in nodes
+        }
+
+    got = {
+        r["event_type"]: r["pagerank"]
+        for r in load_all()["ev_pagerank_types"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - round(rank[v], 6)) < 2e-6, (v, got[v], rank[v])
+
+
+def test_kmeans_refine_matches_numpy_lloyd(spark):
+    """sim_kmeans_refine's distributed Lloyd iterations must agree with
+    a direct numpy implementation over the same seed centroids,
+    distance rounding, and (distance, cluster) tie-break — membership
+    counts exactly, inertia within rounding tolerance (independent-
+    algorithm guard, like the OLS/union-find/PageRank checks)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.clustering import KM_ITERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    X = np.stack(
+        [np.round(np.asarray(v, dtype=float), 7) for v in emb["embedding"]]
+    )
+    labels = sorted(emb["label"].unique())
+    cent = {
+        c: X[(emb["label"] == c).to_numpy()].mean(axis=0) for c in labels
+    }
+    # KM_ITERS assignments with KM_ITERS-1 centroid updates between
+    # them; the reported inertia is the dd of the FINAL assignment
+    # (the operator's a2 stage scores and assigns with c1 in one pass).
+    assign = None
+    dd = None
+    for it in range(KM_ITERS):
+        dd = np.stack(
+            [
+                np.round(((X - cent[c]) ** 2).sum(axis=1), 6)
+                for c in labels
+            ],
+            axis=1,
+        )
+        assign = np.lexsort((np.arange(len(labels))[None, :].repeat(
+            len(X), 0), dd), axis=1)[:, 0]  # argmin by (dd, cluster order)
+        if it < KM_ITERS - 1:
+            cent = {
+                c: X[assign == i].mean(axis=0)
+                for i, c in enumerate(labels)
+                if (assign == i).any()
+            }
+    want_n = {labels[i]: int((assign == i).sum()) for i in range(len(labels))}
+    want_inertia = {
+        labels[i]: float(np.round(dd[assign == i, i].sum(), 4))
+        for i in range(len(labels))
+    }
+
+    got = {
+        r["cluster"]: (r["n_assigned"], r["inertia"])
+        for r in load_all()["sim_kmeans_refine"].spark_fn(spark, sf).collect()
+    }
+    assert {c: v[0] for c, v in got.items()} == want_n
+    for c, (_, inertia) in got.items():
+        assert abs(inertia - want_inertia[c]) < 1e-2, (
+            c, inertia, want_inertia[c],
+        )
