@@ -2490,3 +2490,263 @@ def ev_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle serves the hourly aggregate and the window."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_rolling_median_sql("spark"))
+
+
+#: Shared hourly-series CTE: per-type hourly totals as exact decimals,
+#: an integer hour index t (1-based, gap-free only if every hour has
+#: events — the index is ordinal, which is what the estimators below
+#: want), the per-type prefix sums of v and v² and the per-type totals.
+#: Squared decimals widen one operand to DECIMAL(19,4) (int128 in
+#: DuckDB) per the cross-engine overflow rule.
+_HOURLY_SEQ_CTE = """
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+seq AS (
+  SELECT event_type, h, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS sl,
+         SUM(CAST(v AS DECIMAL(19,4)) * v)
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS ql,
+         SUM(v) OVER (PARTITION BY event_type) AS stot,
+         SUM(CAST(v AS DECIMAL(19,4)) * v)
+             OVER (PARTITION BY event_type) AS qtot
+  FROM hourly
+)"""
+
+#: Minimum segment length (hours) on each side of a changepoint.
+CHANGEPOINT_MIN_SEG = 12
+
+_CHANGEPOINT_SQL = f"""
+WITH {_HOURLY_SEQ_CTE},
+gains AS (
+  SELECT event_type, h, t, n,
+         CAST(sl AS DOUBLE) AS sld,
+         CAST(stot AS DOUBLE) AS sd,
+         CAST(qtot AS DOUBLE) AS qd,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / t
+           + (CAST(stot AS DOUBLE) - CAST(sl AS DOUBLE))
+             * (CAST(stot AS DOUBLE) - CAST(sl AS DOUBLE)) / (n - t)
+           AS gain
+  FROM seq
+  WHERE t >= {CHANGEPOINT_MIN_SEG} AND t <= n - {CHANGEPOINT_MIN_SEG}
+),
+best AS (
+  SELECT event_type, h, t, n, sld, sd, qd, gain,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY gain DESC, t ASC) AS rnk
+  FROM gains
+)
+SELECT event_type,
+       n AS n_hours,
+       t AS change_idx,
+       h AS change_hour,
+       round(sld / t, 6) AS mean_before,
+       round((sd - sld) / (n - t), 6) AS mean_after,
+       round((gain - sd * sd / n)
+             / NULLIF(qd - sd * sd / n, 0), 6) AS var_explained
+FROM best
+WHERE rnk = 1
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_changepoint",
+    oracle=_CHANGEPOINT_SQL,
+    description="single-changepoint detection (binary-segmentation"
+    " step) per event type: the hour split maximizing between-segment"
+    " sum-of-squares over the hourly series, with before/after means"
+    " and the variance-explained score — the level-shift detector"
+    " behind alerting and drift triage",
+    tags=("events", "timeseries", "stats", "changepoint", "window"),
+)
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation's inner step scores EVERY split k by the
+    between-segment sum of squares — naively O(n²) re-aggregation, but
+    with prefix sums it is one window pass: gain(k) = S_l²/k +
+    S_r²/(n−k) (the constant −S²/n deferred to the variance-explained
+    ratio). The prefix sums are exact decimals, so gain is a single
+    derived double per row — bit-identical cross-engine — and the
+    argmax orders by (gain DESC, t ASC), a total order. Splits leaving
+    a segment shorter than 12 h are excluded (a 1-hour 'segment' is an
+    outlier, not a regime). Everything partitions by event_type: at
+    100 TB this is one shuffle of 720 rows per series key, the same
+    shape as ev_rolling_median — series length is calendar-bounded,
+    not data-bounded."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CHANGEPOINT_SQL)
+
+
+def _theil_sen_sql(dialect: str) -> str:
+    """Theil-Sen robust slope per type: exact median over all pairwise
+    slopes of the hourly series. The pair join is bounded by CALENDAR
+    (n = hours in range, so n(n-1)/2 pairs per type regardless of row
+    count); slopes are single derived doubles from exact decimals."""
+    med = "percentile" if dialect == "spark" else "quantile_cont"
+    return f"""
+WITH {_HOURLY_SEQ_CTE},
+seq_probe AS (
+  -- REPARTITION spreads the probe side round-robin so the pair
+  -- expansion (only ~5 join keys) parallelizes beyond the key count;
+  -- the hint is a comment to DuckDB (2.7x at sf0.1: 4.5s -> 1.7s).
+  SELECT /*+ REPARTITION(32) */ event_type, v, t FROM seq
+),
+pairs AS (
+  SELECT a.event_type,
+         (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE))
+           / (b.t - a.t) AS slope
+  FROM seq_probe a JOIN seq b
+    ON a.event_type = b.event_type AND a.t < b.t
+),
+ts_est AS (
+  SELECT event_type,
+         COUNT(*) AS n_pairs,
+         {med}(slope, 0.5) AS ts_slope
+  FROM pairs GROUP BY event_type
+),
+ols AS (
+  SELECT event_type,
+         MAX(n) AS n_hours,
+         CAST(SUM(CAST(t AS DECIMAL(19,4)) * v) AS DOUBLE) AS stv,
+         CAST(SUM(v) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(t AS BIGINT)) AS DOUBLE) AS st,
+         CAST(SUM(CAST(t AS BIGINT) * t) AS DOUBLE) AS stt
+  FROM seq GROUP BY event_type
+)
+SELECT o.event_type,
+       o.n_hours,
+       e.n_pairs,
+       round(e.ts_slope, 6) AS ts_slope,
+       round((o.n_hours * o.stv - o.st * o.sv)
+             / (o.n_hours * o.stt - o.st * o.st), 6) AS ols_slope,
+       round(e.ts_slope - (o.n_hours * o.stv - o.st * o.sv)
+             / (o.n_hours * o.stt - o.st * o.st), 6) AS slope_gap
+FROM ols o JOIN ts_est e ON o.event_type = e.event_type
+ORDER BY o.event_type
+"""
+
+
+@register(
+    "ev_theil_sen",
+    oracle=_theil_sen_sql("duckdb"),
+    description="Theil-Sen robust trend per event type: the exact"
+    " median of all pairwise hourly slopes beside the OLS slope and"
+    " their gap — the outlier-immune trend estimate (29% breakdown"
+    " point vs OLS's zero) used when single crazy hours poison the"
+    " least-squares fit",
+    tags=("events", "timeseries", "stats", "robust", "join"),
+)
+def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theil-Sen estimator is the MEDIAN of the O(n²) pairwise
+    slopes — normally disqualifying, but the pairs here are over the
+    HOURLY series, so n is calendar-bounded (720 hours in this range
+    → ≤259k pairs per type at ANY data scale; a year is 8760 → 38M
+    pairs per type, still one modest shuffle). The self-join keys on
+    event_type so pairs never cross series; each slope is one derived
+    double from exact decimal hour totals, and Spark's percentile ==
+    DuckDB's quantile_cont (continuous interpolation) over identical
+    doubles. The OLS slope from the same exact moments rides along so
+    the output IS the robustness diagnostic: slope_gap far from 0
+    means outlier hours are steering the least-squares fit."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_theil_sen_sql("spark"))
+
+
+#: Train share of the hourly series for the forecast backtest.
+BACKTEST_TRAIN_SHARE = 0.8
+
+_BACKTEST_SQL = f"""
+WITH {_HOURLY_SEQ_CTE},
+marked AS (
+  SELECT event_type, h, t, n, v,
+         CAST(FLOOR({BACKTEST_TRAIN_SHARE} * n) AS BIGINT) AS n_train
+  FROM seq
+),
+coef AS (
+  SELECT event_type,
+         MAX(n_train) AS n_train,
+         MAX(n) - MAX(n_train) AS n_test,
+         (COUNT(CASE WHEN t <= n_train THEN 1 END)
+            * CAST(SUM(CASE WHEN t <= n_train
+                       THEN CAST(t AS DECIMAL(19,4)) * v END) AS DOUBLE)
+          - CAST(SUM(CASE WHEN t <= n_train THEN CAST(t AS BIGINT) END)
+                 AS DOUBLE)
+            * CAST(SUM(CASE WHEN t <= n_train THEN v END) AS DOUBLE))
+         / (COUNT(CASE WHEN t <= n_train THEN 1 END)
+              * CAST(SUM(CASE WHEN t <= n_train
+                         THEN CAST(t AS BIGINT) * t END) AS DOUBLE)
+            - CAST(SUM(CASE WHEN t <= n_train THEN CAST(t AS BIGINT) END)
+                   AS DOUBLE)
+              * CAST(SUM(CASE WHEN t <= n_train THEN CAST(t AS BIGINT) END)
+                     AS DOUBLE)) AS slope,
+         CAST(SUM(CASE WHEN t <= n_train THEN v END) AS DOUBLE)
+           / COUNT(CASE WHEN t <= n_train THEN 1 END) AS mean_train,
+         CAST(SUM(CASE WHEN t <= n_train THEN CAST(t AS BIGINT) END)
+              AS DOUBLE)
+           / COUNT(CASE WHEN t <= n_train THEN 1 END) AS mean_t,
+         CAST(MAX(CASE WHEN t = n_train THEN v END) AS DOUBLE) AS last_train
+  FROM marked GROUP BY event_type
+),
+scored AS (
+  SELECT m.event_type, c.n_train, c.n_test, c.slope,
+         c.mean_train - c.slope * c.mean_t AS intercept,
+         c.last_train,
+         CAST(round(abs(CAST(m.v AS DOUBLE)
+              - (c.mean_train - c.slope * c.mean_t + c.slope * m.t)), 6)
+              AS DECIMAL(18,6)) AS err_model,
+         CAST(round(abs(CAST(m.v AS DOUBLE) - c.last_train), 6)
+              AS DECIMAL(18,6)) AS err_naive,
+         CAST(round(CASE WHEN CAST(m.v AS DOUBLE) > 0 THEN
+              abs(CAST(m.v AS DOUBLE)
+                  - (c.mean_train - c.slope * c.mean_t + c.slope * m.t))
+              / CAST(m.v AS DOUBLE) END, 6) AS DECIMAL(18,6)) AS ape
+  FROM marked m JOIN coef c ON m.event_type = c.event_type
+  WHERE m.t > m.n_train
+)
+SELECT event_type, n_train, n_test,
+       round(slope, 6) AS slope,
+       round(intercept, 6) AS intercept,
+       round(CAST(SUM(err_model) AS DOUBLE) / n_test, 6) AS mae_model,
+       round(CAST(SUM(err_naive) AS DOUBLE) / n_test, 6) AS mae_naive,
+       round(1 - CAST(SUM(err_model) AS DOUBLE)
+               / NULLIF(CAST(SUM(err_naive) AS DOUBLE), 0), 6) AS skill,
+       round(CAST(SUM(ape) AS DOUBLE) / NULLIF(COUNT(ape), 0), 6)
+         AS mape_model
+FROM scored
+GROUP BY event_type, n_train, n_test, slope, intercept
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_forecast_backtest",
+    oracle=_BACKTEST_SQL,
+    description="rolling-origin forecast backtest per event type: OLS"
+    " trend fit on the first 80% of hours, scored on the held-out 20%"
+    " — MAE vs the last-train-value persistence baseline, the skill"
+    " score, and MAPE; the evaluation loop that decides whether"
+    " ev_trend_forecast's model is better than doing nothing",
+    tags=("events", "timeseries", "stats", "forecast", "abtest"),
+)
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A forecast nobody backtests is a guess: this holds out the most
+    recent 20% of hours, fits the trend on the rest (closed-form OLS
+    from ONE conditional decimal moment pass — the
+    agg_ols_sufficient_stats discipline with a t<=n_train mask), and
+    scores against PERSISTENCE (carry the last train value forward),
+    the baseline any real model must beat. skill > 0 means the trend
+    earns its keep; MAPE only averages hours with v > 0 (APE is
+    undefined at zero). Per-hour absolute errors are rounded then
+    decimal-summed so the test-window aggregate is order-independent.
+    One (type)-keyed shuffle for moments + one broadcast-sized join of
+    coefficients back to test rows — series length stays
+    calendar-bounded at any data volume."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BACKTEST_SQL)

@@ -191,7 +191,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # agg_ols_sufficient_stats (multivariate OLS solved closed-form
 # from one decimal-exact moment pass — cross-checked against numpy
 # lstsq in test_reference_semantics, which caught a det2 cofactor
-# bug the cross-engine hash could not) — all twenty-seven locally
+# bug the cross-engine hash could not), ev_changepoint
+# (binary-segmentation level-shift detection: between-segment SS via
+# prefix sums, one window pass instead of O(n²) re-aggregation),
+# ev_theil_sen (robust trend: exact median of all pairwise hourly
+# slopes — calendar-bounded pairs — beside the OLS slope), and
+# ev_forecast_backtest (holdout forecast evaluation: OLS-trend MAE
+# vs persistence baseline, skill score, MAPE) — all thirty locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1377,3 +1377,43 @@ def test_ols_is_one_moment_pass_no_window(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_changepoint_prefix_windows_no_join(spark):
+    """ev_changepoint: gain(k) for every split from prefix-sum windows
+    (all partitioned by event_type) — no join, no Python, no O(n²)
+    re-aggregation, no unpartitioned window."""
+    import re
+
+    plan = plan_string(q(spark, "ev_changepoint"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    specs = re.findall(r"windowspecdefinition\(\w+", stripped)
+    assert specs and all(s.endswith("event_type") for s in specs), specs
+
+
+def test_theil_sen_pairs_are_keyed_broadcast_join(spark):
+    """ev_theil_sen: the pair expansion is an equality-keyed broadcast
+    join (never a cartesian), the probe side round-robin-repartitioned
+    past the ~5-key bound, median via exact percentile — no Python."""
+    plan = plan_string(q(spark, "ev_theil_sen"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "percentile" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning(32)" in plan
+
+
+def test_forecast_backtest_one_moment_pass_broadcast_coef(spark):
+    """ev_forecast_backtest: train coefficients from one conditional
+    moment aggregation, joined back to test rows broadcast-sized — no
+    Python, no cartesian, no unpartitioned window."""
+    import re
+
+    plan = plan_string(q(spark, "ev_forecast_backtest"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    specs = re.findall(r"windowspecdefinition\(\w+", stripped)
+    assert all(s.endswith("event_type") for s in specs), specs

@@ -17,6 +17,10 @@ from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 #: item 3) — see BENCH_NOTES.md; cross-round totals compare on the
 #: original-18 subset, per-query times on everything.
 BENCH_SET = {
+    # round-6 promotions (BENCH_NOTES "Round-6 headline-set expansion")
+    "dd_jaccard_same_source",
+    "sim_knn_graph",
+    "ta_winnowing_fingerprint",
     "ta_gopher_rules",
     "sim_pq_adc_topk",
     "sim_kmeans_refine",
