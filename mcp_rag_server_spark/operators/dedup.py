@@ -1798,3 +1798,140 @@ def dd_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+#: Threshold grid for the dedup-rate sweep. The fixture's LSH candidate
+#: set is entirely planted near-dups (every candidate pair verifies
+#: ≥0.9 token-Jaccard — probed before registration per the
+#: non-degenerate-grid rule), so the informative sweep is the TOP of
+#: the scale: 0.90 / 0.95 / 1.0 separate "near-dup", "almost-exact",
+#: and "byte-identical-after-tokenization" tiers.
+SWEEP_THRESHOLDS = (0.90, 0.95, 1.0)
+
+_SWEEP_GRID_SQL = ", ".join(f"({t!r})" for t in SWEEP_THRESHOLDS)
+
+_SWEEP_ORACLE = f"""
+WITH {{mh_cte}},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1)
+),
+toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.toks, tb.toks))), 6)
+           AS jaccard
+  FROM cands c
+  JOIN toksets ta ON ta.doc_id = c.doc_a
+  JOIN toksets tb ON tb.doc_id = c.doc_b
+),
+grid AS (SELECT * FROM (VALUES {_SWEEP_GRID_SQL}) AS g(threshold)),
+edges AS (
+  SELECT g.threshold, v.doc_a, v.doc_b
+  FROM grid g JOIN verified v ON v.jaccard >= g.threshold
+),
+exploded AS (
+  SELECT threshold, unnest([doc_a, doc_b]) AS d, unnest([0, 1]) AS pos
+  FROM edges
+),
+agg AS (
+  SELECT threshold,
+         COUNT(*) FILTER (pos = 0) AS n_edges,
+         COUNT(DISTINCT d) AS n_docs_in_pairs,
+         COUNT(DISTINCT CASE WHEN pos = 1 THEN d END) AS n_removable
+  FROM exploded GROUP BY threshold
+)
+SELECT g.threshold,
+       COALESCE(a.n_edges, 0) AS n_edges,
+       COALESCE(a.n_docs_in_pairs, 0) AS n_docs_in_pairs,
+       COALESCE(a.n_removable, 0) AS n_removable,
+       round(COALESCE(a.n_removable, 0) * 100.0
+             / (SELECT COUNT(*) FROM documents), 6) AS dedup_rate_pct
+FROM grid g
+LEFT JOIN agg a ON a.threshold = g.threshold
+ORDER BY g.threshold
+"""
+
+
+@register(
+    "dd_threshold_sweep",
+    oracle=_SWEEP_ORACLE.format(mh_cte=_duckdb_minhash_cte()),
+    description="dedup-threshold tuning sweep: edge count, affected-doc"
+    " count, greedy-removable count, and corpus dedup rate at Jaccard"
+    " 0.90/0.95/1.0 — all three operating points from ONE candidate"
+    " verification pass, the curve you read before picking the"
+    " production threshold",
+    tags=("dedup", "lsh", "audit", "tuning"),
+)
+def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choosing a near-dup threshold is a precision/yield trade, and
+    the cost of EVALUATING a threshold must not be the cost of RUNNING
+    it three times: candidates are generated and exact-verified ONCE
+    (the shared `_lsh_candidate_pairs` banding — never all-pairs), and
+    the 3-row threshold grid joins against the verified pairs
+    (broadcast nested-loop against a tiny build side). n_removable is
+    the greedy keep-smallest-id proxy (distinct larger endpoints) —
+    an upper bound within each connected cluster that
+    dd_keep_canonical computes exactly; the sweep's job is the SHAPE
+    of the curve, and the grid LEFT JOIN keeps zero-edge thresholds
+    visible rather than silently dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _lsh_candidate_pairs(docs)
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    ta, tb = toksets.alias("ta"), toksets.alias("tb")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))).cast(
+            "double"
+        )
+        / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks"))),
+        6,
+    )
+    verified = (
+        cands.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    edges = grid.join(
+        verified, F.col("jaccard") >= F.col("threshold")
+    ).select("threshold", "doc_a", "doc_b")
+    # one pass over edges for all three metrics: endpoints exploded
+    # with their position, then conditional count-distincts — never a
+    # union that would recompute the verified subtree per metric
+    exploded = edges.select(
+        "threshold",
+        F.posexplode(F.array("doc_a", "doc_b")).alias("pos", "d"),
+    )
+    agg = exploded.groupBy("threshold").agg(
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_edges"),
+        F.countDistinct("d").alias("n_docs_in_pairs"),
+        F.countDistinct(F.when(F.col("pos") == 1, F.col("d"))).alias(
+            "n_removable"
+        ),
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (
+        grid.join(agg, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("n_docs_in_pairs", F.lit(0)).alias("n_docs_in_pairs"),
+            F.coalesce("n_removable", F.lit(0)).alias("n_removable"),
+            F.round(
+                F.coalesce("n_removable", F.lit(0)) * 100.0 / F.col("n_total"),
+                6,
+            ).alias("dedup_rate_pct"),
+        )
+        .orderBy("threshold")
+    )

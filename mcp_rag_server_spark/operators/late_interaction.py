@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
 
 MAXSIM_BLOCKS = 8
@@ -446,4 +447,143 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("a_id", "a_label", "role", "vec_id", "score")
         .orderBy("a_id", "role")
+    )
+
+
+#: Cascade parameters: Hamming prefilter keeps CR_POOL candidates out
+#: of the corpus; exact cosine reranks them to CR_K. Query vector 3
+#: (any id works; 0 already anchors sim_binary_hamming_topk).
+CR_QUERY_ID = 3
+CR_POOL = 50
+CR_K = 10
+
+
+def _cascade_oracle() -> str:
+    cos = duckdb_cosine("e.embedding", "qv.q_embedding")
+    return f"""
+WITH codes AS (
+  SELECT vec_id, label,
+         CAST({_pack_duck('embedding', 0)} AS BIGINT) AS lo,
+         CAST({_pack_duck('embedding', 32)} AS BIGINT) AS hi
+  FROM embeddings
+),
+q AS (SELECT lo AS q_lo, hi AS q_hi FROM codes WHERE vec_id = {CR_QUERY_ID}),
+pool AS (
+  SELECT c.vec_id,
+         CAST(bit_count(xor(c.lo, q.q_lo))
+              + bit_count(xor(c.hi, q.q_hi)) AS INT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> {CR_QUERY_ID}
+  ORDER BY hamming, c.vec_id
+  LIMIT {CR_POOL}
+),
+qv AS (SELECT embedding AS q_embedding FROM embeddings
+       WHERE vec_id = {CR_QUERY_ID}),
+rerank AS (
+  SELECT e.vec_id, e.label, p.hamming, round({cos}, 4) AS score
+  FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id
+  CROSS JOIN qv
+),
+cascade_top AS (
+  SELECT * FROM rerank ORDER BY score DESC, vec_id LIMIT {CR_K}
+),
+exact_top AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {CR_QUERY_ID}
+  ORDER BY round({cos}, 4) DESC, e.vec_id
+  LIMIT {CR_K}
+)
+SELECT t.vec_id, t.label, t.hamming, t.score,
+       (x.vec_id IS NOT NULL) AS in_exact_topk
+FROM cascade_top t LEFT JOIN exact_top x ON x.vec_id = t.vec_id
+ORDER BY t.score DESC, t.vec_id
+"""
+
+
+@register(
+    "sim_cascade_rerank",
+    oracle=_cascade_oracle(),
+    description="two-stage cascade retrieval: 64-bit binary-Hamming"
+    " prefilter keeps a 50-candidate pool (integer-only scan), exact"
+    " float cosine reranks only the pool to top-10 — with the per-row"
+    " recall audit against brute-force exact top-10 riding in the"
+    " in_exact_topk column",
+    tags=("similarity", "vector", "quantization", "topk", "cascade"),
+)
+def sim_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval shape: a cheap wide stage then an
+    expensive narrow stage. Stage 1 scans packed sign bits (two
+    bit_count(xor) ops per row — the corpus-sized work, and 64× less
+    I/O than floats) into a CR_POOL-sized heap
+    (TakeOrderedAndProject); stage 2 computes exact cosine for POOL
+    rows only — the float math touches 50 vectors, not the corpus.
+    At 100 TB stage 1 is the only full scan and reads two BIGINT
+    columns; stage 2 is a broadcast-semi-join point lookup. The
+    in_exact_topk flag joins the cascade's top-10 against the
+    brute-force exact top-10, so the hashed result PINS the cascade's
+    recall on this corpus — the audit rides the result instead of
+    living in a doc. Ties break on vec_id at both the pool boundary
+    and the final cut, keeping the cascade hash-deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(_pack_spark("embedding", 0)).alias("lo"),
+        F.expr(_pack_spark("embedding", 32)).alias("hi"),
+    )
+    q_code = codes.filter(F.col("vec_id") == CR_QUERY_ID).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    pool = (
+        codes.filter(F.col("vec_id") != CR_QUERY_ID)
+        .crossJoin(F.broadcast(q_code))
+        .select(
+            "vec_id",
+            (
+                F.expr("bit_count(lo ^ q_lo)") + F.expr("bit_count(hi ^ q_hi)")
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(CR_POOL)
+    )
+    qv = emb.filter(F.col("vec_id") == CR_QUERY_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    rerank = (
+        emb.join(F.broadcast(pool), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "hamming",
+            cosine_score("embedding", "q_embedding").alias("score"),
+        )
+    )
+    cascade_top = rerank.orderBy(F.desc("score"), F.asc("vec_id")).limit(CR_K)
+    exact_top = (
+        emb.filter(F.col("vec_id") != CR_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", cosine_score("embedding", "q_embedding").alias("xs")
+        )
+        .orderBy(F.desc("xs"), F.asc("vec_id"))
+        .limit(CR_K)
+        .select(F.col("vec_id").alias("x_vec_id"))
+    )
+    return (
+        cascade_top.join(
+            F.broadcast(exact_top),
+            F.col("vec_id") == F.col("x_vec_id"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "hamming",
+            "score",
+            F.col("x_vec_id").isNotNull().alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
     )

@@ -197,7 +197,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ev_theil_sen (robust trend: exact median of all pairwise hourly
 # slopes — calendar-bounded pairs — beside the OLS slope), and
 # ev_forecast_backtest (holdout forecast evaluation: OLS-trend MAE
-# vs persistence baseline, skill score, MAPE) — all thirty locally
+# vs persistence baseline, skill score, MAPE), dd_threshold_sweep
+# (the dedup-rate curve at Jaccard 0.90/0.95/1.0 from ONE candidate
+# verification pass — the threshold-tuning readout), and
+# sim_cascade_rerank (binary-Hamming prefilter -> exact-cosine rerank
+# cascade with the brute-force recall audit hashed per row) — all
+# thirty-two locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1417,3 +1417,29 @@ def test_forecast_backtest_one_moment_pass_broadcast_coef(spark):
     stripped = re.sub(r"#\d+L?", "", plan)
     specs = re.findall(r"windowspecdefinition\(\w+", stripped)
     assert all(s.endswith("event_type") for s in specs), specs
+
+
+def test_cascade_rerank_zero_shuffles_heap_stages(spark):
+    """sim_cascade_rerank: both stages and the recall audit are
+    broadcast-composed heap top-ks — ZERO shuffle exchanges, no
+    cartesian product, no Python; the only corpus-sized work is the
+    integer Hamming scan."""
+    import re
+
+    df = q(spark, "sim_cascade_rerank")
+    assert count_exchanges(df) == 0
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) >= 3
+
+
+def test_threshold_sweep_verifies_candidates_once(spark):
+    """dd_threshold_sweep: the exact-Jaccard verification subtree
+    (array_intersect) appears once in the plan (tree + detail section
+    = 2 text hits) — the 3-threshold sweep must not re-verify per
+    threshold (a union-per-metric shape would quadruple it)."""
+    plan = plan_string(q(spark, "dd_threshold_sweep"))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert 1 <= plan.count("array_intersect") <= 2, plan.count("array_intersect")

@@ -77,7 +77,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_bot_heuristics", "dd_cluster_size_hist",
          "ta_length_drift", "ev_power_mde", "ev_rolling_median",
          "rag_multi_query_fusion", "agg_ols_sufficient_stats",
-         "ev_changepoint", "ev_theil_sen", "ev_forecast_backtest"]
+         "ev_changepoint", "ev_theil_sen", "ev_forecast_backtest",
+         "dd_threshold_sweep", "sim_cascade_rerank"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
