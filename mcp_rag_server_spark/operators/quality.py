@@ -1178,3 +1178,163 @@ def ta_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: k-anonymity threshold: an equivalence class smaller than this many
+#: docs is a re-identification risk under the quasi-identifier set.
+KANON_K = 5
+
+_KANON_SQL = """
+WITH qid AS (
+  SELECT source, lang,
+         CAST(FLOOR(n_chars / 10.0) AS BIGINT) AS b10,
+         CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS b100
+  FROM documents
+),
+classes AS (
+  SELECT source, lang, b10, b100,
+         GROUPING_ID(source, lang, b10, b100) AS g_id,
+         COUNT(*) AS cls_n
+  FROM qid
+  GROUP BY GROUPING SETS ((source, lang, b10),
+                          (source, lang, b100),
+                          (source, lang))
+)
+SELECT CASE g_id WHEN 1 THEN '0_len_bucket10'
+                 WHEN 2 THEN '1_len_bucket100'
+                 ELSE '2_source_lang_only' END AS level,
+       COUNT(*) AS n_classes,
+       MIN(cls_n) AS min_class_size,
+       COUNT(CASE WHEN cls_n < {k} THEN 1 END) AS n_violating,
+       CAST(SUM(CASE WHEN cls_n < {k} THEN cls_n ELSE 0 END)
+            AS BIGINT) AS docs_at_risk,
+       round(CAST(SUM(CASE WHEN cls_n < {k} THEN cls_n ELSE 0 END)
+                  AS DOUBLE) * 100.0
+             / CAST(SUM(cls_n) AS DOUBLE), 6) AS pct_at_risk
+FROM classes
+GROUP BY g_id
+ORDER BY level
+""".format(k=KANON_K)
+
+
+@register(
+    "ta_kanonymity_audit",
+    oracle=_KANON_SQL,
+    description="k-anonymity audit over quasi-identifiers (source, lang,"
+    " doc-length bucket) at three generalization levels from ONE"
+    " GROUPING SETS pass: class counts, k<5 violations, and the share"
+    " of docs re-identifiable by their metadata — the release-gate"
+    " governance census",
+    tags=("text", "quality", "privacy", "agg", "groupingsets"),
+)
+def ta_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even a PII-scrubbed corpus leaks through metadata: a doc whose
+    (source, lang, length-bucket) combination is nearly unique is
+    re-identifiable by joining any external list sharing those
+    attributes — the Sweeney k-anonymity model. The audit grid is the
+    generalization LADDER (10-char buckets -> 100-char -> drop
+    length): publishing needs the coarsest level whose risk share is
+    acceptable, and all three levels come from one GROUPING SETS
+    aggregation (one shuffle; GROUPING_ID over ALL grouping columns —
+    Spark rejects a subset — is the level key, the
+    grouping_sets_sales idiom). FLOOR over exact /10.0 doubles
+    keeps the bucket engine-portable where integer-division syntax is
+    not. At 100 TB this is a count-shaped pass over however many
+    distinct QID combinations exist — never over docs."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_KANON_SQL)
+
+
+#: Deterministic corruption markers for the encoding-hygiene census
+#: (fixture text is pure ASCII, so — exactly like ta_pii_scrub's PII
+#: and ta_fuzzy_correct's typos — the defects are injected on doc_id
+#: residues both engines compute identically). The markers carry the
+#: three canonical damage signatures: Latin-1 double-encoding, U+FFFD
+#: replacement, and a C0 control byte (BEL).
+MOJI_DOUBLE_ENC = " caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9"
+MOJI_REPLACEMENT = " bad byte \ufffd here"
+MOJI_CTRL = " bell\u0007end"
+
+
+def _mojibake_sql(dialect: str) -> str:
+    """Per-source encoding-hygiene census over the injected corpus.
+    Dialect splits: DuckDB regexp_replace needs the 'g' flag (Spark
+    replaces all matches by default) and || concat; marker literals are
+    embedded as UTF-8 text, identical bytes to both engines."""
+    if dialect == "duckdb":
+        aug = (
+            "text || CASE WHEN doc_id % 13 = 0 THEN '{d}' ELSE '' END"
+            " || CASE WHEN doc_id % 17 = 0 THEN '{r}' ELSE '' END"
+            " || CASE WHEN doc_id % 19 = 0 THEN '{c}' ELSE '' END"
+        ).format(d=MOJI_DOUBLE_ENC, r=MOJI_REPLACEMENT, c=MOJI_CTRL)
+        ascii_only = "regexp_replace(text, '[^ -~]', '', 'g')"
+    else:
+        aug = (
+            "concat(text,"
+            " CASE WHEN doc_id % 13 = 0 THEN '{d}' ELSE '' END,"
+            " CASE WHEN doc_id % 17 = 0 THEN '{r}' ELSE '' END,"
+            " CASE WHEN doc_id % 19 = 0 THEN '{c}' ELSE '' END)"
+        ).format(d=MOJI_DOUBLE_ENC, r=MOJI_REPLACEMENT, c=MOJI_CTRL)
+        ascii_only = "regexp_replace(text, '[^ -~]', '')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, source, {{aug}} AS text FROM documents
+),
+flags AS (
+  SELECT doc_id, source,
+         CASE WHEN instr(text, '\ufffd') > 0 THEN 1 ELSE 0 END AS f_repl,
+         CASE WHEN instr(text, '\u0007') > 0 THEN 1 ELSE 0 END AS f_ctrl,
+         CASE WHEN instr(text, '\u00c3\u00a9') > 0 THEN 1 ELSE 0
+           END AS f_double_enc,
+         CAST(round((length(text) - length({{ascii_only}})) * 100.0
+                    / length(text), 6) AS DECIMAL(18,6)) AS non_printable_pct
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f_repl) AS BIGINT) AS n_replacement_docs,
+       CAST(SUM(f_ctrl) AS BIGINT) AS n_control_docs,
+       CAST(SUM(f_double_enc) AS BIGINT) AS n_double_encoded_docs,
+       COUNT(CASE WHEN f_repl + f_ctrl + f_double_enc = 0 THEN 1 END)
+         AS n_clean_docs,
+       round(CAST(SUM(non_printable_pct) AS DOUBLE) / COUNT(*), 6)
+         AS mean_non_printable_pct
+FROM flags
+GROUP BY source
+ORDER BY source
+""".format(aug=aug, ascii_only=ascii_only)
+
+
+@register(
+    "ta_mojibake_detect",
+    oracle=_mojibake_sql("duckdb"),
+    description="encoding-hygiene census per source: U+FFFD replacement"
+    " chars, stray C0 control bytes, Latin-1-double-encoded UTF-8"
+    " mojibake, and the outside-printable-ASCII character share — the"
+    " crawl-sanitation pass run before text reaches a tokenizer,"
+    " over a deterministically corruption-injected corpus",
+    tags=("text", "quality", "encoding"),
+)
+def ta_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale text arrives encoding-damaged in three canonical ways:
+    decoder failures leave U+FFFD; binary spill leaves C0 control
+    bytes; and the UTF-8-read-as-Latin-1 round trip turns every
+    e-acute into the two-char mojibake signature this query injects.
+    Each detector is an instr per row inside codegen; the
+    non-printable share strips the '[^ -~]' class — an escape-free
+    pattern, because Spark unescapes backslashes in SQL literals and
+    DuckDB does not, so any pattern SPELLED with backslashes parses
+    differently per engine (caught by the replay before ship) and the census shuffles per-source
+    partial sums only. The fixture is pure ASCII, so defects are
+    INJECTED on doc_id residues 13/17/19 (the ta_pii_scrub
+    discipline): both engines construct the identical corrupted
+    corpus, and the per-doc non-ASCII share is rounded then
+    decimal-summed so the per-source mean hashes exactly. At 100 TB:
+    scan -> flag -> count, embarrassingly parallel, no doc-level
+    output."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_mojibake_sql("spark"))

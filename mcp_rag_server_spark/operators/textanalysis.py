@@ -1570,3 +1570,118 @@ def ta_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_LEN_DRIFT_SQL)
+
+
+#: Needles for the trigram-index substring-search audit: two present in
+#: the fixture word-soup (27 / 35 truth docs at sf0.01) and one absent,
+#: so the index's empty-result path is exercised too.
+TRGM_NEEDLES = ("scan slow", "window sort", "quantum flux")
+
+
+def _trgm_sql(dialect: str) -> str:
+    """Trigram-index substring search (the pg_trgm plan shape): docs
+    whose text contains EVERY character trigram of the needle are the
+    index candidates; instr() is the exact truth. The contract hashed
+    per needle: candidates ⊇ truth (n_missed = 0), false positives
+    counted honestly."""
+    needles = ", ".join(f"('{n}')" for n in TRGM_NEEDLES)
+    if dialect == "duckdb":
+        doc_tri = (
+            "SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, greatest(length(text) - 2, 0) + 1), "
+            "i -> substr(text, CAST(i AS INT), 3)))) AS tg FROM documents"
+        )
+        needle_tri = (
+            "SELECT needle, unnest(list_distinct(list_transform("
+            "range(1, greatest(length(needle) - 2, 0) + 1), "
+            "i -> substr(needle, CAST(i AS INT), 3)))) AS tg FROM needles"
+        )
+    else:
+        # Spark sequence(1, 0) DESCENDS — the CASE guard keeps empty
+        # inputs empty (registry determinism note).
+        doc_tri = (
+            "SELECT doc_id, explode(array_distinct(transform("
+            "CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2)"
+            " ELSE array() END, "
+            "i -> substr(text, i, 3)))) AS tg FROM documents"
+        )
+        needle_tri = (
+            "SELECT needle, explode(array_distinct(transform("
+            "CASE WHEN length(needle) >= 3"
+            " THEN sequence(1, length(needle) - 2) ELSE array() END, "
+            "i -> substr(needle, i, 3)))) AS tg FROM needles"
+        )
+    return f"""
+WITH needles AS (SELECT * FROM (VALUES {needles}) AS n(needle)),
+doc_tri AS ({doc_tri}),
+needle_tri AS ({needle_tri}),
+needle_size AS (
+  SELECT needle, COUNT(*) AS n_trigrams FROM needle_tri GROUP BY needle
+),
+cands AS (
+  SELECT t.needle, d.doc_id
+  FROM doc_tri d
+  JOIN needle_tri t ON t.tg = d.tg
+  GROUP BY t.needle, d.doc_id
+  HAVING COUNT(*) = (SELECT MAX(n_trigrams) FROM needle_size s
+                     WHERE s.needle = t.needle)
+),
+truth AS (
+  SELECT n.needle, d.doc_id
+  FROM documents d JOIN needles n ON instr(d.text, n.needle) > 0
+),
+per_needle AS (
+  SELECT c.needle,
+         COUNT(*) AS n_candidates,
+         COUNT(t.doc_id) AS n_verified
+  FROM cands c
+  LEFT JOIN truth t ON t.needle = c.needle AND t.doc_id = c.doc_id
+  GROUP BY c.needle
+),
+missed AS (
+  SELECT t.needle, COUNT(*) AS n_missed
+  FROM truth t
+  LEFT JOIN cands c ON c.needle = t.needle AND c.doc_id = t.doc_id
+  WHERE c.doc_id IS NULL
+  GROUP BY t.needle
+)
+SELECT s.needle, s.n_trigrams,
+       COALESCE(p.n_candidates, 0) AS n_candidates,
+       COALESCE(p.n_verified, 0) AS n_verified,
+       COALESCE(p.n_candidates, 0) - COALESCE(p.n_verified, 0)
+         AS n_false_pos,
+       COALESCE(m.n_missed, 0) AS n_missed
+FROM needle_size s
+LEFT JOIN per_needle p ON p.needle = s.needle
+LEFT JOIN missed m ON m.needle = s.needle
+ORDER BY s.needle
+"""
+
+
+@register(
+    "ta_trigram_index_search",
+    oracle=_trgm_sql("duckdb"),
+    description="trigram-index substring search (the pg_trgm plan):"
+    " candidate docs = those containing every character trigram of the"
+    " needle via an inverted trigram index join, exact instr() verifies"
+    " — per needle the candidate/verified/false-positive counts and the"
+    " hashed n_missed = 0 no-false-negative guarantee",
+    tags=("text", "search", "index", "audit"),
+)
+def ta_trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE '%needle%' cannot use a sorted index — the pg_trgm answer
+    is an inverted index on character trigrams: a doc can contain the
+    needle only if it contains every trigram of the needle, so the
+    search probes |needle|-2 index keys and intersects posting lists
+    (here: one (tg)-keyed join + a per-(needle,doc) count), then the
+    exact instr() check runs on candidates only. At 100 TB the index
+    is built once at ingest (doc_id, trigram) and the probe touches
+    only the needle's trigram keys — never a corpus regex scan. The
+    hashed contract: n_missed = 0 (trigram containment is NECESSARY
+    for substring match — no false negatives, ever), while
+    n_false_pos stays honest about precision. The absent needle
+    exercises the empty-result path through the same plan."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_trgm_sql("spark"))

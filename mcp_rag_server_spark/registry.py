@@ -201,8 +201,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (the dedup-rate curve at Jaccard 0.90/0.95/1.0 from ONE candidate
 # verification pass — the threshold-tuning readout), and
 # sim_cascade_rerank (binary-Hamming prefilter -> exact-cosine rerank
-# cascade with the brute-force recall audit hashed per row) — all
-# thirty-two locally
+# cascade with the brute-force recall audit hashed per row),
+# ta_kanonymity_audit (k<5 re-identification census over
+# (source, lang, length-bucket) quasi-identifiers at three
+# generalization levels from one GROUPING SETS pass),
+# ta_mojibake_detect (encoding-hygiene census — U+FFFD / C0 control /
+# Latin-1 double-encoding detectors over a deterministically
+# corruption-injected corpus), and ta_trigram_index_search (pg_trgm
+# substring-search plan: trigram inverted-index candidates vs exact
+# instr truth with the n_missed = 0 guarantee hashed) — all
+# thirty-five locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

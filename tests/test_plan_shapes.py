@@ -1443,3 +1443,34 @@ def test_threshold_sweep_verifies_candidates_once(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert 1 <= plan.count("array_intersect") <= 2, plan.count("array_intersect")
+
+
+def test_kanonymity_one_grouping_sets_pass(spark):
+    """ta_kanonymity_audit: all three generalization levels from ONE
+    Expand + aggregation — no join, no window, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ta_kanonymity_audit"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1
+
+
+def test_mojibake_scan_flag_count_no_join(spark):
+    """ta_mojibake_detect: scan → per-row flags → per-source partial
+    agg; no join, no window, no Python."""
+    plan = plan_string(q(spark, "ta_mojibake_detect"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_trigram_search_is_keyed_index_join(spark):
+    """ta_trigram_index_search: the candidate probe is an equality join
+    on the trigram key; the only nested-loop is the 3-row needle
+    broadcast (truth side + decorrelated HAVING) — never a cartesian
+    product, no Python."""
+    plan = plan_string(q(spark, "ta_trigram_index_search"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -78,7 +78,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_length_drift", "ev_power_mde", "ev_rolling_median",
          "rag_multi_query_fusion", "agg_ols_sufficient_stats",
          "ev_changepoint", "ev_theil_sen", "ev_forecast_backtest",
-         "dd_threshold_sweep", "sim_cascade_rerank"]
+         "dd_threshold_sweep", "sim_cascade_rerank",
+         "ta_kanonymity_audit", "ta_mojibake_detect",
+         "ta_trigram_index_search"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
