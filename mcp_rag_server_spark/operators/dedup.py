@@ -1935,3 +1935,166 @@ def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+#: The degree-stats graph keeps CROSS-source ≥0.9 edges (the
+#: same-source block that the CC family applies leaves ~1 edge on the
+#: fixture — a degenerate graph; probed before registration). Mirror
+#: sites ARE cross-source, so for STRUCTURE the unblocked graph is the
+#: right object anyway.
+_DEGREE_STATS_ORACLE = f"""
+WITH {_duckdb_minhash_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id AND ({_audit_band_or(N_BANDS)})
+),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+gpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.doc_a
+  JOIN t tb ON tb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+),
+dir_edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM gpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM gpairs
+),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM dir_edges GROUP BY u),
+node_stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(d) AS BIGINT) AS deg_total,
+         MAX(d) AS max_degree
+  FROM deg
+),
+edge_count AS (SELECT COUNT(*) AS n_edges FROM gpairs),
+ep AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM dir_edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(du AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(dv AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(du AS DECIMAL(19,0)) * du) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(dv AS DECIMAL(19,0)) * dv) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(du AS DECIMAL(19,0)) * dv) AS DOUBLE) AS sxy
+  FROM ep
+)
+SELECT ns.n_nodes,
+       ec.n_edges,
+       round(CAST(ns.deg_total AS DOUBLE) / ns.n_nodes, 6) AS mean_degree,
+       ns.max_degree,
+       round((m.n * m.sxy - m.sx * m.sy)
+             / NULLIF(sqrt(m.n * m.sxx - m.sx * m.sx)
+                      * sqrt(m.n * m.syy - m.sy * m.sy), 0), 6)
+         AS assortativity_r
+FROM node_stats ns CROSS JOIN edge_count ec CROSS JOIN m
+"""
+
+
+@register(
+    "dd_graph_degree_stats",
+    oracle=_DEGREE_STATS_ORACLE,
+    description="degree statistics + degree assortativity of the"
+    " near-dup graph: node/edge counts, mean and max degree, and the"
+    " Pearson correlation of endpoint degrees over both edge"
+    " orientations — does duplication cluster hub-to-hub or"
+    " hub-to-leaf, the structural readout that picks between"
+    " keep-canonical and cluster-cap strategies",
+    tags=("dedup", "graph", "stats"),
+)
+def dd_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity over the duplicate graph: r > 0
+    means heavy duplicators duplicate each other (template farms —
+    cluster-level dedup wins), r < 0 means hubs fan out to one-off
+    copies (mirror sites — keep-canonical wins). Both orientations of
+    each undirected edge enter the moment sums (the standard
+    excess-degree convention), degrees come from ONE aggregation over
+    the directed edge list, and endpoint degrees arrive by two keyed
+    joins of that (node, d) table — never a per-edge recount. Moments
+    are exact DECIMAL(19,0) integer sums (degree products can exceed
+    int64 at web scale) cast to double once; σ = 0 degenerates to
+    NULL via NULLIF in both engines. Edges are the UNBLOCKED ≥0.9
+    verified LSH candidates (cross-source kept: mirror-site structure
+    IS cross-source, and the same-source block leaves the fixture
+    graph degenerate), so the whole audit is candidate-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _lsh_candidate_pairs(docs)
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    ta_, tb_ = t.alias("ta"), t.alias("tb")
+    jac = F.size(
+        F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))
+    ).cast("double") / F.size(
+        F.array_union(F.col("ta.toks"), F.col("tb.toks"))
+    )
+    pairs = (
+        cands.join(ta_, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb_, F.col("tb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    dir_edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = dir_edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("d").alias("deg_total"),
+        F.max("d").alias("max_degree"),
+    )
+    edge_count = pairs.agg(F.count("*").alias("n_edges"))
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ep = (
+        dir_edges.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(
+            F.col("du.d").alias("edu"), F.col("dv.d").alias("edv")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = ep.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("edu")).cast("double").alias("sx"),
+        F.sum(dec("edv")).cast("double").alias("sy"),
+        F.sum(dec("edu") * F.col("edu")).cast("double").alias("sxx"),
+        F.sum(dec("edv") * F.col("edv")).cast("double").alias("syy"),
+        F.sum(dec("edu") * F.col("edv")).cast("double").alias("sxy"),
+    )
+    return (
+        node_stats.crossJoin(F.broadcast(edge_count))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.col("deg_total").cast("double") / F.col("n_nodes"), 6
+            ).alias("mean_degree"),
+            "max_degree",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.nullif(
+                    F.sqrt(
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    )
+                    * F.sqrt(
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("assortativity_r"),
+        )
+    )

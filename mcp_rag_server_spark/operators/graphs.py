@@ -189,3 +189,172 @@ def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pagerank").desc(), "event_type")
     )
+
+
+#: HITS (Kleinberg 1999) fixed iteration count. Two full hub/authority
+#: rounds; like PR_ITERS this keeps the loop SQL-expressible so the
+#: oracle replays it CTE-for-CTE.
+HITS_ITERS = 2
+
+
+def _hits_iter_sql(i: int) -> str:
+    """One unrolled HITS iteration: authority gather from hubs, L1
+    normalization, hub gather from authorities, L1 normalization. Every
+    per-edge product is rounded to 9 and decimal-summed (the PageRank
+    gather discipline), every normalization is one division by a
+    decimal-exact total."""
+    prev_h = f"h{i - 1}"
+    return f"""
+araw{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(round(h.score * e.w, 9) AS DECIMAL(19,9)))
+              AS DOUBLE) AS s
+  FROM ewn e JOIN {prev_h} h ON h.node = e.src
+  GROUP BY e.dst
+),
+anorm{i} AS (
+  SELECT CAST(SUM(CAST(round(s, 9) AS DECIMAL(19,9))) AS DOUBLE) AS t
+  FROM araw{i}
+),
+a{i} AS (
+  SELECT n.node, COALESCE(r.s, CAST(0 AS DOUBLE)) / an.t AS score
+  FROM nodes n CROSS JOIN anorm{i} an
+  LEFT JOIN araw{i} r ON r.node = n.node
+),
+hraw{i} AS (
+  SELECT e.src AS node,
+         CAST(SUM(CAST(round(a.score * e.w, 9) AS DECIMAL(19,9)))
+              AS DOUBLE) AS s
+  FROM ewn e JOIN a{i} a ON a.node = e.dst
+  GROUP BY e.src
+),
+hnorm{i} AS (
+  SELECT CAST(SUM(CAST(round(s, 9) AS DECIMAL(19,9))) AS DOUBLE) AS t
+  FROM hraw{i}
+),
+h{i} AS (
+  SELECT n.node, COALESCE(r.s, CAST(0 AS DOUBLE)) / hn.t AS score
+  FROM nodes n CROSS JOIN hnorm{i} hn
+  LEFT JOIN hraw{i} r ON r.node = n.node
+)"""
+
+
+_HITS_ORACLE = f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w
+  FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+),
+ewn AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM edges),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+h0 AS (SELECT node, CAST(1 AS DOUBLE) AS score FROM nodes),
+{",".join(_hits_iter_sql(i) for i in range(1, HITS_ITERS + 1))}
+SELECT a.node AS event_type,
+       round(a.score, 6) AS authority,
+       round(h.score, 6) AS hub
+FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node
+ORDER BY authority DESC, event_type
+"""
+
+
+@register(
+    "ev_hits_scores",
+    oracle=_HITS_ORACLE,
+    description="HITS hubs-and-authorities over the weighted event-type"
+    " transition graph: two unrolled mutual-reinforcement iterations"
+    " with L1 normalization — the second classical link-analysis"
+    " fixpoint beside PageRank, separating 'sends traffic to important"
+    " states' from 'receives it'",
+    tags=("events", "graph", "iterative", "hits"),
+)
+def ev_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank collapses importance to one number; HITS (Kleinberg
+    1999) keeps the two roles separate — a node's AUTHORITY is the
+    hub-weight flowing in, a node's HUB score is the authority it
+    points at — and the mutual recursion converges by alternating
+    gathers. Each half-iteration is the same scatter/gather shape as
+    ev_pagerank_types (one keyed join + one decimal-exact sum), plus
+    an L1 normalization whose total rides as a broadcast 1-row
+    aggregate. The edge table is localCheckpoint'd once; each score
+    table is checkpoint'd per half-step because BOTH the next gather
+    and its own normalization consume it — without truncation the
+    lazy plan doubles per half-step (2^(2·iters) subtree blowup),
+    the same lineage trap the determinism notes pin for .cache().
+    At 100 TB: scores shuffle by node key beside a pre-bucketed edge
+    table, identical to the PageRank layout argument."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ewn = (
+        trans.groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ewn.select(F.col("src").alias("node"))
+        .union(ewn.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _gather(score, edge_from, edge_to):
+        raw = (
+            ewn.join(
+                score.withColumnRenamed("node", edge_from), edge_from
+            )
+            .groupBy(F.col(edge_to).alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("score") * F.col("w"), 9).cast(
+                        "decimal(19,9)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        norm = raw.agg(
+            F.sum(F.round(F.col("s"), 9).cast("decimal(19,9)"))
+            .cast("double")
+            .alias("t")
+        )
+        return (
+            nodes.crossJoin(F.broadcast(norm))
+            .join(raw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast("double"))
+                    / F.col("t")
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = nodes.select("node", F.lit(1).cast("double").alias("score"))
+    for _ in range(HITS_ITERS):
+        auths = _gather(hubs, "src", "dst")
+        hubs = _gather(auths, "dst", "src")
+    return (
+        auths.withColumnRenamed("score", "authority")
+        .join(hubs.withColumnRenamed("score", "hub"), "node")
+        .select(
+            F.col("node").alias("event_type"),
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), "event_type")
+    )

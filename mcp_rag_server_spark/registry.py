@@ -209,8 +209,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # Latin-1 double-encoding detectors over a deterministically
 # corruption-injected corpus), and ta_trigram_index_search (pg_trgm
 # substring-search plan: trigram inverted-index candidates vs exact
-# instr truth with the n_missed = 0 guarantee hashed) — all
-# thirty-five locally
+# instr truth with the n_missed = 0 guarantee hashed), ev_hits_scores
+# (HITS hubs/authorities: two unrolled mutual-reinforcement rounds,
+# L1-normalized, per-half-step localCheckpoint against the 2^k lazy
+# blowup), and dd_graph_degree_stats (degree census + Newman
+# assortativity of the near-dup graph from decimal-exact endpoint
+# moments over the LSH-bounded edge list) — all
+# thirty-seven locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1474,3 +1474,23 @@ def test_trigram_search_is_keyed_index_join(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hits_lineage_truncated_per_half_step(spark):
+    """ev_hits_scores: every half-iteration is localCheckpoint'd (each
+    score table feeds BOTH its normalization and the next gather — an
+    un-truncated lazy plan doubles per half-step), so the final plan
+    reads checkpointed RDDs, never the 2^(2·iters) replayed subtree."""
+    plan = plan_string(q(spark, "ev_hits_scores"))
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("windowspecdefinition") == 0
+
+
+def test_degree_stats_keyed_joins_no_cartesian(spark):
+    """dd_graph_degree_stats: endpoint degrees come from keyed joins of
+    one (node, d) aggregate; the only cross joins are broadcast 1-row
+    summary composition — no cartesian, no Python."""
+    plan = plan_string(q(spark, "dd_graph_degree_stats"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -80,7 +80,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_changepoint", "ev_theil_sen", "ev_forecast_backtest",
          "dd_threshold_sweep", "sim_cascade_rerank",
          "ta_kanonymity_audit", "ta_mojibake_detect",
-         "ta_trigram_index_search"]
+         "ta_trigram_index_search", "ev_hits_scores",
+         "dd_graph_degree_stats"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
