@@ -2099,3 +2099,126 @@ def agg_ols_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem"
     )
     return spark.sql(_OLS_SQL)
+
+
+_MODE_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+),
+ranked AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty ASC) AS rnk,
+         CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS n_total
+  FROM counts
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rnk = 1 THEN qty END) AS mode_qty,
+       MAX(CASE WHEN rnk = 1 THEN n END) AS mode_count,
+       round(CAST(MAX(CASE WHEN rnk = 1 THEN n END) AS DOUBLE) * 100.0
+             / MAX(n_total), 6) AS mode_share_pct,
+       MAX(CASE WHEN rnk = 2 THEN qty END) AS second_mode_qty,
+       MAX(CASE WHEN rnk = 2 THEN n END) AS second_mode_count
+FROM ranked
+WHERE rnk <= 2
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_mode_per_group",
+    oracle=_MODE_SQL,
+    description="exact mode (and runner-up) of quantity per return flag"
+    " with an explicit count-DESC/value-ASC tie policy and the modal"
+    " share — the most-common-value statistic engines disagree on"
+    " tie-breaking about, pinned deterministic",
+    tags=("relational", "agg", "stats", "window"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native mode() is a portability trap: engines break frequency
+    ties differently (and some nondeterministically), so the mode here
+    is SPELLED as count + rank with a total (n DESC, qty ASC) order —
+    the same answer on any engine, any partitioning. The runner-up and
+    modal share ride the same window: share near 100% flags a
+    degenerate column (a constant in disguise), mode ≈ second flags a
+    contested one. Cost is one (flag, qty)-keyed partial-agg shuffle
+    — distinct-value-bounded, not row-bounded — plus a window over the
+    tiny counts table."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_MODE_SQL)
+
+
+_SKEWKURT_SQL = """
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS x
+  FROM lineitem
+),
+pows AS (
+  SELECT l_returnflag,
+         CAST(round(x, 6) AS DECIMAL(28,6)) AS x1,
+         CAST(round(x * x, 6) AS DECIMAL(28,6)) AS x2,
+         CAST(round(x * x * x, 6) AS DECIMAL(28,6)) AS x3,
+         CAST(round(x * x * x * x, 6) AS DECIMAL(28,6)) AS x4
+  FROM vals
+),
+sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(x3) AS DOUBLE) AS s3,
+         CAST(SUM(x4) AS DOUBLE) AS s4
+  FROM pows GROUP BY l_returnflag
+),
+cm AS (
+  SELECT l_returnflag, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n)
+           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM sums
+)
+SELECT l_returnflag, n,
+       round(mu, 6) AS mean_qty,
+       round(sqrt(m2), 6) AS stddev_pop,
+       round(m3 / NULLIF(sqrt(m2) * sqrt(m2) * sqrt(m2), 0), 6)
+         AS skewness,
+       round(m4 / NULLIF(m2 * m2, 0) - 3, 6) AS excess_kurtosis
+FROM cm
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle=_SKEWKURT_SQL,
+    description="exact population skewness and excess kurtosis per"
+    " return flag from one decimal-exact power-sum pass — the 3rd/4th"
+    " moments completing the agg_stats family, spelled from raw sums"
+    " because engines' built-ins disagree on bias correction",
+    tags=("relational", "agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's skewness()/kurtosis() are population moments, DuckDB's
+    are sample-bias-corrected — the SAME DATA hashes differently
+    through the built-ins, so the moments are spelled from raw power
+    sums instead (population convention, the one distribution-shape
+    screens want). Quantities are integer-valued, so x²..x⁴ are exact
+    in doubles; each power is rounded and DECIMAL(28,6)-summed
+    (order-independent), and every derived statistic is
+    fixed-operand-order double math — m2=0 degenerates to NULL via
+    NULLIF in both engines. One partial-agg shuffle on the group key;
+    skew/kurt of a 100 TB fact column costs exactly a grouped SUM."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_SKEWKURT_SQL)

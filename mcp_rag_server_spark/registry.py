@@ -214,8 +214,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # L1-normalized, per-half-step localCheckpoint against the 2^k lazy
 # blowup), and dd_graph_degree_stats (degree census + Newman
 # assortativity of the near-dup graph from decimal-exact endpoint
-# moments over the LSH-bounded edge list) — all
-# thirty-seven locally
+# moments over the LSH-bounded edge list), agg_mode_per_group (exact
+# mode + runner-up + modal share with the count-DESC/value-ASC tie
+# policy spelled out — native mode() tie-breaks differ per engine),
+# and agg_skew_kurtosis (population 3rd/4th moments from one
+# decimal-exact power-sum pass — built-in skewness/kurtosis disagree
+# on bias correction across engines) — all
+# thirty-nine locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1494,3 +1494,30 @@ def test_degree_stats_keyed_joins_no_cartesian(spark):
     plan = plan_string(q(spark, "dd_graph_degree_stats"))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mode_shuffles_on_distinct_values_not_rows(spark):
+    """agg_mode_per_group: one (flag, qty)-keyed partial aggregation
+    (map-side combine before the shuffle), then a window over the
+    counts table — no join, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "agg_mode_per_group"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(l_returnflag" in stripped
+
+
+def test_skew_kurtosis_single_moment_pass(spark):
+    """agg_skew_kurtosis: four power sums from ONE grouped aggregation,
+    statistics as derived expressions — no window, no join, no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "agg_skew_kurtosis"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
