@@ -2750,3 +2750,153 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded at any data volume."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BACKTEST_SQL)
+
+
+_RATIO_CI_SQL = """
+WITH peruser AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS v,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS u,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) AS sn,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS svv,
+         CAST(SUM(CAST(n AS BIGINT) * n) AS DOUBLE) AS snn,
+         CAST(SUM(CAST(n AS DECIMAL(19,4)) * v) AS DOUBLE) AS svn
+  FROM peruser GROUP BY event_type
+),
+iid AS (
+  SELECT event_type,
+         COUNT(*) AS ne,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           AS isv,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(19,4))
+                  * CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           AS isvv
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT event_type, u, n_events,
+         sv / sn AS r,
+         (svv - sv * sv / u) / (u - 1) AS var_v,
+         (snn - sn * sn / u) / (u - 1) AS var_n,
+         (svn - sv * sn / u) / (u - 1) AS cov_vn,
+         sn / u AS mean_n
+  FROM m
+),
+se AS (
+  SELECT event_type, u, n_events, r,
+         sqrt((var_v - 2 * r * cov_vn + r * r * var_n)
+              / (u * mean_n * mean_n)) AS se_cluster
+  FROM est
+)
+SELECT se.event_type, se.u AS n_users, se.n_events,
+       round(se.r, 6) AS ratio_value_per_event,
+       round(se.se_cluster, 6) AS se_cluster,
+       round(se.r - 1.96 * se.se_cluster, 6) AS ci_lo,
+       round(se.r + 1.96 * se.se_cluster, 6) AS ci_hi,
+       round(se.se_cluster
+             / NULLIF(sqrt(((i.isvv - i.isv * i.isv / i.ne) / (i.ne - 1))
+                           / i.ne), 0), 6) AS design_effect
+FROM se JOIN iid i ON i.event_type = se.event_type
+ORDER BY se.event_type
+"""
+
+
+@register(
+    "ev_ratio_metric_ci",
+    oracle=_RATIO_CI_SQL,
+    description="delta-method confidence interval for the ratio metric"
+    " value-per-event with USER-level clustering: per-type ratio,"
+    " cluster-robust SE, 95% CI, and the design effect vs the naive"
+    " iid SE — the unit-of-randomization correction every"
+    " per-user-randomized experiment needs before reading a"
+    " per-event metric",
+    tags=("events", "abtest", "stats", "ratio"),
+)
+def ev_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomize by USER, measure per EVENT, and the iid SE is a lie:
+    events within a user correlate, so the ratio metric R = Σv/Σn
+    needs the delta method over per-user cluster totals —
+    Var(R) ≈ (σ²_v − 2R·σ_vn + R²·σ²_n) / (U·n̄²) (Deng et al.,
+    KDD'17's ratio-metric form). Everything comes from one per-user
+    aggregation + one per-type moment pass, decimal-exact sums with
+    the int128-widened products, statistics as single derived
+    doubles. design_effect = SE_cluster / SE_iid — the factor by
+    which naive per-event analysis overstates precision, from a
+    per-type iid moment pass joined back (broadcast-sized). At 100 TB
+    every aggregation shuffles on bounded keys (type×user, then
+    type)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RATIO_CI_SQL)
+
+
+def _funnel_time_sql(dialect: str) -> str:
+    """Time-to-convert quantiles between funnel stages. Per user: the
+    FIRST timestamp of each stage; a conversion is a later first-next
+    after first-prev. Deltas are exact integer microseconds cast to
+    minutes once; quantiles via percentile / quantile_cont."""
+    pct = "percentile" if dialect == "spark" else "quantile_cont"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN {us}(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN {us}(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN {us}(ts) END)
+           AS t_purchase
+  FROM events GROUP BY user_id
+),
+deltas AS (
+  SELECT '0_view_to_click' AS step_pair,
+         CAST(t_click - t_view AS DOUBLE) / 60000000.0 AS mins
+  FROM firsts WHERE t_view IS NOT NULL AND t_click > t_view
+  UNION ALL
+  SELECT '1_click_to_purchase',
+         CAST(t_purchase - t_click AS DOUBLE) / 60000000.0
+  FROM firsts WHERE t_click IS NOT NULL AND t_purchase > t_click
+  UNION ALL
+  SELECT '2_view_to_purchase',
+         CAST(t_purchase - t_view AS DOUBLE) / 60000000.0
+  FROM firsts WHERE t_view IS NOT NULL AND t_purchase > t_view
+)
+SELECT step_pair,
+       COUNT(*) AS n_converted,
+       round({pct}(mins, 0.5), 4) AS p50_minutes,
+       round({pct}(mins, 0.9), 4) AS p90_minutes,
+       round(CAST(SUM(CAST(round(mins, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE) / COUNT(*), 4) AS mean_minutes
+FROM deltas
+GROUP BY step_pair
+ORDER BY step_pair
+"""
+
+
+@register(
+    "ev_funnel_time_quantiles",
+    oracle=_funnel_time_sql("duckdb"),
+    description="time-to-convert distribution per funnel step pair"
+    " (view→click, click→purchase, view→purchase): conversion counts"
+    " with exact p50/p90/mean minutes from first-touch timestamps —"
+    " ev_funnel says HOW MANY convert, this says HOW LONG they take",
+    tags=("events", "funnel", "stats", "timeseries"),
+)
+def ev_funnel_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion RATE hides latency: a funnel that converts in days
+    needs different retargeting than one converting in minutes. Per
+    user, each stage's FIRST timestamp comes from one conditional
+    min-agg pass (the ev_funnel shape); step deltas are exact integer
+    microsecond differences (strictly-later semantics, so instant or
+    out-of-order stage pairs don't count), and the p50/p90 are exact
+    continuous quantiles over identical doubles in both engines, with
+    the mean rounded-then-decimal-summed. One (user)-keyed shuffle +
+    one small quantile aggregation per step pair — user count scales,
+    the three-row output never does."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_funnel_time_sql("spark"))

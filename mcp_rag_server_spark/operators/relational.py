@@ -2222,3 +2222,81 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem"
     )
     return spark.sql(_SKEWKURT_SQL)
+
+
+def _winsor_sql(dialect: str) -> str:
+    """Winsorized / trimmed means per return flag: the 5th/95th
+    percentiles come from one grouped quantile pass joined back, then
+    clamp (winsorize) or exclude (trim). Spark percentile == DuckDB
+    quantile_cont on identical doubles."""
+    pct = "percentile" if dialect == "spark" else "quantile_cont"
+    arr = "array(0.05, 0.95)" if dialect == "spark" else "[0.05, 0.95]"
+    # 1-based element access: Spark [] is 0-based, DuckDB [] is 1-based
+    q1 = "element_at(qs, 1)" if dialect == "spark" else "qs[1]"
+    q2 = "element_at(qs, 2)" if dialect == "spark" else "qs[2]"
+    return f"""
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS x
+  FROM lineitem
+),
+bounds AS (
+  SELECT l_returnflag,
+         {q1} AS p05,
+         {q2} AS p95
+  FROM (SELECT l_returnflag,
+               {pct}(x, {arr}) AS qs
+        FROM vals GROUP BY l_returnflag)
+),
+clamped AS (
+  SELECT v.l_returnflag,
+         CAST(round(v.x, 4) AS DECIMAL(18,4)) AS x_raw,
+         CAST(round(CASE WHEN v.x < b.p05 THEN b.p05
+                         WHEN v.x > b.p95 THEN b.p95
+                         ELSE v.x END, 4) AS DECIMAL(18,4)) AS x_win,
+         CASE WHEN v.x < b.p05 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN v.x > b.p95 THEN 1 ELSE 0 END AS hi
+  FROM vals v JOIN bounds b ON b.l_returnflag = v.l_returnflag
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       round(CAST(SUM(x_raw) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       round(CAST(SUM(x_win) AS DOUBLE) / COUNT(*), 6) AS mean_winsorized,
+       round(CAST(SUM(CASE WHEN lo + hi = 0 THEN x_raw END) AS DOUBLE)
+             / COUNT(CASE WHEN lo + hi = 0 THEN 1 END), 6)
+         AS mean_trimmed_90,
+       CAST(SUM(lo) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(hi) AS BIGINT) AS n_clamped_hi
+FROM clamped
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle=_winsor_sql("duckdb"),
+    description="robust means per return flag: 5/95-winsorized and"
+    " 90%-trimmed means beside the raw mean, with clamp counts — the"
+    " outlier-resistant location estimates metric pipelines swap in"
+    " when a fat tail owns the plain average",
+    tags=("relational", "agg", "stats", "robust"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A heavy-tailed metric hands its mean to whichever row is
+    largest; winsorizing clamps the tails to the 5th/95th percentiles
+    (keeping mass) and trimming drops them (keeping only the middle
+    90%) — the two standard robust fixes, and the experimentation
+    default for revenue metrics (Tukey; widely used since). Exact
+    group quantiles come from ONE grouped ARRAY-percentile pass
+    (both cut points from a single value buffer, half the exact
+    aggregate's cost) whose
+    3-row result joins back broadcast-sized; clamped values are
+    rounded then decimal-summed so every mean is order-independent.
+    Two passes over the fact column total — at 100 TB the quantile
+    pass would swap to percentile_approx under the
+    agg_percentile_audit contract, same plan shape."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_winsor_sql("spark"))

@@ -219,8 +219,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # policy spelled out — native mode() tie-breaks differ per engine),
 # and agg_skew_kurtosis (population 3rd/4th moments from one
 # decimal-exact power-sum pass — built-in skewness/kurtosis disagree
-# on bias correction across engines) — all
-# thirty-nine locally
+# on bias correction across engines), ev_ratio_metric_ci
+# (delta-method CI for value-per-event with USER-level clustering +
+# the design effect vs the naive iid SE), agg_winsorized_mean
+# (5/95-winsorized and 90%-trimmed robust means from one
+# array-percentile pass), and ev_funnel_time_quantiles (p50/p90/mean
+# time-to-convert per funnel step pair from first-touch conditional
+# min-aggs) — all
+# forty-two locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

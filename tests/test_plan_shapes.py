@@ -1521,3 +1521,38 @@ def test_skew_kurtosis_single_moment_pass(spark):
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_ratio_ci_two_bounded_aggregations(spark):
+    """ev_ratio_metric_ci: per-user cluster totals then per-type
+    moments, iid moments joined back — no window, no cartesian, no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_ratio_metric_ci"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_winsorized_single_array_percentile_pass(spark):
+    """agg_winsorized_mean: BOTH cut points from one array-percentile
+    aggregate (one value buffer, not two), bounds joined back
+    broadcast-sized — no window, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "agg_winsorized_mean"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_time_one_user_keyed_pass(spark):
+    """ev_funnel_time_quantiles: stage firsts from one (user)-keyed
+    conditional min-agg; no join, no window, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_funnel_time_quantiles"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
