@@ -2098,3 +2098,96 @@ def dd_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity_r"),
         )
     )
+
+
+def _url_sql(dialect: str) -> str:
+    """URL canonicalization census. Raw URLs are synthesized
+    deterministically (page id = floor(doc_id/7) mod 13 — folded so
+    docs WITHIN a source collide onto ~13 pages regardless of how
+    doc_ids interleave across sources; probed non-degenerate —
+    decorated per doc_id residue with the classic
+    crawl-variant noise: uppercased host, utm tracking params, a
+    fragment, a trailing slash). Canonicalization lowercases the host,
+    strips the query's utm params, the fragment, and the trailing
+    slash. Dialect split: DuckDB string concat is ||, Spark concat()
+    keeps NULL-safety identical here (no NULL operands)."""
+    page = "(CAST(FLOOR(doc_id / 7.0) AS BIGINT) % 13)"
+    if dialect == "duckdb":
+        raw = (
+            f"'https://' || (CASE WHEN doc_id % 3 = 0 THEN upper(source)"
+            f" ELSE source END) || '.Example.COM/page/' || {page}"
+            " || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news'"
+            "      WHEN doc_id % 5 = 1 THEN '/'"
+            "      WHEN doc_id % 5 = 2 THEN '#section-2'"
+            "      ELSE '' END)"
+        )
+    else:
+        raw = (
+            "concat('https://',"
+            " CASE WHEN doc_id % 3 = 0 THEN upper(source)"
+            " ELSE source END,"
+            f" '.Example.COM/page/', CAST({page} AS STRING),"
+            " CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news'"
+            " WHEN doc_id % 5 = 1 THEN '/'"
+            " WHEN doc_id % 5 = 2 THEN '#section-2'"
+            " ELSE '' END)"
+        )
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return f"""
+WITH raw AS (
+  SELECT doc_id, source, {raw} AS url_raw FROM documents
+),
+canon AS (
+  SELECT doc_id, source, url_raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url_raw), '#[^#]*$', ''{g}),
+             '[?&]utm_[^?&#]*', ''{g}),
+           '/$', ''{g}) AS url_canonical
+  FROM raw
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url_raw) AS n_raw_urls,
+       COUNT(DISTINCT url_canonical) AS n_canonical_urls,
+       COUNT(DISTINCT url_raw) - COUNT(DISTINCT url_canonical)
+         AS n_variants_merged,
+       CAST(COUNT(*) AS BIGINT) - COUNT(DISTINCT url_canonical)
+         AS n_docs_removable,
+       round((CAST(COUNT(*) AS DOUBLE)
+              - COUNT(DISTINCT url_canonical)) * 100.0
+             / COUNT(*), 6) AS dedup_rate_pct
+FROM canon
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "dd_url_canonicalize",
+    oracle=_url_sql("duckdb"),
+    description="URL-canonicalization dedup census per source: host"
+    " lowercasing + utm-param / fragment / trailing-slash stripping"
+    " collapses crawl variants onto one canonical key — raw vs"
+    " canonical distinct counts and the dedup rate, the FIRST dedup"
+    " any web-crawl pipeline runs (before any content hash)",
+    tags=("dedup", "text", "ingest"),
+)
+def dd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontiers hand you the same page as Example.COM/x,
+    example.com/x/, example.com/x?utm_source=news, and
+    example.com/x#section — URL canonicalization (lowercase host,
+    strip tracking params, fragment, trailing slash) is the cheapest
+    dedup tier: a per-row string normalization + one distinct-count
+    per group, no content reads at all. Fixture docs carry no URL, so
+    raw URLs are SYNTHESIZED deterministically (page ids folded mod
+    13 so each source's docs land on ~13 shared pages, decorated per
+    doc_id residue — the
+    ta_pii_scrub injection discipline), which plants exactly the
+    variant classes the normalizer must merge. At 100 TB this is the
+    shape that removes ~⅓ of a crawl before any md5: scan →
+    normalize → hash-aggregate distinct on (source, canonical)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_url_sql("spark"))

@@ -225,8 +225,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (5/95-winsorized and 90%-trimmed robust means from one
 # array-percentile pass), and ev_funnel_time_quantiles (p50/p90/mean
 # time-to-convert per funnel step pair from first-touch conditional
-# min-aggs) — all
-# forty-two locally
+# min-aggs), mm_scene_cuts (video scene-cut census via narrow Arrow
+# mapInPandas frame-energy deltas, dyadic-exact vs the SQL twin, with
+# the half-away-rounding trap documented), and dd_url_canonicalize
+# (crawl URL canonicalization: host case / utm / fragment / slash
+# variants planted deterministically and merged, per-source dedup
+# rate) — all
+# forty-four locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1556,3 +1556,23 @@ def test_funnel_time_one_user_keyed_pass(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_scene_cuts_arrow_map_no_shuffle(spark):
+    """mm_scene_cuts: one narrow Arrow mapInPandas over the blob column
+    — no row-at-a-time Python, no shuffle before the census (only the
+    output sort's range exchange)."""
+    plan = plan_string(q(spark, "mm_scene_cuts"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    df = q(spark, "mm_scene_cuts")
+    assert count_exchanges(df) <= 1
+
+
+def test_url_canonicalize_no_join_no_python(spark):
+    """dd_url_canonicalize: per-row normalization + grouped distinct
+    counts — no join, no window, no Python."""
+    plan = plan_string(q(spark, "dd_url_canonicalize"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
