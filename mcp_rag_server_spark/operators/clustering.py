@@ -361,3 +361,222 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+#: Power-iteration count for the top principal component. Three
+#: iterations from the deterministic uniform start; like PR_ITERS /
+#: HITS_ITERS the fixed count keeps the loop SQL-expressible, and the
+#: numpy cross-check replays the SAME three iterations (algorithm
+#: replication, not convergence comparison).
+PC1_ITERS = 3
+PC1_DIM = 64
+
+#: Covariance-training sample bound: the PC1 covariance is estimated
+#: on the PC1_SAMPLE lowest-md5 vectors (deterministic across engines,
+#: runs, partitionings — the AUDIT_SAMPLE_ROWS discipline). The d×d
+#: moment pass costs sample·d² products, CONSTANT in corpus size —
+#: exactly how production quantizer/PCA training bounds itself (FAISS
+#: trains on samples); the fixture sf0.1 slice dropped from 17.9 s to
+#: ~4 s under the cap with no contract change.
+PC1_SAMPLE = 1024
+
+
+def _pc1_iter_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f"""
+w{i} AS (
+  SELECT c.i,
+         CAST(SUM(CAST(round(c.cov * v.x, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS wx
+  FROM cov c JOIN {prev} v ON v.i = c.j
+  GROUP BY c.i
+),
+n{i} AS (
+  SELECT sqrt(CAST(SUM(CAST(round(wx * wx, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE)) AS nrm
+  FROM w{i}
+),
+v{i} AS (
+  SELECT w.i, w.wx / n.nrm AS x FROM w{i} w CROSS JOIN n{i} n
+)"""
+
+
+_PC1_ORACLE = f"""
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('pc1:' || CAST(vec_id AS VARCHAR)) LIMIT {PC1_SAMPLE}
+),
+el AS (
+  SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM samp CROSS JOIN (SELECT unnest(range(1, {PC1_DIM} + 1)) AS i) u
+),
+nrow AS (SELECT COUNT(*) AS n FROM samp),
+mom2 AS (
+  SELECT a.i, b.i AS j,
+         CAST(SUM(CAST(round(a.x * b.x, 8) AS DECIMAL(28,8)))
+              AS DOUBLE) AS sij
+  FROM el a JOIN el b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+mom1 AS (
+  SELECT i, CAST(SUM(CAST(round(x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS si
+  FROM el GROUP BY i
+),
+cov AS (
+  SELECT m2.i, m2.j,
+         (m2.sij - ma.si * mb.si / nr.n) / (nr.n - 1) AS cov
+  FROM mom2 m2
+  JOIN mom1 ma ON ma.i = m2.i
+  JOIN mom1 mb ON mb.i = m2.j
+  CROSS JOIN nrow nr
+),
+tr AS (
+  SELECT CAST(SUM(CAST(round(cov, 9) AS DECIMAL(28,9))) AS DOUBLE) AS t
+  FROM cov WHERE i = j
+),
+v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS x FROM mom1),
+{",".join(_pc1_iter_sql(i) for i in range(1, PC1_ITERS + 1))}
+SELECT v.i AS dim,
+       round(v.x, 6) AS loading,
+       round(n.nrm, 4) AS lambda_est,
+       round(n.nrm / t.t, 6) AS explained_share
+FROM v{PC1_ITERS} v
+CROSS JOIN n{PC1_ITERS} n CROSS JOIN tr t
+ORDER BY v.i
+"""
+
+
+@register(
+    "sim_power_iteration_pc1",
+    oracle=_PC1_ORACLE,
+    description="top principal component of the embedding cloud via"
+    " three power iterations on the exact covariance matrix (one"
+    " dim-pair moment pass, matvec as a keyed join), with the"
+    " Rayleigh-norm eigenvalue estimate and explained-variance share"
+    " — the spectral readout behind PCA whitening, dimension-budget"
+    " and Matryoshka-truncation decisions",
+    tags=("similarity", "vector", "iterative", "stats"),
+)
+def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA at scale starts with exactly two distributed shapes: ONE
+    pass building the d×d covariance from dim-pair moments over a
+    BOUNDED deterministic sample (lowest-md5 vectors — quantizer/PCA
+    training on samples is the production norm, and it makes the
+    moment pass constant in corpus size; 4096 partial keys shuffle
+    regardless), then d×d-sized power
+    iterations (matvec = join on j + decimal-exact gather, L2
+    normalization from a broadcast 1-row norm) that never touch the
+    data again. Covariance rides the sufficient-statistics identity
+    (Sij − Si·Sj/n)/(n−1) like agg_ols_sufficient_stats; every
+    per-edge product is rounded-9 decimal-summed; the uniform 1/8
+    start vector is exactly dyadic. Only the COVARIANCE is
+    localCheckpoint'd: below it every iteration subtree is a
+    join+agg over 4096 checkpointed rows, so the ~2^iters lazy
+    replays cost microseconds while each eager checkpoint would cost
+    a scheduled job — the opposite trade from PageRank/HITS, where
+    the un-truncated subtree was the expensive part (measured: 10 s
+    of checkpoint jobs → ~2 s total without them). The fixed 3-iteration loop is
+    replayed term-for-term by the numpy cross-check in
+    test_reference_semantics — same start, same roundings — so the
+    implementation is verified against an independent matrix library,
+    while convergence quality is what lambda_est/explained_share
+    report honestly. At 100 TB: one corpus pass, then driver-free
+    64×64 algebra."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    samp = (
+        emb.orderBy(
+            F.md5(F.concat(F.lit("pc1:"), F.col("vec_id").cast("string")))
+        )
+        .limit(PC1_SAMPLE)
+        .select("vec_id", "embedding")
+        # a global limit lands on ONE partition — without this
+        # re-spread the whole sample·d² product pass runs as a single
+        # task (measured 9.4 s -> ~1.5 s at sf0.1); keying by vec_id
+        # also co-partitions the self-join below
+        .repartition(32, "vec_id")
+    )
+    el = samp.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    nrow = samp.agg(F.count("*").alias("n"))
+    a, b = el.alias("a"), el.alias("b")
+    mom2 = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.x") * F.col("b.x"), 8).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("sij")
+        )
+    )
+    mom1 = el.groupBy("i").agg(
+        F.sum(F.round(F.col("x"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("si")
+    )
+    ma = mom1.select(F.col("i").alias("mi"), F.col("si").alias("si_a"))
+    mb = mom1.select(F.col("i").alias("mj"), F.col("si").alias("si_b"))
+    cov = (
+        mom2.join(ma, F.col("mi") == F.col("i"))
+        .join(mb, F.col("mj") == F.col("j"))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sij") - F.col("si_a") * F.col("si_b") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round(F.col("cov"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("t")
+    )
+    v = cov.select("i").distinct().select(
+        "i", F.lit(0.125).cast("double").alias("x")
+    )
+    norm = None
+    for _ in range(PC1_ITERS):
+        w = (
+            cov.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("cov") * F.col("x"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                )
+                .cast("double")
+                .alias("wx")
+            )
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("wx") * F.col("wx"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("wx") / F.col("nrm")).alias("x")
+        )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").alias("dim"),
+            F.round("x", 6).alias("loading"),
+            F.round("nrm", 4).alias("lambda_est"),
+            F.round(F.col("nrm") / F.col("t"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )

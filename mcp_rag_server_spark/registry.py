@@ -230,8 +230,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # the half-away-rounding trap documented), and dd_url_canonicalize
 # (crawl URL canonicalization: host case / utm / fragment / slash
 # variants planted deterministically and merged, per-source dedup
-# rate) — all
-# forty-four locally
+# rate), sim_power_iteration_pc1 (top principal component via three
+# power iterations on a sample-bounded decimal-exact covariance —
+# numpy replays the identical iterations in test_reference_semantics),
+# and st_heavy_hitters (streaming top-3-per-type leaderboard
+# maintained by the exactly-once key-wise count merge) — all
+# forty-six locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

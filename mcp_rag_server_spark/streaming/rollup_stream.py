@@ -347,3 +347,112 @@ def st_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- streaming heavy-hitters leaderboard ---------------------------
+
+#: Leaderboard depth read from the maintained per-(type, user) counts.
+HH_TOP_K = 3
+
+
+def _hh_snapshot(batch: DataFrame) -> DataFrame:
+    """One micro-batch → (event_type, user_id) count partials."""
+    return batch.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _hh_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Key-wise count addition — associative, commutative,
+    split-invariant."""
+    return (
+        a.unionByName(b)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+@register(
+    "st_heavy_hitters",
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id ASC) AS rnk,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+  FROM counts
+)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n, rnk,
+       round(CAST(n AS DOUBLE) * 100.0 / n_total, 6) AS share_pct
+FROM ranked
+WHERE rnk <= {HH_TOP_K}
+ORDER BY event_type, rnk
+""",
+    description="STREAMING heavy-hitters leaderboard: per-(type, user)"
+    " counts maintained by the exactly-once key-wise merge across"
+    " micro-batches, read as top-3 users per type with traffic share"
+    " — hash-equal to the one-shot batch leaderboard because counts"
+    " are composable",
+    tags=("streaming", "events", "topk"),
+)
+def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live 'who is hammering the API' view: per-key counts are
+    the canonical composable partial, so the streamed state table
+    (merged one micro-batch at a time through the staged-swap +
+    batch_id high-water machinery) is split-invariant and the
+    leaderboard read off it hash-matches a from-scratch batch window.
+    State is O(active type×user keys) — at 100 TB the exact table
+    swaps for the Space-Saving/count-min tier whose error contract
+    agg_cm_sketch_audit registers; the leaderboard read (rank window
+    over per-type counts) is unchanged. Ties pin to user_id ASC so
+    the top-k is hash-deterministic."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_st_hh_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(N_SPLIT_FILES).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    tgt = os.path.join(base, "out", "hh_counts")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        apply_merge_batch(tgt, batch, batch_id, _hh_snapshot, _hh_merge)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = spark.read.parquet(tgt)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_total", F.sum("n").over(wt))
+        .filter(F.col("rnk") <= HH_TOP_K)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            "rnk",
+            F.round(
+                F.col("n").cast("double") * 100.0 / F.col("n_total"), 6
+            ).alias("share_pct"),
+        )
+        .orderBy("event_type", "rnk")
+    )

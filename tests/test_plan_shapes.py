@@ -1576,3 +1576,26 @@ def test_url_canonicalize_no_join_no_python(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_pc1_iterations_read_checkpointed_covariance(spark):
+    """sim_power_iteration_pc1: the final plan starts from the
+    localCheckpoint'd covariance (ExistingRDD) — the corpus-sized
+    moment pass happens once, never inside the iteration subtrees —
+    and stays JVM-side."""
+    plan = plan_string(q(spark, "sim_power_iteration_pc1"))
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_heavy_hitters_leaderboard_windows_are_keyed(spark):
+    """st_heavy_hitters: the leaderboard read over the maintained state
+    table uses event_type-partitioned windows only — no global window,
+    no Python."""
+    import re
+
+    plan = plan_string(q(spark, "st_heavy_hitters"))
+    assert "EvalPython" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    specs = re.findall(r"windowspecdefinition\(\w+", stripped)
+    assert specs and all(s.endswith("event_type") for s in specs), specs

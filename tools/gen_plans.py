@@ -84,7 +84,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "dd_graph_degree_stats", "agg_mode_per_group",
          "agg_skew_kurtosis", "ev_ratio_metric_ci",
          "agg_winsorized_mean", "ev_funnel_time_quantiles",
-         "mm_scene_cuts", "dd_url_canonicalize"]
+         "mm_scene_cuts", "dd_url_canonicalize",
+         "sim_power_iteration_pc1", "st_heavy_hitters"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
