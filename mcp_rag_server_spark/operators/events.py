@@ -2900,3 +2900,267 @@ def ev_funnel_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three-row output never does."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_funnel_time_sql("spark"))
+
+
+#: Centered trend window half-width (hours) for the decomposition.
+DECOMP_HALF_W = 12
+
+_DECOMP_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+trend AS (
+  SELECT event_type, h, v,
+         CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w AS tr,
+         CAST(EXTRACT(HOUR FROM h) AS INT) AS hod
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {DECOMP_HALF_W} PRECEDING
+                        AND {DECOMP_HALF_W} FOLLOWING)
+),
+detr AS (
+  SELECT event_type, h, hod,
+         CAST(v AS DOUBLE) AS vd,
+         CAST(round(CAST(v AS DOUBLE) - tr, 6) AS DECIMAL(18,6)) AS dt
+  FROM trend
+),
+seas AS (
+  SELECT event_type, h, vd, dt,
+         CAST(SUM(dt) OVER (PARTITION BY event_type, hod) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type, hod) AS s
+  FROM detr
+),
+parts AS (
+  SELECT event_type,
+         CAST(dt AS DOUBLE) AS dtd,
+         CAST(round(CAST(dt AS DOUBLE) - s, 6) AS DECIMAL(18,6)) AS resid,
+         CAST(round(vd - s, 6) AS DECIMAL(18,6)) AS deseas
+  FROM seas
+),
+moms AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(round(dtd, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sd1,
+         CAST(SUM(CAST(round(dtd * dtd, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sd2,
+         CAST(SUM(resid) AS DOUBLE) AS sr1,
+         CAST(SUM(CAST(round(CAST(resid AS DOUBLE)
+                             * CAST(resid AS DOUBLE), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sr2,
+         CAST(SUM(deseas) AS DOUBLE) AS ss1,
+         CAST(SUM(CAST(round(CAST(deseas AS DOUBLE)
+                             * CAST(deseas AS DOUBLE), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS ss2
+  FROM parts GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       round(GREATEST(0, 1 - (sr2 / n - (sr1 / n) * (sr1 / n))
+                         / NULLIF(sd2 / n - (sd1 / n) * (sd1 / n), 0)), 6)
+         AS seasonality_strength,
+       round(GREATEST(0, 1 - (sr2 / n - (sr1 / n) * (sr1 / n))
+                         / NULLIF(ss2 / n - (ss1 / n) * (ss1 / n), 0)), 6)
+         AS trend_strength
+FROM moms
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_seasonal_decompose",
+    oracle=_DECOMP_SQL,
+    description="additive time-series decomposition per event type:"
+    " centered 25h rolling-mean trend, hour-of-day seasonal component"
+    " of the detrended series, and the Hyndman seasonality/trend"
+    " strength scores from the residual variance — the STL-lite"
+    " readout that says whether a series is calendar-driven or"
+    " drifting",
+    tags=("events", "timeseries", "stats", "window"),
+)
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v = trend + seasonal + residual, each component a WINDOW, none
+    a model fit: the trend is a bounded centered ROWS frame (25 h — a
+    day-wide low-pass), the seasonal term is the per-(type, hour-of-
+    day) mean of the detrended series (a partitioned window, 24 groups
+    per type), and strength = 1 − Var(resid)/Var(detrended) (resp.
+    deseasonalized) is Hyndman's F_s/F_t score, clamped at 0. Every
+    component boundary rounds to 6 then decimal-sums, so the variance
+    moments hash exactly cross-engine. Both windows partition by
+    series key: at 100 TB this is two keyed shuffles, frame width and
+    24 hod groups constant. Spark executes the literal oracle text
+    (named WINDOW clause included — both engines support it)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_DECOMP_SQL)
+
+
+#: LTV curve age cutoffs (days since a user's first event).
+LTV_CUTOFFS = (0, 7, 14, 28)
+
+
+def _ltv_sql(dialect: str) -> str:
+    """Cohort LTV curve: users bucketed by first-seen week, cumulative
+    value per user at fixed age cutoffs. Day indices are exact integer
+    epoch-day arithmetic (no date-function dialect drift)."""
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    if dialect == "spark":
+        # stack() unpivots ONE evaluation of the wide aggregate; a
+        # UNION of per-cutoff selects re-inlines the whole CTE (and
+        # the events scan) once per branch — 4 fact scans, caught by
+        # the plan pin before ship.
+        stack_args = ", ".join(
+            f"{c}, ltv{c}" for c in LTV_CUTOFFS
+        )
+        branches = (
+            f"  SELECT cohort_week, n_users, age_days,"
+            f" cum_value_per_user\n"
+            f"  FROM wide LATERAL VIEW stack({len(LTV_CUTOFFS)},"
+            f" {stack_args}) AS age_days, cum_value_per_user"
+        )
+    else:
+        branches = "\n".join(
+            f"  SELECT cohort_week, n_users, {c} AS age_days,"
+            f" ltv{c} AS cum_value_per_user FROM wide\n  UNION ALL"
+            for c in LTV_CUTOFFS
+        ).rstrip()
+        if branches.endswith("UNION ALL"):
+            branches = branches[: -len("UNION ALL")]
+    sums = ",\n".join(
+        f"         round(CAST(SUM(CASE WHEN age_days <= {c} THEN v"
+        f" ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+        f" / COUNT(DISTINCT user_id), 6) AS ltv{c}"
+        for c in LTV_CUTOFFS
+    )
+    return f"""
+WITH days AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR({us}(ts) / 86400000000.0) AS BIGINT) AS day_idx,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS val
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, day_idx, val,
+         MIN(CASE WHEN event_type = 'purchase' THEN day_idx END)
+           OVER (PARTITION BY user_id) AS cohort_day
+  FROM days
+),
+aged AS (
+  SELECT user_id,
+         CAST(FLOOR(cohort_day / 7.0) AS BIGINT) AS cohort_week,
+         day_idx - cohort_day AS age_days,
+         val AS v
+  FROM cohorted
+  WHERE cohort_day IS NOT NULL AND day_idx >= cohort_day
+),
+wide AS (
+  SELECT cohort_week,
+         COUNT(DISTINCT user_id) AS n_users,
+{sums}
+  FROM aged GROUP BY cohort_week
+)
+SELECT cohort_week, n_users, age_days, cum_value_per_user
+FROM ({branches})
+ORDER BY cohort_week, age_days
+"""
+
+
+@register(
+    "ev_cohort_ltv_curve",
+    oracle=_ltv_sql("duckdb"),
+    description="payer-cohort LTV curve: per first-PURCHASE-week"
+    " cohort, average cumulative post-conversion value per payer at"
+    " ages 0/7/14/28 days — the growth-accounting triangle read as"
+    " curves, one conditional-sum pass then unpivoted",
+    tags=("events", "cohort", "timeseries", "agg"),
+)
+def ev_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_cohort_retention answers 'do they come back'; LTV answers
+    'what are they worth by age a' — the curve whose flattening point
+    sets payback windows. Cohorts anchor on each user's FIRST
+    PURCHASE (payer cohorts): the fixture's users are all active
+    from day one, so first-SEEN cohorts collapse to a single week
+    (probed), while conversion dates spread across the range — and
+    payer LTV is the number payback math actually uses. Cumulative-
+    at-cutoff needs no window over ages: each cutoff is a conditional
+    decimal sum in ONE grouped pass over (cohort_week), then the wide
+    row unpivots to curve points (a 4-branch union of the TINY
+    aggregate, not of the fact table). Day and week indices are
+    integer epoch arithmetic — date_trunc('week') anchors differ
+    across engines, FLOOR(day/7) cannot. One user-keyed window finds
+    the anchor, one grouped pass does the rest."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ltv_sql("spark"))
+
+
+#: Anomaly threshold (standard deviations from the baseline mean).
+SEAS_Z_THRESHOLD = 3.0
+
+_SEAS_ANOM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(EXTRACT(HOUR FROM date_trunc('hour', ts)) AS INT) AS hod,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT event_type, h, hod,
+         CAST(v AS DOUBLE) AS vd,
+         CAST(SUM(v) OVER ws AS DOUBLE) / COUNT(*) OVER ws AS mu_s,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) OVER ws AS DOUBLE)
+           / COUNT(*) OVER ws AS m2_s,
+         COUNT(*) OVER ws AS n_s,
+         CAST(SUM(v) OVER wg AS DOUBLE) / COUNT(*) OVER wg AS mu_g,
+         CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) OVER wg AS DOUBLE)
+           / COUNT(*) OVER wg AS m2_g
+  FROM hourly
+  WINDOW ws AS (PARTITION BY event_type, hod),
+         wg AS (PARTITION BY event_type)
+),
+z AS (
+  SELECT event_type, h, vd, n_s,
+         (vd - mu_s) / NULLIF(sqrt(m2_s - mu_s * mu_s), 0) AS z_seas,
+         (vd - mu_g) / NULLIF(sqrt(m2_g - mu_g * mu_g), 0) AS z_glob
+  FROM scored
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       COUNT(CASE WHEN abs(z_seas) > {SEAS_Z_THRESHOLD} THEN 1 END)
+         AS n_anomalies_seasonal,
+       COUNT(CASE WHEN abs(z_glob) > {SEAS_Z_THRESHOLD} THEN 1 END)
+         AS n_anomalies_global,
+       COUNT(CASE WHEN abs(z_seas) > {SEAS_Z_THRESHOLD}
+                   AND abs(z_glob) <= {SEAS_Z_THRESHOLD} THEN 1 END)
+         AS n_only_seasonal_catches,
+       round(MAX(abs(z_seas)), 4) AS max_abs_z_seasonal
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_anomaly_seasonal_zscore",
+    oracle=_SEAS_ANOM_SQL,
+    description="seasonality-aware anomaly census per event type: each"
+    " hour z-scored against its OWN (type, hour-of-day) baseline"
+    " beside the global-baseline count — the detector that catches a"
+    " quiet-hour spike the global σ absorbs, with the"
+    " only-seasonal-caught delta column proving the baseline matters",
+    tags=("events", "timeseries", "anomaly", "window", "stats"),
+)
+def ev_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 a.m. traffic doubling is an incident; 3 p.m. traffic at the
+    same absolute level is a Tuesday — anomaly baselines must
+    condition on the calendar. Each hour's z-score uses the mean/σ of
+    its OWN (type, hour-of-day) stratum (a partitioned window over
+    the hourly table — 24 strata per type, population σ from the
+    decimal-exact moment identity), with the global-baseline z
+    riding the same pass from a second named window; the census
+    column n_only_seasonal_catches counts hours flagged ONLY under
+    the seasonal baseline — the detector's value, hashed. Both
+    windows partition by bounded keys; series length is
+    calendar-bounded at any volume (the ev_rolling_median
+    argument)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SEAS_ANOM_SQL)

@@ -234,8 +234,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # power iterations on a sample-bounded decimal-exact covariance —
 # numpy replays the identical iterations in test_reference_semantics),
 # and st_heavy_hitters (streaming top-3-per-type leaderboard
-# maintained by the exactly-once key-wise count merge) — all
-# forty-six locally
+# maintained by the exactly-once key-wise count merge),
+# ev_seasonal_decompose (STL-lite trend/seasonal/residual split with
+# Hyndman strength scores), ev_cohort_ltv_curve (payer-cohort
+# cumulative-LTV curve at day cutoffs — stack() unpivot, one fact
+# scan), and ev_anomaly_seasonal_zscore (hour-of-day-conditioned
+# anomaly census with the only-seasonal-caught delta hashed) — all
+# forty-nine locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1599,3 +1599,46 @@ def test_heavy_hitters_leaderboard_windows_are_keyed(spark):
     stripped = re.sub(r"#\d+L?", "", plan)
     specs = re.findall(r"windowspecdefinition\(\w+", stripped)
     assert specs and all(s.endswith("event_type") for s in specs), specs
+
+
+def test_seasonal_decompose_windows_all_keyed(spark):
+    """ev_seasonal_decompose: trend frame and seasonal/global windows
+    all partition by event_type(+hod) — no unpartitioned window, no
+    join on the fact path, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_seasonal_decompose"))
+    assert "EvalPython" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    specs = re.findall(r"windowspecdefinition\(\w+", stripped)
+    assert specs and all(s.endswith("event_type") for s in specs), specs
+    assert "unboundedpreceding$(), unboundedfollowing$()" not in plan or (
+        "event_type" in stripped
+    )
+
+
+def test_ltv_unpivots_aggregate_not_facts(spark):
+    """ev_cohort_ltv_curve: the 4-branch age union reads the tiny
+    cohort aggregate, never the fact table — exactly one events scan
+    in the plan; the anchor window partitions by user."""
+    import re
+
+    plan = plan_string(q(spark, "ev_cohort_ltv_curve"))
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet]") <= 1
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(user_id" in stripped
+
+
+def test_seasonal_anomaly_windows_keyed(spark):
+    """ev_anomaly_seasonal_zscore: stratum and global baselines are
+    both keyed windows over the hourly table — no join, no Python, no
+    unpartitioned window."""
+    import re
+
+    plan = plan_string(q(spark, "ev_anomaly_seasonal_zscore"))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    stripped = re.sub(r"#\d+L?", "", plan)
+    specs = re.findall(r"windowspecdefinition\(\w+", stripped)
+    assert specs and all(s.endswith("event_type") for s in specs), specs

@@ -85,7 +85,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "agg_skew_kurtosis", "ev_ratio_metric_ci",
          "agg_winsorized_mean", "ev_funnel_time_quantiles",
          "mm_scene_cuts", "dd_url_canonicalize",
-         "sim_power_iteration_pc1", "st_heavy_hitters"]
+         "sim_power_iteration_pc1", "st_heavy_hitters",
+         "ev_seasonal_decompose", "ev_cohort_ltv_curve",
+         "ev_anomaly_seasonal_zscore"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
