@@ -1106,3 +1106,122 @@ def ingest_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("total_value"),
     )
     return good.unionByName(bad).orderBy("event_type")
+
+
+#: Snapshot-diff residues: v1 adds the %3==0 docs to v0; v2 deletes
+#: the %7==0 docs from v1.
+SD_ADD_MOD = 3
+SD_DEL_MOD = 7
+
+
+@register(
+    "ingest_snapshot_diff",
+    oracle=f"""
+WITH v0 AS (SELECT doc_id FROM documents WHERE doc_id % {SD_ADD_MOD} <> 0),
+v1 AS (SELECT doc_id FROM documents),
+v2 AS (SELECT doc_id FROM documents WHERE doc_id % {SD_DEL_MOD} <> 0)
+SELECT '0_to_1' AS version_pair,
+       (SELECT COUNT(*) FROM v1 WHERE doc_id NOT IN
+          (SELECT doc_id FROM v0)) AS n_added,
+       (SELECT COUNT(*) FROM v0 WHERE doc_id NOT IN
+          (SELECT doc_id FROM v1)) AS n_removed,
+       (SELECT COUNT(*) FROM v0 WHERE doc_id IN
+          (SELECT doc_id FROM v1)) AS n_common
+UNION ALL
+SELECT '1_to_2',
+       (SELECT COUNT(*) FROM v2 WHERE doc_id NOT IN
+          (SELECT doc_id FROM v1)),
+       (SELECT COUNT(*) FROM v1 WHERE doc_id NOT IN
+          (SELECT doc_id FROM v2)),
+       (SELECT COUNT(*) FROM v1 WHERE doc_id IN
+          (SELECT doc_id FROM v2))
+ORDER BY version_pair
+""",
+    description="snapshot diff over versioned manifests: three commits"
+    " (base, append, manifest-level delete) read back as-of each"
+    " version, adjacent versions diffed by keyed anti/semi joins into"
+    " added/removed/common row counts — the table_changes() /"
+    " incremental-consumer primitive of a lakehouse log",
+    tags=("ingest", "sources", "cdc", "join"),
+)
+def ingest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between snapshots is the question every
+    incremental consumer asks of a versioned table; with immutable
+    data files and per-version manifests, the answer is keyed
+    anti/semi joins between as-of reads — no log replay. Commit 0
+    writes the base file, commit 1 appends a delta file, commit 2
+    'deletes' by writing a manifest that lists base+delta MINUS a
+    tombstone residue filter (manifest-level delete: the data files
+    never change, ingest_mor_deletes' tomb-join is the row-level
+    variant). The DuckDB oracle derives each version from the same
+    residue algebra directly, so the hash verifies the manifest
+    machinery reconstructed exactly the right row sets — a reader
+    resolving from directory listing instead of manifests flips
+    n_added for 0→1. At scale added/removed are manifest-pruned
+    file-level diffs first, row-level joins only within changed
+    files."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_sd_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    f_base = os.path.join(base, "data_base")
+    f_delta = os.path.join(base, "data_delta")
+    docs.filter(F.col("doc_id") % SD_ADD_MOD != 0).select(
+        "doc_id"
+    ).coalesce(1).write.parquet(f_base)
+    docs.filter(F.col("doc_id") % SD_ADD_MOD == 0).select(
+        "doc_id"
+    ).coalesce(1).write.parquet(f_delta)
+    manifests = {
+        0: {"paths": [f_base], "delete_mod": None},
+        1: {"paths": [f_base, f_delta], "delete_mod": None},
+        2: {"paths": [f_base, f_delta], "delete_mod": SD_DEL_MOD},
+    }
+    import json
+
+    for v, m in manifests.items():
+        with open(
+            os.path.join(base, f"manifest_v{v}.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(m, fh)
+
+    def read_version(v: int) -> DataFrame:
+        with open(
+            os.path.join(base, f"manifest_v{v}.json"), encoding="utf-8"
+        ) as fh:
+            m = json.load(fh)
+        df = spark.read.parquet(*m["paths"])
+        if m["delete_mod"] is not None:
+            df = df.filter(F.col("doc_id") % m["delete_mod"] != 0)
+        return df
+
+    def diff(a: DataFrame, b: DataFrame, label: str) -> DataFrame:
+        added = b.join(a, "doc_id", "left_anti").agg(
+            F.count("*").alias("n_added")
+        )
+        removed = a.join(b, "doc_id", "left_anti").agg(
+            F.count("*").alias("n_removed")
+        )
+        common = a.join(b, "doc_id", "left_semi").agg(
+            F.count("*").alias("n_common")
+        )
+        return (
+            added.crossJoin(removed)
+            .crossJoin(common)
+            .select(
+                F.lit(label).alias("version_pair"),
+                "n_added",
+                "n_removed",
+                "n_common",
+            )
+        )
+
+    v0, v1, v2 = read_version(0), read_version(1), read_version(2)
+    return (
+        diff(v0, v1, "0_to_1")
+        .unionByName(diff(v1, v2, "1_to_2"))
+        .orderBy("version_pair")
+    )

@@ -780,3 +780,224 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Johnson-Lindenstrauss audit geometry: project 64 dims onto JL_K
+#: md5-derived ±1 hyperplanes (scaled 1/sqrt(JL_K)), measure pairwise
+#: squared-distance distortion over the JL_PAIR_SAMPLE lowest-md5
+#: vectors (bounded: the audit cost is sample², constant in corpus
+#: size — the AUDIT_SAMPLE_ROWS discipline).
+JL_K = 16
+JL_DIM = 64
+JL_PAIR_SAMPLE = 50
+JL_EPS = 0.5
+
+
+def _jl_oracle() -> str:
+    sign = (
+        "CASE WHEN CAST('0x' || substr(md5('jl:' || CAST(k AS VARCHAR)"
+        " || ':' || CAST(i AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('jls:' || CAST(vec_id AS VARCHAR)) LIMIT {JL_PAIR_SAMPLE}
+),
+el AS (
+  SELECT vec_id, u.i, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+  FROM samp CROSS JOIN (SELECT unnest(range(0, {JL_DIM})) AS i) u
+),
+r AS (
+  SELECT k, i, {sign} AS s
+  FROM (SELECT unnest(range(0, {JL_K})) AS k)
+  CROSS JOIN (SELECT unnest(range(0, {JL_DIM})) AS i)
+),
+proj AS (
+  SELECT e.vec_id, r.k,
+         CAST(SUM(CAST(round(r.s * e.x, 8) AS DECIMAL(28,8)))
+              AS DOUBLE) / sqrt({JL_K}) AS y
+  FROM el e JOIN r ON r.i = e.i
+  GROUP BY e.vec_id, r.k
+),
+prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+),
+od AS (
+  SELECT p.va, p.vb,
+         CAST(SUM(CAST(round((ea.x - eb.x) * (ea.x - eb.x), 8)
+                       AS DECIMAL(28,8))) AS DOUBLE) AS d2
+  FROM prs p
+  JOIN el ea ON ea.vec_id = p.va
+  JOIN el eb ON eb.vec_id = p.vb AND eb.i = ea.i
+  GROUP BY p.va, p.vb
+),
+pd AS (
+  SELECT p.va, p.vb,
+         CAST(SUM(CAST(round((pa.y - pb.y) * (pa.y - pb.y), 8)
+                       AS DECIMAL(28,8))) AS DOUBLE) AS d2
+  FROM prs p
+  JOIN proj pa ON pa.vec_id = p.va
+  JOIN proj pb ON pb.vec_id = p.vb AND pb.k = pa.k
+  GROUP BY p.va, p.vb
+),
+ratios AS (
+  SELECT CAST(round(pd.d2 / od.d2, 6) AS DECIMAL(18,6)) AS rr
+  FROM od JOIN pd ON pd.va = od.va AND pd.vb = od.vb
+  WHERE od.d2 > 0
+)
+SELECT {JL_K} AS k_dims,
+       COUNT(*) AS n_pairs,
+       round(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mean_ratio_sq,
+       round(CAST(MIN(rr) AS DOUBLE), 6) AS min_ratio_sq,
+       round(CAST(MAX(rr) AS DOUBLE), 6) AS max_ratio_sq,
+       round(CAST(COUNT(CASE WHEN abs(CAST(rr AS DOUBLE) - 1)
+                              <= {JL_EPS} THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS share_within_eps
+FROM ratios
+"""
+
+
+@register(
+    "sim_random_projection_jl",
+    oracle=_jl_oracle(),
+    description="Johnson-Lindenstrauss projection audit: 64 dims onto"
+    " 16 md5-derived ±1 hyperplanes (data-independent, train-free),"
+    " pairwise squared-distance distortion over a bounded sample —"
+    " mean/min/max ratio and the share inside the ±50% JL band, the"
+    " readout that says how much cheap dimension folding costs",
+    tags=("similarity", "vector", "quantization", "audit", "sampling"),
+)
+def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL lemma says a data-INDEPENDENT random projection roughly
+    preserves pairwise distances — no training pass, no codebook, a
+    sign matrix derived from md5 text (engine-identical, no RNG), so
+    unlike PCA/PQ it works before any data exists. The audit measures
+    what the lemma promises: squared-distance ratios over sample
+    pairs, distances computed RELATIONALLY (dim-keyed joins +
+    rounded-decimal sums — no array-fold ordering to trust), sample
+    and hyperplane counts constant in corpus size. At 16 dims for 64
+    the distortion is honest (k ≪ the 8/ε² lemma bound): the hashed
+    min/max/share columns are the evidence for choosing k, exactly
+    the sweep a production reducer runs before committing to a
+    projection width."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    samp = (
+        emb.orderBy(
+            F.md5(F.concat(F.lit("jls:"), F.col("vec_id").cast("string")))
+        )
+        .limit(JL_PAIR_SAMPLE)
+        .select("vec_id", "embedding")
+    )
+    el = samp.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    r = (
+        spark.range(JL_K)
+        .select(F.col("id").alias("k"))
+        .crossJoin(spark.range(JL_DIM).select(F.col("id").alias("i")))
+        .select(
+            "k",
+            "i",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("jl:"),
+                                F.col("k").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    proj = (
+        el.join(F.broadcast(r), "i")
+        .groupBy("vec_id", "k")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("s") * F.col("x"), 8).cast("decimal(28,8)")
+                ).cast("double")
+                / F.sqrt(F.lit(JL_K))
+            ).alias("y")
+        )
+    )
+    sa = samp.select(F.col("vec_id").alias("va"))
+    sb = samp.select(F.col("vec_id").alias("vb"))
+    prs = sa.join(F.broadcast(sb), F.col("va") < F.col("vb"))
+    ea = el.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
+    eb = el.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    od = (
+        prs.join(ea, "va")
+        .join(eb, ["vb", "i"])
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("od2")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("va"), "k", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("vb"), "k", F.col("y").alias("yb"))
+    pd_ = (
+        prs.join(pa, "va")
+        .join(pb, ["vb", "k"])
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("pd2")
+        )
+    )
+    ratios = (
+        od.join(pd_, ["va", "vb"])
+        .filter(F.col("od2") > 0)
+        .select(
+            F.round(F.col("pd2") / F.col("od2"), 6)
+            .cast("decimal(18,6)")
+            .alias("rr")
+        )
+    )
+    return ratios.agg(
+        F.lit(JL_K).alias("k_dims"),
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias(
+            "mean_ratio_sq"
+        ),
+        F.round(F.min("rr").cast("double"), 6).alias("min_ratio_sq"),
+        F.round(F.max("rr").cast("double"), 6).alias("max_ratio_sq"),
+        F.round(
+            F.count(
+                F.when(
+                    F.abs(F.col("rr").cast("double") - 1) <= JL_EPS, 1
+                )
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("share_within_eps"),
+    )

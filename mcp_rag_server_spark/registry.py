@@ -239,8 +239,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # Hyndman strength scores), ev_cohort_ltv_curve (payer-cohort
 # cumulative-LTV curve at day cutoffs — stack() unpivot, one fact
 # scan), and ev_anomaly_seasonal_zscore (hour-of-day-conditioned
-# anomaly census with the only-seasonal-caught delta hashed) — all
-# forty-nine locally
+# anomaly census with the only-seasonal-caught delta hashed),
+# ingest_snapshot_diff (three manifest commits — base / append /
+# manifest-level delete — diffed as-of-version by anti/semi joins:
+# the lakehouse table_changes() primitive), and
+# sim_random_projection_jl (Johnson-Lindenstrauss 64→16 ±1
+# projection with the pairwise distance-distortion audit over a
+# bounded sample — mean ratio ~0.99, share-in-band hashed) — all
+# fifty-one locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

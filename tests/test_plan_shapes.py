@@ -1642,3 +1642,22 @@ def test_seasonal_anomaly_windows_keyed(spark):
     stripped = re.sub(r"#\d+L?", "", plan)
     specs = re.findall(r"windowspecdefinition\(\w+", stripped)
     assert specs and all(s.endswith("event_type") for s in specs), specs
+
+
+def test_snapshot_diff_keyed_anti_semi_joins(spark):
+    """ingest_snapshot_diff: version diffs are keyed anti/semi joins
+    of manifest reads — no cartesian beyond the 1-row count
+    composition, no Python."""
+    plan = plan_string(q(spark, "ingest_snapshot_diff"))
+    assert "EvalPython" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_jl_audit_is_sample_bounded_relational(spark):
+    """sim_random_projection_jl: distances are dim-keyed joins +
+    decimal sums over the bounded sample; the sign matrix is a
+    broadcast build side — no cartesian, no Python, no window."""
+    plan = plan_string(q(spark, "sim_random_projection_jl"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

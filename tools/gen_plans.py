@@ -87,7 +87,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "mm_scene_cuts", "dd_url_canonicalize",
          "sim_power_iteration_pc1", "st_heavy_hitters",
          "ev_seasonal_decompose", "ev_cohort_ltv_curve",
-         "ev_anomaly_seasonal_zscore"]
+         "ev_anomaly_seasonal_zscore", "ingest_snapshot_diff",
+         "sim_random_projection_jl"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
