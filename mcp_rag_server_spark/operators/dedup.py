@@ -2191,3 +2191,90 @@ def dd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_url_sql("spark"))
+
+
+def _bbit_exprs(dialect: str) -> tuple[str, str]:
+    """(full-agreement, 1-bit-agreement) fractions over the mh0..mh7
+    signature pairs of a candidate pair (a., b. prefixed)."""
+    full = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+    bit = " + ".join(
+        f"(CASE WHEN a.mh{j} % 2 = b.mh{j} % 2 THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+    return (
+        f"CAST(({full}) AS DOUBLE) / {N_MINHASH}",
+        f"CAST(({bit}) AS DOUBLE) / {N_MINHASH}",
+    )
+
+
+_BBIT_ORACLE = (
+    f"WITH {_duckdb_minhash_cte()},\n"
+    f"""cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id AND ({_audit_band_or(N_BANDS)})
+)
+SELECT c.doc_a, c.doc_b,
+       round({_bbit_exprs('duckdb')[0]}, 6) AS est_full,
+       round(GREATEST(0.0, 2 * {_bbit_exprs('duckdb')[1]} - 1), 6)
+         AS est_1bit,
+       round(abs({_bbit_exprs('duckdb')[0]}
+             - GREATEST(0.0, 2 * {_bbit_exprs('duckdb')[1]} - 1)), 6)
+         AS abs_gap
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+)
+
+
+@register(
+    "dd_minhash_bbit_audit",
+    oracle=_BBIT_ORACLE,
+    description="b-bit minhash audit (Li & König, b=1): per LSH"
+    " candidate pair, the 1-bit-per-hash Jaccard estimator 2a−1"
+    " beside the full-signature agreement — what surviving on 1/32nd"
+    " of the sketch bytes costs, hashed pair by pair",
+    tags=("dedup", "minhash", "sketch", "audit"),
+)
+def dd_minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storing full 32-bit minhashes is optional: Li & König showed the
+    LOWEST BIT of each hash retains most of the signal — agreement a
+    over b=1 bits estimates J as 2a−1 (random bits agree half the
+    time; the clamp at 0 handles sub-coin-flip agreement). The audit
+    joins the existing signature table to itself over the banded
+    candidates only and compares the 1-bit estimator against the
+    full-signature agreement per pair — the storage-vs-accuracy
+    readout for scaling the dedup sketch store 32× down. Integer
+    parity checks and counts only; same candidate-bounded cost
+    argument as every sketch audit in the family."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _spark_minhash_sigs(docs)
+    cands = _lsh_candidate_pairs(docs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    full_expr, bit_expr = _bbit_exprs("spark")
+    return (
+        cands.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.expr(full_expr), 6).alias("est_full"),
+            F.round(
+                F.greatest(F.lit(0.0), 2 * F.expr(bit_expr) - 1), 6
+            ).alias("est_1bit"),
+            F.round(
+                F.abs(
+                    F.expr(full_expr)
+                    - F.greatest(F.lit(0.0), 2 * F.expr(bit_expr) - 1)
+                ),
+                6,
+            ).alias("abs_gap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -3164,3 +3164,58 @@ def ev_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SEAS_ANOM_SQL)
+
+
+_OVERLAP_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b,
+       sa.n AS n_a, sb.n AS n_b, i.n_both,
+       round(CAST(i.n_both AS DOUBLE)
+             / (sa.n + sb.n - i.n_both), 6) AS jaccard,
+       round(CAST(i.n_both AS DOUBLE)
+             / CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END, 6)
+         AS containment_min
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
+
+
+@register(
+    "ev_user_overlap_jaccard",
+    oracle=_OVERLAP_SQL,
+    description="audience-overlap matrix: for every event-type pair,"
+    " shared-user count, Jaccard, and min-containment from one"
+    " distinct-incidence self-join keyed on user — the"
+    " which-audiences-are-the-same-people readout behind funnel"
+    " design and sketch validation (the exact numbers"
+    " agg_kmv_distinct_audit's estimators approximate)",
+    tags=("events", "join", "stats", "agg"),
+)
+def ev_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap is the set-intersection question asked of
+    event streams: the distinct (type, user) incidence list self-joins
+    ON USER (the scalable key — a user belongs to ≤5 types, so the
+    join fans out by type count, never by user count), intersections
+    aggregate per type pair, and set sizes broadcast back. Jaccard
+    says how interchangeable two audiences are; min-containment says
+    whether the smaller one is a subset (funnel stages should be
+    nested; campaign audiences should not). All integer exact, output
+    bounded by types². At 100 TB this is the exact baseline the KMV
+    sketch path estimates when even the incidence list is too big to
+    self-join."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_OVERLAP_SQL)

@@ -2300,3 +2300,92 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem"
     )
     return spark.sql(_winsor_sql("spark"))
+
+
+#: Breadth milestones for the running-distinct census.
+RD_MILESTONES = (2, 3, 4, 5)
+
+
+def _running_distinct_sql(dialect: str) -> str:
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    tks = ",\n".join(
+        f"         MIN(CASE WHEN distinct_so_far >= {k} THEN ts END)"
+        f" AS t{k}" for k in RD_MILESTONES
+    )
+    if dialect == "spark":
+        stack_args = ", ".join(f"{k}, t{k}" for k in RD_MILESTONES)
+        unpivot = (
+            f"  SELECT user_id, t0, k, tk FROM per_user"
+            f" LATERAL VIEW stack({len(RD_MILESTONES)}, {stack_args})"
+            f" AS k, tk"
+        )
+    else:
+        unpivot = "\n  UNION ALL".join(
+            f"\n  SELECT user_id, t0, {k} AS k, t{k} AS tk FROM per_user"
+            for k in RD_MILESTONES
+        )
+    return f"""
+WITH firsts AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+),
+running AS (
+  SELECT user_id, ts,
+         SUM(is_first) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS distinct_so_far,
+         MIN(ts) OVER (PARTITION BY user_id) AS t0
+  FROM firsts
+),
+per_user AS (
+  SELECT user_id,
+{tks},
+         MIN(t0) AS t0
+  FROM running GROUP BY user_id
+),
+milestones AS (
+{unpivot}
+)
+SELECT k AS milestone_distinct_types,
+       COUNT(*) AS n_users,
+       COUNT(tk) AS n_reached,
+       round(CAST(SUM(CASE WHEN tk IS NOT NULL THEN
+                    CAST(round(({us}(tk) - {us}(t0))
+                               / 60000000.0, 4) AS DECIMAL(18,4))
+                  END) AS DOUBLE) / NULLIF(COUNT(tk), 0), 4)
+         AS mean_minutes_to_k
+FROM milestones
+GROUP BY k
+ORDER BY milestone_distinct_types
+"""
+
+
+@register(
+    "window_running_distinct",
+    oracle=_running_distinct_sql("duckdb"),
+    description="running COUNT(DISTINCT) as a window — the"
+    " first-occurrence-flag + prefix-sum rewrite of a frame neither"
+    " engine supports directly — read as the breadth-milestone curve:"
+    " users reaching 2/3/4/5 distinct event types and the mean"
+    " minutes to each milestone",
+    tags=("relational", "window", "events", "stats"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x) OVER (ORDER BY ts) is unsupported in Spark
+    AND DuckDB — the standard rewrite makes it two stacked windows:
+    flag each row that is the FIRST occurrence of its (user, type)
+    (a per-(user,type) row_number), then prefix-sum the flags per
+    user. Both windows share the user-keyed shuffle; the tie order
+    (ts, event_id) is total, so the running count is engine-exact.
+    The milestone unpivot is a stack() over the per-user aggregate
+    (the ev_cohort_ltv_curve lesson: a UNION of CTE selects re-scans
+    the facts per branch), and the curve read off it —
+    time-to-k-types — is the engagement-breadth readout product
+    analytics wants from this frame. Output is bounded by the
+    milestone list, never by users."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_running_distinct_sql("spark"))

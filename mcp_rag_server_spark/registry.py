@@ -245,8 +245,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # the lakehouse table_changes() primitive), and
 # sim_random_projection_jl (Johnson-Lindenstrauss 64→16 ±1
 # projection with the pairwise distance-distortion audit over a
-# bounded sample — mean ratio ~0.99, share-in-band hashed) — all
-# fifty-one locally
+# bounded sample — mean ratio ~0.99, share-in-band hashed),
+# window_running_distinct (running COUNT(DISTINCT) via the
+# first-occurrence-flag + prefix-sum rewrite, read as the
+# time-to-k-types milestone curve), ev_user_overlap_jaccard
+# (audience-overlap matrix: exact per-type-pair Jaccard /
+# containment from a user-keyed incidence self-join), and
+# dd_minhash_bbit_audit (Li-König b=1-bit minhash estimator vs the
+# full-signature agreement per banded candidate pair) — all
+# fifty-four locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1661,3 +1661,34 @@ def test_jl_audit_is_sample_bounded_relational(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_running_distinct_two_stacked_keyed_windows(spark):
+    """window_running_distinct: first-occurrence flag + prefix sum are
+    user-keyed windows sharing one shuffle; milestone unpivot is a
+    stack over the per-user aggregate — one events scan, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "window_running_distinct"))
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet]") <= 1
+    stripped = re.sub(r"#\d+L?", "", plan)
+    assert "windowspecdefinition(user_id" in stripped
+
+
+def test_overlap_self_join_keyed_on_user(spark):
+    """ev_user_overlap_jaccard: the incidence self-join keys on
+    user_id (equality join), sizes broadcast back — no cartesian, no
+    Python."""
+    plan = plan_string(q(spark, "ev_user_overlap_jaccard"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bbit_audit_candidate_bounded(spark):
+    """dd_minhash_bbit_audit: parity comparison joins signatures over
+    the banded candidates only — keyed joins, no cartesian, no
+    Python."""
+    plan = plan_string(q(spark, "dd_minhash_bbit_audit"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
