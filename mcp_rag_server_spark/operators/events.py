@@ -3219,3 +3219,98 @@ def ev_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_OVERLAP_SQL)
+
+
+#: Bootstrap resample count and the Poisson(1) inverse-CDF ladder
+#: (cumulative probabilities scaled to the md5 %10000 draw).
+BOOT_B = 16
+_POIS_LADDER = (
+    "CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1 WHEN u < 9197 THEN 2"
+    " WHEN u < 9810 THEN 3 WHEN u < 9963 THEN 4 ELSE 5 END"
+)
+
+
+def _bootstrap_sql(dialect: str) -> str:
+    """Deterministic Poisson bootstrap: each (event, resample) weight
+    is Poisson(1) quantized through ONE md5 draw (the RNG-free
+    discipline every sampler in the repo uses)."""
+    if dialect == "spark":
+        fold = (
+            "CAST(conv(substr(md5(concat('boot:', CAST(event_id AS STRING),"
+            " ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000"
+        )
+        bgen = f"LATERAL VIEW explode(sequence(1, {BOOT_B})) AS b"
+    else:
+        fold = (
+            "CAST('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)"
+            " || ':' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
+        )
+        bgen = f"CROSS JOIN (SELECT unnest(range(1, {BOOT_B} + 1)) AS b)"
+    return f"""
+WITH drawn AS (
+  SELECT event_type, b,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS v,
+         {_POIS_LADDER.replace("u", f"({fold})")} AS wgt
+  FROM events {bgen}
+),
+resample_means AS (
+  SELECT event_type, b,
+         CAST(round(CAST(SUM(wgt * v) AS DOUBLE)
+                    / NULLIF(SUM(wgt), 0), 6) AS DECIMAL(18,6)) AS m
+  FROM drawn GROUP BY event_type, b
+),
+boot AS (
+  SELECT event_type,
+         COUNT(*) AS n_resamples,
+         CAST(SUM(m) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(m AS DECIMAL(19,6)) * m) AS DOUBLE) AS s2
+  FROM resample_means GROUP BY event_type
+),
+point AS (
+  SELECT event_type,
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type,
+       round(p.mu, 6) AS point_mean,
+       b.n_resamples,
+       round(sqrt((b.s2 - b.s1 * b.s1 / b.n_resamples)
+                  / (b.n_resamples - 1)), 6) AS se_boot,
+       round(p.mu - 1.96 * sqrt((b.s2 - b.s1 * b.s1 / b.n_resamples)
+                                / (b.n_resamples - 1)), 6) AS ci_lo,
+       round(p.mu + 1.96 * sqrt((b.s2 - b.s1 * b.s1 / b.n_resamples)
+                                / (b.n_resamples - 1)), 6) AS ci_hi
+FROM point p JOIN boot b ON b.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
+@register(
+    "ev_bootstrap_ci",
+    oracle=_bootstrap_sql("duckdb"),
+    description="deterministic Poisson-bootstrap confidence interval"
+    " for the per-type mean value: 16 resamples whose weights are"
+    " Poisson(1) quantized from md5 draws (RNG-free, engine-exact),"
+    " bootstrap SE and normal-approximation CI — the"
+    " distribution-free uncertainty readout beside the delta-method"
+    " and t-test family",
+    tags=("events", "stats", "abtest", "sampling"),
+)
+def ev_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap (Chamandy et al., Google 2012) IS the
+    distributed bootstrap: resampling n rows with replacement needs
+    global coordination, but Poisson(1) per-row weights are i.i.d. —
+    each row draws its weight independently, so B resamples are one
+    flat map over the data. Here the draw is md5-quantized through
+    the Poisson inverse-CDF ladder (deterministic: same weights on
+    any engine, any partitioning — the repo's no-rand() rule), the
+    B=16 resample means ride rounded-decimal sums, and the SE/CI
+    derive from their exact moments. One B×-expanded pass + one
+    point pass; at 100 TB B scales the flat map linearly and nothing
+    else. Weighted-mean resamples approximate the studentized
+    bootstrap's simpler sibling honestly — se_boot here tracks the
+    delta-method SE where both apply, distribution-free where it
+    does not."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bootstrap_sql("spark"))

@@ -358,3 +358,152 @@ def ev_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("authority"), "event_type")
     )
+
+
+#: Absorption horizon steps reported by the conversion-odds readout.
+ABS_STEPS = (1, 3, 6)
+ABS_TARGET = "purchase"
+
+
+def _abs_iter_sql(i: int) -> str:
+    return f"""
+a{i} AS (
+  SELECT n.node,
+         CASE WHEN n.node = '{ABS_TARGET}' THEN CAST(1 AS DOUBLE)
+              ELSE COALESCE(s{i}.s, CAST(0 AS DOUBLE)) END AS p
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node,
+           CAST(SUM(CAST(round(e.w / e.wout * a.p, 9)
+                         AS DECIMAL(19,9))) AS DOUBLE) AS s
+    FROM ewn e JOIN a{i - 1} a ON a.node = e.dst
+    GROUP BY e.src
+  ) s{i} ON s{i}.node = n.node
+)"""
+
+
+_ABS_ORACLE = f"""
+WITH trans AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w
+  FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+),
+outw AS (
+  SELECT src, CAST(SUM(w) AS DOUBLE) AS wout FROM edges GROUP BY src
+),
+ewn AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) AS w, o.wout
+  FROM edges e JOIN outw o ON o.src = e.src
+  WHERE e.src <> '{ABS_TARGET}'
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+a0 AS (
+  SELECT node,
+         CASE WHEN node = '{ABS_TARGET}' THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS p
+  FROM nodes
+),
+{",".join(_abs_iter_sql(i) for i in range(1, max(ABS_STEPS) + 1))}
+SELECT a.node AS event_type,
+       {", ".join(f"round(s{k}.p, 6) AS p_within_{k}"
+                  for k in ABS_STEPS)}
+FROM nodes a
+{" ".join(f"JOIN a{k} s{k} ON s{k}.node = a.node" for k in ABS_STEPS)}
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_absorbing_conversion_prob",
+    oracle=_ABS_ORACLE,
+    description="absorbing-Markov conversion odds: probability of"
+    " reaching the purchase state within 1/3/6 transitions from each"
+    " starting state, by unrolled backward induction over the"
+    " transition matrix with purchase made absorbing — the"
+    " how-far-from-converting readout attribution models build on",
+    tags=("events", "graph", "iterative", "funnel"),
+)
+def ev_absorbing_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Make the target state ABSORBING (drop its out-edges, pin its
+    probability at 1) and the within-k conversion odds satisfy the
+    backward recursion a_k(s) = Σ_t P(s,t)·a_{k-1}(t) — each unrolled
+    step is one scatter/gather over the edge table, the
+    PageRank/HITS shape with the round-9 decimal gather. The edge
+    table and node list are localCheckpoint'd once (P is referenced
+    by every level — inlined CTEs would re-derive the window+groupBy
+    chain per step); six 5-row score tables ride the lazy chain.
+    Growing horizon separates funnel positions honestly: p_within_1
+    is the raw transition row, p_within_6 approaches the eventual
+    absorption odds. At 100 TB the state space is whatever the
+    vocabulary of states is — the per-step cost is |edges|, never
+    |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = trans.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("double").alias("wout")
+    )
+    ewn = (
+        edges.join(outw, "src")
+        .filter(F.col("src") != ABS_TARGET)
+        .select("src", "dst", F.col("w").cast("double").alias("w"), "wout")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = nodes.select(
+        "node",
+        F.when(F.col("node") == ABS_TARGET, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+    )
+    snapshots = {}
+    for k in range(1, max(ABS_STEPS) + 1):
+        gathered = (
+            ewn.join(
+                a.select(F.col("node").alias("dst"), "p"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("w") / F.col("wout") * F.col("p"), 9).cast(
+                        "decimal(19,9)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        a = nodes.join(gathered, "node", "left").select(
+            "node",
+            F.when(F.col("node") == ABS_TARGET, F.lit(1.0))
+            .otherwise(F.coalesce(F.col("s"), F.lit(0.0)))
+            .alias("p"),
+        )
+        if k in ABS_STEPS:
+            snapshots[k] = a.select(
+                "node", F.col("p").alias(f"p_within_{k}")
+            )
+    out = nodes
+    for k in ABS_STEPS:
+        out = out.join(snapshots[k], "node")
+    return out.select(
+        F.col("node").alias("event_type"),
+        *[F.round(f"p_within_{k}", 6).alias(f"p_within_{k}") for k in ABS_STEPS],
+    ).orderBy("event_type")

@@ -252,8 +252,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (audience-overlap matrix: exact per-type-pair Jaccard /
 # containment from a user-keyed incidence self-join), and
 # dd_minhash_bbit_audit (Li-König b=1-bit minhash estimator vs the
-# full-signature agreement per banded candidate pair) — all
-# fifty-four locally
+# full-signature agreement per banded candidate pair),
+# ev_absorbing_conversion_prob (absorbing-Markov within-k conversion
+# odds via unrolled backward induction over checkpointed edges), and
+# ev_bootstrap_ci (deterministic Poisson bootstrap: md5-quantized
+# Poisson(1) weights, 16 resamples, SE + normal CI) — all
+# fifty-six locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

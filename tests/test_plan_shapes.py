@@ -1692,3 +1692,26 @@ def test_bbit_audit_candidate_bounded(spark):
     plan = plan_string(q(spark, "dd_minhash_bbit_audit"))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_absorbing_markov_reads_checkpointed_edges(spark):
+    """ev_absorbing_conversion_prob: the backward recursion reads the
+    localCheckpoint'd edge/node tables (P referenced by every level —
+    inlined re-derivation would scan events per step) — one
+    ExistingRDD base, no Python."""
+    plan = plan_string(q(spark, "ev_absorbing_conversion_prob"))
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "events.parquet]" not in plan
+
+
+def test_bootstrap_is_flat_expansion_no_window(spark):
+    """ev_bootstrap_ci: the B resamples are one exploded flat map +
+    grouped sums — no window, no cartesian, no Python; one join
+    (point estimate to bootstrap moments)."""
+    import re
+
+    plan = plan_string(q(spark, "ev_bootstrap_ci"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
