@@ -2278,3 +2278,200 @@ def dd_minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Split fractions: md5 residue < 2 of 10 → test (20%).
+SPLIT_MOD = 10
+SPLIT_TEST_LT = 2
+
+#: Shared oracle fragment: the UNBLOCKED ≥0.9 near-dup pairs (the
+#: dd_graph_degree_stats graph) as gpairs(doc_a, doc_b).
+_DUCKDB_GPAIRS_CTE = f"""{_duckdb_minhash_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.doc_id < b.doc_id AND ({_audit_band_or(N_BANDS)})
+),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+gpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.doc_a
+  JOIN t tb ON tb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+)"""
+
+
+@register(
+    "ta_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_DUCKDB_GPAIRS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM gpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM gpairs
+),
+enodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM enodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+split AS (
+  SELECT doc_id, n_chars, component,
+         CASE WHEN CAST('0x' || substr(md5('split:'
+                || CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
+              % {SPLIT_MOD} < {SPLIT_TEST_LT}
+              THEN 'test' ELSE 'train' END AS part
+  FROM labeled
+),
+leak AS (
+  SELECT
+    COUNT(CASE WHEN sa.part <> sb.part THEN 1 END) AS n_cross_cluster,
+    COUNT(CASE WHEN (CAST('0x' || substr(md5('split:'
+             || CAST(p.doc_a AS VARCHAR)), 1, 8) AS BIGINT)
+             % {SPLIT_MOD} < {SPLIT_TEST_LT})
+          <> (CAST('0x' || substr(md5('split:'
+             || CAST(p.doc_b AS VARCHAR)), 1, 8) AS BIGINT)
+             % {SPLIT_MOD} < {SPLIT_TEST_LT}) THEN 1 END)
+      AS n_cross_naive
+  FROM gpairs p
+  JOIN split sa ON sa.doc_id = p.doc_a
+  JOIN split sb ON sb.doc_id = p.doc_b
+)
+SELECT s.part,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT s.component) AS n_components,
+       CAST(SUM(s.n_chars) AS BIGINT) AS total_chars,
+       l.n_cross_cluster AS leaked_edges_cluster_split,
+       l.n_cross_naive AS leaked_edges_naive_split
+FROM split s CROSS JOIN leak l
+GROUP BY s.part, l.n_cross_cluster, l.n_cross_naive
+ORDER BY s.part
+""",
+    description="leakage-safe train/test split: the 80/20 assignment"
+    " hashes the near-dup COMPONENT id, so duplicates never straddle"
+    " the split — per-part censuses plus the hashed proof"
+    " (cluster-split leaked edges = 0) beside the naive doc-hash"
+    " split's leak count — the eval-integrity gate training pipelines"
+    " run before measuring anything",
+    tags=("text", "training", "dedup", "sampling", "iterative"),
+)
+def ta_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An eval set contaminated by near-dups of training docs measures
+    memorization, not generalization — splits must assign by
+    duplicate CLUSTER, not by document. Components come from the same
+    star-contraction run as dd_connected_components over the
+    UNBLOCKED ≥0.9 graph; every doc hashes its component id through
+    the md5 split fold (singletons hash themselves — identical
+    assignment shape at any scale), and the leak audit joins the edge
+    list back against both assignments: the cluster split's crossing
+    count is ZERO BY CONSTRUCTION and hashed as proof, the naive
+    doc-hash split's count is the counterfactual showing what the
+    cluster assignment prevented. Costs: the CC run (candidate-
+    bounded) + one md5 per doc + an edge-sized audit join."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _lsh_candidate_pairs(docs)
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    ta_, tb_ = t.alias("ta"), t.alias("tb")
+    jac = F.size(
+        F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))
+    ).cast("double") / F.size(
+        F.array_union(F.col("ta.toks"), F.col("tb.toks"))
+    )
+    gpairs = (
+        cands.join(ta_, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb_, F.col("tb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.9)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = gpairs.select(
+        F.greatest("doc_a", "doc_b").alias("src"),
+        F.least("doc_a", "doc_b").alias("dst"),
+    )
+    labels, _ = star_contraction_components(edges)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(
+            labels.select(
+                F.col("id").alias("doc_id"), F.col("component").alias("comp")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+    def split_of(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % SPLIT_MOD
+            < SPLIT_TEST_LT
+        )
+
+    split = labeled.select(
+        "doc_id",
+        "n_chars",
+        "component",
+        F.when(split_of(F.col("component")), "test")
+        .otherwise("train")
+        .alias("part"),
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("part").alias("pa"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("part").alias("pb"))
+    leak = (
+        gpairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.when(F.col("pa") != F.col("pb"), 1)).alias(
+                "leaked_edges_cluster_split"
+            ),
+            F.count(
+                F.when(
+                    split_of(F.col("doc_a")) != split_of(F.col("doc_b")), 1
+                )
+            ).alias("leaked_edges_naive_split"),
+        )
+    )
+    return (
+        split.groupBy("part")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "part",
+            "n_docs",
+            "n_components",
+            "total_chars",
+            "leaked_edges_cluster_split",
+            "leaked_edges_naive_split",
+        )
+        .orderBy("part")
+    )

@@ -256,8 +256,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ev_absorbing_conversion_prob (absorbing-Markov within-k conversion
 # odds via unrolled backward induction over checkpointed edges), and
 # ev_bootstrap_ci (deterministic Poisson bootstrap: md5-quantized
-# Poisson(1) weights, 16 resamples, SE + normal CI) — all
-# fifty-six locally
+# Poisson(1) weights, 16 resamples, SE + normal CI),
+# ta_leakage_safe_split (train/test split hashed on the near-dup
+# COMPONENT id — zero cross-split duplicate edges hashed as proof,
+# naive doc-hash leak count as the counterfactual), and
+# sim_multiprobe_lsh (Lv et al. multi-probe: home/Hamming-1/
+# Hamming-2 probe tiers with candidates + recall@5 per tier) — all
+# fifty-eight locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1715,3 +1715,25 @@ def test_bootstrap_is_flat_expansion_no_window(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_leakage_split_is_component_hashed(spark):
+    """ta_leakage_safe_split: components from the checkpointed CC run,
+    split by md5 of the component id; the leak audit is an edge-sized
+    join — no cartesian beyond the broadcast 1-row audit, no
+    Python."""
+    plan = plan_string(q(spark, "ta_leakage_safe_split"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_multiprobe_codes_computed_once(spark):
+    """sim_multiprobe_lsh: the 512-term bucket expression lives in ONE
+    checkpointed codes table (inline CTE references re-evaluated it
+    per consumer); probes join on the bucket key — no cartesian
+    products on the data path, no Python."""
+    plan = plan_string(q(spark, "sim_multiprobe_lsh"))
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings.parquet]" not in plan

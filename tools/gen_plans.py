@@ -90,7 +90,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_anomaly_seasonal_zscore", "ingest_snapshot_diff",
          "sim_random_projection_jl", "window_running_distinct",
          "ev_user_overlap_jaccard", "dd_minhash_bbit_audit",
-         "ev_absorbing_conversion_prob", "ev_bootstrap_ci"]
+         "ev_absorbing_conversion_prob", "ev_bootstrap_ci",
+         "ta_leakage_safe_split", "sim_multiprobe_lsh"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
