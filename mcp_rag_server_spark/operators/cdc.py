@@ -123,3 +123,200 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "state")
     )
+
+
+#: IVM timeline split: the last quarter of the [min, max] event-time
+#: span is the delta batch; 'error' events retract (weight −1).
+IVM_NUM, IVM_DEN = 3, 4
+IVM_RETRACT_TYPE = "error"
+
+
+@register(
+    "ev_ivm_delta_rollup",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+tagged AS (
+  SELECT e.user_id,
+         CASE WHEN e.event_type = '{IVM_RETRACT_TYPE}' THEN -1 ELSE 1 END
+           AS sgn,
+         CAST(e.value AS DECIMAL(18,4)) AS dval,
+         (epoch_us(e.ts) >= b.lo + (b.hi - b.lo) * {IVM_NUM} // {IVM_DEN})
+           AS is_delta
+  FROM events e CROSS JOIN bounds b
+),
+base AS (
+  SELECT user_id, CAST(SUM(sgn) AS BIGINT) AS cnt, SUM(sgn * dval) AS val
+  FROM tagged WHERE NOT is_delta GROUP BY user_id
+),
+delta AS (
+  SELECT user_id, CAST(SUM(sgn) AS BIGINT) AS cnt, SUM(sgn * dval) AS val
+  FROM tagged WHERE is_delta GROUP BY user_id
+),
+merged AS (
+  SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+         COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS cnt,
+         COALESCE(b.val, 0) + COALESCE(d.val, 0) AS val,
+         (b.user_id IS NOT NULL) AS in_base,
+         (d.user_id IS NOT NULL) AS in_delta
+  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+),
+kept AS (SELECT * FROM merged WHERE cnt <> 0),
+recomputed AS (
+  SELECT user_id, CAST(SUM(sgn) AS BIGINT) AS cnt, SUM(sgn * dval) AS val
+  FROM tagged GROUP BY user_id HAVING SUM(sgn) <> 0
+),
+chk AS (
+  SELECT BOOL_AND(k.user_id IS NOT NULL AND r.user_id IS NOT NULL
+                  AND k.cnt = r.cnt AND k.val = r.val) AS matches_recompute
+  FROM kept k FULL OUTER JOIN recomputed r ON k.user_id = r.user_id
+)
+SELECT (SELECT COUNT(*) FROM base) AS n_base_groups,
+       (SELECT COUNT(*) FROM delta) AS n_delta_groups,
+       (SELECT COUNT(*) FROM merged WHERE in_delta AND NOT in_base)
+         AS n_new_groups,
+       (SELECT COUNT(*) FROM merged WHERE cnt = 0) AS n_dropped_groups,
+       (SELECT COUNT(*) FROM kept) AS n_final_groups,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM kept) AS total_events_net,
+       (SELECT CAST(SUM(val) AS DOUBLE) FROM kept) AS total_value_net,
+       (SELECT matches_recompute FROM chk) AS matches_recompute
+""",
+    description="incremental view maintenance: a per-user signed"
+    " count/sum rollup maintained from the materialized base state"
+    " plus ONLY the delta batch (last quarter of the timeline; 'error'"
+    " events retract), with drop-on-zero group deletion and the"
+    " merged-equals-full-recompute identity hashed beside the group"
+    " churn census — delta-sized work instead of a 100 TB recompute",
+    tags=("events", "cdc", "agg", "ivm"),
+)
+def ev_ivm_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance shape behind every materialized rollup: SUM and
+    COUNT are self-maintainable under inserts AND retractions (signed
+    multiplicity — 'error' rows carry weight −1, the compensating-
+    event convention of retraction streams), so the new view state is
+    old state FULL OUTER JOIN delta aggregate with coalesced
+    arithmetic, deleting groups whose signed count reaches zero — no
+    rescan of the base data. The hashed row carries the churn census
+    (new / dropped / final groups), the maintained totals (exact
+    decimal sums), and the identity boolean against a full recompute —
+    associativity guarantees it holds, and the audit pins that the
+    merge machinery (join keys, coalesce defaults, drop rule) actually
+    implements the algebra. At 100 TB the base aggregate is the stored
+    view keyed by group — the merge is a delta-sized shuffle joined
+    against it; the cutoff here is derived from the data (one bounds
+    pass) purely to make the fixture split deterministic, where a real
+    pipeline uses the batch boundary it already knows."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    tagged = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == IVM_RETRACT_TYPE, -1)
+            .otherwise(1)
+            .alias("sgn"),
+            F.col("value").cast("decimal(18,4)").alias("dval"),
+            (
+                F.unix_micros("ts")
+                >= F.col("lo")
+                + F.expr(f"(hi - lo) * {IVM_NUM} DIV {IVM_DEN}")
+            ).alias("is_delta"),
+        )
+    )
+
+    def signed_agg(df):
+        return df.groupBy("user_id").agg(
+            F.sum("sgn").cast("bigint").alias("cnt"),
+            F.sum(F.col("sgn") * F.col("dval")).alias("val"),
+        )
+
+    base = signed_agg(tagged.filter(~F.col("is_delta")))
+    delta = signed_agg(tagged.filter(F.col("is_delta")))
+    merged = (
+        base.select(
+            F.col("user_id"),
+            F.col("cnt").alias("cnt_b"),
+            F.col("val").alias("val_b"),
+        )
+        .join(
+            delta.select(
+                F.col("user_id"),
+                F.col("cnt").alias("cnt_d"),
+                F.col("val").alias("val_d"),
+            ),
+            "user_id",
+            "full",
+        )
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("cnt_b"), F.lit(0))
+                + F.coalesce(F.col("cnt_d"), F.lit(0))
+            ).alias("cnt"),
+            (
+                F.coalesce(F.col("val_b"), F.lit(0))
+                + F.coalesce(F.col("val_d"), F.lit(0))
+            ).alias("val"),
+            F.col("cnt_b").isNotNull().alias("in_base"),
+            F.col("cnt_d").isNotNull().alias("in_delta"),
+        )
+    )
+    kept = merged.filter(F.col("cnt") != 0)
+    recomputed = signed_agg(tagged).filter(F.col("cnt") != 0)
+    chk = (
+        kept.select(
+            "user_id",
+            F.col("cnt").alias("cnt_k"),
+            F.col("val").alias("val_k"),
+        )
+        .join(
+            recomputed.select(
+                "user_id",
+                F.col("cnt").alias("cnt_r"),
+                F.col("val").alias("val_r"),
+            ),
+            "user_id",
+            "full",
+        )
+        .agg(
+            F.bool_and(
+                F.col("cnt_k").isNotNull()
+                & F.col("cnt_r").isNotNull()
+                & (F.col("cnt_k") == F.col("cnt_r"))
+                & (F.col("val_k") == F.col("val_r"))
+            ).alias("matches_recompute")
+        )
+    )
+    base_n = base.agg(F.count("*").alias("n_base_groups"))
+    delta_n = delta.agg(F.count("*").alias("n_delta_groups"))
+    merged_n = merged.agg(
+        F.count(F.when(F.col("in_delta") & ~F.col("in_base"), 1)).alias(
+            "n_new_groups"
+        ),
+        F.count(F.when(F.col("cnt") == 0, 1)).alias("n_dropped_groups"),
+    )
+    kept_n = kept.agg(
+        F.count("*").alias("n_final_groups"),
+        F.sum("cnt").cast("bigint").alias("total_events_net"),
+        F.sum("val").cast("double").alias("total_value_net"),
+    )
+    return (
+        base_n.crossJoin(F.broadcast(delta_n))
+        .crossJoin(F.broadcast(merged_n))
+        .crossJoin(F.broadcast(kept_n))
+        .crossJoin(F.broadcast(chk))
+        .select(
+            "n_base_groups",
+            "n_delta_groups",
+            "n_new_groups",
+            "n_dropped_groups",
+            "n_final_groups",
+            "total_events_net",
+            "total_value_net",
+            "matches_recompute",
+        )
+    )

@@ -616,3 +616,224 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "rnk", "nbr_id", "score")
         .orderBy("vec_id", "rnk")
     )
+
+
+#: Greedy graph-search geometry: query vector, graph degree, beam
+#: width, unrolled hops, and the final k the recall curve is judged
+#: at. K/B/H chosen by a DuckDB grid probe (BENCH_NOTES): the curve
+#: must CLIMB on the fixture — K=6/B=16/H=4 reaches recall 0.6 where
+#: the label-blocked K=3/B=4 graph froze at 0.
+GS_QUERY_ID = 7
+GS_DEGREE = 6
+GS_BEAM = 16
+GS_HOPS = 4
+GS_TOP_K = 5
+
+
+def _duckdb_gs_cte() -> str:
+    """scored(vec_id, label, score vs the query) + adj(vec_id, nbr_id)
+    — a GLOBAL top-``GS_DEGREE`` cosine adjacency (graph ANN needs
+    edges that cross cluster boundaries; the label-blocked
+    ``sim_knn_graph`` adjacency strands the walk inside the entry's
+    block) under the same rounded-cosine score contract.
+    ``MATERIALIZED`` hints keep DuckDB from re-inlining each CTE per
+    consumer — the unrolled hop chain re-evaluates exponentially
+    without them (evaluation only; results identical)."""
+    cos_q = duckdb_cosine("e.embedding", "q.embedding")
+    cos_ab = duckdb_cosine("a.embedding", "b.embedding")
+    return f"""q AS (SELECT embedding FROM embeddings WHERE vec_id = {GS_QUERY_ID}),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, e.label, round({cos_q}, 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {GS_QUERY_ID}
+),
+adj AS MATERIALIZED (
+  SELECT vec_id, nbr_id FROM (
+    SELECT a.vec_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_ab}, 4) DESC,
+                                       b.vec_id) AS rnk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ) r WHERE rnk <= {GS_DEGREE}
+)"""
+
+
+def _gs_oracle() -> str:
+    """Unrolled greedy beam search as chained CTEs: v0 = the per-label
+    entry points, then hop i expands the global top-``GS_BEAM`` beam's
+    adjacency rows and unions the newly visited scores."""
+    parts = [f"WITH {_duckdb_gs_cte()},",
+             "ent AS (SELECT MIN(vec_id) AS vec_id FROM scored"
+             " GROUP BY label),",
+             "v0 AS MATERIALIZED (SELECT s.vec_id, s.score FROM scored s"
+             " JOIN ent e ON e.vec_id = s.vec_id)"]
+    for i in range(1, GS_HOPS + 1):
+        parts.append(f""",
+b{i - 1} AS (SELECT vec_id FROM v{i - 1}
+             ORDER BY score DESC, vec_id LIMIT {GS_BEAM}),
+e{i} AS (
+  SELECT DISTINCT a.nbr_id AS vec_id
+  FROM adj a JOIN b{i - 1} b ON a.vec_id = b.vec_id
+  WHERE a.nbr_id NOT IN (SELECT vec_id FROM v{i - 1})
+),
+v{i} AS MATERIALIZED (
+  SELECT vec_id, score FROM v{i - 1}
+  UNION ALL
+  SELECT s.vec_id, s.score FROM scored s JOIN e{i} x ON x.vec_id = s.vec_id
+)""")
+    parts.append(f""",
+exact_top AS (SELECT vec_id FROM scored
+              ORDER BY score DESC, vec_id LIMIT {GS_TOP_K})""")
+    hop_rows = []
+    for i in range(GS_HOPS + 1):
+        hop_rows.append(f"""SELECT {i} AS hop,
+  (SELECT COUNT(*) FROM v{i}) AS n_visited,
+  (SELECT vec_id FROM v{i} ORDER BY score DESC, vec_id LIMIT 1) AS best_id,
+  (SELECT MAX(score) FROM v{i}) AS best_score,
+  (SELECT round(COUNT(*) / CAST({GS_TOP_K} AS DOUBLE), 4)
+   FROM (SELECT vec_id FROM v{i}
+         ORDER BY score DESC, vec_id LIMIT {GS_TOP_K}) t
+   JOIN exact_top x ON x.vec_id = t.vec_id) AS recall_at_k""")
+    return ("".join(parts) + "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(hop_rows) + "\n) hops ORDER BY hop")
+
+
+@register(
+    "sim_graph_greedy_search",
+    oracle=_gs_oracle(),
+    description="greedy beam search over the k-NN graph (the"
+    " HNSW/DiskANN search layer): per-label entry points, global"
+    f" beam-{GS_BEAM} frontier over a degree-{GS_DEGREE} graph,"
+    f" {GS_HOPS} unrolled hops — visited count, best hit, and"
+    " recall@5 vs brute force hashed per hop as the convergence curve",
+    tags=("similarity", "vector", "graph", "topk", "iterative"),
+)
+def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN answers a query by WALKING the k-NN graph (Malkov &
+    Yashunin's HNSW, DiskANN's Vamana), not by scanning the corpus:
+    start at entry points, repeatedly expand the best unvisited
+    neighbors. Unrolled here as ``GS_HOPS`` rounds over a GLOBAL
+    top-``GS_DEGREE`` cosine adjacency (a DuckDB grid probe showed the
+    label-blocked ``sim_knn_graph`` graph strands the walk inside the
+    entry's block — recall froze at 0; global edges at K=6/B=16 climb
+    to 0.6 on this near-isotropic fixture, the honest ceiling of
+    greedy search when the space has no cluster structure to follow):
+    beam = global top-``GS_BEAM`` of the visited set, expand = the
+    beam's adjacency rows minus visited, score only the newly visited
+    nodes. The hashed output is the per-hop convergence curve
+    (n_visited, best hit, recall@5 against the exact top-5) — the
+    visited count growing ~beam·k per hop while recall climbs is
+    exactly the sub-linear-probes contract graph indexes sell.
+
+    Scale shape: each hop is one inner join of a beam-sized key list
+    against the adjacency table (node-id-keyed point lookups at 100 TB
+    — the graph is partitioned by node id, so a hop reads |beam|
+    partitions) plus an anti-join against the visited set; nothing
+    rescans the corpus. The full scored table exists here only because
+    the audit needs the brute-force judge; the walk itself touches
+    ≤ entries + hops·beam·k score lookups. Per-hop localCheckpoints
+    keep the unrolled plan linear in hops (the inline-CTE lesson of
+    sim_multiprobe_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == GS_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != GS_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            cosine_score("embedding", "q_emb").alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ea = emb.select("vec_id", "embedding").repartition("vec_id")
+    eb = emb.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")
+    )
+    half = (
+        ea.join(F.broadcast(eb), F.col("vec_id") < F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            cosine_score("embedding", "emb_b").alias("nscore"),
+        )
+        .cache()
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("nbr_id").alias("vec_id"),
+            F.col("vec_id").alias("nbr_id"),
+            "nscore",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("nscore"), F.asc("nbr_id"))
+    adj = (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GS_DEGREE)
+        .select("vec_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    entries = scored.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    visited = scored.join(entries.select("vec_id"), "vec_id").select(
+        "vec_id", "score"
+    ).localCheckpoint(eager=True)
+    exact_top = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(GS_TOP_K)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def hop_summary(i: int, vis: DataFrame) -> DataFrame:
+        best = (
+            vis.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.col("vec_id").alias("best_id"))
+        )
+        stats = vis.agg(
+            F.count("*").alias("n_visited"),
+            F.max("score").alias("best_score"),
+        )
+        recall = (
+            vis.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(GS_TOP_K)
+            .select("vec_id")
+            .join(exact_top, "vec_id")
+            .agg(
+                F.round(
+                    F.count("*") / F.lit(float(GS_TOP_K)), 4
+                ).alias("recall_at_k")
+            )
+        )
+        return (
+            stats.crossJoin(F.broadcast(best))
+            .crossJoin(F.broadcast(recall))
+            .select(
+                F.lit(i).alias("hop"),
+                "n_visited",
+                "best_id",
+                "best_score",
+                "recall_at_k",
+            )
+        )
+
+    out = hop_summary(0, visited)
+    for i in range(1, GS_HOPS + 1):
+        beam = (
+            visited.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(GS_BEAM)
+            .select("vec_id")
+        )
+        expand = (
+            adj.join(beam, "vec_id")
+            .select(F.col("nbr_id").alias("vec_id"))
+            .distinct()
+            .join(visited, "vec_id", "left_anti")
+        )
+        visited = visited.unionByName(
+            scored.join(expand, "vec_id").select("vec_id", "score")
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(hop_summary(i, visited))
+    return out.orderBy("hop")

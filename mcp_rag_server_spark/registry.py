@@ -261,8 +261,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # COMPONENT id — zero cross-split duplicate edges hashed as proof,
 # naive doc-hash leak count as the counterfactual), and
 # sim_multiprobe_lsh (Lv et al. multi-probe: home/Hamming-1/
-# Hamming-2 probe tiers with candidates + recall@5 per tier) — all
-# fifty-eight locally
+# Hamming-2 probe tiers with candidates + recall@5 per tier),
+# sim_graph_greedy_search (the HNSW/DiskANN search layer: unrolled
+# greedy beam search over a global degree-6 k-NN graph, per-hop
+# visited/recall@5 convergence curve hashed), and
+# ev_ivm_delta_rollup (incremental view maintenance: signed
+# count/sum rollup maintained from base state + delta batch only,
+# drop-on-zero deletion, merged-equals-recompute identity hashed) —
+# all sixty locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

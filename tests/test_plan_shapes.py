@@ -1737,3 +1737,25 @@ def test_multiprobe_codes_computed_once(spark):
     assert "EvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert "embeddings.parquet]" not in plan
+
+
+def test_greedy_search_walks_checkpointed_graph(spark):
+    """sim_graph_greedy_search: the walk runs over the checkpointed
+    scored/adjacency tables — per-hop beam joins, no corpus rescans
+    (no parquet scan survives in the final plan), no Python."""
+    plan = plan_string(q(spark, "sim_graph_greedy_search"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings.parquet]" not in plan
+
+
+def test_ivm_merge_is_full_outer_no_rescan(spark):
+    """ev_ivm_delta_rollup: the maintenance merge is a FULL OUTER join
+    of base state vs delta aggregate (coalesced arithmetic), summary
+    scalars ride the broadcast lane — no Python, no cartesian
+    product."""
+    plan = plan_string(q(spark, "ev_ivm_delta_rollup"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
