@@ -3314,3 +3314,110 @@ def ev_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bootstrap_sql("spark"))
+
+
+def _cuped_sql() -> str:
+    """CUPED variance reduction from one sufficient-statistics pass.
+    Per-user pre/post sums are exact decimals; cross moments widen one
+    operand to DECIMAL(19,4) (int128 path); every derived statistic is
+    a double of near-exact mantissas rounded once at output (theta 6,
+    variances 2, estimates 6 — the transcendental-free analogue of the
+    rounding discipline)."""
+    return """
+WITH bounds AS (
+  SELECT MIN({epoch}(ts)) AS lo, MAX({epoch}(ts)) AS hi FROM events
+),
+per_user AS (
+  SELECT user_id,
+         {arm} AS arm,
+         COALESCE(CAST(SUM(CASE WHEN is_pre THEN dval END)
+                       AS DECIMAL(18,4)), 0) AS pre,
+         COALESCE(CAST(SUM(CASE WHEN NOT is_pre THEN dval END)
+                       AS DECIMAL(18,4)), 0) AS post
+  FROM (SELECT e.user_id, CAST(e.value AS DECIMAL(18,4)) AS dval,
+               ({epoch}(e.ts) < b.lo + (b.hi - b.lo) {div} 2) AS is_pre
+        FROM events e CROSS JOIN bounds b) t
+  GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre) AS DOUBLE) AS s_pre,
+         CAST(SUM(post) AS DOUBLE) AS s_post,
+         CAST(SUM(pre * CAST(pre AS DECIMAL(19,4))) AS DOUBLE) AS s_pre2,
+         CAST(SUM(post * CAST(post AS DECIMAL(19,4))) AS DOUBLE) AS s_post2,
+         CAST(SUM(pre * CAST(post AS DECIMAL(19,4))) AS DOUBLE) AS s_prepost,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN arm = 'B' THEN pre END) AS DOUBLE) AS s_pre_t,
+         CAST(SUM(CASE WHEN arm = 'B' THEN post END) AS DOUBLE) AS s_post_t
+  FROM per_user
+),
+d AS (
+  SELECT n, n_t, n - n_t AS n_c,
+         s_pre2 / n - (s_pre / n) * (s_pre / n) AS var_pre,
+         s_post2 / n - (s_post / n) * (s_post / n) AS var_post,
+         s_prepost / n - (s_pre / n) * (s_post / n) AS cov_pp,
+         s_post_t / n_t - (s_post - s_post_t) / (n - n_t) AS raw_diff,
+         s_pre_t / n_t - (s_pre - s_pre_t) / (n - n_t) AS pre_diff
+  FROM m
+),
+f AS (
+  SELECT n, n_t, n_c, var_post, raw_diff, pre_diff,
+         round(cov_pp / var_pre, 6) AS theta,
+         var_post - 2 * (cov_pp / var_pre) * cov_pp
+           + (cov_pp / var_pre) * (cov_pp / var_pre) * var_pre
+           AS var_cuped
+  FROM d
+)
+SELECT n AS n_users, n_t, n_c, theta,
+       round(var_post, 2) AS var_post,
+       round(var_cuped, 2) AS var_cuped,
+       round(100 * (1 - var_cuped / var_post), 4) AS var_reduction_pct,
+       round(raw_diff, 6) AS est_raw,
+       round(raw_diff - theta * pre_diff, 6) AS est_cuped
+FROM f
+"""
+
+
+@register(
+    "ev_cuped_adjustment",
+    oracle=_cuped_sql().format(
+        arm="CASE WHEN CAST('0x' || substr(md5('arm:' || CAST(user_id AS"
+        " VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END",
+        epoch="epoch_us",
+        div="//",
+    ),
+    description="CUPED variance reduction (Deng et al., WSDM'13): the"
+    " first half of the timeline is the pre-period covariate, theta ="
+    " cov(pre,post)/var(pre) from one exact-moment pass, and the hashed"
+    " row carries theta, the raw and adjusted variances, the variance"
+    " reduction percentage, and the raw vs CUPED-adjusted treatment"
+    " estimates between the md5-parity arms",
+    tags=("events", "abtest", "stats", "cuped"),
+)
+def ev_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment-platform workhorse: regress out what users
+    already did BEFORE the experiment. adjusted = post − θ·(pre −
+    mean_pre) leaves the treatment estimate unbiased (assignment is
+    independent of pre) but shrinks variance by exactly ρ²; the
+    hashed var_reduction_pct IS that ρ² realized on this data, and
+    est_raw vs est_cuped shows the estimate moving as pre-period
+    imbalance is corrected. Everything reduces to sufficient
+    statistics: one user-keyed shuffle builds per-user exact-decimal
+    pre/post sums (the same shape at 100 TB — users partition
+    cleanly), one single-row reduce collects n/Σ/Σ²/Σxy overall and
+    per arm, and var(adjusted) comes from the moment identity
+    var_post − 2θ·cov + θ²·var_pre rather than a second pass over
+    adjusted rows. The timeline-median split is fixture determinism;
+    a real platform uses the experiment start date it already knows
+    (same two-aggregation plan). Same md5 'arm:' fold as
+    ev_welch_ttest, so arms agree across the A/B family."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _cuped_sql().format(
+            arm="CASE WHEN CAST(conv(substr(md5(concat('arm:',"
+            " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN 'A' ELSE 'B' END",
+            epoch="unix_micros",
+            div="DIV",
+        )
+    )

@@ -1106,13 +1106,19 @@ def ta_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ITERS = 3
 
 
-def _bpe_sql(dialect: str) -> str:
+def _bpe_sql(
+    dialect: str, keep_word: bool = False, final_select: str | None = None
+) -> str:
     """Unrolled distributed BPE merge learning (Sennrich et al.
     ACL'16): word-frequency table → space-separated symbol strings →
     per-iteration (pair count, arg-max merge, replace-all apply).
     Replace-all is left-to-right non-overlapping in BOTH engines
     (verified: ' a a a ' -> ' aa a '), which IS greedy BPE merge
-    application, so the chain is engine-identical."""
+    application, so the chain is engine-identical. ``keep_word``
+    threads the word column through the symbol chain so ``s{N}`` is a
+    word→encoding dictionary (used by ``ta_bpe_apply``; the pair
+    aggregation ignores the extra column, so the learned merges are
+    identical either way)."""
     if dialect == "spark":
         chars = "array_join(split(word, ''), ' ')"
 
@@ -1142,6 +1148,7 @@ def _bpe_sql(dialect: str) -> str:
 
         ex = "unnest"
 
+    kw = "s.word, " if keep_word else ""
     iters = []
     for i in range(1, BPE_ITERS + 1):
         prev = f"s{i - 1}"
@@ -1159,7 +1166,7 @@ t{i} AS (
   FROM p{i} ORDER BY pair_count DESC, pair LIMIT 1
 ),
 s{i} AS (
-  SELECT s.freq,
+  SELECT {kw}s.freq,
          trim(replace(' ' || s.sym || ' ',
                       ' ' || t.pair || ' ',
                       ' ' || t.merged || ' ')) AS sym
@@ -1175,6 +1182,8 @@ c{i} AS (
         f" FROM t{i} CROSS JOIN c{i}"
         for i in range(1, BPE_ITERS + 1)
     )
+    s0_cols = "word, freq" if keep_word else "freq"
+    final = final_select or f"{selects}\nORDER BY merge_rank"
     return f"""
 WITH words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1183,10 +1192,9 @@ WITH words AS (
   GROUP BY word
 ),
 s0 AS (
-  SELECT freq, {chars} || ' </w>' AS sym FROM words
+  SELECT {s0_cols}, {chars} || ' </w>' AS sym FROM words
 ),{",".join(iters)}
-{selects}
-ORDER BY merge_rank
+{final}
 """
 
 
@@ -1225,6 +1233,75 @@ def ta_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_bpe_sql("spark"))
+
+
+def _bpe_apply_sql(dialect: str) -> str:
+    """Encode the corpus with the merges ``ta_bpe_train`` learns: the
+    word-keyed symbol chain (keep_word=True) IS the word→encoding
+    dictionary, so application is a word join, never a per-token
+    replay of the merge list."""
+    if dialect == "spark":
+        nsyms = "size(split(sym, ' '))"
+        word_src = (
+            "SELECT source, explode(split(text, ' ')) AS word"
+            " FROM documents"
+        )
+    else:
+        nsyms = "len(string_split(sym, ' '))"
+        word_src = (
+            "SELECT source, unnest(string_split(text, ' ')) AS word"
+            " FROM documents"
+        )
+    final = f""",
+enc AS (
+  SELECT word, {nsyms} AS n_toks, length(word) + 1 AS n_char_toks
+  FROM s{BPE_ITERS}
+),
+docw AS (
+  SELECT source, word FROM ({word_src}) w WHERE word <> ''
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(e.n_char_toks) AS BIGINT) AS n_char_tokens,
+       round(SUM(e.n_toks) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       round(SUM(e.n_char_toks) / CAST(SUM(e.n_toks) AS DOUBLE), 6)
+         AS compression_vs_chars
+FROM docw d JOIN enc e ON e.word = d.word
+GROUP BY d.source
+ORDER BY d.source"""
+    return _bpe_sql(dialect, keep_word=True, final_select=final)
+
+
+@register(
+    "ta_bpe_apply",
+    oracle=_bpe_apply_sql("duckdb"),
+    description="apply the trained BPE merges to the corpus: encode"
+    " every word via the word→encoding dictionary the merge chain"
+    " produces, then per-source token accounting — words, BPE tokens,"
+    " character-baseline tokens, fertility (tokens/word) and the"
+    " compression ratio the learned merges buy",
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale is a dictionary join, not
+    a per-document merge replay: the training chain already carries
+    every word to its final symbol string (``keep_word=True`` threads
+    the word through — pair counts and learned merges are bitwise the
+    ones ``ta_bpe_train`` hashes), so encoding the corpus is exploding
+    words and joining the vocabulary-sized dictionary — broadcast-
+    sized at any corpus scale, the reason production pipelines
+    pre-tokenize by word and cache encodings (word frequency follows
+    Zipf; the dictionary grows Heaps-sublinearly). The per-source
+    accounting hashes fertility (tokens per word) and compression vs
+    the character baseline (chars + </w> per word) — the quality
+    metrics tokenizer changes are judged by. Costs: the training
+    chain (vocab-sized shuffles) + one word explode + one dictionary
+    join + a source-keyed aggregate."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_bpe_apply_sql("spark"))
 
 
 #: Winnowing parameters: k-gram size (tokens) and window width (number

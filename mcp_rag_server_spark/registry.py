@@ -267,8 +267,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # visited/recall@5 convergence curve hashed), and
 # ev_ivm_delta_rollup (incremental view maintenance: signed
 # count/sum rollup maintained from base state + delta batch only,
-# drop-on-zero deletion, merged-equals-recompute identity hashed) —
-# all sixty locally
+# drop-on-zero deletion, merged-equals-recompute identity hashed),
+# ta_bpe_apply (corpus encoding as a word→encoding dictionary join
+# over the trained merge chain — per-source fertility + compression
+# hashed), and ev_cuped_adjustment (CUPED variance reduction: theta
+# from one exact-moment pass, raw vs adjusted estimates and the
+# realized variance-reduction pct hashed) — all sixty-two locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

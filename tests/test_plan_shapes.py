@@ -1759,3 +1759,23 @@ def test_ivm_merge_is_full_outer_no_rescan(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
+
+
+def test_bpe_apply_is_dictionary_join(spark):
+    """ta_bpe_apply: encoding is a word-keyed join against the
+    vocabulary-sized dictionary the merge chain produces — no Python,
+    no cartesian product beyond the 1-row merge broadcasts."""
+    plan = plan_string(q(spark, "ta_bpe_apply"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_is_two_aggregations_no_window(spark):
+    """ev_cuped_adjustment: one user-keyed aggregate + one single-row
+    moment reduce — no window, no Python, no cartesian product."""
+    import re
+
+    plan = plan_string(q(spark, "ev_cuped_adjustment"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
