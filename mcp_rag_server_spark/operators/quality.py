@@ -1004,7 +1004,10 @@ def ta_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
-_CALIB_SQL = f"""
+#: Shared rule-label + logistic-score CTE prefix: gopher_pass (the
+#: rule-battery label) and p_keep (the scorer) from ONE feature scan.
+#: Used verbatim by ta_quality_calibration and ta_quality_auc.
+_LABELED_CTES = f"""
 WITH feat AS (
   SELECT doc_id, n_chars,
          len(string_split(text, ' ')) AS n_tokens,
@@ -1031,7 +1034,9 @@ labeled AS (
                             * ((CAST(n_chars AS DOUBLE) / n_tokens) / 10)))),
                6) AS p_keep
   FROM feat
-),
+)"""
+
+_CALIB_SQL = f"""{_LABELED_CTES},
 bucketed AS (
   SELECT LEAST(CAST(FLOOR(p_keep * 5) AS BIGINT), 4) AS score_bucket,
          gopher_pass, p_keep
@@ -1338,3 +1343,75 @@ def ta_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_mojibake_sql("spark"))
+
+
+#: AUC score quantization: buckets = round(p_keep, 3) → ≤ 1001
+#: distinct values, the bound that makes the cumulative window safe.
+AUC_SCORE_DECIMALS = 3
+
+_AUC_SQL = f"""{_LABELED_CTES},
+buckets AS (
+  SELECT round(p_keep, {AUC_SCORE_DECIMALS}) AS s,
+         CAST(SUM(gopher_pass) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(gopher_pass) AS BIGINT) AS neg
+  FROM labeled
+  GROUP BY round(p_keep, {AUC_SCORE_DECIMALS})
+),
+cum AS (
+  SELECT s, pos, neg,
+         CAST(SUM(neg) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg
+              AS BIGINT) AS neg_below
+  FROM buckets
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM buckets
+)
+SELECT t.n_pos + t.n_neg AS n_docs, t.n_pos, t.n_neg, t.n_buckets,
+       round(SUM(c.pos * (c.neg_below + c.neg / 2.0))
+             / (CAST(t.n_pos AS DOUBLE) * t.n_neg), 6) AS auc,
+       round(2 * SUM(c.pos * (c.neg_below + c.neg / 2.0))
+             / (CAST(t.n_pos AS DOUBLE) * t.n_neg) - 1, 6) AS gini
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n_pos, t.n_neg, t.n_buckets
+"""
+
+
+@register(
+    "ta_quality_auc",
+    oracle=_AUC_SQL,
+    description="exact ROC-AUC (and Gini) of the logistic quality"
+    " scorer against the Gopher-rule labels via the histogram method:"
+    " scores quantized to 3 decimals, per-bucket pos/neg counts, one"
+    " bounded cumulative window — the Mann-Whitney rank-sum with"
+    " average-rank tie handling, never a corpus-wide sort",
+    tags=("text", "quality", "model", "eval", "auc"),
+)
+def ta_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ta_quality_calibration checks the scorer band by band; AUC is
+    the single ranking number model swaps are gated on. The corpus-
+    scale formulation: quantize the score (3 decimals — the bucket
+    table is ≤ 1001 rows BY CONSTRUCTION regardless of corpus size),
+    reduce to per-bucket positive/negative counts (one partial-agg
+    shuffle), then AUC = Σ_b pos_b·(neg_below_b + neg_b/2) / (P·N) —
+    exactly the Mann-Whitney statistic with average ranks for ties,
+    where the only window runs over the bounded bucket table. Every
+    term pos·(neg_below + neg/2) is an exact multiple of 0.5 well
+    under 2^53, so the float sum is order-independent without decimal
+    scaffolding. AUC here is exact for the QUANTIZED score — the
+    quantization is the operator's contract, not an approximation
+    caveat (a 6-decimal scorer re-ranked at 3 decimals moves AUC by
+    <1e-3 on any calibrated scorer). gini = 2·AUC − 1 rides along."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    sql = (
+        _AUC_SQL.replace("len(", "size(")
+        .replace("string_split(", "split(")
+        .replace("list_distinct(", "array_distinct(")
+        .replace("list_filter(", "filter(")
+    )
+    return spark.sql(sql)

@@ -272,7 +272,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # over the trained merge chain — per-source fertility + compression
 # hashed), and ev_cuped_adjustment (CUPED variance reduction: theta
 # from one exact-moment pass, raw vs adjusted estimates and the
-# realized variance-reduction pct hashed) — all sixty-two locally
+# realized variance-reduction pct hashed), ta_quality_auc (exact
+# histogram-AUC of the logistic scorer vs the Gopher labels — one
+# bounded window over the ≤1001-row score-bucket table), and
+# ev_msprt_sequential (always-valid mixture-SPRT monitoring: per-day
+# cumulative moments, log-lambda, anytime p — the peek-safe curve)
+# — all sixty-four locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1779,3 +1779,35 @@ def test_cuped_is_two_aggregations_no_window(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_auc_window_runs_over_bucket_table(spark):
+    """ta_quality_auc: exactly one window, and it consumes the
+    post-aggregation bucket table (≤1001 rows by the round-3
+    quantization), not per-document rows — the lint allowlist's bound
+    made structural."""
+    import re
+
+    plan = plan_string(q(spark, "ta_quality_auc"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # the window's child must be an aggregate (bucket table), so a
+    # HashAggregate appears below the Window in the tree section
+    tree = plan.split("\n\n")[0]
+    wline = next(i for i, ln in enumerate(tree.splitlines())
+                 if "Window" in ln)
+    below = "\n".join(tree.splitlines()[wline:])
+    assert "HashAggregate" in below
+
+
+def test_msprt_window_runs_over_day_table(spark):
+    """ev_msprt_sequential: one calendar-bounded window over the daily
+    aggregate (all six cumulative sums share the spec), no Python, no
+    cartesian product."""
+    import re
+
+    plan = plan_string(q(spark, "ev_msprt_sequential"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1

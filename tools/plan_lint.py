@@ -70,6 +70,14 @@ ALLOW: dict[tuple[str, str], str] = {
         " lengths — bounded by the max doc length (a data-domain"
         " constant, ~hundreds of values), never by corpus row count;"
         " the per-source CDFs are source-partitioned windows",
+    ("ta_quality_auc", "global_window"):
+        "the cumulative-negatives prefix runs over the score BUCKET"
+        " table — round(p_keep, 3) caps it at 1001 rows by"
+        " construction regardless of corpus size",
+    ("ev_msprt_sequential", "global_window"):
+        "the cumulative-moments prefix runs over the DAY table —"
+        " bounded by the calendar (30 rows here; a decade is 3653),"
+        " never by event count",
 }
 
 ALLOW_GW_COUNT: dict[str, int] = {
@@ -80,6 +88,8 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "sim_ivfpq_topk": 2,
     "ev_rfm_segments": 2,
     "ta_length_drift": 1,
+    "ta_quality_auc": 1,
+    "ev_msprt_sequential": 1,
 }
 
 
