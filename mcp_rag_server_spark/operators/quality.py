@@ -1415,3 +1415,90 @@ def ta_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("list_filter(", "filter(")
     )
     return spark.sql(sql)
+
+
+#: CCNet perplexity tiers on the rounded-6 mean unigram surprisal
+#: (cutoffs probed on the fixture: head/middle/tail split
+#: 184/183/133 at sf0.01 and 505/4008/487 at sf0.1 — every tier
+#: populated at every SF, no degenerate bucket).
+CCNET_HEAD_LT = 3.400
+CCNET_MIDDLE_LT = 3.405
+
+_CCNET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM tf),
+surprisal AS (
+  SELECT tok.doc_id,
+         CAST(round(ln(tot.n / CAST(tf.cnt AS DOUBLE)), 8)
+              AS DECIMAL(18,8)) AS s
+  FROM tok JOIN tf USING (t) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS ms
+  FROM surprisal GROUP BY doc_id
+),
+tiered AS (
+  SELECT d.lang,
+         CASE WHEN p.ms < {CCNET_HEAD_LT} THEN '0_head'
+              WHEN p.ms < {CCNET_MIDDLE_LT} THEN '1_middle'
+              ELSE '2_tail' END AS tier,
+         p.n_tokens, p.ms
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+),
+lang_tot AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs FROM tiered
+  GROUP BY lang
+),
+all_tok AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n FROM tiered)
+SELECT t.lang, t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       round(COUNT(*) / CAST(lt.lang_docs AS DOUBLE), 4)
+         AS doc_share_in_lang,
+       round(SUM(t.n_tokens) / a.n, 6) AS token_share_overall,
+       round(CAST(SUM(CAST(t.ms AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_surprisal
+FROM tiered t
+JOIN lang_tot lt ON lt.lang = t.lang
+CROSS JOIN all_tok a
+GROUP BY t.lang, t.tier, lt.lang_docs, a.n
+ORDER BY t.lang, t.tier
+"""
+
+
+@register(
+    "ta_ccnet_buckets",
+    oracle=_CCNET_SQL,
+    description="CCNet-style corpus composition (Wenzek et al."
+    " LREC'20): language × perplexity tier (head/middle/tail on the"
+    " unigram-LM mean surprisal) with per-bucket doc/token counts,"
+    " within-language shares, and overall token shares — the table"
+    " multilingual pretraining mixes are planned from",
+    tags=("text", "quality", "lm", "mixture"),
+)
+def ta_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet ranks each language's crawl by LM perplexity and keeps
+    head/middle/tail tiers as separate shards — downstream mixes then
+    choose how deep into each language's quality ladder to draw. The
+    tier key here is the SAME rounded-6 mean unigram surprisal
+    ta_unigram_logprob hashes (exact decimal sum of rounded-8 ln
+    terms — engine-identical, so the < cutoff comparisons are exact
+    and the tier assignment is deterministic by construction), against
+    fixed cutoffs rather than per-language quantiles: quantile cuts
+    need a per-language sort/window, while fixed cutoffs keep the
+    whole operator at two shuffles (token tf, then the (lang, tier)
+    rollup) at any corpus size — production CCNet does the same,
+    computing cutoffs ONCE on a sample and freezing them into config.
+    The tier boundaries are fixture-probed so every (lang, tier)
+    bucket is populated at sf0.001/0.01/0.1 (COVERAGE note)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    sql = _CCNET_SQL.replace(
+        "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+    )
+    return spark.sql(sql)

@@ -837,3 +837,144 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         out = out.unionByName(hop_summary(i, visited))
     return out.orderBy("hop")
+
+
+#: k-core geometry: adjacency degree, core threshold, peel rounds.
+#: Probed (BENCH_NOTES): the 5-core cascade on the K=4 graph peels
+#: 500→277→48→0 at sf0.01 — three informative rounds; T=4 peels
+#: nothing (out-degree alone guarantees degree ≥ 4) and T=6 collapses
+#: in one round.
+KC_DEGREE = 4
+KC_THRESHOLD = 5
+KC_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: d_i (degrees) → k_i (survivors) → e_i (induced
+    edges), all MATERIALIZED against DuckDB's exponential CTE
+    re-inlining; one summary row per round."""
+    cos_ab = duckdb_cosine("a.embedding", "b.embedding")
+    parts = [f"""WITH adj AS MATERIALIZED (
+  SELECT vec_id, nbr_id FROM (
+    SELECT a.vec_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_ab}, 4) DESC,
+                                       b.vec_id) AS rnk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ) r WHERE rnk <= {KC_DEGREE}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+                  GREATEST(vec_id, nbr_id) AS v
+  FROM adj
+)"""]
+    for i in range(1, KC_ROUNDS + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT src, COUNT(*) AS d
+  FROM (SELECT u AS src FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}) t
+  GROUP BY src
+),
+k{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE d >= {KC_THRESHOLD}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i - 1}
+  WHERE u IN (SELECT src FROM k{i}) AND v IN (SELECT src FROM k{i})
+)""")
+    rows = []
+    for i in range(KC_ROUNDS + 1):
+        rows.append(f"""SELECT {i} AS round,
+  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT)
+   FROM (SELECT u AS src FROM e{i} UNION ALL SELECT v FROM e{i}) t)
+    AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges""")
+    return ("".join(parts) + "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(rows) + "\n) rounds ORDER BY round")
+
+
+@register(
+    "sim_kcore_decompose",
+    oracle=_kcore_oracle(),
+    description=f"k-core peeling of the k-NN graph: iteratively remove"
+    f" nodes with degree < {KC_THRESHOLD} from the global degree-"
+    f"{KC_DEGREE} cosine graph — per-round node/edge census of the"
+    " collapse, the density-structure probe (an isotropic corpus has"
+    " no dense core and peels to empty; clustered data leaves one)",
+    tags=("similarity", "vector", "graph", "iterative"),
+)
+def sim_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core (maximal subgraph with every degree ≥ k) is the
+    standard density probe on neighborhood graphs — community cores,
+    spam/bot rings, and dense near-dup regions all surface as cores
+    that survive peeling. Peeling is inherently iterative (removing a
+    node can demote its neighbors), and each round is two relational
+    steps: a node-keyed degree count (one shuffle) and an induced-
+    subgraph semi-join — the textbook distributed formulation, with
+    per-round localCheckpoints bounding the plan exactly like
+    star_contraction_components. The hashed trajectory (nodes/edges
+    after each round) records the graph COLLAPSING to an empty 5-core
+    on this isotropic fixture — probed, not accidental (see KC_*
+    comment): the result every practitioner should expect when
+    embeddings have no cluster structure, and the machinery is
+    identical when they do. Round counts are calendar-bounded by
+    KC_ROUNDS; production peels to fixpoint with the same loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select("vec_id", "embedding").repartition("vec_id")
+    eb = emb.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")
+    )
+    half = (
+        ea.join(F.broadcast(eb), F.col("vec_id") < F.col("nbr_id"))
+        .select(
+            "vec_id",
+            "nbr_id",
+            cosine_score("embedding", "emb_b").alias("nscore"),
+        )
+        .cache()
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("nbr_id").alias("vec_id"),
+            F.col("vec_id").alias("nbr_id"),
+            "nscore",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("nscore"), F.asc("nbr_id"))
+    edges = (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KC_DEGREE)
+        .select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def census(i: int, e: DataFrame) -> DataFrame:
+        nodes = (
+            e.select(F.col("u").alias("src"))
+            .unionByName(e.select(F.col("v").alias("src")))
+            .agg(F.count_distinct("src").alias("n_nodes"))
+        )
+        return (
+            nodes.crossJoin(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
+            .select(F.lit(i).alias("round"), "n_nodes", "n_edges")
+        )
+
+    out = census(0, edges)
+    for i in range(1, KC_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("src"))
+            .unionByName(edges.select(F.col("v").alias("src")))
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KC_THRESHOLD).select("src")
+        edges = (
+            edges.join(keep.withColumnRenamed("src", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("src", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(census(i, edges))
+    return out.orderBy("round")

@@ -276,8 +276,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # histogram-AUC of the logistic scorer vs the Gopher labels — one
 # bounded window over the ≤1001-row score-bucket table), and
 # ev_msprt_sequential (always-valid mixture-SPRT monitoring: per-day
-# cumulative moments, log-lambda, anytime p — the peek-safe curve)
-# — all sixty-four locally
+# cumulative moments, log-lambda, anytime p — the peek-safe curve),
+# ta_ccnet_buckets (CCNet lang × perplexity-tier composition table
+# on fixed surprisal cutoffs — the multilingual mix-planning table),
+# and sim_kcore_decompose (iterative k-core peeling of the global
+# k-NN graph, per-round node/edge collapse census) — all sixty-six
+# locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

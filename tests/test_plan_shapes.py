@@ -1811,3 +1811,25 @@ def test_msprt_window_runs_over_day_table(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_ccnet_buckets_no_window_two_shuffle(spark):
+    """ta_ccnet_buckets: fixed surprisal cutoffs keep tiering a per-row
+    expression — no window at all, no Python, no cartesian product."""
+    import re
+
+    plan = plan_string(q(spark, "ta_ccnet_buckets"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_kcore_peels_checkpointed_edges(spark):
+    """sim_kcore_decompose: each round is a degree aggregate + two
+    semi-joins over the checkpointed edge table — no parquet rescans
+    in the final plan, no Python."""
+    plan = plan_string(q(spark, "sim_kcore_decompose"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings.parquet]" not in plan

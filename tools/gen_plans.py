@@ -94,7 +94,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ta_leakage_safe_split", "sim_multiprobe_lsh",
          "sim_graph_greedy_search", "ev_ivm_delta_rollup",
          "ta_bpe_apply", "ev_cuped_adjustment",
-         "ta_quality_auc", "ev_msprt_sequential"]
+         "ta_quality_auc", "ev_msprt_sequential",
+         "ta_ccnet_buckets", "sim_kcore_decompose"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",

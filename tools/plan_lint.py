@@ -77,7 +77,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ev_msprt_sequential", "global_window"):
         "the cumulative-moments prefix runs over the DAY table —"
         " bounded by the calendar (30 rows here; a decade is 3653),"
-        " never by event count",
+        " never by event count (x6: the six per-arm n/Σ/Σ² sums share"
+        " ONE Window node — test_msprt_window_runs_over_day_table"
+        " pins it — but each is its own windowspecdefinition)",
 }
 
 ALLOW_GW_COUNT: dict[str, int] = {
@@ -89,7 +91,7 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ev_rfm_segments": 2,
     "ta_length_drift": 1,
     "ta_quality_auc": 1,
-    "ev_msprt_sequential": 1,
+    "ev_msprt_sequential": 6,
 }
 
 
