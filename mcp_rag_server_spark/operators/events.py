@@ -3534,3 +3534,157 @@ def ev_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             strt="STRING",
         )
     )
+
+
+#: Stationary-distribution power iteration: unrolled steps.
+MARKOV_PI_ITERS = 8
+
+
+def _stationary_sql() -> str:
+    """π_{k+1} = π_k·T unrolled over the |types|² transition matrix.
+    Probabilities are rounded-8 decimals; each step's 5-term sums are
+    exact decimal adds of exact decimal products (one operand widened
+    to DECIMAL(19,8) — int128), re-rounded to 8 per step, so the whole
+    chain is engine-identical. MATERIALIZED guards DuckDB's CTE
+    re-inlining on the pi chain."""
+    parts = [f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+t AS MATERIALIZED (
+  SELECT from_type, to_type,
+         CAST(round(CAST(n_transitions AS DOUBLE)
+                    / SUM(n_transitions) OVER (PARTITION BY from_type), 8)
+              AS DECIMAL(18,8)) AS p
+  FROM pairs
+),
+states AS (SELECT DISTINCT from_type AS state FROM t),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+pi0 AS MATERIALIZED (
+  SELECT state, CAST(round(CAST(1 AS DOUBLE) / ns.n, 8) AS DECIMAL(18,8))
+           AS p
+  FROM states CROSS JOIN ns
+)"""]
+    for i in range(1, MARKOV_PI_ITERS + 1):
+        parts.append(f""",
+pi{i} AS MATERIALIZED (
+  SELECT t.to_type AS state,
+         CAST(round(CAST(SUM(pi{i - 1}.p * CAST(t.p AS DECIMAL(19,8)))
+                         AS DOUBLE), 8) AS DECIMAL(18,8)) AS p
+  FROM t JOIN pi{i - 1} ON pi{i - 1}.state = t.from_type
+  GROUP BY t.to_type
+)""")
+    k, km1 = MARKOV_PI_ITERS, MARKOV_PI_ITERS - 1
+    parts.append(f"""
+SELECT f.state,
+       round(CAST(f.p AS DOUBLE), 6) AS stationary_p,
+       (SELECT round(CAST(SUM(ABS(a.p - b.p)) AS DOUBLE), 8)
+        FROM pi{k} a JOIN pi{km1} b ON b.state = a.state) AS delta_l1,
+       {k} AS n_iters
+FROM pi{k} f
+ORDER BY f.state""")
+    return "".join(parts)
+
+
+@register(
+    "ev_markov_stationary",
+    oracle=_stationary_sql(),
+    description="stationary distribution of the event-type Markov"
+    f" chain: {MARKOV_PI_ITERS} unrolled power-iteration steps over"
+    " the row-normalized transition matrix from a uniform start — the"
+    " long-run traffic mix per state, with the final L1 step size"
+    " hashed as the convergence certificate",
+    tags=("events", "sequence", "markov", "iterative"),
+)
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev_transition_matrix gives the one-step dynamics; the
+    stationary π (πT = π) is what the chain DOES long-run — the
+    equilibrium traffic mix capacity planning and simulation seeds
+    use. Power iteration over a |types|-sized vector: each step is a
+    broadcast-sized join against the (≤|types|²) matrix plus a 5-row
+    group-by — after the single user-keyed lead shuffle that builds
+    the matrix, every iteration costs nothing at any corpus scale
+    (the matrix is the sufficient statistic, exactly like
+    sim_kmeans_refine's centroids). Probabilities live as rounded-8
+    decimals so the multiply-sum-round chain is engine-exact; the
+    hashed delta_l1 (≈3e-6 at sf0.01 after 8 steps) certifies the
+    iteration actually converged rather than just ran. Same
+    (ts, event_id) per-user total order as every ev_* sequence op."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("from_type")
+    t = pairs.select(
+        "from_type",
+        "to_type",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("p"),
+    ).localCheckpoint(eager=True)
+    states = t.select(F.col("from_type").alias("state")).distinct()
+    ns = states.agg(F.count("*").alias("n"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state",
+        F.round(F.lit(1.0) / F.col("n"), 8).cast("decimal(18,8)").alias("p"),
+    )
+    prev = None
+    for _ in range(MARKOV_PI_ITERS):
+        prev = pi
+        pi_in = pi.select(
+            F.col("state").alias("from_type"), F.col("p").alias("pi_p")
+        )
+        pi = (
+            t.join(pi_in, "from_type")
+            .select(
+                F.col("to_type").alias("state"),
+                (
+                    F.col("pi_p") * F.col("p").cast("decimal(19,8)")
+                ).alias("pp"),
+            )
+            .groupBy("state")
+            .agg(
+                F.round(F.sum("pp").cast("double"), 8)
+                .cast("decimal(18,8)")
+                .alias("p")
+            )
+        )
+    delta = (
+        pi.select("state", F.col("p").alias("pk"))
+        .join(prev.select("state", F.col("p").alias("pk1")), "state")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("pk") - F.col("pk1"))).cast("double"), 8
+            ).alias("delta_l1")
+        )
+    )
+    return (
+        pi.crossJoin(F.broadcast(delta))
+        .select(
+            "state",
+            F.round(F.col("p").cast("double"), 6).alias("stationary_p"),
+            "delta_l1",
+            F.lit(MARKOV_PI_ITERS).alias("n_iters"),
+        )
+        .orderBy("state")
+    )

@@ -279,9 +279,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # cumulative moments, log-lambda, anytime p — the peek-safe curve),
 # ta_ccnet_buckets (CCNet lang × perplexity-tier composition table
 # on fixed surprisal cutoffs — the multilingual mix-planning table),
-# and sim_kcore_decompose (iterative k-core peeling of the global
-# k-NN graph, per-round node/edge collapse census) — all sixty-six
-# locally
+# sim_kcore_decompose (iterative k-core peeling of the global
+# k-NN graph, per-round node/edge collapse census),
+# ev_markov_stationary (stationary distribution of the event-type
+# chain via 8 unrolled decimal-exact power-iteration steps with the
+# final L1 step hashed as the convergence certificate), and
+# agg_join_cardinality_audit (CBO uniform-ndv join-size estimate vs
+# the exact Σ cA·cB cardinality — err_ratio 1.0 on FK joins, ~1.10
+# on the dispersion-bearing self-join) — all sixty-eight locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1833,3 +1833,25 @@ def test_kcore_peels_checkpointed_edges(spark):
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
     assert "embeddings.parquet]" not in plan
+
+
+def test_markov_stationary_iterates_checkpointed_matrix(spark):
+    """ev_markov_stationary: the unrolled power iteration joins the
+    checkpointed |types|² matrix — no parquet rescans in the final
+    plan, no Python, no cartesian product beyond the broadcast 1-row
+    scalars."""
+    plan = plan_string(q(spark, "ev_markov_stationary"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "events.parquet]" not in plan
+
+
+def test_jcard_never_materializes_the_join(spark):
+    """agg_join_cardinality_audit: true cardinality comes from per-key
+    count aggregates joined on the key — the plan carries aggregates
+    below every join, no Python, no cartesian product."""
+    plan = plan_string(q(spark, "agg_join_cardinality_audit"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

@@ -95,7 +95,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "sim_graph_greedy_search", "ev_ivm_delta_rollup",
          "ta_bpe_apply", "ev_cuped_adjustment",
          "ta_quality_auc", "ev_msprt_sequential",
-         "ta_ccnet_buckets", "sim_kcore_decompose"]
+         "ta_ccnet_buckets", "sim_kcore_decompose",
+         "ev_markov_stationary", "agg_join_cardinality_audit"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
