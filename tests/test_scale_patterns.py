@@ -454,3 +454,337 @@ def test_kmeans_refine_matches_numpy_lloyd(spark):
         assert abs(inertia - want_inertia[c]) < 1e-2, (
             c, inertia, want_inertia[c],
         )
+
+
+def _pd(table, sf="/root/testdata/sf0.001"):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf}/{table}.parquet')"
+    ).fetchdf()
+
+
+def _md5_fold(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_cuped_matches_numpy(spark):
+    """ev_cuped_adjustment's theta/estimates must match a direct numpy
+    recomputation over per-user pre/post sums (independent-algorithm
+    guard: pandas groupby + np.cov-style moments instead of the SQL
+    sufficient-statistics pass)."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["ev_cuped_adjustment"].spark_fn(spark, sf).collect()[0]
+
+    ev = _pd("events", sf)
+    us = (ev["ts"].astype("int64") // 1000).astype("int64")  # ns → µs
+    lo, hi = int(us.min()), int(us.max())
+    cut = lo + (hi - lo) // 2
+    q = Decimal("0.0001")
+    pre, post = {}, {}
+    for uid, u, v in zip(ev["user_id"], us, ev["value"]):
+        d = Decimal(float(v)).quantize(q, rounding=ROUND_HALF_EVEN)
+        (pre if u < cut else post).setdefault(int(uid), Decimal(0))
+        if u < cut:
+            pre[int(uid)] += d
+        else:
+            post[int(uid)] += d
+    users = sorted(set(pre) | set(post))
+    p = np.array([float(pre.get(u, 0)) for u in users])
+    y = np.array([float(post.get(u, 0)) for u in users])
+    arm_b = np.array([_md5_fold(f"arm:{u}") % 2 != 0 for u in users])
+    n = len(users)
+    var_pre = (p * p).mean() - p.mean() ** 2
+    var_post = (y * y).mean() - y.mean() ** 2
+    cov = (p * y).mean() - p.mean() * y.mean()
+    theta = cov / var_pre
+    raw = y[arm_b].mean() - y[~arm_b].mean()
+    # the operator applies the ROUNDED theta it reports
+    cuped = raw - round(theta, 6) * (p[arm_b].mean() - p[~arm_b].mean())
+    assert row["n_users"] == n
+    assert abs(row["theta"] - round(theta, 6)) <= 2e-6
+    assert abs(row["var_post"] - round(var_post, 2)) <= 0.05
+    assert abs(row["est_raw"] - round(raw, 6)) <= 2e-6
+    assert abs(row["est_cuped"] - round(cuped, 6)) <= 2e-6
+    vr = 100 * (1 - (var_post - 2 * round(theta, 6) * cov
+                     + round(theta, 6) ** 2 * var_pre) / var_post)
+    assert abs(row["var_reduction_pct"] - round(vr, 4)) <= 2e-4
+
+
+def test_auc_matches_pairwise_numpy(spark):
+    """ta_quality_auc's histogram AUC must equal the O(P·N) pairwise
+    Mann-Whitney computed directly in numpy over the same quantized
+    scores and Gopher labels (different algorithm, same statistic)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.quality import (
+        LR_W0,
+        LR_W_DIV,
+        LR_W_TOK,
+        LR_W_WLEN,
+        RULE_MAX_MEAN_WORDLEN,
+        RULE_MAX_TOKENS,
+        RULE_MIN_DISTINCT_RATIO,
+        RULE_MIN_MEAN_WORDLEN,
+        RULE_MIN_TOKENS,
+    )
+    from mcp_rag_server_spark.operators.textanalysis import STOPWORDS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["ta_quality_auc"].spark_fn(spark, sf).collect()[0]
+
+    docs = _pd("documents", sf)
+    scores, labels = [], []
+    sw = set(STOPWORDS)
+    for text, n_chars in zip(docs["text"], docs["n_chars"]):
+        toks = text.split(" ")
+        nt = len(toks)
+        dr = len(set(toks)) / nt
+        mw = (n_chars - nt + 1) / nt
+        n_stop = sum(1 for t in toks if t in sw)
+        labels.append(
+            1
+            if (
+                RULE_MIN_TOKENS <= nt <= RULE_MAX_TOKENS
+                and RULE_MIN_MEAN_WORDLEN <= mw <= RULE_MAX_MEAN_WORDLEN
+                and dr >= RULE_MIN_DISTINCT_RATIO
+                and n_stop > 0
+            )
+            else 0
+        )
+        z = LR_W0 + LR_W_TOK * (nt / 100) + LR_W_DIV * dr + LR_W_WLEN * (
+            (n_chars / nt) / 10
+        )
+        scores.append(round(round(1.0 / (1.0 + np.exp(-z)), 6), 3))
+    s = np.array(scores)
+    lab = np.array(labels)
+    sp, sn = s[lab == 1], s[lab == 0]
+    wins = (sp[:, None] > sn[None, :]).sum() + 0.5 * (
+        sp[:, None] == sn[None, :]
+    ).sum()
+    want = round(wins / (len(sp) * len(sn)), 6)
+    assert row["n_pos"] == len(sp) and row["n_neg"] == len(sn)
+    assert abs(row["auc"] - want) <= 1e-9
+
+
+def test_markov_stationary_matches_numpy(spark):
+    """ev_markov_stationary must agree with a direct numpy power
+    iteration over the same rounded-8 transition matrix (vector-matrix
+    products instead of joins/aggregations)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import MARKOV_PI_ITERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["state"]: r["stationary_p"]
+        for r in load_all()["ev_markov_stationary"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    trans = Counter()
+    for _, g in ev.groupby("user_id", sort=True):
+        types = list(g["event_type"])
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    states = sorted({a for a, _ in trans} | {b for _, b in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    T = np.zeros((len(states), len(states)))
+    rowsum = Counter()
+    for (a, _), c in trans.items():
+        rowsum[a] += c
+    for (a, b), c in trans.items():
+        T[idx[a], idx[b]] = round(c / rowsum[a], 8)
+    pi = np.full(len(states), round(1.0 / len(states), 8))
+    for _ in range(MARKOV_PI_ITERS):
+        pi = np.round(pi @ T, 8)
+    for s in states:
+        assert abs(got[s] - round(pi[idx[s]], 6)) <= 1e-6, (s, got[s])
+
+
+def _fold_cosine_matrix(E):
+    """Left-to-right float64 fold of dot and norms over the dim axis —
+    the exact addition order both engines use, replicated vectorized
+    (one ordered add per dimension)."""
+    import numpy as np
+
+    n, d = E.shape
+    dot = np.zeros((n, n))
+    sq = np.zeros(n)
+    for k in range(d):
+        col = E[:, k].astype(np.float64)
+        dot += np.outer(col, col)
+        sq += col * col
+    norm = np.sqrt(sq)
+    return dot / (np.outer(norm, norm) + 1e-10)
+
+
+def test_kcore_matches_python_peel(spark):
+    """sim_kcore_decompose's trajectory must equal a direct Python peel
+    over the same rounded-4 cosine k-NN graph (sets and dicts instead
+    of joins)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.similarity import (
+        KC_DEGREE,
+        KC_ROUNDS,
+        KC_THRESHOLD,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in load_all()["sim_kcore_decompose"].spark_fn(spark, sf).collect()
+    ]
+
+    emb = _pd("embeddings", sf).sort_values("vec_id")
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    edges = set()
+    for i, vid in enumerate(ids):
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-cos[i, j], ids[j]),
+        )[:KC_DEGREE]
+        for j in order:
+            edges.add((min(vid, ids[j]), max(vid, ids[j])))
+    want = []
+    for rnd in range(KC_ROUNDS + 1):
+        nodes = {u for e in edges for u in e}
+        want.append((rnd, len(nodes), len(edges)))
+        if rnd == KC_ROUNDS:
+            break
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {u for u, d in deg.items() if d >= KC_THRESHOLD}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    assert got == want, (got, want)
+
+
+def test_greedy_search_matches_python_walk(spark):
+    """sim_graph_greedy_search's per-hop curve must equal a direct
+    Python beam walk over the same global adjacency and scores."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.similarity import (
+        GS_BEAM,
+        GS_DEGREE,
+        GS_HOPS,
+        GS_QUERY_ID,
+        GS_TOP_K,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["hop"], r["n_visited"], r["best_id"],
+         round(r["best_score"], 4), r["recall_at_k"])
+        for r in load_all()["sim_graph_greedy_search"]
+        .spark_fn(spark, sf)
+        .collect()
+    ]
+
+    emb = _pd("embeddings", sf).sort_values("vec_id")
+    ids = list(emb["vec_id"])
+    pos = {v: i for i, v in enumerate(ids)}
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    qi = pos[GS_QUERY_ID]
+    score = {v: cos[qi, pos[v]] for v in ids if v != GS_QUERY_ID}
+    adj = {}
+    for v in ids:
+        i = pos[v]
+        nbrs = sorted(
+            (w for w in ids if w != v), key=lambda w: (-cos[i, pos[w]], w)
+        )[:GS_DEGREE]
+        adj[v] = nbrs
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    entries = {}
+    for v in sorted(score):
+        entries.setdefault(labels[v], v)
+    exact = sorted(score, key=lambda v: (-score[v], v))[:GS_TOP_K]
+    visited = set(entries.values())
+
+    def summary(hop):
+        top = sorted(visited, key=lambda v: (-score[v], v))
+        best = top[0]
+        rec = round(len(set(top[:GS_TOP_K]) & set(exact)) / GS_TOP_K, 4)
+        return (hop, len(visited), best, round(score[best], 4), rec)
+
+    want = [summary(0)]
+    for h in range(1, GS_HOPS + 1):
+        beam = sorted(visited, key=lambda v: (-score[v], v))[:GS_BEAM]
+        new = {
+            w for b in beam for w in adj[b]
+            if w not in visited and w != GS_QUERY_ID
+        }
+        visited |= new
+        want.append(summary(h))
+    assert got == want, (got, want)
+
+
+def test_bpe_apply_matches_python_bpe(spark):
+    """ta_bpe_apply's per-source token accounting must equal a direct
+    Python BPE (merge learning + greedy application via str.replace —
+    left-to-right non-overlapping in Python exactly as in both
+    engines)."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.operators.textanalysis import BPE_ITERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (r["n_words"], r["n_bpe_tokens"], r["n_char_tokens"])
+        for r in load_all()["ta_bpe_apply"].spark_fn(spark, sf).collect()
+    }
+
+    docs = _pd("documents", sf)
+    words = Counter()
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if w:
+                words[w] += 1
+    sym = {w: " ".join(list(w)) + " </w>" for w in words}
+    for _ in range(BPE_ITERS):
+        pc = Counter()
+        for w, f in words.items():
+            parts = sym[w].split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pc[f"{a} {b}"] += f
+        pair = min(pc, key=lambda p: (-pc[p], p))
+        merged = pair.replace(" ", "")
+        for w in sym:
+            sym[w] = (
+                (" " + sym[w] + " ")
+                .replace(" " + pair + " ", " " + merged + " ")
+                .strip()
+            )
+    want = {}
+    for text, src in zip(docs["text"], docs["source"]):
+        for w in text.split(" "):
+            if not w:
+                continue
+            nw, nb, nc = want.get(src, (0, 0, 0))
+            want[src] = (
+                nw + 1,
+                nb + len(sym[w].split(" ")),
+                nc + len(w) + 1,
+            )
+    assert got == want, (got, want)
