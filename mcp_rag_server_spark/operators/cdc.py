@@ -189,6 +189,7 @@ SELECT (SELECT COUNT(*) FROM base) AS n_base_groups,
     " merged-equals-full-recompute identity hashed beside the group"
     " churn census — delta-sized work instead of a 100 TB recompute",
     tags=("events", "cdc", "agg", "ivm"),
+    bench=True,
 )
 def ev_ivm_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintenance shape behind every materialized rollup: SUM and

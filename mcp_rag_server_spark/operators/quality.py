@@ -1389,6 +1389,7 @@ GROUP BY t.n_pos, t.n_neg, t.n_buckets
     " bounded cumulative window — the Mann-Whitney rank-sum with"
     " average-rank tie handling, never a corpus-wide sort",
     tags=("text", "quality", "model", "eval", "auc"),
+    bench=True,
 )
 def ta_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ta_quality_calibration checks the scorer band by band; AUC is

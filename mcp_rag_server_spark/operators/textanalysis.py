@@ -1282,6 +1282,7 @@ ORDER BY d.source"""
     " character-baseline tokens, fertility (tokens/word) and the"
     " compression ratio the learned merges buy",
     tags=("text", "tokenizer", "bpe", "iterative"),
+    bench=True,
 )
 def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION at corpus scale is a dictionary join, not
