@@ -3688,3 +3688,110 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+def _concurrency_sql() -> str:
+    """Peak concurrent sessions per day by the TWO-LEVEL sweep: each
+    session emits (+1 at start, −1 at end), a day-partitioned prefix
+    sum runs locally, and only the per-day NET deltas cross days
+    through one calendar-bounded window — the same rewrite
+    window_running_distinct uses, so no corpus-sized global order
+    exists. Ties at one (ts, delta) are interchangeable (+1s or −1s
+    commute among themselves), so the running MAX is deterministic
+    without a per-row tie-break."""
+    return f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag({{epoch}}(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_us,
+         {{epoch}}(ts) AS us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sess
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sess, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+  FROM numbered GROUP BY user_id, sess
+),
+bounds AS (
+  SELECT s_ts AS ts, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT e_ts, -1 FROM sessions
+),
+swept AS (
+  SELECT CAST(ts AS DATE) AS day, ts, delta,
+         SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
+                          ORDER BY ts, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS local_run
+  FROM bounds
+),
+daily AS (
+  SELECT day,
+         CAST(SUM(delta) AS BIGINT) AS day_net,
+         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions_started,
+         CAST(MAX(local_run) AS BIGINT) AS _lp
+  FROM swept GROUP BY day
+),
+offs AS (
+  SELECT day, n_sessions_started, _lp,
+         SUM(day_net) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - day_net AS off
+  FROM daily
+),
+peaks AS (
+  SELECT day, n_sessions_started,
+         CAST(_lp + off AS BIGINT) AS peak_concurrency
+  FROM offs
+)
+SELECT CAST(day AS {{strt}}) AS day, n_sessions_started,
+       peak_concurrency,
+       CAST(MAX(peak_concurrency) OVER () AS BIGINT) AS overall_peak
+FROM peaks
+ORDER BY day
+"""
+
+
+@register(
+    "ev_concurrency_curve",
+    oracle=_concurrency_sql().format(epoch="epoch_us", strt="VARCHAR"),
+    description="peak concurrent sessions per day via the two-level"
+    " sweep line: gap-sessionized intervals emit ±1 boundary events,"
+    " a day-partitioned prefix sum runs locally, and only per-day net"
+    " deltas cross days through one calendar-bounded window — the"
+    " capacity-planning curve (how many sessions were open at once)"
+    " with the overall peak hashed beside each day",
+    tags=("events", "window", "temporal", "sessions"),
+)
+def ev_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrency is THE sweep-line aggregate (meeting rooms,
+    connection pools, license seats), and its textbook form — one
+    running sum over all boundary events in global time order — is
+    exactly the corpus-sized global window the plan lint rejects. The
+    scalable rewrite: prefix sums are associative, so a
+    day-partitioned local sweep plus a prefix over per-day NETS
+    reconstructs every running value (local_run + preceding days'
+    net), and the only global order left is the calendar-bounded day
+    table. Sessions reuse ev_sessionize's gap rule (same
+    SESSION_GAP_US, same (ts, event_id) per-user order); a
+    single-event session contributes −1 before +1 at its instant
+    (delta-ascending tie rule) and so never counts as concurrent —
+    stated, deterministic, and the conservative choice. Peak per day
+    and the overall peak are both inside the driver hash."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _concurrency_sql().format(epoch="unix_micros", strt="STRING")
+    )

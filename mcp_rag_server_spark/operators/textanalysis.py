@@ -1763,3 +1763,77 @@ def ta_trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_trgm_sql("spark"))
+
+
+#: Collocation mining: minimum pair count and the result cap.
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 20
+
+
+def _pmi_sql(dialect: str) -> str:
+    """PMI over adjacent-token bigrams with marginals taken from the
+    bigram table itself (first-position / second-position counts, the
+    ev_mutual_information convention): ln of a ratio of exact BIGINTs,
+    rounded 6, and the ROUNDED value is the sort key."""
+    if dialect == "spark":
+        tok = ("SELECT doc_id, posexplode(split(text, ' ')) AS (pos, w)"
+               " FROM documents")
+    else:
+        tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w,"
+               " generate_subscripts(string_split(text, ' '), 1) AS pos"
+               " FROM documents")
+    return f"""
+WITH tok AS ({tok}),
+bi AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+m1 AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY w1),
+m2 AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM bg GROUP BY w2),
+tot AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n FROM bg)
+SELECT b.w1, b.w2, b.c_xy,
+       round(ln((t.n * b.c_xy) / (CAST(m1.c_x AS DOUBLE) * m2.c_y)), 6)
+         AS pmi
+FROM bg b
+JOIN m1 ON m1.w1 = b.w1
+JOIN m2 ON m2.w2 = b.w2
+CROSS JOIN tot t
+WHERE b.c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {PMI_TOP_N}
+"""
+
+
+@register(
+    "ta_pmi_collocations",
+    oracle=_pmi_sql("duckdb"),
+    description="PMI-ranked collocations: pointwise mutual information"
+    " over adjacent-token bigrams (positional marginals, min count"
+    f" {PMI_MIN_COUNT}) — the association-strength ranking that"
+    " separates true collocations from merely frequent pairs"
+    " (ta_bigram_top's count ranking), top-20 by rounded PMI",
+    tags=("text", "ngram", "stats", "topk"),
+)
+def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw bigram counts (ta_bigram_top) surface pairs of common
+    words; PMI = ln(N·c_xy / (c_x·c_y)) normalizes away the
+    marginals, surfacing pairs that co-occur far more than chance —
+    the classic collocation statistic (Church & Hanks '90). Marginals
+    come from the bigram table's own first/second-position sums (the
+    ev_mutual_information convention), so the whole operator is the
+    bigram shuffle plus two vocabulary-sized marginal joins; the
+    min-count filter is applied before the join (the candidate set at
+    100 TB is the frequent-bigram sliver, not the Zipf tail). PMI is
+    one ln of a ratio of exact BIGINTs — IEEE-deterministic — rounded
+    6, and the rounded value is the sort key with (w1, w2) breaking
+    ties; TakeOrdered carries k rows to the driver, never the
+    vocabulary."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_pmi_sql("spark"))

@@ -286,7 +286,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # final L1 step hashed as the convergence certificate), and
 # agg_join_cardinality_audit (CBO uniform-ndv join-size estimate vs
 # the exact Σ cA·cB cardinality — err_ratio 1.0 on FK joins, ~1.10
-# on the dispersion-bearing self-join) — all sixty-eight locally
+# on the dispersion-bearing self-join), ev_concurrency_curve (peak
+# concurrent sessions per day via the two-level sweep line —
+# day-partitioned local prefix + calendar-bounded offset prefix,
+# cross-checked against a direct global Python sweep), and
+# ta_pmi_collocations (PMI-ranked bigram collocations with
+# positional marginals, top-20 by rounded PMI via TakeOrdered) —
+# all seventy locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

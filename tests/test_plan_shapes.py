@@ -1855,3 +1855,31 @@ def test_jcard_never_materializes_the_join(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_concurrency_sweep_is_two_level(spark):
+    """ev_concurrency_curve: the corpus-sized sweep is day-partitioned;
+    the only unpartitioned window spec is the per-day-net offset
+    prefix (calendar-bounded) — no Python, no cartesian beyond the
+    1-row overall-peak broadcast."""
+    plan = plan_string(q(spark, "ev_concurrency_curve"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the day-ordered offset prefix appears EXACTLY once — the peaks
+    # lineage is not duplicated by a second CTE reference (the
+    # overall peak rides a 30-row MAX() OVER () instead)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    unpart = [re.sub(r"#\d+", "", s) for s in specs
+              if s.lstrip().startswith("day")]
+    assert len(unpart) == 1, unpart
+
+
+def test_pmi_is_takeordered_over_marginal_joins(spark):
+    """ta_pmi_collocations: bigram shuffle + two marginal joins +
+    TakeOrdered(k) — no global sort of the vocabulary, no Python."""
+    df = q(spark, "ta_pmi_collocations")
+    plan = plan_string(df)
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

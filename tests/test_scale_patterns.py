@@ -485,7 +485,7 @@ def test_cuped_matches_numpy(spark):
     row = load_all()["ev_cuped_adjustment"].spark_fn(spark, sf).collect()[0]
 
     ev = _pd("events", sf)
-    us = (ev["ts"].astype("int64") // 1000).astype("int64")  # ns → µs
+    us = ev["ts"].astype("datetime64[us]").astype("int64")  # epoch µs
     lo, hi = int(us.min()), int(us.max())
     cut = lo + (hi - lo) // 2
     q = Decimal("0.0001")
@@ -787,4 +787,55 @@ def test_bpe_apply_matches_python_bpe(spark):
                 nb + len(sym[w].split(" ")),
                 nc + len(w) + 1,
             )
+    assert got == want, (got, want)
+
+
+def test_concurrency_matches_global_python_sweep(spark):
+    """ev_concurrency_curve's two-level (day-local + day-offset)
+    decomposition must reproduce the single GLOBAL sweep computed
+    directly in Python over all session boundaries — the guard that
+    the associativity rewrite is actually lossless."""
+    from mcp_rag_server_spark.operators.events import SESSION_GAP_US
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day"]: (r["n_sessions_started"], r["peak_concurrency"],
+                   r["overall_peak"])
+        for r in load_all()["ev_concurrency_curve"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64")  # epoch µs
+    ev = ev.assign(us=us)
+    sessions = []
+    for _, g in ev.groupby("user_id", sort=True):
+        start = prev = None
+        for u in g["us"]:
+            if prev is None or u - prev > SESSION_GAP_US:
+                if start is not None:
+                    sessions.append((start, prev))
+                start = u
+            prev = u
+        sessions.append((start, prev))
+    bounds = [(s, 1) for s, _ in sessions] + [(e, -1) for _, e in sessions]
+    bounds.sort(key=lambda b: (b[0], b[1]))  # delta asc at ties
+    import datetime
+
+    run = 0
+    day_peak: dict = {}
+    starts: dict = {}
+    for u, d in bounds:
+        day = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=int(u)
+        )
+        key = day.date().isoformat()
+        run += d
+        day_peak[key] = max(day_peak.get(key, -(10 ** 9)), run)
+        if d == 1:
+            starts[key] = starts.get(key, 0) + 1
+    overall = max(day_peak.values())
+    want = {
+        k: (starts.get(k, 0), day_peak[k], overall) for k in day_peak
+    }
     assert got == want, (got, want)

@@ -74,6 +74,12 @@ ALLOW: dict[tuple[str, str], str] = {
         "the cumulative-negatives prefix runs over the score BUCKET"
         " table — round(p_keep, 3) caps it at 1001 rows by"
         " construction regardless of corpus size",
+    ("ev_concurrency_curve", "global_window"):
+        "both unpartitioned specs run over the per-day table —"
+        " calendar-bounded like ev_msprt_sequential's (x2: the"
+        " cross-day offset prefix + the 30-row overall-peak MAX,"
+        " kept as a window so the peaks lineage evaluates ONCE); the"
+        " corpus-sized sweep itself is day-partitioned",
     ("ev_msprt_sequential", "global_window"):
         "the cumulative-moments prefix runs over the DAY table —"
         " bounded by the calendar (30 rows here; a decade is 3653),"
@@ -92,6 +98,7 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ta_length_drift": 1,
     "ta_quality_auc": 1,
     "ev_msprt_sequential": 6,
+    "ev_concurrency_curve": 2,
 }
 
 
