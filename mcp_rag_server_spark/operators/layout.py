@@ -166,3 +166,84 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_part")
     )
+
+
+#: Compaction planning: soft target bin size (chars stand in for
+#: bytes on the fixture) and the small-file threshold.
+COMPACT_TARGET = 4096
+COMPACT_SMALL_LT = COMPACT_TARGET // 2
+
+
+def _compaction_sql(dialect: str) -> str:
+    """Per-partition sorted-greedy bin packing: files ordered
+    (size DESC, lang) inside each source, bin = exclusive-prefix DIV
+    target — the associative, window-partitioned form of the packing
+    every lakehouse OPTIMIZE job runs."""
+    div = "//" if dialect == "duckdb" else "DIV"
+    return f"""
+WITH manifest AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, lang
+),
+planned AS (
+  SELECT source, lang, bytes,
+         CAST((SUM(bytes) OVER (PARTITION BY source
+                                ORDER BY bytes DESC, lang
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - bytes)
+              {div} {COMPACT_TARGET} AS BIGINT) AS bin
+  FROM manifest
+),
+bins AS (
+  SELECT source, bin, CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+  FROM planned GROUP BY source, bin
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(p.bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(CASE WHEN p.bytes < {COMPACT_SMALL_LT} THEN 1 END)
+            AS BIGINT) AS n_small_files,
+       b.n_bins,
+       b.max_bin_bytes,
+       round(SUM(p.bytes) / (CAST(b.n_bins AS DOUBLE) * {COMPACT_TARGET}),
+             4) AS avg_fill_ratio
+FROM planned p
+JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(MAX(bin_bytes) AS BIGINT) AS max_bin_bytes
+      FROM bins GROUP BY source) b
+  ON b.source = p.source
+GROUP BY p.source, b.n_bins, b.max_bin_bytes
+ORDER BY p.source
+"""
+
+
+@register(
+    "ingest_compaction_plan",
+    oracle=_compaction_sql("duckdb"),
+    description="small-file compaction planning: per-source manifest"
+    " (size per (source, lang) file), sorted-greedy prefix-sum bin"
+    f" packing against a {COMPACT_TARGET}-byte soft target — files,"
+    " small-file count, bins, max bin size, and fill ratio per"
+    " partition, the plan every lakehouse OPTIMIZE job computes"
+    " before rewriting anything",
+    tags=("ingest", "layout", "compaction"),
+)
+def ingest_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem is THE lakehouse operational tax, and
+    the planning step is pure relational work over the manifest —
+    never the data: order each partition's files (size DESC, a
+    deterministic total order with the lang tie-break), take the
+    EXCLUSIVE prefix sum, and integer-divide by the target so each
+    bin is a target-width stripe of the cumulative size (a bin can
+    exceed the target by at most one file's tail — the standard
+    soft-boundary semantics; true first-fit-decreasing is inherently
+    sequential and buys ≤ 2% fill on realistic manifests). The
+    window partitions by source exactly as production compaction
+    partitions by table partition, so no corpus-wide order exists at
+    any manifest size; compact_store (sources/ingest.py) is the
+    executor this planner fronts. Hashed per source: file and
+    small-file counts, bin count, max bin, fill ratio."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_compaction_sql("spark"))

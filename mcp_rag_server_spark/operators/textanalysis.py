@@ -1837,3 +1837,97 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_pmi_sql("spark"))
+
+
+#: TextRank: damping, unrolled iterations, and the keyword cap.
+TR_DAMPING = 0.85
+TR_ITERS = 3
+TR_TOP_N = 10
+
+
+def _textrank_sql(dialect: str) -> str:
+    """Weighted PageRank over the adjacent-token co-occurrence graph
+    (Mihalcea & Tarau '04), with graphs.py's determinism discipline:
+    per-edge contributions rounded 9 then decimal-summed, final rank
+    rounded 6 as the sort key."""
+    if dialect == "spark":
+        tok = ("SELECT doc_id, posexplode(split(text, ' ')) AS (pos, w)"
+               " FROM documents")
+    else:
+        tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w,"
+               " generate_subscripts(string_split(text, ' '), 1) AS pos"
+               " FROM documents")
+    d, n_ = TR_DAMPING, "nn.n"
+    iters = []
+    for i in range(1, TR_ITERS + 1):
+        iters.append(f""",
+c{i} AS (
+  SELECT e.b AS word,
+         CAST(SUM(CAST(round(r.rank * e.w / wo.wtot, 9)
+                       AS DECIMAL(19,9))) AS DOUBLE) AS s
+  FROM edges e
+  JOIN r{i - 1} r ON r.word = e.a
+  JOIN wout wo ON wo.a = e.a
+  GROUP BY e.b
+),
+r{i} AS (
+  SELECT c.word,
+         CAST({1 - d} AS DOUBLE) / {n_} + CAST({d} AS DOUBLE) * c.s AS rank
+  FROM c{i} c CROSS JOIN nn
+)""")
+    return f"""
+WITH tok AS ({tok}),
+bi AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bi2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
+edges AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT w1 AS a, w2 AS b FROM bi2
+        UNION ALL SELECT w2, w1 FROM bi2) u
+  GROUP BY a, b
+),
+wout AS (SELECT a, CAST(SUM(w) AS BIGINT) AS wtot FROM edges GROUP BY a),
+nodes AS (SELECT DISTINCT a AS word FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT a AS word, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        FROM edges GROUP BY a),
+r0 AS (
+  SELECT word, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+){"".join(iters)}
+SELECT r.word, round(r.rank, 6) AS textrank, deg.n_neighbors
+FROM r{TR_ITERS} r JOIN deg ON deg.word = r.word
+ORDER BY textrank DESC, r.word
+LIMIT {TR_TOP_N}
+"""
+
+
+@register(
+    "ta_textrank_keywords",
+    oracle=_textrank_sql("duckdb"),
+    description="TextRank keyword extraction (Mihalcea & Tarau '04):"
+    f" weighted PageRank ({TR_ITERS} unrolled iterations, damping"
+    f" {TR_DAMPING}) over the adjacent-token co-occurrence graph —"
+    f" top-{TR_TOP_N} corpus keywords by rounded rank, the"
+    " graph-centrality ranking that beats raw frequency when common"
+    " words hub differently",
+    tags=("text", "graph", "keywords", "iterative"),
+)
+def ta_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank scores a word by the rank of its neighbors, not its
+    count — the difference between a hub of the co-occurrence graph
+    and a merely frequent token. The graph is VOCABULARY-sized
+    (Heaps-sublinear; a domain-bounded 31 nodes on this fixture), so
+    after the one corpus-sized bigram shuffle every iteration is a
+    broadcast-scale weighted matrix-vector product — identical cost
+    shape to ev_pagerank_types, whose determinism discipline this
+    reuses verbatim: per-edge contributions are double math rounded 9,
+    summed as DECIMAL(19,9) (exact, order-free), damped outside the
+    sum, final rank rounded 6 as the sort key with the word breaking
+    ties. Symmetrized adjacency (each bigram contributes both
+    directions) makes wtot the weighted degree, as in the paper."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_textrank_sql("spark"))

@@ -291,8 +291,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # day-partitioned local prefix + calendar-bounded offset prefix,
 # cross-checked against a direct global Python sweep), and
 # ta_pmi_collocations (PMI-ranked bigram collocations with
-# positional marginals, top-20 by rounded PMI via TakeOrdered) —
-# all seventy locally
+# positional marginals, top-20 by rounded PMI via TakeOrdered),
+# ta_textrank_keywords (weighted PageRank over the co-occurrence
+# graph, graphs.py's round-9 decimal discipline, numpy
+# cross-checked), and ingest_compaction_plan (per-source
+# sorted-greedy prefix-sum bin packing of the file manifest against
+# a soft target — the lakehouse OPTIMIZE planner) — all seventy-two
+# locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

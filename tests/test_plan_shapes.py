@@ -1883,3 +1883,26 @@ def test_pmi_is_takeordered_over_marginal_joins(spark):
     plan = plan_string(df)
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_textrank_iterations_are_vocab_sized(spark):
+    """ta_textrank_keywords: after the one bigram shuffle, iterations
+    are joins over the vocabulary-sized edge table — no Python, no
+    cartesian beyond the 1-row node-count broadcasts, TakeOrdered
+    carries the top-k."""
+    plan = plan_string(q(spark, "ta_textrank_keywords"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_compaction_plan_windows_are_partitioned(spark):
+    """ingest_compaction_plan: the packing prefix sum partitions by
+    source — no unpartitioned window specs at all, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ingest_compaction_plan"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("source" in s for s in specs), specs

@@ -839,3 +839,51 @@ def test_concurrency_matches_global_python_sweep(spark):
         k: (starts.get(k, 0), day_peak[k], overall) for k in day_peak
     }
     assert got == want, (got, want)
+
+
+def test_textrank_matches_numpy_power_iteration(spark):
+    """ta_textrank_keywords must agree with a direct numpy weighted
+    power iteration over the same co-occurrence graph — same damping,
+    iterations, and round-9 contribution discipline, computed by
+    matrix ops instead of joins."""
+    from collections import Counter
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.textanalysis import (
+        TR_DAMPING,
+        TR_ITERS,
+        TR_TOP_N,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["word"], r["textrank"], r["n_neighbors"])
+        for r in load_all()["ta_textrank_keywords"].spark_fn(spark, sf).collect()
+    ]
+
+    docs = _pd("documents", sf)
+    w = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            w[(a, b)] += 1
+            w[(b, a)] += 1
+    words = sorted({a for a, _ in w})
+    idx = {x: i for i, x in enumerate(words)}
+    n = len(words)
+    W = np.zeros((n, n))
+    for (a, b), c in w.items():
+        W[idx[a], idx[b]] = c
+    wtot = W.sum(axis=1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(TR_ITERS):
+        contrib = np.round((rank / wtot)[:, None] * W, 9)
+        rank = (1 - TR_DAMPING) / n + TR_DAMPING * contrib.sum(axis=0)
+    deg = (W > 0).sum(axis=1)
+    order = sorted(
+        range(n), key=lambda i: (-round(rank[i], 6), words[i])
+    )[:TR_TOP_N]
+    want = [(words[i], round(rank[i], 6), int(deg[i])) for i in order]
+    assert got == want, (got, want)
