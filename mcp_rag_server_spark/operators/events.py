@@ -3795,3 +3795,85 @@ def ev_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _concurrency_sql().format(epoch="unix_micros", strt="STRING")
     )
+
+
+#: SLO monitoring: error budget (allowed error-event fraction) and the
+#: Google-SRE-style multi-window burn thresholds. Probed: at sf0.01
+#: the pair fires on 3 hours across 2 days; at sf0.1 the larger
+#: hourly samples concentrate and the SLO is honestly met (0 alerts,
+#: max-burn columns still vary).
+SLO_ERROR_BUDGET = 0.25
+SLO_BURN_FAST = 1.4
+SLO_BURN_SLOW = 1.2
+
+
+def _burn_rate_sql() -> str:
+    """Multi-window burn-rate monitor over hourly error rates: the 6h
+    trailing window is a RANGE frame on the integer epoch-hour key
+    (gap-correct, unlike a ROWS frame), and the only unpartitioned
+    window runs over the calendar-bounded hour table."""
+    return f"""
+WITH hourly AS (
+  SELECT {{epoch}}(ts) {{div}} 3600000000 AS eh,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+              AS BIGINT) AS e
+  FROM events
+  GROUP BY {{epoch}}(ts) {{div}} 3600000000
+),
+trail AS (
+  SELECT eh, n, e,
+         CAST(SUM(n) OVER w AS BIGINT) AS n6,
+         CAST(SUM(e) OVER w AS BIGINT) AS e6
+  FROM hourly
+  WINDOW w AS (ORDER BY eh RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+rates AS (
+  SELECT eh,
+         round((CAST(e AS DOUBLE) / n) / {SLO_ERROR_BUDGET}, 6)
+           AS burn_1h,
+         round((CAST(e6 AS DOUBLE) / n6) / {SLO_ERROR_BUDGET}, 6)
+           AS burn_6h
+  FROM trail
+)
+SELECT CAST(eh {{div}} 24 AS BIGINT) AS day_index,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       MAX(burn_1h) AS max_burn_1h,
+       MAX(burn_6h) AS max_burn_6h,
+       CAST(COUNT(CASE WHEN burn_1h > {SLO_BURN_FAST}
+                        AND burn_6h > {SLO_BURN_SLOW} THEN 1 END)
+            AS BIGINT) AS n_alert_hours
+FROM rates
+GROUP BY CAST(eh {{div}} 24 AS BIGINT)
+ORDER BY day_index
+"""
+
+
+@register(
+    "ev_slo_burn_rate",
+    oracle=_burn_rate_sql().format(epoch="epoch_us", div="//"),
+    description="SRE multi-window burn-rate monitoring (Google SRE"
+    " workbook): hourly error-budget burn plus the 6h trailing burn"
+    " via a gap-correct RANGE frame on the epoch hour — per-day max"
+    " burns and the fast-AND-slow alert count hashed, the paging rule"
+    " that suppresses blips but catches sustained burns",
+    tags=("events", "slo", "window", "monitoring"),
+)
+def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting on raw error rate pages on noise; the SRE workbook's
+    rule pages only when a FAST window (is it burning now?) and a
+    SLOW window (has it been burning long enough to matter?) both
+    exceed budget multiples. The fast window is the hourly rollup
+    itself; the slow one is a 6-hour trailing sum via RANGE BETWEEN 5
+    PRECEDING on the integer epoch-hour — RANGE, not ROWS, so a
+    missing hour shortens the window instead of silently stretching
+    it over a gap. The hourly rollup is one partial-agg shuffle on
+    the hour key; the trailing window runs over the calendar-bounded
+    hour table (720 rows per month — same allowlist argument as
+    ev_msprt_sequential). Burn rates are exact-count ratios rounded
+    6, and the rounded values gate the alert, so the hashed per-day
+    census (max burns + alert hours) is engine-exact. Thresholds are
+    fixture-probed (see SLO_* comment) so both the firing and the
+    all-clear paths are exercised across SFs."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_burn_rate_sql().format(epoch="unix_micros", div="DIV"))

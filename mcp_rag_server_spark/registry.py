@@ -296,8 +296,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # graph, graphs.py's round-9 decimal discipline, numpy
 # cross-checked), and ingest_compaction_plan (per-source
 # sorted-greedy prefix-sum bin packing of the file manifest against
-# a soft target — the lakehouse OPTIMIZE planner) — all seventy-two
-# locally
+# a soft target — the lakehouse OPTIMIZE planner),
+# dq_expectations_audit (Great-Expectations-style gate battery:
+# seven exact checks with violation counts hashed, one legitimately
+# failing frequency cap), and ev_slo_burn_rate (SRE multi-window
+# burn-rate monitor: hourly + 6h trailing RANGE-frame burn vs error
+# budget, per-day max burns and fast-AND-slow alert hours hashed) —
+# all seventy-four locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,
@@ -333,6 +338,7 @@ def load_all() -> dict[str, QuerySpec]:
     from mcp_rag_server_spark.operators import (  # noqa: F401
         cdc,
         chunking,
+        dataquality,
         clustering,
         dedup,
         embed,

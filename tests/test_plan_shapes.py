@@ -1906,3 +1906,29 @@ def test_compaction_plan_windows_are_partitioned(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("source" in s for s in specs), specs
+
+
+def test_dq_suite_is_union_of_aggregates(spark):
+    """dq_expectations_audit: every check is a partial-aggregating
+    scan (FK integrity via a key-distinct join) — no window, no
+    Python, no cartesian product."""
+    import re
+
+    plan = plan_string(q(spark, "dq_expectations_audit"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_burn_rate_range_frame_over_hour_table(spark):
+    """ev_slo_burn_rate: the trailing window is a RANGE frame over the
+    post-aggregation hour table (a HashAggregate sits below the
+    Window), no Python, no cartesian product."""
+    plan = plan_string(q(spark, "ev_slo_burn_rate"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RangeFrame" in plan or "RANGE" in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wline = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert "HashAggregate" in "\n".join(lines[wline:])

@@ -80,6 +80,11 @@ ALLOW: dict[tuple[str, str], str] = {
         " cross-day offset prefix + the 30-row overall-peak MAX,"
         " kept as a window so the peaks lineage evaluates ONCE); the"
         " corpus-sized sweep itself is day-partitioned",
+    ("ev_slo_burn_rate", "global_window"):
+        "the 6h trailing RANGE frame runs over the HOUR table —"
+        " calendar-bounded (720 rows/month) like"
+        " ev_msprt_sequential's day table (x2: the n and e trailing"
+        " sums share one named window, two specdefinitions)",
     ("ev_msprt_sequential", "global_window"):
         "the cumulative-moments prefix runs over the DAY table —"
         " bounded by the calendar (30 rows here; a decade is 3653),"
@@ -99,6 +104,7 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ta_quality_auc": 1,
     "ev_msprt_sequential": 6,
     "ev_concurrency_curve": 2,
+    "ev_slo_burn_rate": 2,
 }
 
 
