@@ -1503,3 +1503,144 @@ def ta_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
     )
     return spark.sql(sql)
+
+
+def _card_sql(dialect: str, pairs_cte: str) -> str:
+    """The one-row corpus datasheet, assembled from the registered
+    building blocks: ta_token_stats' token explode, ta_unigram_logprob's
+    surprisal, ta_ccnet_buckets' tier cutoffs, ta_gopher_rules'
+    label, and the dd_* near-dup pair list (``pairs_cte`` supplies
+    pairs(doc_a, doc_b) — inlined LSH CTEs for DuckDB, the
+    _jaccard_pair_edges temp view for Spark)."""
+    if dialect == "spark":
+        tok = "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+    else:
+        tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+               " FROM documents")
+    sql = f"""
+WITH {pairs_cte},
+tok AS ({tok}),
+tf AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM tf),
+surprisal AS (
+  SELECT tok.doc_id,
+         CAST(round(ln(tot.n / CAST(tf.cnt AS DOUBLE)), 8)
+              AS DECIMAL(18,8)) AS s
+  FROM tok JOIN tf ON tf.t = tok.t CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS ms
+  FROM surprisal GROUP BY doc_id
+),
+feat AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
+           AS n_stop
+  FROM documents
+),
+gopher AS (
+  SELECT CAST(SUM(CASE WHEN n_tokens >= {RULE_MIN_TOKENS}
+                        AND n_tokens <= {RULE_MAX_TOKENS}
+                        AND {_MW_SQL} >= {RULE_MIN_MEAN_WORDLEN}
+                        AND {_MW_SQL} <= {RULE_MAX_MEAN_WORDLEN}
+                        AND distinct_ratio >= {RULE_MIN_DISTINCT_RATIO}
+                        AND n_stop > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass
+  FROM feat
+),
+basic AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+),
+tokstats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM tf
+),
+dup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+dupdocs AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dup_docs
+  FROM (SELECT doc_a AS d FROM pairs
+        UNION ALL SELECT doc_b FROM pairs) u
+),
+tiers AS (
+  SELECT CAST(COUNT(CASE WHEN ms < {CCNET_HEAD_LT} THEN 1 END)
+              AS BIGINT) AS n_head,
+         CAST(COUNT(CASE WHEN ms >= {CCNET_HEAD_LT}
+                          AND ms < {CCNET_MIDDLE_LT} THEN 1 END)
+              AS BIGINT) AS n_middle,
+         CAST(COUNT(CASE WHEN ms >= {CCNET_MIDDLE_LT} THEN 1 END)
+              AS BIGINT) AS n_tail
+  FROM per_doc
+)
+SELECT b.n_docs, b.n_sources, b.n_langs, b.total_chars,
+       t.n_tokens, t.vocab_size,
+       round(t.n_tokens / CAST(b.n_docs AS DOUBLE), 2)
+         AS mean_doc_tokens,
+       g.n_pass AS n_gopher_pass,
+       round(g.n_pass / CAST(b.n_docs AS DOUBLE), 4)
+         AS gopher_pass_rate,
+       d.n_pairs AS n_neardup_pairs,
+       dd.n_dup_docs,
+       round(dd.n_dup_docs / CAST(b.n_docs AS DOUBLE), 4)
+         AS dup_doc_pct,
+       ti.n_head, ti.n_middle, ti.n_tail
+FROM basic b CROSS JOIN tokstats t CROSS JOIN gopher g
+CROSS JOIN dup d CROSS JOIN dupdocs dd CROSS JOIN tiers ti
+"""
+    if dialect == "spark":
+        sql = (
+            sql.replace("len(", "size(")
+            .replace("string_split(", "split(")
+            .replace("list_distinct(", "array_distinct(")
+            .replace("list_filter(", "filter(")
+        )
+    return sql
+
+
+def _card_oracle() -> str:
+    from mcp_rag_server_spark.operators.dedup import _DUCKDB_PAIRS_CTE
+
+    return _card_sql("duckdb", _DUCKDB_PAIRS_CTE)
+
+
+@register(
+    "ta_dataset_card",
+    oracle=_card_oracle(),
+    description="the one-row corpus datasheet: doc/source/lang/token"
+    " censuses, vocabulary size, Gopher-rule pass rate, near-dup pair"
+    " and affected-doc counts, and the CCNet perplexity-tier split —"
+    " every number the dataset card of a training corpus reports,"
+    " assembled from the registered building blocks in one statement",
+    tags=("text", "quality", "dedup", "card", "summary"),
+)
+def ta_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cards (Gebru et al.'s datasheets; every HF dataset
+    page) report exactly these numbers, and at 100 TB they must come
+    from one orchestrated pass, not a notebook of ad-hoc queries. The
+    operator composes the already-verified building blocks — token
+    explode + tf (ta_token_stats), rounded-8 surprisal decimal sums
+    (ta_unigram_logprob), the probed CCNet tier cutoffs
+    (ta_ccnet_buckets), the Gopher label (ta_gopher_rules), and the
+    LSH-verified ≥0.9 near-dup pair list (_jaccard_pair_edges — the
+    Spark side feeds it through a temp view, the oracle inlines the
+    same banded CTEs) — into a single statement whose scalar
+    sub-aggregates meet in broadcast-sized cross joins. Every ratio
+    is a rounded exact-count quotient; nothing in the card is
+    approximate, so the hash IS the datasheet."""
+    from mcp_rag_server_spark.operators.dedup import _jaccard_pair_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    _jaccard_pair_edges(docs).createOrReplaceTempView("neardup_pairs")
+    return spark.sql(
+        _card_sql(
+            "spark", "pairs AS (SELECT doc_a, doc_b FROM neardup_pairs)"
+        )
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.text import duckdb_chunk_sql
 from mcp_rag_server_spark.functions.vector import (
     array_float_literal,
     cosine_score,
@@ -934,4 +935,111 @@ def rag_multi_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("vec_id")).limit(
         MQF_TOP
+    )
+
+
+#: Parent-document retrieval: chunk geometry (char windows, reference
+#: splitChunks parity) and the fixed lexical query.
+PD_CHUNK_SIZE = 200
+PD_CHUNK_OVERLAP = 40
+PD_QUERY_TERMS = ("spark", "join", "merge")
+PD_TOP_K = 5
+
+
+@register(
+    "rag_parent_doc_topk",
+    oracle=f"""
+WITH chunks AS (
+  {duckdb_chunk_sql("documents", "doc_id", "text",
+                    PD_CHUNK_SIZE, PD_CHUNK_OVERLAP)}
+),
+scored AS (
+  SELECT doc_id, chunk,
+         round(CAST(len(list_intersect(
+                 list_distinct(string_split(chunk_text, ' ')),
+                 {list(PD_QUERY_TERMS)!r}))
+               AS DOUBLE) / {len(PD_QUERY_TERMS)}, 4) AS score
+  FROM chunks
+),
+ranked AS (
+  SELECT doc_id, chunk, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, chunk) AS rn
+  FROM scored
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(CASE WHEN score > 0 THEN 1 END) AS BIGINT)
+           AS n_matching_chunks
+  FROM scored GROUP BY doc_id
+)
+SELECT r.doc_id, r.chunk AS best_chunk, r.score AS best_score,
+       p.n_chunks, p.n_matching_chunks
+FROM ranked r JOIN per_doc p ON p.doc_id = r.doc_id
+WHERE r.rn = 1
+ORDER BY r.score DESC, r.doc_id
+LIMIT {PD_TOP_K}
+""",
+    description="parent-document retrieval: score small chunks, return"
+    " whole parent docs — per-doc best chunk (argmax with chunk-index"
+    " tie-break), match counts, and the top-5 parents by best-chunk"
+    " score; the small-to-big RAG pattern that retrieves precisely"
+    " but reads contextually",
+    tags=("rag", "chunks", "topk"),
+)
+def rag_parent_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small chunks retrieve precisely (less dilution per embedding)
+    but LLMs want the surrounding context — so production RAG scores
+    chunks and returns PARENTS (LangChain's ParentDocumentRetriever,
+    LlamaIndex's small-to-big). The operator is that aggregation
+    shape end-to-end: the reference-parity char-window chunker
+    (functions/text.py splitChunks twin — a narrow posexplode, no
+    shuffle) scores each chunk lexically against the fixed query
+    terms (overlap fraction rounded 4 — the deterministic stand-in
+    for a chunk-embedding cosine; the aggregation above it is
+    identical either way), then ONE doc-keyed shuffle carries both
+    the argmax chunk (row_number over (score DESC, chunk) — the
+    rounded score is the sort key, chunk index breaks ties) and the
+    match census, and TakeOrdered returns the top-5 parents. At
+    100 TB the chunk explosion stays inside the scan stage and the
+    only wide operation is the per-doc reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    from mcp_rag_server_spark.functions.text import chunk_array
+
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            chunk_array("text", PD_CHUNK_SIZE, PD_CHUNK_OVERLAP)
+        ).alias("chunk", "chunk_text"),
+    )
+    score = F.round(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.col("chunk_text"), " ")),
+                F.array(*[F.lit(t) for t in PD_QUERY_TERMS]),
+            )
+        ).cast("double")
+        / F.lit(float(len(PD_QUERY_TERMS))),
+        4,
+    )
+    scored = chunks.select("doc_id", "chunk", score.alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("chunk"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("score") > 0, 1)).alias("n_matching_chunks"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("chunk").alias("best_chunk"),
+            F.col("score").alias("best_score"),
+            "n_chunks",
+            "n_matching_chunks",
+        )
+        .orderBy(F.desc("best_score"), F.asc("doc_id"))
+        .limit(PD_TOP_K)
     )

@@ -301,8 +301,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # seven exact checks with violation counts hashed, one legitimately
 # failing frequency cap), and ev_slo_burn_rate (SRE multi-window
 # burn-rate monitor: hourly + 6h trailing RANGE-frame burn vs error
-# budget, per-day max burns and fast-AND-slow alert hours hashed) —
-# all seventy-four locally
+# budget, per-day max burns and fast-AND-slow alert hours hashed),
+# rag_parent_doc_topk (parent-document / small-to-big retrieval:
+# chunk-level scoring aggregated to parent docs — argmax chunk +
+# match census in one doc-keyed reduce, TakeOrdered parents), and
+# ta_dataset_card (the one-row corpus datasheet composing the
+# token/surprisal/Gopher/near-dup/tier building blocks in one
+# statement) — all seventy-six locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1932,3 +1932,23 @@ def test_burn_rate_range_frame_over_hour_table(spark):
     lines = tree.splitlines()
     wline = next(i for i, ln in enumerate(lines) if "Window" in ln)
     assert "HashAggregate" in "\n".join(lines[wline:])
+
+
+def test_parent_doc_chunks_stay_in_scan_stage(spark):
+    """rag_parent_doc_topk: the chunk explosion is a narrow posexplode
+    (no shuffle before the doc-keyed reduce), TakeOrdered returns the
+    parents — no Python, no cartesian product."""
+    plan = plan_string(q(spark, "rag_parent_doc_topk"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_dataset_card_is_one_statement_no_python(spark):
+    """ta_dataset_card: scalar sub-aggregates meet in broadcast joins;
+    the near-dup pairs ride the checkpointed edge view — no Python,
+    no CartesianProduct (1-row cross joins become BNLJ)."""
+    plan = plan_string(q(spark, "ta_dataset_card"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

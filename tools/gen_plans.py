@@ -99,7 +99,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_markov_stationary", "agg_join_cardinality_audit",
          "ev_concurrency_curve", "ta_pmi_collocations",
          "ta_textrank_keywords", "ingest_compaction_plan",
-         "dq_expectations_audit", "ev_slo_burn_rate"]
+         "dq_expectations_audit", "ev_slo_burn_rate",
+         "rag_parent_doc_topk", "ta_dataset_card"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
