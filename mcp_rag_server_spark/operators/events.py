@@ -3877,3 +3877,76 @@ def ev_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-clear paths are exercised across SFs."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_burn_rate_sql().format(epoch="unix_micros", div="DIV"))
+
+
+def _delta_decomp_sql() -> str:
+    """Period-over-period metric decomposition per segment: exact
+    decimal sums per (half, type), then the volume/rate/interaction
+    identity in doubles rounded once at output."""
+    return f"""
+WITH bounds AS (
+  SELECT MIN({{epoch}}(ts)) AS lo, MAX({{epoch}}(ts)) AS hi FROM events
+),
+tagged AS (
+  SELECT e.event_type,
+         ({{epoch}}(e.ts) >= b.lo + (b.hi - b.lo) {{div}} 2) AS is_h2,
+         CAST(e.value AS DECIMAL(18,4)) AS dval
+  FROM events e CROSS JOIN bounds b
+),
+seg AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN NOT is_h2 THEN 1 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN NOT is_h2 THEN dval END) AS DOUBLE) AS v1,
+         CAST(COUNT(CASE WHEN is_h2 THEN 1 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN is_h2 THEN dval END) AS DOUBLE) AS v2
+  FROM tagged GROUP BY event_type
+),
+fx AS (
+  SELECT event_type, n1, n2,
+         v1, v2, v2 - v1 AS delta,
+         (n2 - n1) * (v1 / n1) AS vol_effect,
+         n1 * (v2 / n2 - v1 / n1) AS rate_effect,
+         (n2 - n1) * (v2 / n2 - v1 / n1) AS inter_effect
+  FROM seg
+)
+SELECT event_type, n1, n2,
+       round(v1, 4) AS value_h1,
+       round(v2, 4) AS value_h2,
+       round(delta, 4) AS delta,
+       round(vol_effect, 4) AS volume_effect,
+       round(rate_effect, 4) AS rate_effect,
+       round(inter_effect, 4) AS interaction_effect,
+       (ABS(delta - (vol_effect + rate_effect + inter_effect)) < 1e-6)
+         AS decomposition_exact
+FROM fx
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_delta_decomposition",
+    oracle=_delta_decomp_sql().format(epoch="epoch_us", div="//"),
+    description="why-did-the-metric-move decomposition: per-segment"
+    " period-over-period value change split into volume, rate, and"
+    " interaction effects (the price-volume identity), with the"
+    " effects-sum-to-delta identity hashed as a boolean — the root-"
+    "cause table behind every metrics review",
+    tags=("events", "stats", "bi", "decomposition"),
+)
+def ev_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Revenue moved −8%: how much is fewer events vs less value per
+    event, and in which segment?" — the decomposition identity
+    Δv = Δn·r₁ + n₁·Δr + Δn·Δr answers it exactly, per segment, from
+    the same sufficient statistics a rollup already computes: one
+    (segment)-keyed aggregate with conditional exact-decimal sums per
+    half (timeline median split, as ev_cuped_adjustment), then pure
+    per-row arithmetic. Each effect is a double of near-exact
+    mantissas rounded once; the hashed decomposition_exact boolean
+    asserts the identity held to 1e-6 BEFORE rounding, so a broken
+    formula (or a lossy refactor) flips the hash even if the rounded
+    effects happen to collide. At 100 TB this is one partial-agg
+    shuffle on the segment key — the census is segment-sized."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _delta_decomp_sql().format(epoch="unix_micros", div="DIV")
+    )

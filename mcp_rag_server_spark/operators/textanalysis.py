@@ -1931,3 +1931,95 @@ def ta_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_textrank_sql("spark"))
+
+
+#: DoReMi-lite: multiplicative-weights step size on the excess-loss
+#: exponent.
+DOREMI_ETA = 1.0
+
+
+def _doremi_sql(dialect: str) -> str:
+    """One multiplicative-weights domain-reweighting step: per-source
+    mean unigram surprisal as the proxy loss, token share as the
+    baseline weight, w ∝ w0·exp(η·excess). The exp argument is
+    rounded 8 first (transcendental discipline), the unnormalized
+    weights rounded 8 and decimal-summed for the normalizer."""
+    if dialect == "spark":
+        tok = ("SELECT doc_id, explode(split(text, ' ')) AS t"
+               " FROM documents")
+    else:
+        tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+               " FROM documents")
+    return f"""
+WITH tok AS ({tok}),
+tf AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM tf),
+surprisal AS (
+  SELECT tok.doc_id,
+         CAST(round(ln(tot.n / CAST(tf.cnt AS DOUBLE)), 8)
+              AS DECIMAL(18,8)) AS s
+  FROM tok JOIN tf ON tf.t = tok.t CROSS JOIN tot
+),
+src AS (
+  SELECT d.source,
+         CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(CAST(SUM(p.s) AS DOUBLE) / COUNT(*), 6) AS loss
+  FROM surprisal p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY d.source
+),
+alltok AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n,
+                  round(CAST(SUM(CAST(loss AS DECIMAL(18,6)) * n_tokens)
+                             AS DOUBLE)
+                        / SUM(n_tokens), 6) AS mean_loss
+           FROM src),
+step AS (
+  SELECT s.source, s.n_docs, s.n_tokens, s.loss,
+         round(s.n_tokens / a.n, 6) AS w0,
+         round(GREATEST(CAST(0 AS DOUBLE), s.loss - a.mean_loss), 8)
+           AS excess
+  FROM src s CROSS JOIN alltok a
+),
+unnorm AS (
+  SELECT source, n_docs, n_tokens, loss, w0, excess,
+         CAST(round(w0 * exp({DOREMI_ETA} * excess), 8)
+              AS DECIMAL(18,8)) AS u
+  FROM step
+),
+z AS (SELECT SUM(u) AS z FROM unnorm)
+SELECT un.source, un.n_docs, un.n_tokens, un.loss,
+       un.w0, round(un.excess, 6) AS excess_loss,
+       round(CAST(un.u AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS w_next
+FROM unnorm un CROSS JOIN z
+ORDER BY un.source
+"""
+
+
+@register(
+    "ta_doremi_step",
+    oracle=_doremi_sql("duckdb"),
+    description="DoReMi-style domain reweighting, one multiplicative-"
+    "weights step: per-source proxy loss (mean unigram surprisal),"
+    " token-share baseline weights, w ∝ w0·exp(η·excess-loss),"
+    " renormalized — the mixture update that upweights domains the"
+    " model finds hard, hashed per source",
+    tags=("text", "mixture", "training", "lm"),
+)
+def ta_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi (Xie et al. '23) tunes pretraining mixture weights by
+    running multiplicative-weights updates on per-domain EXCESS loss;
+    one step of that update is a pure aggregation: per-source
+    token-weighted mean surprisal (the cheap proxy for the reference-
+    model loss — ta_unigram_logprob's exact-decimal machinery), the
+    corpus mean, hinged excess, and w0·exp(η·excess) renormalized.
+    Determinism: the exp ARGUMENT is a rounded-6/8 quantity of exact
+    decimal sums, the exp OUTPUT is rounded 8 and decimal-summed for
+    the normalizer, and the final weights are one double division
+    rounded 6 — the same transcendental discipline as
+    ev_mutual_information. Against ta_mix_temperature (which flattens
+    by SIZE alone), this is the loss-aware counterpart; both are one
+    source-keyed aggregate over corpus-sized input."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_doremi_sql("spark"))

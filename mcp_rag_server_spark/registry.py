@@ -307,7 +307,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # match census in one doc-keyed reduce, TakeOrdered parents), and
 # ta_dataset_card (the one-row corpus datasheet composing the
 # token/surprisal/Gopher/near-dup/tier building blocks in one
-# statement) — all seventy-six locally
+# statement), ev_delta_decomposition (per-segment period-over-period
+# volume/rate/interaction effects with the sums-to-delta identity
+# hashed; pandas cross-checked), and ta_doremi_step (DoReMi-lite
+# multiplicative-weights domain reweighting from per-source excess
+# surprisal; numpy cross-checked) — all seventy-eight locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1952,3 +1952,25 @@ def test_dataset_card_is_one_statement_no_python(spark):
     plan = plan_string(q(spark, "ta_dataset_card"))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_delta_decomposition_single_segment_shuffle(spark):
+    """ev_delta_decomposition: one segment-keyed aggregate, pure
+    arithmetic above it — no window, no Python, no cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "ev_delta_decomposition"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_doremi_step_no_window_no_python(spark):
+    """ta_doremi_step: token tf shuffle + source aggregate + scalar
+    cross joins — no window, no Python, no cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "ta_doremi_step"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0

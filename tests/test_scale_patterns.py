@@ -887,3 +887,99 @@ def test_textrank_matches_numpy_power_iteration(spark):
     )[:TR_TOP_N]
     want = [(words[i], round(rank[i], 6), int(deg[i])) for i in order]
     assert got == want, (got, want)
+
+
+def test_delta_decomposition_matches_pandas(spark):
+    """ev_delta_decomposition must match a direct pandas recomputation
+    of the volume/rate/interaction identity (groupby instead of SQL
+    conditionals)."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (
+            r["n1"], r["n2"], r["delta"], r["volume_effect"],
+            r["rate_effect"], r["interaction_effect"],
+            r["decomposition_exact"],
+        )
+        for r in load_all()["ev_delta_decomposition"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ev = _pd("events", sf)
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    lo, hi = int(us.min()), int(us.max())
+    cut = lo + (hi - lo) // 2
+    q = Decimal("0.0001")
+    agg: dict = {}
+    for et, u, v in zip(ev["event_type"], us, ev["value"]):
+        d = Decimal(float(v)).quantize(q, rounding=ROUND_HALF_EVEN)
+        n1, v1, n2, v2 = agg.get(et, (0, Decimal(0), 0, Decimal(0)))
+        if u < cut:
+            n1, v1 = n1 + 1, v1 + d
+        else:
+            n2, v2 = n2 + 1, v2 + d
+        agg[et] = (n1, v1, n2, v2)
+    for et, (n1, v1, n2, v2) in agg.items():
+        v1f, v2f = float(v1), float(v2)
+        delta = v2f - v1f
+        vol = (n2 - n1) * (v1f / n1)
+        rate = n1 * (v2f / n2 - v1f / n1)
+        inter = (n2 - n1) * (v2f / n2 - v1f / n1)
+        g = got[et]
+        assert g[0] == n1 and g[1] == n2
+        for gi, want in zip(g[2:6], (delta, vol, rate, inter)):
+            assert abs(gi - round(want, 4)) <= 2e-4, (et, gi, want)
+        assert g[6] == (abs(delta - (vol + rate + inter)) < 1e-6)
+
+
+def test_doremi_step_matches_numpy(spark):
+    """ta_doremi_step's weights must match a direct numpy
+    multiplicative-weights step over the same per-source losses."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.textanalysis import DOREMI_ETA
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_all()["ta_doremi_step"].spark_fn(spark, sf).collect()
+    )
+    got = {r["source"]: r for r in rows}
+
+    # independent loss recomputation
+    from collections import Counter
+
+    docs = _pd("documents", sf)
+    tf = Counter()
+    for text in docs["text"]:
+        tf.update(text.split(" "))
+    n = float(sum(tf.values()))
+    losses, ntok = {}, {}
+    for text, src in zip(docs["text"], docs["source"]):
+        for t in text.split(" "):
+            losses.setdefault(src, []).append(
+                round(np.log(n / tf[t]), 8)
+            )
+    import math
+
+    loss = {s: round(math.fsum(v) / len(v), 6) for s, v in losses.items()}
+    ntok = {s: len(v) for s, v in losses.items()}
+    total = sum(ntok.values())
+    mean_loss = round(
+        math.fsum(loss[s] * ntok[s] for s in loss) / total, 6
+    )
+    u = {}
+    for s in loss:
+        w0 = round(ntok[s] / total, 6)
+        excess = round(max(0.0, loss[s] - mean_loss), 8)
+        u[s] = round(w0 * math.exp(DOREMI_ETA * excess), 8)
+    z = math.fsum(u.values())
+    for s in loss:
+        g = got[s]
+        assert g["n_tokens"] == ntok[s]
+        assert abs(g["loss"] - loss[s]) <= 2e-6, (s, g["loss"], loss[s])
+        assert abs(g["w_next"] - round(u[s] / z, 6)) <= 2e-6
