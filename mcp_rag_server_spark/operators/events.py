@@ -3950,3 +3950,75 @@ def ev_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _delta_decomp_sql().format(epoch="unix_micros", div="DIV")
     )
+
+
+#: Growth accounting period length (one day, in microseconds):
+#: probed — WEEKLY granularity is degenerate on this fixture (every
+#: user is active every week: 150 new then all-retained rows), while
+#: daily activity is sporadic (150 new / 3438 retained / 418
+#: resurrected at sf0.01), so every transition class is populated.
+GA_DAY_US = 86_400 * 1_000_000
+
+
+def _growth_sql() -> str:
+    """Daily growth accounting over per-(user, day) activity rows:
+    classification needs only each user's previous/next ACTIVE day
+    (user-partitioned lag/lead), never a calendar join."""
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         {{epoch}}(ts) {{div}} {GA_DAY_US} AS day_index
+  FROM events
+),
+seq AS (
+  SELECT user_id, day_index,
+         lag(day_index) OVER (PARTITION BY user_id
+                               ORDER BY day_index) AS prev_w,
+         lead(day_index) OVER (PARTITION BY user_id
+                                ORDER BY day_index) AS next_w,
+         MIN(day_index) OVER (PARTITION BY user_id) AS first_w
+  FROM uw
+)
+SELECT CAST(day_index AS BIGINT) AS day_index,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(CASE WHEN day_index = first_w THEN 1 END) AS BIGINT)
+         AS n_new,
+       CAST(COUNT(CASE WHEN prev_w = day_index - 1 THEN 1 END)
+            AS BIGINT) AS n_retained,
+       CAST(COUNT(CASE WHEN prev_w IS NOT NULL
+                        AND prev_w < day_index - 1 THEN 1 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(COUNT(CASE WHEN next_w IS NULL OR next_w > day_index + 1
+                  THEN 1 END) AS BIGINT) AS n_churned_next
+FROM seq
+GROUP BY day_index
+ORDER BY day_index
+"""
+
+
+@register(
+    "ev_growth_accounting",
+    oracle=_growth_sql().format(epoch="epoch_us", div="//"),
+    description="daily growth accounting: every active (user, day)"
+    " classified as new / retained / resurrected from the user's"
+    " previous active day, plus the will-churn-next count — the"
+    " product-analytics ledger whose identity n_active = new +"
+    " retained + resurrected is hashed implicitly in the counts",
+    tags=("events", "window", "growth", "cohort"),
+)
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting ledger (new/retained/resurrected/churned
+    — the table every consumer product reviews) reduces to per-user
+    ADJACENCY over active days: new ⇔ first active day, retained ⇔
+    previous active day is exactly day−1, resurrected ⇔ a gap
+    strictly longer than one day, churn-next ⇔ the next active day
+    is not day+1. One distinct over (user, day) — a partial-agg
+    shuffle — then user-partitioned lag/lead/min windows (keyed by
+    the same user hash, O(active-days-per-user) state), then a
+    day-keyed rollup bounded by the calendar. The DAILY grain is
+    probed, not assumed — weekly was degenerate on this fixture (see
+    GA_DAY_US). Nothing global, nothing approximate;
+    ev_cohort_retention slices the same activity by SIGNUP cohort,
+    this ledger slices it by TRANSITION — the standard pair."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_growth_sql().format(epoch="unix_micros", div="DIV"))

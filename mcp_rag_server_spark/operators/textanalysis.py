@@ -2023,3 +2023,72 @@ def ta_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_doremi_sql("spark"))
+
+
+#: Feature-hashing audit dimensions (the hashing-trick width sweep).
+FH_DIMS = (8, 16, 32)
+
+
+def _feature_hash_sql(dialect: str) -> str:
+    """Hashing-trick collision census per width: every DISTINCT doc
+    token hashes to md5('fh:'||t) % D; per-doc collision rate =
+    1 − nnz/distinct, averaged exactly (each rate is a ratio of small
+    ints rounded 8 then decimal-summed)."""
+    if dialect == "spark":
+        tok = ("SELECT DISTINCT doc_id, explode(split(text, ' ')) AS t"
+               " FROM documents")
+        fold = ("CAST(conv(substr(md5(concat('fh:', t)), 1, 8), 16, 10)"
+                " AS BIGINT)")
+    else:
+        tok = ("SELECT DISTINCT doc_id,"
+               " unnest(string_split(text, ' ')) AS t FROM documents")
+        fold = "CAST('0x' || substr(md5('fh:' || t), 1, 8) AS BIGINT)"
+    blocks = []
+    for d in FH_DIMS:
+        blocks.append(f"""
+SELECT {d} AS n_dims,
+       (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok) AS vocab_size,
+       (SELECT CAST(COUNT(DISTINCT {fold} % {d}) AS BIGINT) FROM tok)
+         AS n_dims_used,
+       round(CAST(SUM(CAST(rate AS DECIMAL(18,8))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_doc_collision_rate
+FROM (
+  SELECT doc_id,
+         round(1.0 - CAST(COUNT(DISTINCT {fold} % {d}) AS DOUBLE)
+                     / COUNT(DISTINCT t), 8) AS rate
+  FROM tok GROUP BY doc_id
+) per_doc""")
+    return f"WITH tok AS ({tok})" + "\nUNION ALL\n".join(blocks) + \
+        "\nORDER BY n_dims"
+
+
+@register(
+    "ta_feature_hashing",
+    oracle=_feature_hash_sql("duckdb"),
+    description="hashing-trick featurization audit (Weinberger et al."
+    " '09): distinct doc tokens hashed into 8/16/32 dims — dims"
+    " actually used and the mean per-doc collision rate per width,"
+    " the dimensionality-vs-collision trade every hashed"
+    " bag-of-words feature pipeline picks, hashed as a three-point"
+    " curve",
+    tags=("text", "features", "hashing", "ml"),
+)
+def ta_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick replaces a vocabulary dictionary with
+    hash(t) % D — no vocab build, no OOV, bounded width — at the
+    price of collisions that fold unrelated tokens onto one feature.
+    The audit measures that price on this corpus across three
+    widths: per-doc collision rate (1 − nonzero-dims/distinct-tokens,
+    exact small-int ratios rounded 8 and decimal-averaged) and the
+    global dims-used count. The md5 fold is the same cross-engine
+    32-bit hash every dd_*/sampling op uses, so the feature MAP
+    itself — not just the census — is engine-identical: the logreg
+    scorer (ta_logreg_quality) could consume these features
+    byte-for-byte on either engine. Cost per width: one distinct
+    (doc, token) explode (shared) + a doc-keyed aggregate; the
+    widths are unrolled columns of the same scan, not three passes
+    over the corpus."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_feature_hash_sql("spark"))

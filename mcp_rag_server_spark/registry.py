@@ -311,7 +311,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # volume/rate/interaction effects with the sums-to-delta identity
 # hashed; pandas cross-checked), and ta_doremi_step (DoReMi-lite
 # multiplicative-weights domain reweighting from per-source excess
-# surprisal; numpy cross-checked) — all seventy-eight locally
+# surprisal; numpy cross-checked), ev_growth_accounting (daily
+# new/retained/resurrected/churn-next ledger from user-partitioned
+# active-day adjacency — daily grain probed non-degenerate, Python
+# set-ledger cross-checked), and ta_feature_hashing (hashing-trick
+# width sweep: dims-used + mean per-doc collision rate at 8/16/32
+# dims from one shared token scan) — all eighty locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1974,3 +1974,27 @@ def test_doremi_step_no_window_no_python(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_growth_accounting_windows_are_user_keyed(spark):
+    """ev_growth_accounting: lag/lead/min all ride user-partitioned
+    windows — no unpartitioned spec, no Python, no cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "ev_growth_accounting"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("user_id" in s for s in specs), specs
+
+
+def test_feature_hashing_shares_one_token_scan(spark):
+    """ta_feature_hashing: the three widths are unrolled columns of
+    shared token scans — no window, no Python, no cartesian beyond
+    scalar broadcasts."""
+    import re
+
+    plan = plan_string(q(spark, "ta_feature_hashing"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0

@@ -983,3 +983,40 @@ def test_doremi_step_matches_numpy(spark):
         assert g["n_tokens"] == ntok[s]
         assert abs(g["loss"] - loss[s]) <= 2e-6, (s, g["loss"], loss[s])
         assert abs(g["w_next"] - round(u[s] / z, 6)) <= 2e-6
+
+
+def test_growth_accounting_matches_python_ledger(spark):
+    """ev_growth_accounting must match a direct Python classification
+    over per-user active-day sets (set adjacency instead of
+    windows)."""
+    from mcp_rag_server_spark.operators.events import GA_DAY_US
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day_index"]: (r["n_active"], r["n_new"], r["n_retained"],
+                         r["n_resurrected"], r["n_churned_next"])
+        for r in load_all()["ev_growth_accounting"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    active: dict = {}
+    for uid, u in zip(ev["user_id"], us):
+        active.setdefault(int(uid), set()).add(int(u) // GA_DAY_US)
+    ledger: dict = {}
+    for days in active.values():
+        first = min(days)
+        for d in days:
+            a, n, r, s, c = ledger.get(d, (0, 0, 0, 0, 0))
+            a += 1
+            if d == first:
+                n += 1
+            elif d - 1 in days:
+                r += 1
+            else:
+                s += 1
+            if d + 1 not in days:
+                c += 1
+            ledger[d] = (a, n, r, s, c)
+    assert got == ledger, (got, ledger)
