@@ -4022,3 +4022,106 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     this ledger slices it by TRANSITION — the standard pair."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_growth_sql().format(epoch="unix_micros", div="DIV"))
+
+
+#: IPW: treatment = ≥7 pre-period purchases (probed ~50/50 split,
+#: corr(T, pre-activity) ≈ 0.24 — genuinely confounded), fixed
+#: propensity-model weights (spread probed: p ranges ~0.3–0.7), and
+#: the standard clip.
+IPW_TREAT_MIN_PURCHASES = 7
+IPW_W0, IPW_W1, IPW_W2 = -3.0, 0.8, 0.2
+IPW_CLIP_LO, IPW_CLIP_HI = 0.05, 0.95
+
+
+def _ipw_sql() -> str:
+    """Horvitz-Thompson IPW ATE with a fixed-weight logistic
+    propensity over pre-period confounders: sigmoid rounded 6, clip,
+    per-row weighted-outcome terms rounded 6 then decimal-summed."""
+    return f"""
+WITH b AS (
+  SELECT MIN({{epoch}}(ts)) AS lo, MAX({{epoch}}(ts)) AS hi FROM events
+),
+u AS (
+  SELECT e.user_id,
+    CAST(COUNT(CASE WHEN {{epoch}}(e.ts) < b.lo + (b.hi - b.lo) {{div}} 2
+               THEN 1 END) AS BIGINT) AS n_pre,
+    CAST(COALESCE(SUM(CASE WHEN {{epoch}}(e.ts)
+                            < b.lo + (b.hi - b.lo) {{div}} 2
+                  THEN CAST(e.value AS DECIMAL(18,4)) END), 0)
+         AS DOUBLE) AS v_pre,
+    CASE WHEN COUNT(CASE WHEN {{epoch}}(e.ts)
+                          < b.lo + (b.hi - b.lo) {{div}} 2
+                          AND e.event_type = 'purchase' THEN 1 END)
+              >= {IPW_TREAT_MIN_PURCHASES} THEN 1 ELSE 0 END AS t,
+    CAST(COALESCE(SUM(CASE WHEN {{epoch}}(e.ts)
+                            >= b.lo + (b.hi - b.lo) {{div}} 2
+                  THEN CAST(e.value AS DECIMAL(18,4)) END), 0)
+         AS DOUBLE) AS y
+  FROM events e CROSS JOIN b
+  GROUP BY e.user_id
+),
+scored AS (
+  SELECT user_id, t, y,
+         LEAST({IPW_CLIP_HI}, GREATEST({IPW_CLIP_LO},
+           round(CAST(1 AS DOUBLE)
+                 / (CAST(1 AS DOUBLE)
+                    + exp(-({IPW_W0} + {IPW_W1} * (n_pre / 10.0)
+                            + {IPW_W2} * (v_pre / 1000.0)))), 6)))
+           AS p
+  FROM u
+),
+terms AS (
+  SELECT t, y, p,
+         CAST(round(t * y / p, 6) AS DECIMAL(19,6)) AS wy1,
+         CAST(round((1 - t) * y / (1 - p), 6) AS DECIMAL(19,6)) AS wy0,
+         CAST(round(t / p, 6) AS DECIMAL(19,6)) AS w1,
+         CAST(round((1 - t) / (1 - p), 6) AS DECIMAL(19,6)) AS w0
+  FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(t) AS BIGINT) AS n_treated,
+       round(CAST(SUM(CASE WHEN t = 1 THEN CAST(p AS DECIMAL(18,6)) END)
+                  AS DOUBLE) / SUM(t), 6) AS mean_p_treated,
+       round(CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(18,4)) END)
+                  AS DOUBLE) / SUM(t)
+             - CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(18,4)) END)
+                    AS DOUBLE) / (COUNT(*) - SUM(t)), 6) AS ate_naive,
+       round(CAST(SUM(wy1) AS DOUBLE) / CAST(SUM(w1) AS DOUBLE)
+             - CAST(SUM(wy0) AS DOUBLE) / CAST(SUM(w0) AS DOUBLE), 6)
+         AS ate_ipw,
+       round(CAST(SUM(w1) AS DOUBLE) * CAST(SUM(w1) AS DOUBLE)
+             / CAST(SUM(w1 * CAST(w1 AS DECIMAL(20,6))) AS DOUBLE), 2)
+         AS ess_treated
+FROM terms
+"""
+
+
+@register(
+    "ev_propensity_ipw",
+    oracle=_ipw_sql().format(epoch="epoch_us", div="//"),
+    description="observational causal effect via inverse-propensity"
+    " weighting: self-selected treatment (heavy pre-period"
+    " purchasers), fixed-weight logistic propensity over pre-period"
+    " confounders, clipped Hajek-normalized IPW ATE beside the naive"
+    " difference, with the treated effective sample size — the"
+    " confounding-corrected estimate A/B tests cannot give you when"
+    " assignment was not randomized",
+    tags=("events", "causal", "stats", "ipw"),
+)
+def ev_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When treatment is SELF-selected (users who bought ≥7 times —
+    probed: a ~50/50 split genuinely correlated with pre-period
+    activity), the naive treated-vs-control difference mixes the
+    effect with the confounding; weighting each user by 1/p(T|X)
+    (Horvitz-Thompson, Hajek-normalized here) recovers an unbiased
+    ATE under unconfoundedness. The propensity model is the same
+    fixed-weight-logistic inference shape as ta_logreg_quality
+    (weights as config, sigmoid rounded 6), probabilities clipped to
+    [0.05, 0.95] exactly as production IPW clips, and every weighted
+    term is a per-row double rounded 6 then decimal-summed — so the
+    whole estimator is one user-keyed aggregate plus one single-row
+    reduce, the CUPED plan shape with weights instead of covariance.
+    ess_treated = (Σw)²/Σw² is the overlap diagnostic reviewers ask
+    for: how many effective users survive the weighting."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ipw_sql().format(epoch="unix_micros", div="DIV"))

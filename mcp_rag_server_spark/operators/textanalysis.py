@@ -2092,3 +2092,90 @@ def ta_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents"
     )
     return spark.sql(_feature_hash_sql("spark"))
+
+
+#: Kneser-Ney absolute discount.
+KN_DISCOUNT = 0.75
+
+
+def _kn_sql(dialect: str) -> str:
+    """Interpolated Kneser-Ney bigram LM: absolute discount on the
+    bigram count, continuation probability from distinct LEFT
+    contexts. Every probability is a ratio of exact integers (plus
+    the fixed discount); the per-bigram surprisal is rounded 8 and
+    decimal-summed, as in ta_bigram_logprob."""
+    if dialect == "spark":
+        tok = ("SELECT doc_id, posexplode(split(text, ' ')) AS (pos, w)"
+               " FROM documents")
+    else:
+        tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS w,"
+               " generate_subscripts(string_split(text, ' '), 1) AS pos"
+               " FROM documents")
+    d = KN_DISCOUNT
+    return f"""
+WITH tok AS ({tok}),
+bi AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+       FROM bi2 GROUP BY w1, w2),
+cx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_x,
+              CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+       FROM bg GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_back
+         FROM bg GROUP BY w2),
+types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bg),
+s AS (
+  SELECT b.doc_id,
+         CAST(round(-ln(
+           (bg.c - {d}) / cx.c_x
+           + ({d} * cx.n1p_fwd / cx.c_x)
+             * (co.n1p_back / t.n_types)
+         ), 8) AS DECIMAL(18,8)) AS s
+  FROM bi2 b
+  JOIN bg ON bg.w1 = b.w1 AND bg.w2 = b.w2
+  JOIN cx ON cx.w1 = b.w1
+  JOIN cont co ON co.w2 = b.w2
+  CROSS JOIN types t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal_kn,
+       round(exp(CAST(SUM(s) AS DOUBLE) / COUNT(*)), 4) AS ppl_kn
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ta_kneser_ney_bigram",
+    oracle=_kn_sql("duckdb"),
+    description="interpolated Kneser-Ney bigram LM surprisal and"
+    f" perplexity per document (absolute discount {KN_DISCOUNT},"
+    " continuation probability from distinct left contexts) — the"
+    " smoothing that models how WIDELY a word appears, not how often,"
+    " beside ta_bigram_logprob's add-1 baseline",
+    tags=("text", "quality", "lm", "bigram"),
+)
+def ta_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1 smoothing (ta_bigram_logprob) over-penalizes frequent
+    contexts; Kneser-Ney — the de-facto n-gram smoothing — discounts
+    every seen bigram by a fixed d and backs off to the CONTINUATION
+    probability (in how many distinct left contexts does w2 appear?),
+    which is why 'Francisco' scores low despite being frequent: it
+    follows only 'San'. All four statistics (bigram counts, left
+    totals + distinct continuations, right context diversity, type
+    count) are vocabulary-sized partial aggregations off ONE bigram
+    shuffle; the probability is a per-row double of exact-int ratios
+    (c ≥ 1 in the bigram table, so c − d > 0 and the discounted term
+    needs no max()), surprisal rounded 8 and decimal-summed per doc.
+    Same output shape as the add-1 baseline so the two models'
+    per-doc perplexities compare row for row."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_kn_sql("spark"))

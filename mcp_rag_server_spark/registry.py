@@ -316,7 +316,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # active-day adjacency — daily grain probed non-degenerate, Python
 # set-ledger cross-checked), and ta_feature_hashing (hashing-trick
 # width sweep: dims-used + mean per-doc collision rate at 8/16/32
-# dims from one shared token scan) — all eighty locally
+# dims from one shared token scan), ev_propensity_ipw
+# (observational ATE via clipped Hajek-normalized inverse-propensity
+# weighting over a probed self-selected treatment, ESS diagnostic;
+# Python cross-checked), and ta_kneser_ney_bigram (interpolated
+# Kneser-Ney bigram LM per-doc surprisal/perplexity beside the add-1
+# baseline; Python Counter cross-checked) — all eighty-two locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -1998,3 +1998,27 @@ def test_feature_hashing_shares_one_token_scan(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_ipw_is_two_aggregations(spark):
+    """ev_propensity_ipw: user-keyed aggregate + single-row reduce —
+    no window, no Python, no cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "ev_propensity_ipw"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_kneser_ney_marginals_off_one_bigram_shuffle(spark):
+    """ta_kneser_ney_bigram: all four statistics aggregate off the
+    bigram table; the only window is the per-doc lead — no Python, no
+    cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "ta_kneser_ney_bigram"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("doc_id" in s for s in specs), specs

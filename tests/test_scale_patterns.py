@@ -1020,3 +1020,122 @@ def test_growth_accounting_matches_python_ledger(spark):
                 c += 1
             ledger[d] = (a, n, r, s, c)
     assert got == ledger, (got, ledger)
+
+
+def test_ipw_matches_python_estimator(spark):
+    """ev_propensity_ipw must match a direct Python Hajek-IPW
+    recomputation over per-user pre/post aggregates."""
+    import math
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from mcp_rag_server_spark.operators.events import (
+        IPW_CLIP_HI,
+        IPW_CLIP_LO,
+        IPW_TREAT_MIN_PURCHASES,
+        IPW_W0,
+        IPW_W1,
+        IPW_W2,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["ev_propensity_ipw"].spark_fn(spark, sf).collect()[0]
+
+    ev = _pd("events", sf)
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    lo, hi = int(us.min()), int(us.max())
+    cut = lo + (hi - lo) // 2
+    q = Decimal("0.0001")
+    users: dict = {}
+    for uid, u, et, v in zip(ev["user_id"], us, ev["event_type"],
+                             ev["value"]):
+        n_pre, v_pre, npur, y = users.get(
+            int(uid), (0, Decimal(0), 0, Decimal(0))
+        )
+        d = Decimal(float(v)).quantize(q, rounding=ROUND_HALF_EVEN)
+        if u < cut:
+            n_pre += 1
+            v_pre += d
+            if et == "purchase":
+                npur += 1
+        else:
+            y += d
+        users[int(uid)] = (n_pre, v_pre, npur, y)
+    sw1 = swy1 = sw0 = swy0 = sw1sq = 0.0
+    n_t = 0
+    naive_t, naive_c, nc = 0.0, 0.0, 0
+    p_t = 0.0
+    for n_pre, v_pre, npur, y in users.values():
+        t = 1 if npur >= IPW_TREAT_MIN_PURCHASES else 0
+        z = IPW_W0 + IPW_W1 * (n_pre / 10.0) + IPW_W2 * (
+            float(v_pre) / 1000.0
+        )
+        p = min(IPW_CLIP_HI, max(IPW_CLIP_LO,
+                                 round(1.0 / (1.0 + math.exp(-z)), 6)))
+        yf = float(y)
+        if t:
+            n_t += 1
+            p_t += p
+            naive_t += yf
+            sw1 += round(1 / p, 6)
+            swy1 += round(yf / p, 6)
+            sw1sq += round(1 / p, 6) ** 2
+        else:
+            nc += 1
+            naive_c += yf
+            sw0 += round(1 / (1 - p), 6)
+            swy0 += round(yf / (1 - p), 6)
+    assert row["n_users"] == len(users) and row["n_treated"] == n_t
+    assert abs(row["mean_p_treated"] - round(p_t / n_t, 6)) <= 2e-6
+    assert abs(row["ate_naive"]
+               - round(naive_t / n_t - naive_c / nc, 6)) <= 2e-6
+    assert abs(row["ate_ipw"]
+               - round(swy1 / sw1 - swy0 / sw0, 6)) <= 5e-6
+    assert abs(row["ess_treated"] - round(sw1 * sw1 / sw1sq, 2)) <= 0.02
+
+
+def test_kneser_ney_matches_python_lm(spark):
+    """ta_kneser_ney_bigram must match a direct Python KN model built
+    with Counters (sampled docs; same discount, rounding, decimal
+    sums)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mcp_rag_server_spark.operators.textanalysis import KN_DISCOUNT
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_surprisal_kn"], r["ppl_kn"])
+        for r in load_all()["ta_kneser_ney_bigram"].spark_fn(spark, sf).collect()
+    }
+
+    docs = _pd("documents", sf)
+    bg = Counter()
+    per_doc = defaultdict(list)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+            per_doc[int(doc_id)].append((a, b))
+    c_x, n1p_fwd, n1p_back = Counter(), Counter(), Counter()
+    for (a, b), c in bg.items():
+        c_x[a] += c
+        n1p_fwd[a] += 1
+        n1p_back[b] += 1
+    n_types = float(len(bg))
+    d = KN_DISCOUNT
+    for doc_id in list(per_doc)[:50]:
+        ss = [
+            round(-math.log(
+                (bg[p] - d) / c_x[p[0]]
+                + (d * n1p_fwd[p[0]] / c_x[p[0]])
+                * (n1p_back[p[1]] / n_types)
+            ), 8)
+            for p in per_doc[doc_id]
+        ]
+        mean = round(math.fsum(ss) / len(ss), 6)
+        g = got[doc_id]
+        assert g[0] == len(ss)
+        assert abs(g[1] - mean) <= 2e-6, (doc_id, g[1], mean)
+        assert abs(g[2] - round(math.exp(mean), 4)) <= 2e-4

@@ -102,7 +102,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "dq_expectations_audit", "ev_slo_burn_rate",
          "rag_parent_doc_topk", "ta_dataset_card",
          "ev_delta_decomposition", "ta_doremi_step",
-         "ev_growth_accounting", "ta_feature_hashing"]
+         "ev_growth_accounting", "ta_feature_hashing",
+         "ev_propensity_ipw", "ta_kneser_ney_bigram"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
