@@ -4125,3 +4125,54 @@ def ev_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
     for: how many effective users survive the weighting."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ipw_sql().format(epoch="unix_micros", div="DIV"))
+
+
+_SEQ_SUPPORT_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users_both,
+       CAST(COUNT(CASE WHEN a.first_ts < b.first_ts THEN 1 END)
+            AS BIGINT) AS n_a_first,
+       CAST(COUNT(CASE WHEN b.first_ts < a.first_ts THEN 1 END)
+            AS BIGINT) AS n_b_first,
+       CAST(COUNT(CASE WHEN a.first_ts = b.first_ts THEN 1 END)
+            AS BIGINT) AS n_tie,
+       round(COUNT(CASE WHEN a.first_ts < b.first_ts THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS pct_a_first
+FROM f a
+JOIN f b ON b.user_id = a.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "ev_seq_pattern_support",
+    oracle=_SEQ_SUPPORT_SQL,
+    description="sequential-pattern support census: for every"
+    " event-type pair, how many users' FIRST occurrence of A precedes"
+    " their first of B (supports 69–83 of 150 at sf0.01 — a real"
+    " ordering signal, probed) — the length-2 PrefixSpan support"
+    " table that seeds sequence mining",
+    tags=("events", "sequence", "mining"),
+)
+def ev_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining's first question is which orderings are even
+    common, and the exists-A-before-B formulation degenerates on
+    month-long histories (min(A) < max(B) is true for ~every pair) —
+    probed, so the census uses FIRST occurrences: whose debut came
+    first. That reduces to a (user, type)-keyed MIN aggregate (one
+    shuffle) and a user-keyed self-join bounded by |types|² rows per
+    user; the support counts are exact and the tie column makes the
+    trichotomy total (same-microsecond debuts count as neither
+    order). At 100 TB the per-user type table is |types| rows — the
+    join never touches raw events twice. The full PrefixSpan
+    iteration (grow supported prefixes) repeats exactly this shape
+    per pattern length; length-2 is the census every run starts
+    from (length-3 support needs the same first-ts table joined
+    three ways — identical cost model)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SEQ_SUPPORT_SQL)

@@ -978,3 +978,168 @@ def sim_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(census(i, edges))
     return out.orderBy("round")
+
+
+#: nDCG evaluation: queries, cutoff, and the fixed rank discounts
+#: 1/log2(rank+1) as PRECOMPUTED literals (identical constants in
+#: both engines — no transcendental parity risk in the discount).
+NDCG_QUERIES = 10
+NDCG_K = 10
+NDCG_DISCOUNTS = (
+    1.0, 0.6309297536, 0.5, 0.4306765581, 0.3868528072,
+    0.3562071871, 0.3333333333, 0.3154648768, 0.3010299957, 0.2890648263,
+)
+
+
+def _ndcg_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {rank_col} = {i + 1} THEN {d!r}"
+        for i, d in enumerate(NDCG_DISCOUNTS)
+    )
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+@register(
+    "sim_ndcg_sq8_eval",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {NDCG_QUERIES}),
+p AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         (CAST(list_max(embedding) AS DOUBLE)
+          - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           sqv -> CASE WHEN sc = 0 THEN mn
+                       ELSE mn + round((CAST(sqv AS DOUBLE) - mn) / sc, 0)
+                             * sc END) AS dq
+  FROM p
+),
+scored AS (
+  SELECT q.q_id, d.vec_id,
+         round({duckdb_cosine('d.dq', 'q.qv')}, 4) AS approx,
+         round({duckdb_cosine('d.embedding', 'q.qv')}, 4) + 1 AS gain
+  FROM d JOIN q ON d.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, gain,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx DESC, vec_id) AS r_approx,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY gain DESC, vec_id) AS r_ideal
+  FROM scored
+),
+terms AS (
+  SELECT q_id,
+         CAST(round(CASE WHEN r_approx <= {NDCG_K}
+              THEN gain * ({_ndcg_case('r_approx')}) ELSE 0 END, 8)
+              AS DECIMAL(18,8)) AS dcg_t,
+         CAST(round(CASE WHEN r_ideal <= {NDCG_K}
+              THEN gain * ({_ndcg_case('r_ideal')}) ELSE 0 END, 8)
+              AS DECIMAL(18,8)) AS idcg_t
+  FROM ranked
+)
+SELECT q_id,
+       round(CAST(SUM(dcg_t) AS DOUBLE), 6) AS dcg_at_k,
+       round(CAST(SUM(idcg_t) AS DOUBLE), 6) AS idcg_at_k,
+       round(CAST(SUM(dcg_t) AS DOUBLE)
+             / CAST(SUM(idcg_t) AS DOUBLE), 6) AS ndcg_at_k
+FROM terms
+GROUP BY q_id
+ORDER BY q_id
+""",
+    description=f"ranking-quality evaluation: nDCG@{NDCG_K} of the"
+    " SQ8-quantized ranker judged by exact-cosine graded relevance,"
+    " per query — rank discounts are precomputed literals and every"
+    " DCG term is rounded-then-decimal-summed, so the IR metric"
+    " itself is engine-exact",
+    tags=("similarity", "vector", "eval", "ndcg", "quantization"),
+)
+def sim_ndcg_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_sq8_topk shows the quantized ranking beside exact scores;
+    nDCG is the NUMBER a ranking review actually gates on. Judge =
+    exact cosine shifted to non-negative gains in [0, 2] (rounded-4
+    score + 1 — a second rounding after any division would land on
+    exact half-ulp midpoints where the engines' rounding modes
+    diverge, caught in replay); ranker = the
+    same SQ8 dequantized cosine ranking; nDCG@10 = DCG over the
+    approx ranking / DCG over the ideal (gain-sorted) ranking. The
+    1/log2(rank+1) discounts are PRECOMPUTED literals — both engines
+    multiply by identical constants, so no transcendental enters the
+    hash — and each of the ≤10 DCG terms is rounded 8 then
+    decimal-summed (order-free). Plan shape: one corpus × Q broadcast
+    scoring pass, two per-query rank windows over it, a 10-row-per-
+    query reduce; at scale the candidate set below the windows is
+    whatever index (IVF/LSH/graph) produced it — the metric layer is
+    index-agnostic. Hashed per query: the quantization's realized
+    ranking damage."""
+    from mcp_rag_server_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    p = emb.withColumn(
+        "mn", F.array_min("embedding").cast("double")
+    ).withColumn(
+        "sc",
+        (F.array_max("embedding").cast("double") - F.col("mn"))
+        / F.lit(255.0),
+    )
+    d = p.withColumn(
+        "dq",
+        F.expr(
+            "transform(embedding, sqv -> "
+            "CASE WHEN sc = CAST(0 AS DOUBLE) THEN mn "
+            "ELSE mn + round((CAST(sqv AS DOUBLE) - mn) / sc, 0) * sc END"
+            ")"
+        ),
+    )
+    scored = (
+        d.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine("dq", "qv"), 4).alias("approx"),
+            (cosine_score("embedding", "qv") + F.lit(1.0)).alias(
+                "gain"
+            ),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    wi = Window.partitionBy("q_id").orderBy(F.desc("gain"), F.asc("vec_id"))
+    ranked = scored.withColumn("r_approx", F.row_number().over(wa)).withColumn(
+        "r_ideal", F.row_number().over(wi)
+    )
+    dcg_t = F.round(
+        F.when(
+            F.col("r_approx") <= NDCG_K,
+            F.col("gain") * F.expr(_ndcg_case("r_approx")),
+        ).otherwise(F.lit(0.0)),
+        8,
+    ).cast("decimal(18,8)")
+    idcg_t = F.round(
+        F.when(
+            F.col("r_ideal") <= NDCG_K,
+            F.col("gain") * F.expr(_ndcg_case("r_ideal")),
+        ).otherwise(F.lit(0.0)),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        ranked.select("q_id", dcg_t.alias("dcg_t"), idcg_t.alias("idcg_t"))
+        .groupBy("q_id")
+        .agg(
+            F.round(F.sum("dcg_t").cast("double"), 6).alias("dcg_at_k"),
+            F.round(F.sum("idcg_t").cast("double"), 6).alias("idcg_at_k"),
+            F.round(
+                F.sum("dcg_t").cast("double")
+                / F.sum("idcg_t").cast("double"),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("q_id")
+    )

@@ -321,7 +321,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # weighting over a probed self-selected treatment, ESS diagnostic;
 # Python cross-checked), and ta_kneser_ney_bigram (interpolated
 # Kneser-Ney bigram LM per-doc surprisal/perplexity beside the add-1
-# baseline; Python Counter cross-checked) — all eighty-two locally
+# baseline; Python Counter cross-checked), ev_seq_pattern_support
+# (length-2 PrefixSpan support census over FIRST occurrences —
+# exists-before probed degenerate and rejected), and
+# sim_ndcg_sq8_eval (nDCG@10 of the SQ8 ranker judged by exact
+# cosine gains; discount literals, no runtime transcendental) — all
+# eighty-four locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -2022,3 +2022,29 @@ def test_kneser_ney_marginals_off_one_bigram_shuffle(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("doc_id" in s for s in specs), specs
+
+
+def test_seq_support_join_is_type_table_sized(spark):
+    """ev_seq_pattern_support: the self-join runs over the per-user
+    TYPE table (|types| rows per user), never raw events — the
+    aggregate sits below the join; no Python, no cartesian."""
+    plan = plan_string(q(spark, "ev_seq_pattern_support"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    jline = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    assert "HashAggregate" in "\n".join(lines[jline:])
+
+
+def test_ndcg_discounts_are_literals(spark):
+    """sim_ndcg_sq8_eval: the rank discounts appear as literal
+    constants in the plan (no log2 at runtime), rankings are
+    q_id-partitioned windows — no Python, no unpartitioned spec."""
+    import re
+
+    plan = plan_string(q(spark, "sim_ndcg_sq8_eval"))
+    assert "EvalPython" not in plan
+    assert "0.6309297536" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("q_id" in s for s in specs), specs
