@@ -2475,3 +2475,131 @@ def ta_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+#: SimHash agreement criterion: Hamming ≤ 2 over the 16-bit hash,
+#: realized as an equi-join against all C(16,≤2) = 137 XOR masks —
+#: the same probe-expansion blocking as sim_multiprobe_lsh, never a
+#: Hamming theta join.
+SIMHASH_AGREE_HAMMING = 2
+
+
+def _simhash_masks() -> list[int]:
+    masks = [0] + [1 << i for i in range(16)]
+    masks += [
+        (1 << i) | (1 << j) for i in range(16) for j in range(i + 1, 16)
+    ]
+    return masks
+
+
+def _agreement_sql(pairs_cte: str, simhash_src: str, dialect: str) -> str:
+    """Pairwise agreement census over three pair sets: LSH-verified
+    ≥0.9 Jaccard (``pairs``), SimHash-16 Hamming ≤ 2 (mask-expansion
+    equi-join), and exact text duplicates (md5 equality)."""
+    xor = (
+        "xor(a.simhash, m.mask)" if dialect == "duckdb"
+        else "a.simhash ^ m.mask"
+    )
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    vals = ", ".join(f"({m})" for m in _simhash_masks())
+    return f"""
+WITH {pairs_cte},
+lsh_p AS (SELECT doc_a, doc_b FROM pairs),
+shv AS {mat}({simhash_src}),
+masks AS (SELECT * FROM (VALUES {vals}) AS v(mask)),
+sim_p AS {mat}(
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shv a CROSS JOIN masks m
+  JOIN shv b ON b.simhash = {xor} AND a.doc_id < b.doc_id
+),
+ex_p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+tagged AS (
+  SELECT doc_a, doc_b, CAST(SUM(tag) AS BIGINT) AS tags
+  FROM (SELECT doc_a, doc_b, 1 AS tag FROM lsh_p
+        UNION ALL SELECT doc_a, doc_b, 2 FROM sim_p
+        UNION ALL SELECT doc_a, doc_b, 4 FROM ex_p) u
+  GROUP BY doc_a, doc_b
+),
+stats AS (
+  SELECT
+    CAST(COUNT(CASE WHEN tags IN (1,3,5,7) THEN 1 END) AS BIGINT)
+      AS n_lsh,
+    CAST(COUNT(CASE WHEN tags IN (2,3,6,7) THEN 1 END) AS BIGINT)
+      AS n_sim,
+    CAST(COUNT(CASE WHEN tags IN (4,5,6,7) THEN 1 END) AS BIGINT)
+      AS n_ex,
+    CAST(COUNT(CASE WHEN tags IN (3,7) THEN 1 END) AS BIGINT) AS n_ls,
+    CAST(COUNT(CASE WHEN tags IN (5,7) THEN 1 END) AS BIGINT) AS n_le,
+    CAST(COUNT(CASE WHEN tags IN (6,7) THEN 1 END) AS BIGINT) AS n_se
+  FROM tagged
+)
+SELECT * FROM (
+  SELECT 'lsh_jaccard09_vs_simhash16' AS method_pair,
+         n_lsh AS n_a, n_sim AS n_b, n_ls AS n_both,
+         CASE WHEN n_lsh + n_sim - n_ls = 0 THEN CAST(0 AS DOUBLE)
+              ELSE round(n_ls / CAST(n_lsh + n_sim - n_ls AS DOUBLE), 6)
+         END AS pair_jaccard
+  FROM stats
+  UNION ALL
+  SELECT 'lsh_jaccard09_vs_exact', n_lsh, n_ex, n_le,
+         CASE WHEN n_lsh + n_ex - n_le = 0 THEN CAST(0 AS DOUBLE)
+              ELSE round(n_le / CAST(n_lsh + n_ex - n_le AS DOUBLE), 6)
+         END
+  FROM stats
+  UNION ALL
+  SELECT 'simhash16_vs_exact', n_sim, n_ex, n_se,
+         CASE WHEN n_sim + n_ex - n_se = 0 THEN CAST(0 AS DOUBLE)
+              ELSE round(n_se / CAST(n_sim + n_ex - n_se AS DOUBLE), 6)
+         END
+  FROM stats
+) t
+ORDER BY method_pair
+"""
+
+
+@register(
+    "dd_method_agreement",
+    oracle=_agreement_sql(_DUCKDB_PAIRS_CTE, _simhash_sql("duckdb"),
+                          "duckdb"),
+    description="dedup-method agreement census: the LSH-verified ≥0.9"
+    " Jaccard pair set vs SimHash-16 at Hamming ≤ 2 (mask-expansion"
+    " blocking) vs byte-exact duplicates — sizes, intersections, and"
+    " pair-set Jaccard per method pair; on this tiny-vocab fixture"
+    " SimHash-16 floods by orders of magnitude while containing the"
+    " verified near-dups — the parameterization warning hashed as"
+    " data",
+    tags=("dedup", "audit", "simhash", "minhash"),
+)
+def dd_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipelines routinely stack dedup methods; whether they agree is
+    an empirical question the methods' own audits don't answer. The
+    census materializes three pair sets with their scale-safe
+    blockings (banded-MinHash buckets + exact verify; SimHash VALUE
+    equality — a hash equi-join, never a Hamming theta join; md5
+    equality) and hashes sizes, intersections, and pair-set Jaccard.
+    The fixture result is itself the finding: a 16-bit SimHash over a
+    31-word vocabulary collides ~1800 document pairs while the
+    verified near-dup graph has ONE — exactly the bits-vs-corpus
+    parameterization failure (dd_minhash_bbit_audit's b=1 analysis,
+    taken to the document level) a production rollout must catch.
+    All three sets are key-blocked joins; the intersections are
+    pair-keyed equi-joins on sets already built."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    _jaccard_pair_edges(docs).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("lsh_pairs_v")
+    spark.sql(_simhash_sql("spark")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("simhash_v")
+    return spark.sql(
+        _agreement_sql(
+            "pairs AS (SELECT doc_a, doc_b FROM lsh_pairs_v)",
+            "SELECT doc_id, simhash FROM simhash_v",
+            "spark",
+        )
+    )

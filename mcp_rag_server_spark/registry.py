@@ -325,8 +325,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # (length-2 PrefixSpan support census over FIRST occurrences —
 # exists-before probed degenerate and rejected), and
 # sim_ndcg_sq8_eval (nDCG@10 of the SQ8 ranker judged by exact
-# cosine gains; discount literals, no runtime transcendental) — all
-# eighty-four locally
+# cosine gains; discount literals, no runtime transcendental),
+# dd_method_agreement (three dedup pair sets — LSH-verified,
+# SimHash-16 Hamming≤2 via 137-mask expansion, byte-exact — sizes/
+# intersections/pair-Jaccard from one tag-union aggregation), and
+# sim_compression_frontier (the quantization ladder's bytes-vs-
+# recall table: float32/SQ8/JL-16/1-bit ranked against exact top-5
+# in one statement) — all eighty-six locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

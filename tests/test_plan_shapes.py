@@ -2048,3 +2048,24 @@ def test_ndcg_discounts_are_literals(spark):
     assert "0.6309297536" in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("q_id" in s for s in specs), specs
+
+
+def test_agreement_simhash_join_is_mask_blocked(spark):
+    """dd_method_agreement: the SimHash pair set joins on simhash ^
+    mask equality (137-mask expansion), never a Hamming theta join —
+    no cartesian product, no Python."""
+    plan = plan_string(q(spark, "dd_method_agreement"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frontier_windows_are_query_keyed(spark):
+    """sim_compression_frontier: all four rank windows partition by
+    q_id; no Python, no cartesian beyond scalar broadcasts."""
+    import re
+
+    plan = plan_string(q(spark, "sim_compression_frontier"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("q_id" in s for s in specs), specs

@@ -104,7 +104,8 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_delta_decomposition", "ta_doremi_step",
          "ev_growth_accounting", "ta_feature_hashing",
          "ev_propensity_ipw", "ta_kneser_ney_bigram",
-         "ev_seq_pattern_support", "sim_ndcg_sq8_eval"]
+         "ev_seq_pattern_support", "sim_ndcg_sq8_eval",
+         "dd_method_agreement", "sim_compression_frontier"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
