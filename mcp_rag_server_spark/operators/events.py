@@ -4176,3 +4176,83 @@ def ev_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     three ways — identical cost model)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SEQ_SUPPORT_SQL)
+
+
+#: Stickiness: the engaged-action event type and the trailing window
+#: width (days). Probed: all-event WAU saturates at the full user
+#: base (150/150), purchase-scoped W3AU varies 99–121 at sf0.01 —
+#: the ratio is non-degenerate only for the sparser action.
+STICKY_EVENT = "purchase"
+STICKY_WINDOW_DAYS = 3
+
+
+def _stickiness_sql() -> str:
+    """DAU / trailing-W-day AU for the engaged action via the bounded
+    explode: each active (user, day) contributes to the W window-ends
+    it falls in — a ×W fanout then a distinct count per window end,
+    the standard distributed rolling-distinct (no per-day rescans,
+    no corpus-wide window)."""
+    w = STICKY_WINDOW_DAYS
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {{epoch}}(ts) {{div}} 86400000000 AS d
+  FROM events WHERE event_type = '{STICKY_EVENT}'
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_dau FROM ud GROUP BY d),
+fan AS (
+  SELECT user_id, d + ofs AS wend
+  FROM ud CROSS JOIN ({{offsets}}) o
+),
+wau AS (
+  SELECT wend, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_wau
+  FROM fan GROUP BY wend
+)
+SELECT CAST(dau.d AS BIGINT) AS day_index,
+       dau.n_dau,
+       wau.n_wau AS n_wau_{w}d,
+       round(dau.n_dau / CAST(wau.n_wau AS DOUBLE), 4) AS stickiness
+FROM dau
+JOIN wau ON wau.wend = dau.d
+CROSS JOIN bounds b
+WHERE dau.d BETWEEN b.lo + {w - 1} AND b.hi
+ORDER BY day_index
+"""
+
+
+@register(
+    "ev_stickiness_ratio",
+    oracle=_stickiness_sql().format(
+        epoch="epoch_us", div="//",
+        offsets="SELECT unnest(range(0, "
+        f"{STICKY_WINDOW_DAYS})) AS ofs",
+    ),
+    description="engagement stickiness (the DAU/MAU family): daily"
+    f" purchasing users over trailing-{STICKY_WINDOW_DAYS}-day"
+    " purchasing users via the bounded-explode rolling distinct —"
+    " probed on the sparser action because all-event WAU saturates at"
+    " the full user base — the habit-strength curve per day",
+    tags=("events", "growth", "engagement", "window"),
+)
+def ev_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/MAU, here DAU/W3AU on the engaged action) asks
+    what fraction of the rolling active base shows up daily. Rolling
+    DISTINCT does not decompose like a sum, so the scalable form is
+    the bounded explode: each active (user, day) row contributes to
+    exactly W window-ends, then one distinct-count per window end —
+    a ×W fanout of the (user, day) table, never a per-day rescan and
+    never a corpus-sized window (window_running_distinct's
+    first-occurrence trick solves the CUMULATIVE variant; the
+    trailing variant needs the fanout). The action and width are
+    probed, not assumed (see STICKY_* comment): all-event weekly AU
+    saturates at 150/150 and would hash a constant. Edge days
+    without a full trailing window are excluded via the bounds
+    join."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _stickiness_sql().format(
+            epoch="unix_micros", div="DIV",
+            offsets="SELECT explode(sequence(0, "
+            f"{STICKY_WINDOW_DAYS - 1})) AS ofs",
+        )
+    )

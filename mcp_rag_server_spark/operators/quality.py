@@ -1644,3 +1644,86 @@ def ta_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark", "pairs AS (SELECT doc_a, doc_b FROM neardup_pairs)"
         )
     )
+
+
+#: Gains chart: depth grid (fraction of corpus selected, top-down by
+#: score).
+GAINS_DEPTHS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+_GAINS_SQL = f"""{_LABELED_CTES},
+buckets AS (
+  SELECT round(p_keep, {AUC_SCORE_DECIMALS}) AS s,
+         CAST(SUM(gopher_pass) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM labeled
+  GROUP BY round(p_keep, {AUC_SCORE_DECIMALS})
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(n) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_n,
+         CAST(SUM(pos) OVER (ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+  FROM buckets
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos FROM buckets),
+grid AS (SELECT * FROM (VALUES {", ".join(f"({d})" for d in GAINS_DEPTHS)})
+         AS g(depth)),
+picked AS (
+  SELECT g.depth, c.s, c.cum_n, c.cum_pos, t.n_docs, t.n_pos,
+         row_number() OVER (PARTITION BY g.depth
+                            ORDER BY c.cum_n, c.s DESC) AS rn
+  FROM grid g
+  JOIN cum c CROSS JOIN tot t
+    ON c.cum_n >= g.depth * t.n_docs
+)
+SELECT depth,
+       s AS score_threshold,
+       cum_n AS n_selected,
+       round(cum_n / CAST(n_docs AS DOUBLE), 4) AS share_selected,
+       cum_pos AS n_pos_captured,
+       round(cum_pos / CAST(n_pos AS DOUBLE), 4) AS capture_rate,
+       round((cum_pos / CAST(n_pos AS DOUBLE))
+             / (cum_n / CAST(n_docs AS DOUBLE)), 4) AS lift
+FROM picked
+WHERE rn = 1
+ORDER BY depth
+"""
+
+
+@register(
+    "ta_gains_chart",
+    oracle=_GAINS_SQL,
+    description="cumulative gains / lift chart for the quality scorer:"
+    " at each selection depth (top 10%…100% by score), the exact"
+    " share selected, Gopher-positive capture rate, and lift — the"
+    " targeting table (\"the top 20% of scores holds X% of the good"
+    " docs\") built entirely on the bounded score-bucket machinery",
+    tags=("text", "quality", "model", "eval", "gains"),
+)
+def ta_gains_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC (ta_quality_auc) summarizes ranking quality in one number;
+    the gains chart is the operational view — if we keep only the
+    top-k% by score, what fraction of the genuinely good documents
+    survive? Same bounded machinery as the AUC: round-3 score
+    buckets (≤1001 rows), a top-down cumulative window over them,
+    then each grid depth picks the smallest prefix whose selected
+    share reaches it (MIN over a grid×bucket join — both sides
+    bounded). share/capture/lift are exact-count quotients rounded 4;
+    the threshold column is the realized score cut a deployment
+    would configure. The cumulative window is the allowlisted
+    bounded-global shape (two specdefinitions on one ORDER BY s DESC
+    spec)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    sql = (
+        _GAINS_SQL.replace("len(", "size(")
+        .replace("string_split(", "split(")
+        .replace("list_distinct(", "array_distinct(")
+        .replace("list_filter(", "filter(")
+    )
+    return spark.sql(sql)

@@ -331,7 +331,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # intersections/pair-Jaccard from one tag-union aggregation), and
 # sim_compression_frontier (the quantization ladder's bytes-vs-
 # recall table: float32/SQ8/JL-16/1-bit ranked against exact top-5
-# in one statement) — all eighty-six locally
+# in one statement), ev_stickiness_ratio (purchase-scoped DAU over
+# trailing-3-day AU via the bounded-explode rolling distinct —
+# action/width probed against saturation), and ta_gains_chart
+# (cumulative gains/lift at ten selection depths over the bounded
+# score-bucket table) — all eighty-eight locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

@@ -2069,3 +2069,35 @@ def test_frontier_windows_are_query_keyed(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("q_id" in s for s in specs), specs
+
+
+def test_stickiness_is_bounded_fanout(spark):
+    """ev_stickiness_ratio: the rolling distinct is a xW explode of
+    the (user, day) table — a Generate over the post-distinct
+    aggregate — no corpus-wide window, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_stickiness_ratio"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_gains_chart_window_over_bucket_table(spark):
+    """ta_gains_chart: the only window spec is the top-down cumulative
+    over the ≤1001-row bucket table, with an aggregate beneath it —
+    no Python, no cartesian beyond the bounded grid join."""
+    import re
+
+    plan = plan_string(q(spark, "ta_gains_chart"))
+    assert "EvalPython" not in plan
+    # the unpartitioned cumulative spec appears in exactly one Window
+    # node (cum evaluated once — the first draft referenced it twice);
+    # the per-depth argmin rank is depth-partitioned
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    unpart = [x for x in specs if x.lstrip().startswith("s#")]
+    assert len(unpart) == 2, specs  # cum_n + cum_pos on one spec
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wline = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert "HashAggregate" in "\n".join(lines[wline:])

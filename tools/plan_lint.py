@@ -74,6 +74,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "the cumulative-negatives prefix runs over the score BUCKET"
         " table — round(p_keep, 3) caps it at 1001 rows by"
         " construction regardless of corpus size",
+    ("ta_gains_chart", "global_window"):
+        "same ≤1001-row score-bucket bound as ta_quality_auc (x2: the"
+        " cum_n and cum_pos sums share one ORDER BY s DESC spec)",
     ("ev_concurrency_curve", "global_window"):
         "both unpartitioned specs run over the per-day table —"
         " calendar-bounded like ev_msprt_sequential's (x2: the"
@@ -105,6 +108,7 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ev_msprt_sequential": 6,
     "ev_concurrency_curve": 2,
     "ev_slo_burn_rate": 2,
+    "ta_gains_chart": 2,
 }
 
 
