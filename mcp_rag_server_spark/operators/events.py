@@ -4256,3 +4256,65 @@ def ev_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{STICKY_WINDOW_DAYS - 1})) AS ofs",
         )
     )
+
+
+def _ohlc_sql() -> str:
+    """Hourly OHLC bars: open/close via rank-1 rows under the
+    (ts, event_id) total order, high/low/volume as plain aggregates —
+    one hour-keyed shuffle plus hour-partitioned windows."""
+    return """
+WITH based AS (
+  SELECT {epoch}(ts) {div} 3600000000 AS eh, ts, event_id,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+),
+ranked AS (
+  SELECT eh, v,
+         row_number() OVER (PARTITION BY eh
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY eh
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM based
+),
+oc AS (
+  SELECT eh,
+         CAST(MAX(CASE WHEN rn_open = 1 THEN v END) AS DOUBLE)
+           AS open_v,
+         CAST(MAX(CASE WHEN rn_close = 1 THEN v END) AS DOUBLE)
+           AS close_v,
+         CAST(MAX(v) AS DOUBLE) AS high_v,
+         CAST(MIN(v) AS DOUBLE) AS low_v,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS DOUBLE) AS volume
+  FROM ranked GROUP BY eh
+)
+SELECT CAST(eh AS BIGINT) AS hour_index,
+       open_v, high_v, low_v, close_v, n_events,
+       round(volume, 4) AS volume
+FROM oc
+ORDER BY hour_index
+"""
+
+
+@register(
+    "ev_ohlc_bars",
+    oracle=_ohlc_sql().format(epoch="epoch_us", div="//"),
+    description="hourly OHLC bars over event values: open/close by the"
+    " (ts, event_id) total order, high/low/volume as plain"
+    " aggregates — the candlestick rollup time-series stores serve,"
+    " as one hour-keyed shuffle",
+    tags=("events", "window", "temporal", "ohlc"),
+)
+def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC is the canonical order-sensitive rollup: high/low/volume
+    are plain partial aggregates, but open/close depend on WHICH row
+    came first/last — resolved by rank-1 rows under the same
+    (ts, event_id) per-key total order every ev_* sequence op pins
+    (two row_number windows sharing the hour partition the group-by
+    needs anyway, so no extra shuffle). Values ride DECIMAL(18,4)
+    so the volume sum is order-free; open/high/low/close are exact
+    row values. At 100 TB the hour key partitions cleanly and each
+    bar's state is O(1) — the same shape TimescaleDB/kdb serve
+    continuously, here as the batch rollup with a driver hash."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ohlc_sql().format(epoch="unix_micros", div="DIV"))

@@ -397,3 +397,71 @@ SELECT path, 'file' AS type, size FROM files ORDER BY type, path LIMIT 100
 def fileops_list_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = file_catalog(_doc_file_listing(spark, sf_dir))
     return list_files(cat, recursive=True, include_extensions=[".MD"], limit=100)
+
+
+@register(
+    "fileops_du_rollup",
+    oracle=f"""
+WITH files AS (
+  SELECT {_TREE_PATH_SQL.format(str_t="VARCHAR")} AS path,
+         n_chars AS size
+  FROM documents
+),
+contrib AS (
+  SELECT CASE WHEN i = 0 THEN '.'
+              ELSE array_to_string(parts[1:CAST(i AS INT)], '/') END
+           AS dir_path,
+         CAST(i AS INT) AS depth,
+         size
+  FROM (SELECT string_split(path, '/') AS parts, size FROM files),
+       LATERAL (SELECT unnest(generate_series(0, len(parts) - 1)) AS i) t
+)
+SELECT dir_path, depth,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS BIGINT) AS total_bytes,
+       CAST(MAX(size) AS BIGINT) AS max_file_bytes
+FROM contrib
+GROUP BY dir_path, depth
+ORDER BY dir_path
+""",
+    description="du -s for the catalog: every file's size contributes"
+    " to each ancestor directory via a depth-bounded prefix explode —"
+    " per-directory file counts, total and max bytes, the recursive"
+    " rollup a file server answers quota and hot-spot questions with",
+    tags=("fileops", "catalog", "rollup"),
+)
+def fileops_du_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory totals are an ancestor-explode, not a
+    recursion: each file row yields one contribution per path prefix
+    (depth-bounded — path depth, not corpus size, bounds the fanout),
+    then one group-by on the ancestor path. The '.' row carries the
+    whole-tree total. Uses the SAME path expression as
+    fileops_list's catalog (source/lang/doc_N.ext), so the rollup is
+    consistent with the listing surface; at 100 TB this is the
+    standard manifest-side du every object-store layout audit runs —
+    a ×depth fanout of the manifest and a single shuffle on the
+    directory key."""
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.selectExpr(
+        _TREE_PATH_SQL.format(str_t="STRING") + " AS path",
+        "n_chars AS size",
+    )
+    contrib = files.selectExpr(
+        "explode(sequence(0, size(split(path, '/')) - 1)) AS i",
+        "split(path, '/') AS parts",
+        "size",
+    ).selectExpr(
+        "CASE WHEN i = 0 THEN '.' "
+        "ELSE array_join(slice(parts, 1, i), '/') END AS dir_path",
+        "CAST(i AS INT) AS depth",
+        "size",
+    )
+    return (
+        contrib.groupBy("dir_path", "depth")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size").cast("bigint").alias("total_bytes"),
+            F.max("size").cast("bigint").alias("max_file_bytes"),
+        )
+        .orderBy("dir_path")
+    )

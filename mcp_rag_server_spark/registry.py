@@ -335,7 +335,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # trailing-3-day AU via the bounded-explode rolling distinct —
 # action/width probed against saturation), and ta_gains_chart
 # (cumulative gains/lift at ten selection depths over the bounded
-# score-bucket table) — all eighty-eight locally
+# score-bucket table), fileops_du_rollup (du -s over the doc-derived
+# catalog tree via the depth-bounded ancestor explode), and
+# ev_ohlc_bars (hourly open/high/low/close candlesticks — rank-1
+# open/close under the (ts, event_id) total order) — all ninety
+# locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

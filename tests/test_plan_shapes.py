@@ -2101,3 +2101,28 @@ def test_gains_chart_window_over_bucket_table(spark):
     lines = tree.splitlines()
     wline = next(i for i, ln in enumerate(lines) if "Window" in ln)
     assert "HashAggregate" in "\n".join(lines[wline:])
+
+
+def test_du_rollup_is_depth_bounded_explode(spark):
+    """fileops_du_rollup: the recursion is an ancestor explode
+    (Generate) + one group-by — no window, no Python, no
+    cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "fileops_du_rollup"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "explode" in plan
+
+
+def test_ohlc_windows_share_hour_partition(spark):
+    """ev_ohlc_bars: both rank windows partition by the hour key the
+    group-by needs — no unpartitioned spec, no Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_ohlc_bars"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("eh" in s for s in specs), specs
