@@ -2389,3 +2389,65 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     milestone list, never by users."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_running_distinct_sql("spark"))
+
+
+_SKYLINE_SQL = """
+WITH pairs AS (
+  SELECT p_retailprice AS price, p_size AS sz, p_partkey
+  FROM part
+),
+per_price AS (
+  SELECT price, MAX(sz) AS best_sz
+  FROM pairs GROUP BY price
+),
+flagged AS (
+  SELECT price, best_sz,
+         MAX(best_sz) OVER (ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS best_cheaper
+  FROM per_price
+),
+sky AS (
+  SELECT price, best_sz
+  FROM flagged
+  WHERE best_cheaper IS NULL OR best_sz > best_cheaper
+)
+SELECT s.price, CAST(s.best_sz AS BIGINT) AS sz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p.p_partkey) AS BIGINT) AS min_partkey
+FROM sky s
+JOIN pairs p ON p.price = s.price AND p.sz = s.best_sz
+GROUP BY s.price, s.best_sz
+ORDER BY s.price
+"""
+
+
+@register(
+    "agg_skyline_2d",
+    oracle=_SKYLINE_SQL,
+    description="2-D skyline (Pareto frontier) over parts: the"
+    " cheapest-for-their-size / biggest-for-their-price points"
+    " (minimize retail price, maximize size) via per-price collapse +"
+    " one prefix-max over the domain-bounded distinct-price table —"
+    " the multi-objective shortlist operator, never an all-pairs"
+    " dominance join",
+    tags=("agg", "skyline", "window", "multiobjective"),
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline (Börzsönyi et al. ICDE'01) keeps points no other
+    point beats on BOTH objectives — the textbook formulation is an
+    all-pairs NOT EXISTS dominance join, quadratic and exactly what
+    this repo's lint exists to reject. The 2-D case collapses to
+    sorted linear work: group to per-price max size (one shuffle —
+    same-price points are dominated by their price's best unless they
+    ARE it), then a point survives iff its size strictly exceeds the
+    running max over all strictly-cheaper prices — one prefix-max
+    window over the DISTINCT-PRICE table, which is bounded by the
+    price grid (a data-domain constant: cents within a fixed band,
+    ≤1001 values here — the ta_length_drift allowlist argument),
+    never by part count. Multiplicity and a representative key come
+    from one join back at the winning (price, size) points. Skyline
+    sizes probed: 5/4/2 rows across the three SFs — small by nature,
+    which is the point of a shortlist."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SKYLINE_SQL)

@@ -338,8 +338,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # score-bucket table), fileops_du_rollup (du -s over the doc-derived
 # catalog tree via the depth-bounded ancestor explode), and
 # ev_ohlc_bars (hourly open/high/low/close candlesticks — rank-1
-# open/close under the (ts, event_id) total order) — all ninety
-# locally
+# open/close under the (ts, event_id) total order), and
+# agg_skyline_2d (the 2-D Pareto frontier via per-price collapse +
+# one domain-bounded prefix-max — never the quadratic dominance
+# join; brute-force cross-checked) — all ninety-one locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

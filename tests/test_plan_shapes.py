@@ -2126,3 +2126,19 @@ def test_ohlc_windows_share_hour_partition(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("eh" in s for s in specs), specs
+
+
+def test_skyline_window_over_distinct_prices(spark):
+    """agg_skyline_2d: the only window runs over the post-aggregation
+    distinct-price table (HashAggregate beneath it) — never an
+    all-pairs dominance join; no Python, no cartesian."""
+    import re
+
+    plan = plan_string(q(spark, "agg_skyline_2d"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wline = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert "HashAggregate" in "\n".join(lines[wline:])

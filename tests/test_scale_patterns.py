@@ -1139,3 +1139,32 @@ def test_kneser_ney_matches_python_lm(spark):
         assert g[0] == len(ss)
         assert abs(g[1] - mean) <= 2e-6, (doc_id, g[1], mean)
         assert abs(g[2] - round(math.exp(mean), 4)) <= 2e-4
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """agg_skyline_2d's sorted-linear formulation must equal the
+    O(n²) textbook dominance definition evaluated directly in
+    Python."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["price"], r["sz"]): (r["n_parts"], r["min_partkey"])
+        for r in load_all()["agg_skyline_2d"].spark_fn(spark, sf).collect()
+    }
+
+    part = _pd("part", sf)
+    pts = list(zip(part["p_retailprice"], part["p_size"],
+                   part["p_partkey"]))
+    pairs = sorted({(p, s) for p, s, _ in pts})
+    sky = [
+        (p, s) for p, s in pairs
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for q, t in pairs
+        )
+    ]
+    want = {}
+    for p, s in sky:
+        members = [k for pp, ss, k in pts if pp == p and ss == s]
+        want[(p, int(s))] = (len(members), int(min(members)))
+    assert got == want, (got, want)

@@ -74,6 +74,12 @@ ALLOW: dict[tuple[str, str], str] = {
         "the cumulative-negatives prefix runs over the score BUCKET"
         " table — round(p_keep, 3) caps it at 1001 rows by"
         " construction regardless of corpus size",
+    ("agg_skyline_2d", "global_window"):
+        "the dominance prefix-max runs over the DISTINCT-PRICE table"
+        " — bounded by the price grid (cents in a fixed band, ≤1001"
+        " values), the ta_length_drift data-domain argument; the"
+        " all-pairs dominance join this replaces is the quadratic"
+        " textbook form",
     ("ta_gains_chart", "global_window"):
         "same ≤1001-row score-bucket bound as ta_quality_auc (x2: the"
         " cum_n and cum_pos sums share one ORDER BY s DESC spec)",
@@ -109,6 +115,7 @@ ALLOW_GW_COUNT: dict[str, int] = {
     "ev_concurrency_curve": 2,
     "ev_slo_burn_rate": 2,
     "ta_gains_chart": 2,
+    "agg_skyline_2d": 1,
 }
 
 
