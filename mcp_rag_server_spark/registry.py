@@ -352,9 +352,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ta_readability_fk, ta_simpson_diversity, ta_zipf_fit, tj_nearest_order,
 # window_distribution_pack, window_range_trailing30, window_value_frames,
 # zorder_layout) lead r7, then the oldest (r3-vintage) re-checks fill the
-# rest — confirm with tools/rotation_audit.py at the r7 boundary. Every
-# registry query, windowed or not, is replayed locally against the DuckDB
-# oracle at sf0.01 by tests/test_oracle_parity.py on every pytest run.
+# rest — confirm with tools/rotation_audit.py at the r7 boundary. After
+# the fourth r6 sitting the registry holds 300 queries and the
+# never-driver-checked backlog is 166 (rotation_audit), of which ~47
+# clear when the driver scores THIS round's window; the burn-down plan
+# is unchanged — each future window takes the 50 oldest-registered
+# never-checked first. Every registry query, windowed or not, is
+# replayed locally against the DuckDB oracle at sf0.01 by
+# tests/test_oracle_parity.py on every pytest run, and closed-form
+# statistics additionally carry independent-algorithm cross-checks in
+# tests/test_scale_patterns.py.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:

@@ -17,6 +17,10 @@ from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 #: item 3) — see BENCH_NOTES.md; cross-round totals compare on the
 #: original-18 subset, per-query times on everything.
 BENCH_SET = {
+    # fourth-sitting promotions (BENCH_NOTES "Round-6 sitting bench")
+    "ev_ivm_delta_rollup",
+    "ta_bpe_apply",
+    "ta_quality_auc",
     # round-6 promotions (BENCH_NOTES "Round-6 headline-set expansion")
     "dd_jaccard_same_source",
     "sim_knn_graph",
