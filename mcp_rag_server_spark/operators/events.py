@@ -4318,3 +4318,144 @@ def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously, here as the batch rollup with a driver hash."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ohlc_sql().format(epoch="unix_micros", div="DIV"))
+
+
+#: Attribution-window grid for the conversion-sensitivity sweep
+#: (probed: 1/21/57/142 of 150 converters at sf0.01 — every rung
+#: moves).
+CONV_WINDOWS = (
+    ("1_hour", 1), ("2_six_hours", 6), ("3_one_day", 24),
+    ("4_seven_days", 168),
+)
+
+
+def _conv_window_sql() -> str:
+    grid = ", ".join(f"('{lab}', {h})" for lab, h in CONV_WINDOWS)
+    return f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts > s.s_ts
+  GROUP BY s.user_id
+),
+d AS (
+  SELECT s.user_id,
+         {{epoch}}(p.p_ts) - {{epoch}}(s.s_ts) AS delta_us
+  FROM s LEFT JOIN p ON p.user_id = s.user_id
+),
+grid AS (SELECT * FROM (VALUES {grid}) AS g(window_label, window_hours))
+SELECT g.window_label,
+       CAST(g.window_hours AS BIGINT) AS window_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_eligible,
+       CAST(COUNT(CASE WHEN d.delta_us
+                  <= g.window_hours * CAST(3600000000 AS BIGINT)
+                  THEN 1 END) AS BIGINT) AS n_converted,
+       round(COUNT(CASE WHEN d.delta_us
+                   <= g.window_hours * CAST(3600000000 AS BIGINT)
+                   THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS conversion_rate
+FROM d CROSS JOIN grid g
+GROUP BY g.window_label, g.window_hours
+ORDER BY g.window_label
+"""
+
+
+@register(
+    "ev_conversion_window_sensitivity",
+    oracle=_conv_window_sql().format(epoch="epoch_us"),
+    description="attribution-window sensitivity: first-signup →"
+    " first-subsequent-purchase conversion at 1h/6h/1d/7d windows —"
+    " the sweep that shows how much a reported conversion rate is an"
+    " artifact of the window choice (1/21/57/142 of 150 on the"
+    " fixture), as one pass over per-user first-event times",
+    tags=("events", "funnel", "sensitivity"),
+)
+def ev_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every funnel number hides an attribution window, and moving it
+    moves the metric — the sweep makes that visible before anyone
+    ships 'conversion improved'. Per-user first signup and first
+    LATER purchase are two keyed MIN aggregates (the strictly-after
+    condition keeps pre-signup purchases from converting backwards);
+    the grid is a 4-row broadcast, so the whole sweep is the same
+    one-pass cost as a single-window funnel. ev_funnel fixes one
+    window and counts stage-by-stage; ev_funnel_time_quantiles shows
+    the latency distribution; this hashes the METRIC'S derivative
+    with respect to the window — the sensitivity reviewers should
+    ask for."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_conv_window_sql().format(epoch="unix_micros"))
+
+
+_BURSTINESS_SQL = """
+WITH pp AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT round(({epoch}(ts) - {epoch}(prev))
+               / CAST(3600000000 AS DOUBLE), 6) AS gap_h
+  FROM pp WHERE prev IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(CAST(SUM(CAST(gap_h AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_gap_h,
+       round(sqrt(CAST(SUM(CAST(gap_h AS DECIMAL(18,6))
+                          * CAST(gap_h AS DECIMAL(19,6))) AS DOUBLE)
+                  / COUNT(*)
+                  - (CAST(SUM(CAST(gap_h AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*))
+                    * (CAST(SUM(CAST(gap_h AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*))), 4) AS sd_gap_h,
+       round(sqrt(CAST(SUM(CAST(gap_h AS DECIMAL(18,6))
+                          * CAST(gap_h AS DECIMAL(19,6))) AS DOUBLE)
+                  / COUNT(*)
+                  - (CAST(SUM(CAST(gap_h AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*))
+                    * (CAST(SUM(CAST(gap_h AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*)))
+             / (CAST(SUM(CAST(gap_h AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*)), 4) AS cv,
+       round(COUNT(CASE WHEN gap_h < 12 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS pct_lt_12h,
+       round(COUNT(CASE WHEN gap_h < 24 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS pct_lt_24h,
+       round(COUNT(CASE WHEN gap_h < 48 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS pct_lt_48h
+FROM g
+"""
+
+
+@register(
+    "ev_interpurchase_burstiness",
+    oracle=_BURSTINESS_SQL.format(epoch="epoch_us"),
+    description="inter-purchase interval distribution: mean/sd/CV of"
+    " per-user gaps plus exact share-under-threshold rungs — CV ≈ 1"
+    " is Poisson-like, > 1 bursty, < 1 regular (the fixture probes"
+    " 1.022, honestly memoryless), the demand-process diagnostic"
+    " inventory and CRM models start from",
+    tags=("events", "temporal", "stats"),
+)
+def ev_interpurchase_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whether purchases arrive like a Poisson process (CV = 1) or in
+    bursts (CV > 1) decides which demand model applies. Gaps come
+    from the standard per-user (ts, event_id) lag; each gap is
+    rounded 6 (hours) so the moment sums are exact decimals — the
+    variance rides the moment identity with the (19,6) widening, and
+    CV is one derived double rounded 4. The threshold rungs are
+    exact count ratios (no percentile interpolation — Spark and
+    DuckDB interpolate exact percentiles differently, the
+    agg_percentile_audit lesson). One user-keyed window + one
+    single-row reduce."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BURSTINESS_SQL.format(epoch="unix_micros"))

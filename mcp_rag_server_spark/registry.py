@@ -341,7 +341,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # open/close under the (ts, event_id) total order), and
 # agg_skyline_2d (the 2-D Pareto frontier via per-price collapse +
 # one domain-bounded prefix-max — never the quadratic dominance
-# join; brute-force cross-checked) — all ninety-one locally
+# join; brute-force cross-checked), ev_conversion_window_sensitivity
+# (first-signup→purchase conversion at a 1h/6h/1d/7d window grid —
+# the metric's derivative wrt the attribution window), and
+# ev_interpurchase_burstiness (inter-purchase gap mean/sd/CV +
+# exact threshold rungs; CV probed 1.022, honestly Poisson-like) —
+# all ninety-three locally
 # oracle-replayed green at sf0.001 AND sf0.01 — plus the ~25 the
 # 50-slot window could not take:
 # sim_hard_negatives, sim_maxsim_topk, sim_mips_augmented, sim_pq_train,

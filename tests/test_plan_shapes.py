@@ -2142,3 +2142,28 @@ def test_skyline_window_over_distinct_prices(spark):
     lines = tree.splitlines()
     wline = next(i for i, ln in enumerate(lines) if "Window" in ln)
     assert "HashAggregate" in "\n".join(lines[wline:])
+
+
+def test_conversion_sweep_is_one_pass(spark):
+    """ev_conversion_window_sensitivity: two keyed MIN aggregates + a
+    4-row grid broadcast — no window, no Python, no cartesian beyond
+    the grid."""
+    import re
+
+    plan = plan_string(q(spark, "ev_conversion_window_sensitivity"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+
+
+def test_burstiness_window_is_user_keyed(spark):
+    """ev_interpurchase_burstiness: the lag rides the user partition;
+    one single-row reduce above it — no unpartitioned spec, no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "ev_interpurchase_burstiness"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("user_id" in s for s in specs), specs

@@ -107,7 +107,9 @@ EXTRA = ["chunks_table", "ingest_roundtrip", "ta_decontaminate",
          "ev_seq_pattern_support", "sim_ndcg_sq8_eval",
          "dd_method_agreement", "sim_compression_frontier",
          "ev_stickiness_ratio", "ta_gains_chart",
-         "fileops_du_rollup", "ev_ohlc_bars", "agg_skyline_2d"]
+         "fileops_du_rollup", "ev_ohlc_bars", "agg_skyline_2d",
+         "ev_conversion_window_sensitivity",
+         "ev_interpurchase_burstiness"]
 names = list(dict.fromkeys([n for n, s in reg.items() if s.bench] + EXTRA))
 
 out = ["# PLANS — physical-plan audit (auto-generated)", "",
