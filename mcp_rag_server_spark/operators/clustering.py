@@ -363,6 +363,96 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF-cell candidate blocking, shared by sim_knn_graph and
+#: dd_embedding_neardup (r6 verdict: their blocks must be DATA-derived,
+#: never the fixture `label` column). Seeds are the CELL_SEEDS
+#: lowest-md5 vectors (deterministic medoid-style seeds — the
+#: PC1_SAMPLE / AUDIT_SAMPLE_ROWS discipline, RNG-free so both engines
+#: pick identical seeds); every vector probes its CELL_PROBES nearest
+#: cells (squared-L2, rounded-6, cell-id tie-break), so candidate pairs
+#: are vectors sharing a probed cell. Multi-probe to 2 cells recovers
+#: boundary pairs a single-cell assignment would sever. CELL_SEEDS is
+#: fixture-sized; at 100 TB the seed count scales with the corpus
+#: (nlist ~ N / target-cell-size, trained like sim_kmeans_refine's
+#: codebook) so expected cell size — and per-cell quadratic work —
+#: stays constant. Measured on the near-isotropic fixture (DuckDB
+#: probe, BENCH_NOTES): pair recall at cosine>=0.35 is 196/272 (0.72)
+#: at sf0.01 and 2948/4143 (0.71) at sf0.1; kNN recall@3 is 0.69 /
+#: 0.70 — honestly bounded, like the multi-probe/JL audits, because
+#: isotropic vectors carry little cluster structure for ANY geometric
+#: blocking; production embedding corpora are strongly clustered.
+CELL_SEEDS = 8
+CELL_PROBES = 2
+CELL_SALT = "cell"
+
+
+def cell_probes(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell) with CELL_PROBES rows per vector: the IVF
+    coarse-assignment used as a candidate-blocking key. Seeds broadcast
+    (CELL_SEEDS rows); distances are one narrow pass; the top-2 pick is
+    a map-side-combinable ``collect_list`` of CELL_SEEDS structs per
+    vector — no window, no N×k sort-shuffle (the `_assign` argument,
+    extended to rank 2)."""
+    seeds = (
+        emb.orderBy(
+            F.md5(
+                F.concat(
+                    F.lit(f"{CELL_SALT}:"), F.col("vec_id").cast("string")
+                )
+            )
+        )
+        .limit(CELL_SEEDS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    )
+    dd = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, cvec, (cp_x, cp_c) -> "
+            "(CAST(cp_x AS DOUBLE) - CAST(cp_c AS DOUBLE)) "
+            "* (CAST(cp_x AS DOUBLE) - CAST(cp_c AS DOUBLE))), "
+            "CAST(0 AS DOUBLE), (cp_acc, cp_v) -> cp_acc + cp_v)"
+        ),
+        6,
+    )
+    return (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cell", dd.alias("dd"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "slice(array_sort(collect_list(struct(dd, cell))), 1, "
+                f"{CELL_PROBES})"
+            ).alias("cp_top")
+        )
+        .select("vec_id", F.explode("cp_top.cell").alias("cell"))
+    )
+
+
+def duckdb_cell_probes_cte() -> str:
+    """DuckDB CTE chain ``cp_seeds / cp_dist / probed`` mirroring
+    :func:`cell_probes` arithmetic exactly (index-order squared-L2
+    fold, round 6, (dd, cell) tie-break)."""
+    return f"""cp_seeds AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  ORDER BY md5('{CELL_SALT}:' || CAST(vec_id AS VARCHAR))
+  LIMIT {CELL_SEEDS}
+),
+cp_dist AS (
+  SELECT e.vec_id, s.cell,
+         round(list_sum(list_transform(range(1, {KM_DIMS} + 1), cp_i ->
+           (CAST(e.embedding[cp_i] AS DOUBLE) - CAST(s.cvec[cp_i] AS DOUBLE))
+           * (CAST(e.embedding[cp_i] AS DOUBLE)
+              - CAST(s.cvec[cp_i] AS DOUBLE)))), 6) AS dd
+  FROM embeddings e CROSS JOIN cp_seeds s
+),
+probed AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dd, cell) AS cp_rn
+    FROM cp_dist) WHERE cp_rn <= {CELL_PROBES}
+)"""
+
+
 #: Power-iteration count for the top principal component. Three
 #: iterations from the deterministic uniform start; like PR_ITERS /
 #: HITS_ITERS the fixed count keeps the loop SQL-expressible, and the

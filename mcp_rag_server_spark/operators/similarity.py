@@ -534,76 +534,117 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 3
 
 
-@register(
-    "sim_knn_graph",
-    oracle=f"""
-WITH scored AS (
-  SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
-         round({duckdb_cosine('a.embedding', 'b.embedding')}, 4) AS score
-  FROM embeddings a
-  JOIN embeddings b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
+def _knn_graph_oracle() -> str:
+    from mcp_rag_server_spark.operators.clustering import (
+        duckdb_cell_probes_cte,
+    )
+
+    return f"""
+WITH {duckdb_cell_probes_cte()},
+kg_cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probed a JOIN probed b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
 ),
-ranked AS (
-  SELECT vec_id, label, nbr_id, score,
+kg_half AS (
+  SELECT c.vec_a, c.vec_b,
+         round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 4) AS score
+  FROM kg_cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+),
+kg_sym AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr_id, score FROM kg_half
+  UNION ALL
+  SELECT vec_b, vec_a, score FROM kg_half
+),
+kg_ranked AS (
+  SELECT vec_id, nbr_id, score,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY score DESC, nbr_id) AS rnk
-  FROM scored
+  FROM kg_sym
 )
-SELECT vec_id, label, rnk, nbr_id, score
-FROM ranked
+SELECT vec_id, rnk, nbr_id, score
+FROM kg_ranked
 WHERE rnk <= {KNN_GRAPH_K}
 ORDER BY vec_id, rnk
-""",
+"""
+
+
+@register(
+    "sim_knn_graph",
+    oracle=_knn_graph_oracle(),
     description="k-NN graph build over embeddings: per vector the top-3"
-    " cosine neighbors within its label block (rounded-score +"
-    " neighbor-id total order) — the neighborhood graph that seeds"
-    " graph-ANN indexes, semantic-dedup connectivity, and"
-    " diversity-aware sampling",
+    " cosine neighbors among IVF-cell candidates (8 md5-seeded medoid"
+    " cells, 2-probe assignment; rounded-score + neighbor-id total"
+    " order) — the neighborhood graph that seeds graph-ANN indexes,"
+    " semantic-dedup connectivity, and diversity-aware sampling",
     tags=("similarity", "vector", "graph", "knn"),
     bench=True,
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN (HNSW/NSG), SemDeDup-style cluster pruning, and
     facility-location diversity sampling all start from the same
-    artifact: each vector's k nearest neighbors. The build is a
-    blocked self-join (label blocks here — at 100 TB the blocks come
-    from IVF cells or LSH buckets, exactly as dd_embedding_neardup
-    documents) ranked by a per-vector window: the rank window rides
-    the same vec_id partitioning the join output already has, and the
-    rounded-score + nbr_id tie-break makes every neighbor list
-    engine-identical. Self-pairs are excluded in the join predicate —
-    a vector's own unit cosine would otherwise occupy rank 1
-    everywhere. Output is exactly |vectors|·k rows, linear in the
-    corpus regardless of block sizes.
+    artifact: each vector's k nearest neighbors. Candidates come from
+    DATA-derived IVF cells (clustering.cell_probes: lowest-md5 medoid
+    seeds, multi-probe to the 2 nearest cells so boundary neighbors
+    aren't severed) — the r6 verdict retired the fixture-``label``
+    blocks, whose data-independent cardinality made the join quadratic
+    at scale; with cells the seed count scales with the corpus and
+    per-cell work stays constant. Recall contract per the
+    clustering.py constants: recall@3 vs the brute-force graph is
+    0.69 / 0.70 at sf0.01 / sf0.1 (measured, DuckDB probe) on the
+    near-isotropic fixture; production corpora are cluster-structured,
+    and graph-ANN builds refine exactly this seed graph with their own
+    neighbor-of-neighbor passes. Output stays <= |vectors|·k rows.
 
-    Cosine is symmetric, so each unordered pair is scored ONCE
-    (vec_a < vec_b halves the dominant 64-dim dot-product work —
-    measured 8.4 s → ~4 s at sf0.1) and cached; the mirrored
-    orientation is a projection over the cached scores, not a second
-    scoring pass."""
+    Cosine is symmetric, so each unordered candidate pair is scored
+    ONCE (DISTINCT id pairs, embeddings joined back by id) and cached;
+    the mirrored orientation is a projection over the cached scores,
+    and the rank window rides the vec_id partitioning with the
+    rounded-score + nbr_id total order making every neighbor list
+    engine-identical."""
+    from mcp_rag_server_spark.operators.clustering import cell_probes
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    score = cosine_score("a.embedding", "b.embedding")
-    half = (
+    probed = cell_probes(emb)
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.label").alias("label"),
-            F.col("b.vec_id").alias("nbr_id"),
-            score.alias("score"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    half = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_score("emb_a", "emb_b").alias("score"),
         )
         .cache()
     )
-    sym = half.unionByName(
+    sym = half.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        "score",
+    ).unionByName(
         half.select(
-            F.col("nbr_id").alias("vec_id"),
-            "label",
-            F.col("vec_id").alias("nbr_id"),
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
             "score",
         )
     )
@@ -613,7 +654,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sym.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_GRAPH_K)
-        .select("vec_id", "label", "rnk", "nbr_id", "score")
+        .select("vec_id", "rnk", "nbr_id", "score")
         .orderBy("vec_id", "rnk")
     )
 
@@ -622,7 +663,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: width, unrolled hops, and the final k the recall curve is judged
 #: at. K/B/H chosen by a DuckDB grid probe (BENCH_NOTES): the curve
 #: must CLIMB on the fixture — K=6/B=16/H=4 reaches recall 0.6 where
-#: the label-blocked K=3/B=4 graph froze at 0.
+#: the (since-retired) label-blocked K=3/B=4 graph froze at 0.
 GS_QUERY_ID = 7
 GS_DEGREE = 6
 GS_BEAM = 16
@@ -633,9 +674,10 @@ GS_TOP_K = 5
 def _duckdb_gs_cte() -> str:
     """scored(vec_id, label, score vs the query) + adj(vec_id, nbr_id)
     — a GLOBAL top-``GS_DEGREE`` cosine adjacency (graph ANN needs
-    edges that cross cluster boundaries; the label-blocked
-    ``sim_knn_graph`` adjacency strands the walk inside the entry's
-    block) under the same rounded-cosine score contract.
+    edges that cross cluster boundaries; a block-confined adjacency
+    like ``sim_knn_graph``'s r6 label-blocked variant stranded the
+    walk inside the entry's block) under the same rounded-cosine score
+    contract.
     ``MATERIALIZED`` hints keep DuckDB from re-inlining each CTE per
     consumer — the unrolled hop chain re-evaluates exponentially
     without them (evaluation only; results identical)."""
@@ -713,9 +755,10 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Yashunin's HNSW, DiskANN's Vamana), not by scanning the corpus:
     start at entry points, repeatedly expand the best unvisited
     neighbors. Unrolled here as ``GS_HOPS`` rounds over a GLOBAL
-    top-``GS_DEGREE`` cosine adjacency (a DuckDB grid probe showed the
-    label-blocked ``sim_knn_graph`` graph strands the walk inside the
-    entry's block — recall froze at 0; global edges at K=6/B=16 climb
+    top-``GS_DEGREE`` cosine adjacency (a DuckDB grid probe showed a
+    block-confined graph — ``sim_knn_graph``'s retired label-blocked
+    variant — strands the walk inside the entry's block — recall froze
+    at 0; global edges at K=6/B=16 climb
     to 0.6 on this near-isotropic fixture, the honest ceiling of
     greedy search when the space has no cluster structure to follow):
     beam = global top-``GS_BEAM`` of the visited set, expand = the

@@ -1,8 +1,8 @@
 """Random-hyperplane (SimHash-for-vectors) LSH over the embeddings table
-— the label-free scale path for embedding near-dup / ANN candidate
-generation (`dd_embedding_neardup` blocks on labels, which only works
-when a blocking key exists; hyperplane buckets need nothing but the
-vectors).
+— a label-free scale path for embedding near-dup / ANN candidate
+generation (`dd_embedding_neardup` blocks on data-derived IVF cells,
+clustering.cell_probes; hyperplane buckets are the sibling family that
+needs nothing but the vectors and no trained seeds).
 
 Design: K fixed hyperplanes (deterministically derived from md5, inlined
 as literals in BOTH engines' SQL — no RNG, no MLlib model state);

@@ -1192,6 +1192,36 @@ def test_knn_graph_scores_each_pair_once(spark):
     assert "windowspecdefinition(vec_id" in stripped
 
 
+def test_pair_candidates_are_cell_blocked_not_label_blocked(spark):
+    """sim_knn_graph and dd_embedding_neardup (r6 verdict task 2):
+    candidate pairs must come from the DATA-derived IVF-cell equi-join
+    (clustering.cell_probes) — the plan joins on the derived ``cell``
+    key and must not contain a ``label = label`` self-join (the
+    data-independent fixture key whose blocks grow linearly with the
+    corpus, making the join quadratic at 100 TB) nor an unbounded
+    cartesian stage. The only nested-loop allowed is the broadcast of
+    the CELL_SEEDS-row seed table (mirrors _assign's 8-row centroid
+    crossJoin)."""
+    import re
+
+    for name in ("sim_knn_graph", "dd_embedding_neardup"):
+        plan = plan_string(q(spark, name))
+        assert "CartesianProduct" not in plan, name
+        stripped = re.sub(r"#\d+L?", "", plan)
+        assert re.search(r"keys \[1\]: \[cell\]", stripped), (
+            name,
+            stripped[:2000],
+        )
+        # the fixture label column must appear nowhere — not as a join
+        # key, not even in the scan schema (column pruning)
+        assert "label" not in stripped, name
+        # nested loops are only the CELL_SEEDS-row seed broadcasts (one
+        # per self-join side); counted via the detail-section headers
+        # (the tree section lists every node a second time)
+        n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", stripped))
+        assert n_bnlj <= 2, (name, n_bnlj)
+
+
 def test_bigram_logprob_joins_aggregated_vocab(spark):
     """ta_bigram_logprob: the LM tables join back as broadcasts of
     AGGREGATED (w1,w2)/(w1) counts — never a join of raw occurrence
@@ -2050,25 +2080,68 @@ def test_ndcg_discounts_are_literals(spark):
     assert specs and all("q_id" in s for s in specs), specs
 
 
-def test_agreement_simhash_join_is_mask_blocked(spark):
-    """dd_method_agreement: the SimHash pair set joins on simhash ^
-    mask equality (137-mask expansion), never a Hamming theta join —
-    no cartesian product, no Python."""
-    plan = plan_string(q(spark, "dd_method_agreement"))
+def test_agreement_simhash_count_is_histogram_hash_join(spark):
+    """dd_method_agreement: the n_sim census runs over the simhash
+    HISTOGRAM with the XOR probe projected BEFORE the join, so the
+    mask expansion lands as a hash equi-join (probe = simhash) — never
+    the doc_id<doc_id nested loop Catalyst produced when the equi key
+    spanned the un-projected cross join (the 8-10 s regression this
+    round fixed), and never a Hamming theta join. The final ladder
+    stays Python/cartesian-free."""
+    import re
+
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.operators.dedup import (
+        _agreement_counts_sql,
+        _simhash_sql,
+    )
+
+    load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+    spark.sql(_simhash_sql("spark")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("simhash_v")
+    spark.range(0).selectExpr(
+        "id AS doc_a", "id AS doc_b", "'' AS source", "0.0 AS jaccard"
+    ).createOrReplaceTempView("lsh_pairs_v")
+    core = spark.sql(_agreement_counts_sql())
+    plan = plan_string(core)
+    stripped = re.sub(r"#\d+L?", "", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[1\]: \[probe\]", stripped), stripped[:2000]
+    final = plan_string(q(spark, "dd_method_agreement"))
+    assert "EvalPython" not in final
+    assert "CartesianProduct" not in final
 
 
 def test_frontier_windows_are_query_keyed(spark):
-    """sim_compression_frontier: all four rank windows partition by
-    q_id; no Python, no cartesian beyond scalar broadcasts."""
+    """sim_compression_frontier: all four rank windows in the staged
+    hit-count core partition by q_id; no Python, no cartesian beyond
+    scalar broadcasts — checked on the core statement (the operator
+    localCheckpoints it, so the final plan only shows the ladder)."""
     import re
 
-    plan = plan_string(q(spark, "sim_compression_frontier"))
+    from mcp_rag_server_spark.catalog import load_table
+    from mcp_rag_server_spark.operators.vector_audit import (
+        _frontier_hits_sql,
+        _frontier_proj_sql,
+    )
+
+    load_table(spark, SF, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    spark.sql(_frontier_proj_sql()).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("cf_proj_v")
+    core = spark.sql(_frontier_hits_sql("spark", staged=True))
+    plan = plan_string(core)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("q_id" in s for s in specs), specs
+    final = plan_string(q(spark, "sim_compression_frontier"))
+    assert "EvalPython" not in final
+    assert "CartesianProduct" not in final
 
 
 def test_stickiness_is_bounded_fanout(spark):
