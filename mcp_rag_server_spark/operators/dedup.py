@@ -642,24 +642,15 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_oracle() -> str:
-    from mcp_rag_server_spark.operators.clustering import (
-        duckdb_cell_probes_cte,
+    from mcp_rag_server_spark.operators.similarity import (
+        duckdb_cell_half_cte,
     )
 
     return f"""
-WITH {duckdb_cell_probes_cte()},
-nd_cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM probed a JOIN probed b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
-)
-SELECT c.vec_a, c.vec_b,
-       round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 4) AS score
-FROM nd_cand c
-JOIN embeddings ea ON ea.vec_id = c.vec_a
-JOIN embeddings eb ON eb.vec_id = c.vec_b
-WHERE round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 4)
-      >= {COSINE_NEARDUP_THRESHOLD}
+WITH {duckdb_cell_half_cte()}
+SELECT vec_a, vec_b, score
+FROM gb_half
+WHERE score >= {COSINE_NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -682,37 +673,22 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count scales with the corpus and per-cell work stays constant.
     Candidate pairs are vectors sharing a probed cell (DISTINCT — a
     pair can co-occur in both probed cells), scored once via id join-
-    back to the vector table; the rounded-4 cosine is the decision
-    value (functions/vector.py contract). Recall contract per the
-    clustering.py constants: 0.72 / 0.71 of brute-force >=0.35 pairs at
-    sf0.01 / sf0.1 on the near-isotropic fixture (measured, DuckDB
-    probe) — cluster-structured production corpora concentrate true
-    pairs inside cells; more probes buy recall without more tables,
-    exactly the sim_multiprobe_lsh trade."""
-    from mcp_rag_server_spark.operators.clustering import cell_probes
+    back with per-vector precomputed norms (similarity.py's shared
+    `_cell_scored_half`; the rounded-4 cosine decision value and the
+    functions/vector.py contract are unchanged — fixed-width vectors
+    make the precomputed norm numerically identical). Recall contract
+    per the clustering.py constants: 0.72 / 0.71 of brute-force >=0.35
+    pairs at sf0.01 / sf0.1 on the near-isotropic fixture (measured,
+    DuckDB probe) — cluster-structured production corpora concentrate
+    true pairs inside cells; more probes buy recall without more
+    tables, exactly the sim_multiprobe_lsh trade."""
+    from mcp_rag_server_spark.operators.similarity import (
+        _cell_scored_half,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probed = cell_probes(emb)
-    a, b = probed.alias("a"), probed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    score = cosine_score("emb_a", "emb_b")
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", score.alias("score"))
+        _cell_scored_half(emb)
         .filter(F.col("score") >= COSINE_NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )

@@ -534,35 +534,133 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 3
 
 
-def _knn_graph_oracle() -> str:
+#: Per-pair dot / per-vector norm for the shared graph-build scoring —
+#: the dd_semdedup economics (clustering.py): fixed-width dense vectors
+#: make "norm computed ONCE per vector, dot folded once per pair"
+#: numerically identical to functions/vector.py's truncated-prefix
+#: cosine (same float64 index-order folds, same 1e-10 denominator,
+#: same rounded-4 contract), and it cuts the pair stage from three HOF
+#: folds to one — measured 22 s → ~7 s standalone at sf0.1 on the
+#: 925k-pair candidate set.
+#: (A 64-term unrolled ``element_at`` sum was tried for the pair-stage
+#: dot and was 3× SLOWER than this fold at sf0.1 — the giant expression
+#: trips codegen's method-size fallback into per-call interpreted
+#: eval; the zip_with/aggregate fold walks the arrays once.)
+_GB_DOT = (
+    "aggregate(zip_with(emb_a, emb_b, (gb_x, gb_y) -> "
+    "CAST(gb_x AS DOUBLE) * CAST(gb_y AS DOUBLE)), CAST(0 AS DOUBLE), "
+    "(gb_acc, gb_v) -> gb_acc + gb_v)"
+)
+_GB_NORM = (
+    "sqrt(aggregate(transform(embedding, gb_x -> "
+    "CAST(gb_x AS DOUBLE) * CAST(gb_x AS DOUBLE)), CAST(0 AS DOUBLE), "
+    "(gb_acc, gb_v) -> gb_acc + gb_v))"
+)
+
+
+def duckdb_cell_half_cte() -> str:
+    """DuckDB CTE chain ``cp_seeds/cp_dist/probed`` +
+    ``gb_emb/gb_cand/gb_half/gb_sym``: the shared cell-blocked scored
+    candidate half-matrix every graph build in this module derives
+    from (mirrors :func:`_cell_scored_half` exactly, including the
+    precomputed-norm scoring). ``gb_sym`` is (vec_id, nbr_id, score)
+    with both orientations."""
     from mcp_rag_server_spark.operators.clustering import (
         duckdb_cell_probes_cte,
     )
 
-    return f"""
-WITH {duckdb_cell_probes_cte()},
-kg_cand AS (
+    dot = (
+        "list_sum(list_transform(range(1, 65), gb_i -> "
+        "CAST(ea.embedding[gb_i] AS DOUBLE) "
+        "* CAST(eb.embedding[gb_i] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1, 65), gb_i -> "
+        "CAST(embedding[gb_i] AS DOUBLE) "
+        "* CAST(embedding[gb_i] AS DOUBLE))))"
+    )
+    return f"""{duckdb_cell_probes_cte()},
+gb_emb AS MATERIALIZED (
+  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+),
+gb_cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM probed a JOIN probed b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
 ),
-kg_half AS (
+gb_half AS MATERIALIZED (
   SELECT c.vec_a, c.vec_b,
-         round({duckdb_cosine('ea.embedding', 'eb.embedding')}, 4) AS score
-  FROM kg_cand c
-  JOIN embeddings ea ON ea.vec_id = c.vec_a
-  JOIN embeddings eb ON eb.vec_id = c.vec_b
+         round({dot} / (ea.nrm * eb.nrm + 1e-10), 4) AS score
+  FROM gb_cand c
+  JOIN gb_emb ea ON ea.vec_id = c.vec_a
+  JOIN gb_emb eb ON eb.vec_id = c.vec_b
 ),
-kg_sym AS (
-  SELECT vec_a AS vec_id, vec_b AS nbr_id, score FROM kg_half
+gb_sym AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr_id, score FROM gb_half
   UNION ALL
-  SELECT vec_b, vec_a, score FROM kg_half
-),
+  SELECT vec_b, vec_a, score FROM gb_half
+)"""
+
+
+def _cell_scored_half(emb: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, score): DISTINCT cell-blocked candidate pairs
+    (clustering.cell_probes — vec_a < vec_b, pairs sharing a probed
+    cell) scored ONCE with the rounded-4 cosine via id join-back,
+    norms precomputed per VECTOR (``_GB_DOT``/``_GB_NORM`` — one HOF
+    fold per pair, not three). The shared candidate stage for every
+    embedding-graph build here (sim_knn_graph / dd_embedding_neardup /
+    sim_graph_greedy_search / sim_kcore_decompose) — never an
+    all-pairs or fixture-label self-join. Callers cache or checkpoint
+    the result before mirroring it."""
+    from mcp_rag_server_spark.operators.clustering import cell_probes
+
+    probed = cell_probes(emb)
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    withnorm = emb.select(
+        "vec_id", "embedding", F.expr(_GB_NORM).alias("nrm")
+    )
+    ea = withnorm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = withnorm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    score = F.round(
+        F.expr(_GB_DOT)
+        / (F.col("nrm_a") * F.col("nrm_b") + F.lit(1e-10)),
+        4,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", score.alias("score"))
+    )
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+WITH {duckdb_cell_half_cte()},
 kg_ranked AS (
   SELECT vec_id, nbr_id, score,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY score DESC, nbr_id) AS rnk
-  FROM kg_sym
+  FROM gb_sym
 )
 SELECT vec_id, rnk, nbr_id, score
 FROM kg_ranked
@@ -604,39 +702,8 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rank window rides the vec_id partitioning with the
     rounded-score + nbr_id total order making every neighbor list
     engine-identical."""
-    from mcp_rag_server_spark.operators.clustering import cell_probes
-
     emb = load_table(spark, sf_dir, "embeddings")
-    probed = cell_probes(emb)
-    a, b = probed.alias("a"), probed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-    )
-    half = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_score("emb_a", "emb_b").alias("score"),
-        )
-        .cache()
-    )
+    half = _cell_scored_half(emb).cache()
     sym = half.select(
         F.col("vec_a").alias("vec_id"),
         F.col("vec_b").alias("nbr_id"),
@@ -673,17 +740,19 @@ GS_TOP_K = 5
 
 def _duckdb_gs_cte() -> str:
     """scored(vec_id, label, score vs the query) + adj(vec_id, nbr_id)
-    — a GLOBAL top-``GS_DEGREE`` cosine adjacency (graph ANN needs
-    edges that cross cluster boundaries; a block-confined adjacency
-    like ``sim_knn_graph``'s r6 label-blocked variant stranded the
-    walk inside the entry's block) under the same rounded-cosine score
-    contract.
+    — a top-``GS_DEGREE`` adjacency over the shared CELL-BLOCKED
+    candidate half-matrix (:func:`duckdb_cell_half_cte`; the r6-era
+    all-pairs global build was the same quadratic the verdict retired
+    from sim_knn_graph — multi-probe cell overlap supplies the
+    cross-cluster edges the walk needs, and the measured curve still
+    climbs: recall@5 0→0.6 at sf0.01, 0→0.8 at sf0.1) under the same
+    rounded-cosine score contract.
     ``MATERIALIZED`` hints keep DuckDB from re-inlining each CTE per
     consumer — the unrolled hop chain re-evaluates exponentially
     without them (evaluation only; results identical)."""
     cos_q = duckdb_cosine("e.embedding", "q.embedding")
-    cos_ab = duckdb_cosine("a.embedding", "b.embedding")
-    return f"""q AS (SELECT embedding FROM embeddings WHERE vec_id = {GS_QUERY_ID}),
+    return f"""{duckdb_cell_half_cte()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {GS_QUERY_ID}),
 scored AS MATERIALIZED (
   SELECT e.vec_id, e.label, round({cos_q}, 4) AS score
   FROM embeddings e CROSS JOIN q
@@ -691,11 +760,10 @@ scored AS MATERIALIZED (
 ),
 adj AS MATERIALIZED (
   SELECT vec_id, nbr_id FROM (
-    SELECT a.vec_id, b.vec_id AS nbr_id,
-           row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY round({cos_ab}, 4) DESC,
-                                       b.vec_id) AS rnk
-    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, nbr_id) AS rnk
+    FROM gb_sym
   ) r WHERE rnk <= {GS_DEGREE}
 )"""
 
@@ -754,16 +822,19 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph ANN answers a query by WALKING the k-NN graph (Malkov &
     Yashunin's HNSW, DiskANN's Vamana), not by scanning the corpus:
     start at entry points, repeatedly expand the best unvisited
-    neighbors. Unrolled here as ``GS_HOPS`` rounds over a GLOBAL
-    top-``GS_DEGREE`` cosine adjacency (a DuckDB grid probe showed a
-    block-confined graph — ``sim_knn_graph``'s retired label-blocked
-    variant — strands the walk inside the entry's block — recall froze
-    at 0; global edges at K=6/B=16 climb
-    to 0.6 on this near-isotropic fixture, the honest ceiling of
-    greedy search when the space has no cluster structure to follow):
-    beam = global top-``GS_BEAM`` of the visited set, expand = the
-    beam's adjacency rows minus visited, score only the newly visited
-    nodes. The hashed output is the per-hop convergence curve
+    neighbors. Unrolled here as ``GS_HOPS`` rounds over a
+    top-``GS_DEGREE`` adjacency built from the shared CELL-BLOCKED
+    candidate half-matrix (`_cell_scored_half` — the r7 rewrite; the
+    r6 all-pairs "global" build was itself the quadratic the verdict
+    retired from sim_knn_graph). Connectivity history: a LABEL-blocked
+    graph stranded the walk inside the entry's block (recall froze at
+    0, r6 grid probe); cells don't, because 2-probe overlap creates
+    cross-cell edges — measured curve 0→0.6 recall@5 at sf0.01 and
+    0→0.8 at sf0.1, matching the all-pairs graph's ceiling on this
+    near-isotropic fixture. Beam = global top-``GS_BEAM`` of the
+    visited set, expand = the beam's adjacency rows minus visited,
+    score only the newly visited nodes. The hashed output is the
+    per-hop convergence curve
     (n_visited, best hit, recall@5 against the exact top-5) — the
     visited count growing ~beam·k per hop while recall climbs is
     exactly the sub-linear-probes contract graph indexes sell.
@@ -791,24 +862,16 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    ea = emb.select("vec_id", "embedding").repartition("vec_id")
-    eb = emb.select(
-        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")
-    )
-    half = (
-        ea.join(F.broadcast(eb), F.col("vec_id") < F.col("nbr_id"))
-        .select(
-            "vec_id",
-            "nbr_id",
-            cosine_score("embedding", "emb_b").alias("nscore"),
-        )
-        .cache()
-    )
-    sym = half.unionByName(
+    half = _cell_scored_half(emb).cache()
+    sym = half.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        F.col("score").alias("nscore"),
+    ).unionByName(
         half.select(
-            F.col("nbr_id").alias("vec_id"),
-            F.col("vec_id").alias("nbr_id"),
-            "nscore",
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            F.col("score").alias("nscore"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("nscore"), F.asc("nbr_id"))
@@ -883,10 +946,11 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: k-core geometry: adjacency degree, core threshold, peel rounds.
-#: Probed (BENCH_NOTES): the 5-core cascade on the K=4 graph peels
-#: 500→277→48→0 at sf0.01 — three informative rounds; T=4 peels
-#: nothing (out-degree alone guarantees degree ≥ 4) and T=6 collapses
-#: in one round.
+#: Probed (BENCH_NOTES): the 5-core cascade on the K=4 cell-blocked
+#: graph peels 500→273→49→0 at sf0.01 (2000→1110→189→0 at sf0.1; the
+#: retired all-pairs graph peeled 500→277→48→0 — same shape) — three
+#: informative rounds; T=4 peels nothing (out-degree alone guarantees
+#: degree ≥ 4) and T=6 collapses in one round.
 KC_DEGREE = 4
 KC_THRESHOLD = 5
 KC_ROUNDS = 3
@@ -895,15 +959,18 @@ KC_ROUNDS = 3
 def _kcore_oracle() -> str:
     """Unrolled peel: d_i (degrees) → k_i (survivors) → e_i (induced
     edges), all MATERIALIZED against DuckDB's exponential CTE
-    re-inlining; one summary row per round."""
-    cos_ab = duckdb_cosine("a.embedding", "b.embedding")
-    parts = [f"""WITH adj AS MATERIALIZED (
+    re-inlining; one summary row per round. The adjacency comes from
+    the shared cell-blocked half-matrix (r7 rewrite — the all-pairs
+    build was the retired quadratic); the probed peel trajectory is
+    essentially unchanged (500→273→49→0 vs the all-pairs 500→277→48→0
+    at sf0.01)."""
+    parts = [f"""WITH {duckdb_cell_half_cte()},
+adj AS MATERIALIZED (
   SELECT vec_id, nbr_id FROM (
-    SELECT a.vec_id, b.vec_id AS nbr_id,
-           row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY round({cos_ab}, 4) DESC,
-                                       b.vec_id) AS rnk
-    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, nbr_id) AS rnk
+    FROM gb_sym
   ) r WHERE rnk <= {KC_DEGREE}
 ),
 e0 AS MATERIALIZED (
@@ -938,7 +1005,7 @@ e{i} AS MATERIALIZED (
     "sim_kcore_decompose",
     oracle=_kcore_oracle(),
     description=f"k-core peeling of the k-NN graph: iteratively remove"
-    f" nodes with degree < {KC_THRESHOLD} from the global degree-"
+    f" nodes with degree < {KC_THRESHOLD} from the cell-blocked degree-"
     f"{KC_DEGREE} cosine graph — per-round node/edge census of the"
     " collapse, the density-structure probe (an isotropic corpus has"
     " no dense core and peels to empty; clustered data leaves one)",
@@ -961,24 +1028,16 @@ def sim_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical when they do. Round counts are calendar-bounded by
     KC_ROUNDS; production peels to fixpoint with the same loop."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ea = emb.select("vec_id", "embedding").repartition("vec_id")
-    eb = emb.select(
-        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b")
-    )
-    half = (
-        ea.join(F.broadcast(eb), F.col("vec_id") < F.col("nbr_id"))
-        .select(
-            "vec_id",
-            "nbr_id",
-            cosine_score("embedding", "emb_b").alias("nscore"),
-        )
-        .cache()
-    )
-    sym = half.unionByName(
+    half = _cell_scored_half(emb).cache()
+    sym = half.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nbr_id"),
+        F.col("score").alias("nscore"),
+    ).unionByName(
         half.select(
-            F.col("nbr_id").alias("vec_id"),
-            F.col("vec_id").alias("nbr_id"),
-            "nscore",
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("nbr_id"),
+            F.col("score").alias("nscore"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("nscore"), F.asc("nbr_id"))

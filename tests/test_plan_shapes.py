@@ -1222,6 +1222,35 @@ def test_pair_candidates_are_cell_blocked_not_label_blocked(spark):
         assert n_bnlj <= 2, (name, n_bnlj)
 
 
+def test_graph_family_builds_from_cell_blocked_half():
+    """sim_graph_greedy_search and sim_kcore_decompose build their
+    adjacency from the shared cell-blocked half-matrix
+    (_cell_scored_half) — their final plans hide the build behind
+    localCheckpoints, so pin at the source level that neither has a
+    private (all-pairs or label-blocked) candidate generator; the
+    helper itself is plan-pinned through sim_knn_graph above. The
+    oracles mirror via duckdb_cell_half_cte."""
+    import inspect
+
+    from mcp_rag_server_spark.operators import dedup, similarity
+
+    for fn in (
+        similarity.sim_graph_greedy_search,
+        similarity.sim_kcore_decompose,
+        similarity.sim_knn_graph,
+        dedup.dd_embedding_neardup,
+    ):
+        src = inspect.getsource(fn)
+        assert "_cell_scored_half" in src, fn.__name__
+        assert 'F.col("vec_id") < F.col("nbr_id")' not in src, fn.__name__
+    for oracle_fn in (
+        similarity._gs_oracle,
+        similarity._kcore_oracle,
+        similarity._knn_graph_oracle,
+    ):
+        assert "gb_sym" in oracle_fn(), oracle_fn.__name__
+
+
 def test_bigram_logprob_joins_aggregated_vocab(spark):
     """ta_bigram_logprob: the LM tables join back as broadcasts of
     AGGREGATED (w1,w2)/(w1) counts — never a join of raw occurrence

@@ -631,10 +631,59 @@ def _fold_cosine_matrix(E):
     return dot / (np.outer(norm, norm) + 1e-10)
 
 
+def _cell_candidate_sets(ids, E):
+    """Replicate clustering.cell_probes in plain Python: md5-lowest
+    medoid seeds, per-vector top-CELL_PROBES cells by index-order
+    float64 squared-L2 fold rounded to 6 (dd asc, cell-id tie-break).
+    Returns {vec_id: frozenset(probed cell ids)} — two vectors are
+    graph-build candidates iff their probe sets intersect."""
+    import hashlib
+
+    from mcp_rag_server_spark.operators.clustering import (
+        CELL_PROBES,
+        CELL_SALT,
+        CELL_SEEDS,
+    )
+
+    pos = {v: i for i, v in enumerate(ids)}
+    seed_ids = sorted(
+        ids,
+        key=lambda v: hashlib.md5(f"{CELL_SALT}:{v}".encode()).hexdigest(),
+    )[:CELL_SEEDS]
+    cells = {}
+    for v in ids:
+        x = E[pos[v]]
+        ds = []
+        for c in seed_ids:
+            cv = E[pos[c]]
+            acc = 0.0
+            for k in range(len(x)):
+                diff = float(x[k]) - float(cv[k])
+                acc += diff * diff
+            ds.append((round(acc, 6), c))
+        ds.sort()
+        cells[v] = frozenset(c for _, c in ds[:CELL_PROBES])
+    return cells
+
+
+def _cell_knn_adj(ids, E, cos, degree):
+    """Top-``degree`` neighbors per vector among cell-blocked
+    candidates — the Python twin of the shared _cell_scored_half →
+    rank chain."""
+    cells = _cell_candidate_sets(ids, E)
+    pos = {v: i for i, v in enumerate(ids)}
+    adj = {}
+    for v in ids:
+        cand = [w for w in ids if w != v and cells[v] & cells[w]]
+        cand.sort(key=lambda w: (-cos[pos[v], pos[w]], w))
+        adj[v] = cand[:degree]
+    return adj
+
+
 def test_kcore_matches_python_peel(spark):
     """sim_kcore_decompose's trajectory must equal a direct Python peel
-    over the same rounded-4 cosine k-NN graph (sets and dicts instead
-    of joins)."""
+    over the same rounded-4 cosine k-NN graph built from the same
+    cell-blocked candidates (sets and dicts instead of joins)."""
     import numpy as np
 
     from mcp_rag_server_spark.operators.similarity import (
@@ -654,14 +703,11 @@ def test_kcore_matches_python_peel(spark):
     ids = list(emb["vec_id"])
     E = np.array(list(emb["embedding"]))
     cos = np.round(_fold_cosine_matrix(E), 4)
+    adj0 = _cell_knn_adj(ids, E, cos, KC_DEGREE)
     edges = set()
-    for i, vid in enumerate(ids):
-        order = sorted(
-            (j for j in range(len(ids)) if j != i),
-            key=lambda j: (-cos[i, j], ids[j]),
-        )[:KC_DEGREE]
-        for j in order:
-            edges.add((min(vid, ids[j]), max(vid, ids[j])))
+    for vid, nbrs in adj0.items():
+        for w in nbrs:
+            edges.add((min(vid, w), max(vid, w)))
     want = []
     for rnd in range(KC_ROUNDS + 1):
         nodes = {u for e in edges for u in e}
@@ -679,7 +725,8 @@ def test_kcore_matches_python_peel(spark):
 
 def test_greedy_search_matches_python_walk(spark):
     """sim_graph_greedy_search's per-hop curve must equal a direct
-    Python beam walk over the same global adjacency and scores."""
+    Python beam walk over the same cell-blocked adjacency and
+    scores."""
     import numpy as np
 
     from mcp_rag_server_spark.operators.similarity import (
@@ -707,13 +754,7 @@ def test_greedy_search_matches_python_walk(spark):
     cos = np.round(_fold_cosine_matrix(E), 4)
     qi = pos[GS_QUERY_ID]
     score = {v: cos[qi, pos[v]] for v in ids if v != GS_QUERY_ID}
-    adj = {}
-    for v in ids:
-        i = pos[v]
-        nbrs = sorted(
-            (w for w in ids if w != v), key=lambda w: (-cos[i, pos[w]], w)
-        )[:GS_DEGREE]
-        adj[v] = nbrs
+    adj = _cell_knn_adj(ids, E, cos, GS_DEGREE)
     labels = dict(zip(emb["vec_id"], emb["label"]))
     entries = {}
     for v in sorted(score):
