@@ -2269,3 +2269,74 @@ def test_burstiness_window_is_user_keyed(spark):
     assert "CartesianProduct" not in plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs and all("user_id" in s for s in specs), specs
+
+
+def test_filtered_topk_pushes_predicates_and_heap(spark):
+    """sim_filtered_topk: PRE-filtering means the lang/n_chars
+    predicates must reach the documents parquet scan (at 100 TB the
+    filter prunes before any vector math), the scan must not drag the
+    text column, and the top-k must be the shuffle-free heap
+    (TakeOrderedAndProject), not a global sort."""
+    df = q(spark, "sim_filtered_topk")
+    pf = pushed_filters(df, "documents.parquet")
+    assert "lang" in pf and "n_chars" in pf, pf
+    assert "text" not in read_schema(df, "documents.parquet")
+    assert has_take_ordered(df)
+
+
+def test_range_trailing30_window_is_customer_keyed(spark):
+    """window_range_trailing30: ONE Window node, keyed by o_custkey
+    (a RANGE frame over an unpartitioned spec would single-task the
+    corpus), and the o_custkey predicate reaches the parquet scan."""
+    import re
+
+    df = q(spark, "window_range_trailing30")
+    plan = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs and all("o_custkey" in s for s in specs), specs
+    assert "o_custkey" in pushed_filters(df, "orders.parquet")
+
+
+def test_recursive_reach_recursion_never_rescans_parquet(spark):
+    """sql_recursive_reach: the edge table is derived ONCE and
+    localCheckpoint'd before the recursion (a recursive member
+    re-evaluates every CTE it references per iteration — inlined, each
+    hop re-ran the lead window over the whole events table). The
+    returned plan must traverse the checkpointed RDD, never the
+    parquet source."""
+    plan = plan_string(q(spark, "sql_recursive_reach"))
+    assert "Scan parquet" not in plan, plan
+    # Spark 4 prints the recursive loop as UnionLoop; its static side
+    # must be the checkpointed RDD (LogicalRDD / ExistingRDD).
+    assert "UnionLoop" in plan, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+
+
+def test_admission_pipeline_is_one_jvm_plan(spark):
+    """ta_admission_pipeline: five stages, ONE Catalyst plan — no
+    Python eval anywhere, no cartesian, and every window keyed (the
+    dedup window by the fingerprint expression, the budget cumsum by
+    source) so no stage collapses to a single task."""
+    import re
+
+    plan = plan_string(q(spark, "ta_admission_pipeline"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "source" in s or "md5" in s or "_w" in s, s
+
+
+def test_pq_train_argmin_is_partial_agg_not_window(spark):
+    """sim_pq_train: both Lloyd argmin passes are map-side
+    min(struct(dd, label)) partial aggregations — the plan carries one
+    row per (vec_id, m) across the wire and contains NO Window node
+    (a rank-1 window would shuffle all k scored copies) and no
+    Python."""
+    import re
+
+    plan = plan_string(q(spark, "sim_pq_train"))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0, plan

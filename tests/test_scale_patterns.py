@@ -1209,3 +1209,252 @@ def test_skyline_matches_bruteforce_dominance(spark):
         members = [k for pp, ss, k in pts if pp == p and ss == s]
         want[(p, int(s))] = (len(members), int(min(members)))
     assert got == want, (got, want)
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    """ta_zipf_fit's closed-form OLS must agree with numpy's lstsq over
+    the same rounded (ln rank, ln freq) points — an independent
+    ALGORITHM (QR solve vs moment formulas), since the cross-engine
+    hash cannot catch a formula both engines share via one SQL text."""
+    from collections import Counter
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.textanalysis import ZIPF_TOP
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["ta_zipf_fit"].spark_fn(spark, sf).collect()[0]
+
+    freq = Counter()
+    for text in _pd("documents", sf)["text"]:
+        freq.update(text.split(" "))
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    x = np.array([round(np.log(r + 1), 6) for r in range(len(top))])
+    y = np.array([round(np.log(c), 6) for _, c in top])
+    A = np.vstack([x, np.ones(len(x))]).T
+    (slope, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row["n_tokens"] == len(top)
+    assert abs(row["slope"] - slope) <= 1e-5, (row["slope"], slope)
+    assert abs(row["intercept"] - intercept) <= 1e-5
+    assert abs(row["r2"] - r2) <= 1e-5
+    # corpus-health sanity: a natural-ish corpus slopes negative
+    assert row["slope"] < 0
+
+
+def test_simpson_diversity_matches_python_counts(spark):
+    """ta_simpson_diversity is a pure count statistic — a dict-based
+    Python replication must match the integer numerators/denominators
+    EXACTLY (no tolerance)."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: r
+        for r in load_all()["ta_simpson_diversity"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    docs = _pd("documents", sf)
+    per = Counter(zip(docs["lang"], docs["source"]))
+    langs = sorted({l for l, _ in per})
+    assert set(got) == set(langs)
+    for lang in langs:
+        ns = {s: n for (l, s), n in per.items() if l == lang}
+        n_docs = sum(ns.values())
+        pair_num = sum(n * (n - 1) for n in ns.values())
+        r = got[lang]
+        assert r["n_docs"] == n_docs
+        assert r["n_sources"] == len(ns)
+        assert r["pair_num"] == pair_num
+        assert r["pair_den"] == n_docs * (n_docs - 1)
+        assert abs(r["simpson"] - pair_num / (n_docs * (n_docs - 1))) <= 1e-12
+
+
+def test_range_trailing30_matches_python_brute(spark):
+    """window_range_trailing30's RANGE frame must equal a brute-force
+    per-order rescan in Python (every same-customer order within 30
+    epoch days, decimal-exact revenue) — catches a frame-bound or
+    peer-inclusion regression the oracle (same SQL shape) could
+    share."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_all()["window_range_trailing30"].spark_fn(spark, sf).collect()
+    )
+
+    o = _pd("orders", sf)
+    o = o[o["o_custkey"] < 100]
+    recs = []
+    epoch = datetime.date(1970, 1, 1)
+    q4 = Decimal("0.0001")
+    for r in o.itertuples(index=False):
+        day = (r.o_orderdate.date() - epoch).days
+        recs.append(
+            (
+                r.o_custkey,
+                r.o_orderkey,
+                day,
+                Decimal(repr(r.o_totalprice)).quantize(q4, ROUND_HALF_UP),
+            )
+        )
+    assert len(rows) == len(recs)
+    by_cust = {}
+    for c, k, d, p in recs:
+        by_cust.setdefault(c, []).append((d, p))
+    want = {}
+    for c, k, d, p in recs:
+        peers = [(dd, pp) for dd, pp in by_cust[c] if d - 30 <= dd <= d]
+        want[(c, k)] = (
+            float(sum(pp for _, pp in peers)),
+            len(peers),
+        )
+    for r in rows:
+        rev, cnt = want[(r["o_custkey"], r["o_orderkey"])]
+        assert abs(r["trailing30_revenue"] - rev) <= 1e-9, r
+        assert r["trailing30_orders"] == cnt, r
+
+
+def test_recursive_reach_matches_python_bfs(spark):
+    """sql_recursive_reach (Spark 4 WITH RECURSIVE) must equal a plain
+    Python BFS over the same frequent-transition graph — the recursion
+    SQL is shared verbatim between engines, so only an independent
+    traversal can catch a semantics bug in it. sf0.01: the 400-
+    transition edge floor is tuned there (sf0.001 passes trivially)."""
+    from collections import Counter, deque
+
+    from mcp_rag_server_spark.operators.events import (
+        REACH_MAX_HOPS,
+        REACH_MIN_TRANSITIONS,
+        REACH_START,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: r["min_hops"]
+        for r in load_all()["sql_recursive_reach"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, g in ev.groupby("user_id", sort=False):
+        types = list(g["event_type"])
+        trans.update(zip(types, types[1:]))
+    adj = {}
+    for (a, b), n in trans.items():
+        if n >= REACH_MIN_TRANSITIONS:
+            adj.setdefault(a, set()).add(b)
+    # non-trivial at this SF: the sparsified graph must have edges
+    assert adj, trans
+    dist = {REACH_START: 0}
+    dq = deque([REACH_START])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= REACH_MAX_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert got == dist, (got, dist)
+
+
+def test_pq_train_matches_python_lloyd(spark):
+    """sim_pq_train must equal a from-scratch Python Lloyd step per
+    subspace (dict/list arithmetic replicating the decimal-exact mean,
+    ordered-fold distance, and (dd, label) argmin tie-break) — the
+    independent-algorithm check for the k-means family rule."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.vector_audit import PQ_DSUB, PQ_M
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["m"]: r
+        for r in load_all()["sim_pq_train"].spark_fn(spark, sf).collect()
+    }
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = [[float(x) for x in v] for v in emb["embedding"]]
+    labels = [int(x) for x in emb["label"]]
+    q7, q6 = Decimal("1e-7"), Decimal("1e-6")
+
+    def dec_mean(vals):
+        s = sum(
+            Decimal(repr(v)).quantize(q7, ROUND_HALF_UP) for v in vals
+        )
+        return float(s) / len(vals)
+
+    def codebook(assign):
+        """assign: {(vec_idx, m): label} -> {(m, label): [c_0..c_dsub]}"""
+        cw = {}
+        for m in range(PQ_M):
+            members = {}
+            for i in range(len(ids)):
+                members.setdefault(assign[(i, m)], []).append(i)
+            for lab, idxs in members.items():
+                cw[(m, lab)] = [
+                    dec_mean([E[i][m * PQ_DSUB + d] for i in idxs])
+                    for d in range(PQ_DSUB)
+                ]
+        return cw
+
+    def assign_pass(cw):
+        out, dd_of = {}, {}
+        for i in range(len(ids)):
+            for m in range(PQ_M):
+                sv = E[i][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                best = None
+                for (mm, lab), cv in cw.items():
+                    if mm != m:
+                        continue
+                    acc = 0.0
+                    for k in range(PQ_DSUB):
+                        acc += (sv[k] - cv[k]) * (sv[k] - cv[k])
+                    dd = float(
+                        Decimal(repr(acc)).quantize(q6, ROUND_HALF_UP)
+                    )
+                    if best is None or (dd, lab) < best:
+                        best = (dd, lab)
+                out[(i, m)] = best[1]
+                dd_of[(i, m)] = best[0]
+        return out, dd_of
+
+    def err_used(assign, dd_of):
+        out = {}
+        for m in range(PQ_M):
+            dds = [
+                Decimal(repr(dd_of[(i, m)])).quantize(q6, ROUND_HALF_UP)
+                for i in range(len(ids))
+            ]
+            used = len({assign[(i, m)] for i in range(len(ids))})
+            out[m] = (used, round(float(sum(dds)), 4))
+        return out
+
+    seed_assign = {
+        (i, m): labels[i] for i in range(len(ids)) for m in range(PQ_M)
+    }
+    cw0 = codebook(seed_assign)
+    a0, dd0 = assign_pass(cw0)
+    s0 = err_used(a0, dd0)
+    cw1 = codebook(a0)
+    a1, dd1 = assign_pass(cw1)
+    s1 = err_used(a1, dd1)
+    for m in range(PQ_M):
+        r = got[m]
+        assert r["n_used_seed"] == s0[m][0], (m, r)
+        assert r["n_used_refined"] == s1[m][0], (m, r)
+        assert abs(r["err_seed"] - s0[m][1]) <= 1e-9, (m, r)
+        assert abs(r["err_refined"] - s1[m][1]) <= 1e-9, (m, r)
+        assert r["improved"] == (s1[m][1] <= s0[m][1])

@@ -276,3 +276,102 @@ def test_incremental_rollup_replay_is_idempotent(spark):
     )
     assert first == second
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_kmv_stream_sketch_is_split_invariant(spark):
+    """st_kmv_sketch's merge algebra: building per-half sketches from an
+    arbitrary split of the events table and merging them must equal the
+    sketch of the whole table — the property that makes the streamed
+    artifact hash-comparable to a batch oracle no matter how the log is
+    cut into micro-batches (and, at 100 TB, lets per-shard sketches
+    combine without re-scanning history)."""
+    import pyspark.sql.functions as F
+
+    from mcp_rag_server_spark.streaming.rollup_stream import (
+        _kmv_merge,
+        _kmv_snapshot,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF0001, "events.parquet"))
+    whole = _kmv_snapshot(ev)
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 != 0)
+    merged = _kmv_merge(_kmv_snapshot(a), _kmv_snapshot(b))
+    assert sorted(whole.collect()) == sorted(merged.collect())
+    # merge is idempotent: re-merging the whole sketch is a no-op
+    again = _kmv_merge(whole, whole)
+    assert sorted(again.collect()) == sorted(whole.collect())
+
+
+def test_lambda_cutover_merge_tolerates_overlapping_halves(spark):
+    """st_lambda_cutover's seam claim: the (count, decimal-sum) key-wise
+    merge is correct even when the batch and streamed halves OVERLAP in
+    hours — only the row split, never the hour boundary, decides
+    correctness. Split the events at a non-hour-aligned row predicate
+    (both halves own rows in shared hours) and check the merged rollup
+    equals the one-shot aggregate."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(os.path.join(SF0001, "events.parquet"))
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
+
+    one_shot = rollup(ev).select(
+        "h", "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+    halves = rollup(ev.filter(F.col("event_id") % 2 == 0)).unionByName(
+        rollup(ev.filter(F.col("event_id") % 2 == 1))
+    )
+    merged = halves.groupBy("h", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value")
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total_value"),
+    )
+    assert sorted(one_shot.collect()) == sorted(merged.collect())
+
+
+def test_enrich_static_keeps_unmatched_users_as_unknown(spark, tmp_path):
+    """st_enrich_static's LEFT join contract: every event whose user has
+    no customer row must survive into segment='UNKNOWN' (an inner join
+    silently dropping them is the classic enrichment bug). The fixture
+    has NO orphan users at any SF — the oracle parity gate would pass
+    an inner-join regression — so run the registered operator against
+    a corpus copy whose customer dim drops half its keys, forcing the
+    unmatched path."""
+    import pyspark.sql.functions as F
+
+    from mcp_rag_server_spark.registry import load_all
+
+    import duckdb
+
+    # single parquet FILES (the fixture layout read_event_stream globs)
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{SF0001}/events.parquet')) "
+        f"TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{SF0001}/customer.parquet') "
+        f"WHERE c_custkey % 2 = 0) "
+        f"TO '{tmp_path}/customer.parquet' (FORMAT PARQUET)"
+    )
+    ev = spark.read.parquet(os.path.join(SF0001, "events.parquet"))
+
+    rows = load_all()["st_enrich_static"].spark_fn(spark, str(tmp_path)).collect()
+
+    n_events = ev.count()
+    n_orphans = ev.filter(F.col("user_id") % 2 == 1).count()
+    assert n_orphans > 0, "split must exercise the unmatched path"
+    assert sum(r["n_events"] for r in rows) == n_events
+    unknown = sum(r["n_events"] for r in rows if r["segment"] == "UNKNOWN")
+    assert unknown == n_orphans
