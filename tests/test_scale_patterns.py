@@ -1458,3 +1458,381 @@ def test_pq_train_matches_python_lloyd(spark):
         assert abs(r["err_seed"] - s0[m][1]) <= 1e-9, (m, r)
         assert abs(r["err_refined"] - s1[m][1]) <= 1e-9, (m, r)
         assert r["improved"] == (s1[m][1] <= s0[m][1])
+
+
+def test_theil_sen_matches_numpy(spark):
+    """ev_theil_sen: the pairwise-slope median and the OLS slope must
+    agree with numpy (np.median over explicitly enumerated pair slopes;
+    np.polyfit for the OLS line) — independent algorithms for both
+    estimators, vs the shared moment-formula SQL."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_theil_sen"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    q4 = Decimal("0.0001")
+    hourly = {}
+    for r in ev.itertuples(index=False):
+        h = r.ts.floor("h")
+        key = (r.event_type, h)
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(
+            repr(r.value)
+        ).quantize(q4, ROUND_HALF_UP)
+    series = {}
+    for (et, h), v in hourly.items():
+        series.setdefault(et, []).append((h, float(v)))
+    for et, pts in series.items():
+        pts.sort()
+        v = np.array([p[1] for p in pts])
+        t = np.arange(1, len(v) + 1, dtype=float)
+        slopes = [
+            (v[j] - v[i]) / (t[j] - t[i])
+            for i in range(len(v))
+            for j in range(i + 1, len(v))
+        ]
+        r = got[et]
+        assert r["n_hours"] == len(v)
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["ts_slope"] - np.median(slopes)) <= 1e-5, (et, r)
+        ols = np.polyfit(t, v, 1)[0]
+        assert abs(r["ols_slope"] - ols) <= 1e-5, (et, r["ols_slope"], ols)
+        assert abs(r["slope_gap"] - (np.median(slopes) - ols)) <= 2e-5
+
+
+def test_skew_kurtosis_matches_two_pass_numpy(spark):
+    """agg_skew_kurtosis spells population moments from raw power sums
+    (the engines' built-ins disagree on bias correction); numpy here
+    computes them the two-pass CENTERED way (subtract the mean first,
+    then average the powered residuals) — a genuinely different
+    algorithm whose agreement rules out a wrong moment identity."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in load_all()["agg_skew_kurtosis"].spark_fn(spark, sf).collect()
+    }
+
+    li = _pd("lineitem", sf)
+    for flag, g in li.groupby("l_returnflag"):
+        x = np.round(g["l_quantity"].to_numpy(dtype=float), 4)
+        r = got[flag]
+        assert r["n"] == len(x)
+        mu = x.mean()
+        c = x - mu
+        m2 = (c**2).mean()
+        m3 = (c**3).mean()
+        m4 = (c**4).mean()
+        assert abs(r["mean_qty"] - mu) <= 1e-5
+        assert abs(r["stddev_pop"] - np.sqrt(m2)) <= 1e-5
+        assert abs(r["skewness"] - m3 / m2**1.5) <= 1e-5
+        assert abs(r["excess_kurtosis"] - (m4 / m2**2 - 3)) <= 1e-5
+
+
+def _transition_edges(sf):
+    """(src, dst) -> count over per-user (ts, event_id)-ordered lead
+    pairs — the shared graph derivation of the HITS/absorbing checks."""
+    from collections import Counter
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, g in ev.groupby("user_id", sort=False):
+        types = list(g["event_type"])
+        trans.update(zip(types, types[1:]))
+    return trans
+
+
+def test_hits_scores_matches_python_iteration(spark):
+    """ev_hits_scores must equal a dict-based Python HITS run (direct
+    vector iteration instead of joins) with the same round-9 decimal
+    gather discipline."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.graphs import HITS_ITERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_hits_scores"].spark_fn(spark, sf).collect()
+    got = {r["event_type"]: (r["authority"], r["hub"]) for r in rows}
+
+    edges = _transition_edges(sf)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    q9 = Decimal("1e-9")
+
+    def rq9(x):
+        return Decimal(repr(x)).quantize(q9, ROUND_HALF_UP)
+
+    def gather(score, forward):
+        raw = {}
+        for (s, d), w in edges.items():
+            frm, to = (s, d) if forward else (d, s)
+            raw[to] = raw.get(to, Decimal(0)) + rq9(score[frm] * float(w))
+        raw_f = {n: float(v) for n, v in raw.items()}
+        tot = float(sum(rq9(v) for v in raw_f.values()))
+        return {n: raw_f.get(n, 0.0) / tot for n in nodes}
+
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(HITS_ITERS):
+        auth = gather(hub, forward=True)
+        hub = gather(auth, forward=False)
+    for n in nodes:
+        a, h = got[n]
+        assert abs(a - round(auth[n], 6)) <= 1e-9, (n, a, auth[n])
+        assert abs(h - round(hub[n], 6)) <= 1e-9, (n, h, hub[n])
+
+
+def test_absorbing_conversion_matches_python_recursion(spark):
+    """ev_absorbing_conversion_prob must equal the Python backward
+    recursion a_k(s) = Σ_t P(s,t)·a_{k-1}(t) with purchase absorbing,
+    run over dicts with the same round-9 gather."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.graphs import ABS_STEPS, ABS_TARGET
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_absorbing_conversion_prob"].spark_fn(spark, sf)
+    got = {r["event_type"]: r for r in rows.collect()}
+
+    edges = _transition_edges(sf)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    wout = {}
+    for (s, _), w in edges.items():
+        wout[s] = wout.get(s, 0) + w
+    q9 = Decimal("1e-9")
+
+    p = {n: 1.0 if n == ABS_TARGET else 0.0 for n in nodes}
+    snapshots = {}
+    for k in range(1, max(ABS_STEPS) + 1):
+        raw = {}
+        for (s, d), w in edges.items():
+            if s == ABS_TARGET:
+                continue
+            raw[s] = raw.get(s, Decimal(0)) + Decimal(
+                repr(float(w) / float(wout[s]) * p[d])
+            ).quantize(q9, ROUND_HALF_UP)
+        p = {
+            n: 1.0 if n == ABS_TARGET else float(raw.get(n, Decimal(0)))
+            for n in nodes
+        }
+        snapshots[k] = dict(p)
+    for n in nodes:
+        for k in ABS_STEPS:
+            assert (
+                abs(got[n][f"p_within_{k}"] - round(snapshots[k][n], 6))
+                <= 1e-9
+            ), (n, k)
+
+
+def test_mutual_information_matches_entropy_identity(spark):
+    """ev_mutual_information computes MI as Σ p·ln ratios; the check
+    recomputes it via the INDEPENDENT identity MI = H(X) + H(Y) −
+    H(X,Y) from plug-in entropies, and chi² from an explicit
+    expected-count loop."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["ev_mutual_information"].spark_fn(spark, sf).collect()[0]
+
+    ev = _pd("events", sf)
+    from collections import Counter
+
+    cells = Counter(zip(ev["event_type"], ev["ts"].dt.hour.astype(int)))
+    n = sum(cells.values())
+    nx = Counter()
+    ny = Counter()
+    for (x, y), c in cells.items():
+        nx[x] += c
+        ny[y] += c
+
+    def H(counts):
+        p = np.array(list(counts.values()), dtype=float) / n
+        return -(p * np.log(p)).sum()
+
+    mi = H(nx) + H(ny) - H(cells)
+    chi2 = sum(
+        (c - nx[x] * ny[y] / n) ** 2 / (nx[x] * ny[y] / n)
+        for (x, y), c in cells.items()
+    )
+    # absent cells contribute their expected count to chi² too
+    chi2 += sum(
+        nx[x] * ny[y] / n
+        for x in nx
+        for y in ny
+        if (x, y) not in cells
+    )
+    assert row["n_events"] == n
+    assert row["n_types"] == len(nx) and row["n_hours"] == len(ny)
+    assert row["dof"] == (len(nx) - 1) * (len(ny) - 1)
+    assert abs(row["mi_nats"] - mi) <= 1e-4, (row["mi_nats"], mi)
+    assert abs(row["chi2"] - chi2) <= 0.05, (row["chi2"], chi2)
+
+
+def test_entropy_rate_matches_log_identity(spark):
+    """ev_entropy_rate computes H = Σ (c/n)·ln(n/c); the check uses the
+    independent identity H = ln(n) − (Σ c·ln c)/n over the same
+    transition counts."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["from_type"]: r
+        for r in load_all()["ev_entropy_rate"].spark_fn(spark, sf).collect()
+    }
+
+    edges = _transition_edges(sf)
+    rows_by_src = {}
+    for (s, _), c in edges.items():
+        rows_by_src.setdefault(s, []).append(c)
+    assert set(got) == set(rows_by_src)
+    for s, cs in rows_by_src.items():
+        n = sum(cs)
+        h = np.log(n) - sum(c * np.log(c) for c in cs) / n
+        r = got[s]
+        assert r["n_transitions"] == n
+        assert abs(r["entropy_nats"] - h) <= 1e-5, (s, r["entropy_nats"], h)
+        assert abs(r["perplexity"] - np.exp(h)) <= 1e-3
+
+
+def test_did_estimator_matches_numpy_cells(spark):
+    """ev_did_estimator must match a direct numpy recomputation of the
+    2×2 cell means, the DiD contrast, and the large-sample SE over the
+    same md5-parity arms and hour-aligned 72h post period."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import DID_POST_HOURS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_did_estimator"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    cut = ev["ts"].max().floor("h") - np.timedelta64(DID_POST_HOURS, "h")
+    arms = np.where(
+        np.array([_md5_fold(f"arm:{u}") for u in ev["user_id"]]) % 2 == 0,
+        "A",
+        "B",
+    )
+    period = np.where(ev["ts"].to_numpy() >= np.datetime64(cut), "post", "pre")
+    v = np.round(ev["value"].to_numpy(dtype=float), 4)
+    et = ev["event_type"].to_numpy()
+    for t in sorted(set(et)):
+        m, vn = {}, {}
+        n_total = 0
+        for a in ("A", "B"):
+            for p in ("pre", "post"):
+                sel = (et == t) & (arms == a) & (period == p)
+                xs = v[sel]
+                n_total += len(xs)
+                m[(a, p)] = xs.mean()
+                vn[(a, p)] = xs.var(ddof=1) / len(xs)
+        est = (m[("B", "post")] - m[("B", "pre")]) - (
+            m[("A", "post")] - m[("A", "pre")]
+        )
+        se = np.sqrt(sum(vn.values()))
+        r = got[t]
+        assert r["n_total"] == n_total
+        assert abs(r["did_estimate"] - est) <= 1e-5, (t, r)
+        assert abs(r["std_error"] - se) <= 1e-5
+        assert abs(r["z_stat"] - est / se) <= 1e-3
+        assert r["reject_95"] == (abs(est / se) > 1.96)
+
+
+def test_power_mde_matches_numpy(spark):
+    """ev_power_mde: MDE and the 1%-lift sample size must match numpy's
+    ddof=1 variance (two-pass centered) pushed through the same power
+    formulas."""
+    import math
+
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_power_mde"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    for t, g in ev.groupby("event_type"):
+        x = np.round(g["value"].to_numpy(dtype=float), 4)
+        n = len(x)
+        mu, var = x.mean(), x.var(ddof=1)
+        mde = 2.8 * np.sqrt(2 * var / (n / 2))
+        r = got[t]
+        assert r["n_events"] == n
+        assert abs(r["mean_value"] - mu) <= 1e-5
+        assert abs(r["stddev"] - np.sqrt(var)) <= 1e-5
+        assert abs(r["mde_abs"] - mde) <= 1e-5
+        assert abs(r["mde_rel"] - mde / mu) <= 1e-5
+        want_n = math.ceil(2 * 2.8 * 2.8 * var / (0.01 * mu) ** 2)
+        assert abs(r["n_per_arm_for_1pct"] - want_n) <= 1
+
+
+def test_rolling_median_matches_python_windows(spark):
+    """ev_rolling_median: the trailing-24h exact median census must
+    match per-type Python slices through np.median."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import (
+        RM_DEV_FACTOR,
+        RM_WINDOW_H,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_rolling_median"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    q4 = Decimal("0.0001")
+    hourly = {}
+    for r in ev.itertuples(index=False):
+        key = (r.event_type, r.ts.floor("h"))
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(
+            repr(r.value)
+        ).quantize(q4, ROUND_HALF_UP)
+    series = {}
+    for (et, h), v in sorted(hourly.items()):
+        series.setdefault(et, []).append(float(v))
+    for et, vs in series.items():
+        meds = [
+            float(np.median(vs[max(0, i - RM_WINDOW_H + 1) : i + 1]))
+            for i in range(len(vs))
+        ]
+        spikes = sum(1 for v, m in zip(vs, meds) if v > RM_DEV_FACTOR * m)
+        dips = sum(
+            1 for v, m in zip(vs, meds) if m > 0 and v < m / RM_DEV_FACTOR
+        )
+        mean_med = float(
+            sum(
+                Decimal(repr(m)).quantize(q4, ROUND_HALF_UP) for m in meds
+            )
+        ) / len(meds)
+        r = got[et]
+        assert r["n_hours"] == len(vs)
+        assert r["n_spikes"] == spikes, (et, r["n_spikes"], spikes)
+        assert r["n_dips"] == dips
+        assert abs(r["mean_rolling_median"] - mean_med) <= 1e-3
