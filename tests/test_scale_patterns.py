@@ -1836,3 +1836,267 @@ def test_rolling_median_matches_python_windows(spark):
         assert r["n_spikes"] == spikes, (et, r["n_spikes"], spikes)
         assert r["n_dips"] == dips
         assert abs(r["mean_rolling_median"] - mean_med) <= 1e-3
+
+
+def test_ratio_metric_ci_matches_numpy_delta_method(spark):
+    """ev_ratio_metric_ci: the cluster-robust delta-method SE must
+    match numpy's ddof=1 var/cov over per-user totals (np.cov's
+    two-pass centering vs the SQL moment identities)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_ratio_metric_ci"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    ev = ev.assign(v=np.round(ev["value"].astype(float), 4))
+    for t, g in ev.groupby("event_type"):
+        per = g.groupby("user_id").agg(v=("v", "sum"), n=("v", "size"))
+        u = len(per)
+        vv, nn = per["v"].to_numpy(float), per["n"].to_numpy(float)
+        r_hat = vv.sum() / nn.sum()
+        var_v = vv.var(ddof=1)
+        var_n = nn.var(ddof=1)
+        cov_vn = np.cov(vv, nn, ddof=1)[0, 1]
+        mean_n = nn.mean()
+        se_cl = np.sqrt(
+            (var_v - 2 * r_hat * cov_vn + r_hat**2 * var_n)
+            / (u * mean_n**2)
+        )
+        x = g["v"].to_numpy(float)
+        se_iid = np.sqrt(x.var(ddof=1) / len(x))
+        r = got[t]
+        assert r["n_users"] == u and r["n_events"] == len(x)
+        assert abs(r["ratio_value_per_event"] - r_hat) <= 1e-5
+        assert abs(r["se_cluster"] - se_cl) <= 1e-5
+        assert abs(r["ci_lo"] - (r_hat - 1.96 * se_cl)) <= 2e-5
+        assert abs(r["ci_hi"] - (r_hat + 1.96 * se_cl)) <= 2e-5
+        assert abs(r["design_effect"] - se_cl / se_iid) <= 1e-4
+
+
+def _hourly_decimal_series(sf):
+    """{event_type: [(hour, float v)]} with v the exact decimal sum of
+    rounded-4 values — the shared hourly derivation of the
+    timeseries-family checks."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q4 = Decimal("0.0001")
+    hourly = {}
+    for r in _pd("events", sf).itertuples(index=False):
+        key = (r.event_type, r.ts.floor("h"))
+        hourly[key] = hourly.get(key, Decimal(0)) + Decimal(
+            repr(r.value)
+        ).quantize(q4, ROUND_HALF_UP)
+    series = {}
+    for (et, h), v in sorted(hourly.items()):
+        series.setdefault(et, []).append((h, float(v)))
+    return series
+
+
+def test_seasonal_decompose_matches_python_stl_lite(spark):
+    """ev_seasonal_decompose: Hyndman strength scores must match a
+    direct Python decomposition (explicit rolling slices, per-hod
+    means, np population variances)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import DECOMP_HALF_W
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_seasonal_decompose"].spark_fn(spark, sf).collect()
+    }
+
+    for et, pts in _hourly_decimal_series(sf).items():
+        hs = [h for h, _ in pts]
+        v = np.array([x for _, x in pts])
+        n = len(v)
+        trend = np.array(
+            [
+                v[max(0, i - DECOMP_HALF_W) : i + DECOMP_HALF_W + 1].mean()
+                for i in range(n)
+            ]
+        )
+        dt = np.round(v - trend, 6)
+        hod = np.array([h.hour for h in hs])
+        seas = np.array([dt[hod == hd].mean() for hd in hod])
+        resid = np.round(dt - seas, 6)
+        deseas = np.round(v - seas, 6)
+        f_s = max(0.0, 1 - resid.var() / dt.var())
+        f_t = max(0.0, 1 - resid.var() / deseas.var())
+        r = got[et]
+        assert r["n_hours"] == n
+        assert abs(r["seasonality_strength"] - f_s) <= 1e-4, (et, r, f_s)
+        assert abs(r["trend_strength"] - f_t) <= 1e-4, (et, r, f_t)
+
+
+def test_anomaly_seasonal_zscore_matches_python(spark):
+    """ev_anomaly_seasonal_zscore: the seasonal vs global anomaly
+    census must match explicit per-stratum numpy z-scores."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import SEAS_Z_THRESHOLD
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_anomaly_seasonal_zscore"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    for et, pts in _hourly_decimal_series(sf).items():
+        hs = [h for h, _ in pts]
+        v = np.array([x for _, x in pts])
+        hod = np.array([h.hour for h in hs])
+        z_seas = np.empty(len(v))
+        for hd in set(hod):
+            sel = hod == hd
+            mu, sd = v[sel].mean(), v[sel].std(ddof=0)
+            z_seas[sel] = (v[sel] - mu) / sd if sd else np.nan
+        mu_g, sd_g = v.mean(), v.std(ddof=0)
+        z_glob = (v - mu_g) / sd_g
+        ns = int((np.abs(z_seas) > SEAS_Z_THRESHOLD).sum())
+        ng = int((np.abs(z_glob) > SEAS_Z_THRESHOLD).sum())
+        nonly = int(
+            (
+                (np.abs(z_seas) > SEAS_Z_THRESHOLD)
+                & ~(np.abs(z_glob) > SEAS_Z_THRESHOLD)
+            ).sum()
+        )
+        r = got[et]
+        assert r["n_hours"] == len(v)
+        assert r["n_anomalies_seasonal"] == ns, (et, r)
+        assert r["n_anomalies_global"] == ng
+        assert r["n_only_seasonal_catches"] == nonly
+        assert abs(r["max_abs_z_seasonal"] - np.nanmax(np.abs(z_seas))) <= 1e-3
+
+
+def test_bootstrap_ci_matches_python_poisson_draws(spark):
+    """ev_bootstrap_ci: replicate the md5-quantized Poisson(1) weights
+    and resample means in Python; the SE/CI must match numpy ddof=1
+    moments of the 16 resample means."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import BOOT_B
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_bootstrap_ci"].spark_fn(spark, sf).collect()
+    }
+
+    def pois(u):
+        for hi, w in ((3679, 0), (7358, 1), (9197, 2), (9810, 3), (9963, 4)):
+            if u < hi:
+                return w
+        return 5
+
+    ev = _pd("events", sf)
+    v = np.round(ev["value"].to_numpy(float), 4)
+    et = ev["event_type"].to_numpy()
+    eid = ev["event_id"].to_numpy()
+    for t in sorted(set(et)):
+        sel = et == t
+        means = []
+        for b in range(1, BOOT_B + 1):
+            w = np.array(
+                [pois(_md5_fold(f"boot:{e}:{b}") % 10000) for e in eid[sel]]
+            )
+            means.append(round((w * v[sel]).sum() / w.sum(), 6))
+        means = np.array(means)
+        se = means.std(ddof=1)
+        mu = v[sel].mean()
+        r = got[t]
+        assert r["n_resamples"] == BOOT_B
+        assert abs(r["point_mean"] - mu) <= 1e-5
+        assert abs(r["se_boot"] - se) <= 1e-5, (t, r["se_boot"], se)
+        assert abs(r["ci_lo"] - (mu - 1.96 * se)) <= 2e-5
+        assert abs(r["ci_hi"] - (mu + 1.96 * se)) <= 2e-5
+
+
+def test_msprt_curve_matches_python(spark):
+    """ev_msprt_sequential: the per-day always-valid p curve must match
+    a Python rollup of daily sufficient statistics through the
+    closed-form mixture likelihood ratio."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import MSPRT_ALPHA, MSPRT_TAU2
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_msprt_sequential"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    arm_b = np.array(
+        [_md5_fold(f"arm:{u}") % 2 == 1 for u in ev["user_id"]]
+    )
+    v = np.round(ev["value"].to_numpy(float), 4)
+    day = ev["ts"].dt.date.to_numpy()
+    days = sorted(set(day))
+    assert len(rows) == len(days)
+    for r, upto in zip(rows, days):
+        sel = day <= upto
+        a, b = v[sel & ~arm_b], v[sel & arm_b]
+        delta = b.mean() - a.mean()
+        sig2 = a.var(ddof=0) / len(a) + b.var(ddof=0) / len(b)
+        ll = 0.5 * np.log(sig2 / (sig2 + MSPRT_TAU2)) + MSPRT_TAU2 * delta**2 / (
+            2 * sig2 * (sig2 + MSPRT_TAU2)
+        )
+        p = min(1.0, np.exp(-round(ll, 6)))
+        assert str(r["day"]) == str(upto)
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["mean_diff"] - delta) <= 1e-5
+        assert abs(r["z"] - delta / np.sqrt(sig2)) <= 1e-3
+        assert abs(r["log_lambda"] - ll) <= 1e-5
+        assert abs(r["p_always_valid"] - p) <= 1e-5
+        assert r["crossed"] == (round(p, 6) <= MSPRT_ALPHA)
+
+
+def test_funnel_time_quantiles_match_numpy(spark):
+    """ev_funnel_time_quantiles: first-touch deltas and continuous
+    p50/p90 must match numpy's linear-interpolation percentiles."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["step_pair"]: r
+        for r in load_all()["ev_funnel_time_quantiles"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ev = _pd("events", sf)
+    firsts = {}
+    for r in ev.itertuples(index=False):
+        key = (r.user_id, r.event_type)
+        t = r.ts.value // 1000  # ns -> us
+        if key not in firsts or t < firsts[key]:
+            firsts[key] = t
+    steps = {
+        "0_view_to_click": ("view", "click"),
+        "1_click_to_purchase": ("click", "purchase"),
+        "2_view_to_purchase": ("view", "purchase"),
+    }
+    users = {u for u, _ in firsts}
+    for name, (frm, to) in steps.items():
+        mins = []
+        for u in users:
+            t0, t1 = firsts.get((u, frm)), firsts.get((u, to))
+            if t0 is not None and t1 is not None and t1 > t0:
+                mins.append((t1 - t0) / 60000000.0)
+        mins = np.array(mins)
+        r = got[name]
+        assert r["n_converted"] == len(mins)
+        assert abs(r["p50_minutes"] - np.percentile(mins, 50)) <= 1e-3
+        assert abs(r["p90_minutes"] - np.percentile(mins, 90)) <= 1e-3
+        assert abs(r["mean_minutes"] - np.round(mins, 4).mean()) <= 1e-3
