@@ -2100,3 +2100,172 @@ def test_funnel_time_quantiles_match_numpy(spark):
         assert abs(r["p50_minutes"] - np.percentile(mins, 50)) <= 1e-3
         assert abs(r["p90_minutes"] - np.percentile(mins, 90)) <= 1e-3
         assert abs(r["mean_minutes"] - np.round(mins, 4).mean()) <= 1e-3
+
+
+def test_changepoint_matches_python_sse_argmin(spark):
+    """ev_changepoint maximizes between-segment SS via prefix-sum gain;
+    the check MINIMIZES total within-segment SSE computed the direct
+    way (np.var per side) — equivalent by the ANOVA identity, different
+    arithmetic — and recomputes the means and variance-explained."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import CHANGEPOINT_MIN_SEG
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_changepoint"].spark_fn(spark, sf).collect()
+    }
+
+    for et, pts in _hourly_decimal_series(sf).items():
+        v = np.array([x for _, x in pts])
+        n = len(v)
+        ks = range(CHANGEPOINT_MIN_SEG, n - CHANGEPOINT_MIN_SEG + 1)
+        sse = [v[:k].var() * k + v[k:].var() * (n - k) for k in ks]
+        k_best = list(ks)[int(np.argmin(sse))]
+        tss = v.var() * n
+        r = got[et]
+        assert r["n_hours"] == n
+        assert r["change_idx"] == k_best, (et, r["change_idx"], k_best)
+        assert abs(r["mean_before"] - v[:k_best].mean()) <= 1e-5
+        assert abs(r["mean_after"] - v[k_best:].mean()) <= 1e-5
+        assert abs(r["var_explained"] - (1 - min(sse) / tss)) <= 1e-4
+
+
+def test_forecast_backtest_matches_numpy_polyfit(spark):
+    """ev_forecast_backtest: the train-window OLS must match
+    np.polyfit, and the MAE/skill/MAPE scores a direct Python scoring
+    loop over the test hours."""
+    import math
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import BACKTEST_TRAIN_SHARE
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_forecast_backtest"].spark_fn(spark, sf).collect()
+    }
+
+    for et, pts in _hourly_decimal_series(sf).items():
+        v = np.array([x for _, x in pts])
+        n = len(v)
+        t = np.arange(1, n + 1, dtype=float)
+        n_train = math.floor(BACKTEST_TRAIN_SHARE * n)
+        slope, intercept = np.polyfit(t[:n_train], v[:n_train], 1)
+        test_v, test_t = v[n_train:], t[n_train:]
+        pred = intercept + slope * test_t
+        err_m = np.round(np.abs(test_v - pred), 6)
+        err_n = np.round(np.abs(test_v - v[n_train - 1]), 6)
+        n_test = n - n_train
+        r = got[et]
+        assert r["n_train"] == n_train and r["n_test"] == n_test
+        assert abs(r["slope"] - slope) <= 1e-5
+        assert abs(r["intercept"] - intercept) <= 1e-4
+        assert abs(r["mae_model"] - err_m.sum() / n_test) <= 1e-4
+        assert abs(r["mae_naive"] - err_n.sum() / n_test) <= 1e-4
+        assert abs(r["skill"] - (1 - err_m.sum() / err_n.sum())) <= 1e-4
+        pos = test_v > 0
+        mape = np.round(err_m[pos] / test_v[pos], 6).sum() / pos.sum()
+        assert abs(r["mape_model"] - mape) <= 1e-4
+
+
+def test_user_overlap_jaccard_matches_python_sets(spark):
+    """ev_user_overlap_jaccard is exact set arithmetic — Python
+    frozensets must reproduce every pair row with zero tolerance on
+    the integers."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_user_overlap_jaccard"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    audiences = {
+        t: frozenset(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    types = sorted(audiences)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = len(audiences[a] & audiences[b])
+            if both:
+                want[(a, b)] = both
+    assert {(r["type_a"], r["type_b"]) for r in rows} == set(want)
+    for r in rows:
+        a, b = r["type_a"], r["type_b"]
+        na, nb = len(audiences[a]), len(audiences[b])
+        both = want[(a, b)]
+        assert r["n_a"] == na and r["n_b"] == nb and r["n_both"] == both
+        assert abs(r["jaccard"] - both / (na + nb - both)) <= 1e-6
+        assert abs(r["containment_min"] - both / min(na, nb)) <= 1e-6
+
+
+def test_stickiness_matches_python_rolling_sets(spark):
+    """ev_stickiness_ratio's bounded-explode rolling distinct must
+    equal direct Python set unions over each trailing window."""
+    from mcp_rag_server_spark.operators.events import (
+        STICKY_EVENT,
+        STICKY_WINDOW_DAYS,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_stickiness_ratio"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    ev = ev[ev["event_type"] == STICKY_EVENT]
+    active = {}
+    for r in ev.itertuples(index=False):
+        d = (r.ts.value // 1000) // 86400000000
+        active.setdefault(d, set()).add(r.user_id)
+    lo, hi = min(active), max(active)
+    want = {}
+    for d in range(lo + STICKY_WINDOW_DAYS - 1, hi + 1):
+        if d not in active:
+            continue
+        wau = set()
+        for k in range(STICKY_WINDOW_DAYS):
+            wau |= active.get(d - k, set())
+        want[d] = (len(active[d]), len(wau))
+    assert {r["day_index"] for r in rows} == set(want)
+    for r in rows:
+        dau, wau = want[r["day_index"]]
+        assert r["n_dau"] == dau
+        assert r[f"n_wau_{STICKY_WINDOW_DAYS}d"] == wau
+        assert abs(r["stickiness"] - round(dau / wau, 4)) <= 1e-9
+
+
+def test_ohlc_bars_match_pandas(spark):
+    """ev_ohlc_bars: open/close under the (ts, event_id) total order
+    and high/low/volume must match a pandas groupby."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_ohlc_bars"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf).sort_values(["ts", "event_id"])
+    q4 = Decimal("0.0001")
+    bars = {}
+    for r in ev.itertuples(index=False):
+        eh = (r.ts.value // 1000) // 3600000000
+        v = Decimal(repr(r.value)).quantize(q4, ROUND_HALF_UP)
+        if eh not in bars:
+            bars[eh] = [v, v, v, v, 0, Decimal(0)]
+        b = bars[eh]
+        b[1] = max(b[1], v)
+        b[2] = min(b[2], v)
+        b[3] = v  # close: last under the sort order
+        b[4] += 1
+        b[5] += v
+    assert {r["hour_index"] for r in rows} == set(bars)
+    for r in rows:
+        o, h, l, c, n, vol = bars[r["hour_index"]]
+        assert r["open_v"] == float(o) and r["close_v"] == float(c)
+        assert r["high_v"] == float(h) and r["low_v"] == float(l)
+        assert r["n_events"] == n
+        assert abs(r["volume"] - float(vol)) <= 1e-9
