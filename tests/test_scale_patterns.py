@@ -2269,3 +2269,263 @@ def test_ohlc_bars_match_pandas(spark):
         assert r["high_v"] == float(h) and r["low_v"] == float(l)
         assert r["n_events"] == n
         assert abs(r["volume"] - float(vol)) <= 1e-9
+
+
+def test_concurrency_curve_matches_global_sweep(spark):
+    """ev_concurrency_curve decomposes the sweep into day-local runs +
+    a day-net prefix (the scalable form); the check runs the TEXTBOOK
+    single global sweep line in Python — one running sum over all
+    boundary events in time order — which must reconstruct the same
+    per-day peaks."""
+    from mcp_rag_server_spark.operators.events import SESSION_GAP_US
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_concurrency_curve"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    bounds = []
+    for _, g in ev.groupby("user_id", sort=False):
+        ts = [t.value // 1000 for t in g["ts"]]
+        start = ts[0]
+        prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > SESSION_GAP_US:
+                bounds.append((start, 1))
+                bounds.append((prev, -1))
+                start = t
+            prev = t
+        bounds.append((start, 1))
+        bounds.append((prev, -1))
+    bounds.sort()  # (ts, delta): -1 sorts before +1 at the same instant
+    run = 0
+    peaks, starts = {}, {}
+    for t, d in bounds:
+        run += d
+        day = t // 86400000000
+        peaks[day] = max(peaks.get(day, 0), run)
+        if d == 1:
+            starts[day] = starts.get(day, 0) + 1
+    overall = max(peaks.values())
+    assert len(rows) == len(peaks)
+    for r in rows:
+        day = (
+            __import__("datetime")
+            .date.fromisoformat(str(r["day"]))
+            .toordinal()
+            - __import__("datetime").date(1970, 1, 1).toordinal()
+        )
+        assert r["peak_concurrency"] == peaks[day], (r, peaks[day])
+        assert r["n_sessions_started"] == starts.get(day, 0)
+        assert r["overall_peak"] == overall
+
+
+def test_slo_burn_rate_matches_python_windows(spark):
+    """ev_slo_burn_rate: the gap-correct 6h RANGE frame must equal an
+    explicit per-hour dict lookup over eh-5..eh."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.operators.events import (
+        SLO_BURN_FAST,
+        SLO_BURN_SLOW,
+        SLO_ERROR_BUDGET,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_slo_burn_rate"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    n_h, e_h = Counter(), Counter()
+    for r in ev.itertuples(index=False):
+        eh = (r.ts.value // 1000) // 3600000000
+        n_h[eh] += 1
+        if r.event_type == "error":
+            e_h[eh] += 1
+    days = {}
+    for eh in sorted(n_h):
+        n6 = sum(n_h.get(k, 0) for k in range(eh - 5, eh + 1))
+        e6 = sum(e_h.get(k, 0) for k in range(eh - 5, eh + 1))
+        b1 = round((e_h.get(eh, 0) / n_h[eh]) / SLO_ERROR_BUDGET, 6)
+        b6 = round((e6 / n6) / SLO_ERROR_BUDGET, 6)
+        d = days.setdefault(eh // 24, [0, 0.0, 0.0, 0])
+        d[0] += 1
+        d[1] = max(d[1], b1)
+        d[2] = max(d[2], b6)
+        if b1 > SLO_BURN_FAST and b6 > SLO_BURN_SLOW:
+            d[3] += 1
+    assert {r["day_index"] for r in rows} == set(days)
+    for r in rows:
+        nh, mb1, mb6, na = days[r["day_index"]]
+        assert r["n_hours"] == nh
+        assert abs(r["max_burn_1h"] - mb1) <= 1e-9
+        assert abs(r["max_burn_6h"] - mb6) <= 1e-9
+        assert r["n_alert_hours"] == na
+
+
+def test_seq_pattern_support_matches_python_firsts(spark):
+    """ev_seq_pattern_support: the first-occurrence trichotomy census
+    must match a Python dict of per-(user, type) minimum
+    timestamps."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_seq_pattern_support"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    firsts = {}
+    for r in ev.itertuples(index=False):
+        key = (r.user_id, r.event_type)
+        if key not in firsts or r.ts < firsts[key]:
+            firsts[key] = r.ts
+    by_user = {}
+    for (u, t), ts in firsts.items():
+        by_user.setdefault(u, {})[t] = ts
+    from collections import Counter
+
+    census = Counter()
+    for u, tmap in by_user.items():
+        types = sorted(tmap)
+        for i, a in enumerate(types):
+            for b in types[i + 1 :]:
+                if tmap[a] < tmap[b]:
+                    census[(a, b, "a")] += 1
+                elif tmap[b] < tmap[a]:
+                    census[(a, b, "b")] += 1
+                else:
+                    census[(a, b, "t")] += 1
+    for r in rows:
+        a, b = r["type_a"], r["type_b"]
+        na = census[(a, b, "a")]
+        nb = census[(a, b, "b")]
+        nt = census[(a, b, "t")]
+        assert r["n_users_both"] == na + nb + nt
+        assert r["n_a_first"] == na and r["n_b_first"] == nb
+        assert r["n_tie"] == nt
+        assert abs(r["pct_a_first"] - round(na / (na + nb + nt), 4)) <= 1e-9
+
+
+def test_cohort_ltv_matches_python(spark):
+    """ev_cohort_ltv_curve: payer cohorts and cumulative value per user
+    at each age cutoff must match a direct Python pass."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.events import LTV_CUTOFFS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_cohort_ltv_curve"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    q4 = Decimal("0.0001")
+    cohort_day = {}
+    for r in ev.itertuples(index=False):
+        if r.event_type == "purchase":
+            d = (r.ts.value // 1000) // 86400000000
+            u = r.user_id
+            if u not in cohort_day or d < cohort_day[u]:
+                cohort_day[u] = d
+    per = {}
+    for r in ev.itertuples(index=False):
+        u = r.user_id
+        if u not in cohort_day:
+            continue
+        d = (r.ts.value // 1000) // 86400000000
+        if d < cohort_day[u]:
+            continue
+        wk = cohort_day[u] // 7
+        age = d - cohort_day[u]
+        cell = per.setdefault(wk, {})
+        user_vals = cell.setdefault(u, [])
+        user_vals.append(
+            (age, Decimal(repr(r.value)).quantize(q4, ROUND_HALF_UP))
+        )
+    want = {}
+    for wk, users in per.items():
+        n_users = len(users)
+        for c in LTV_CUTOFFS:
+            tot = sum(
+                (v for vals in users.values() for a, v in vals if a <= c),
+                Decimal(0),
+            )
+            want[(wk, c)] = (n_users, round(float(tot) / n_users, 6))
+    assert {(r["cohort_week"], r["age_days"]) for r in rows} == set(want)
+    for r in rows:
+        n_users, ltv = want[(r["cohort_week"], r["age_days"])]
+        assert r["n_users"] == n_users
+        assert abs(r["cum_value_per_user"] - ltv) <= 1e-6
+
+
+def test_winsorized_mean_matches_numpy(spark):
+    """agg_winsorized_mean: np.percentile cut points (linear
+    interpolation == percentile/quantile_cont), explicit clamping, and
+    the three means must match."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in load_all()["agg_winsorized_mean"].spark_fn(spark, sf).collect()
+    }
+
+    li = _pd("lineitem", sf)
+    for flag, g in li.groupby("l_returnflag"):
+        x = np.round(g["l_extendedprice"].to_numpy(float), 4)
+        p05, p95 = np.percentile(x, [5, 95])
+        clamped = np.clip(x, p05, p95)
+        mid = x[(x >= p05) & (x <= p95)]
+        r = got[flag]
+        assert r["n"] == len(x)
+        assert abs(r["mean_raw"] - np.round(x, 4).mean()) <= 1e-5
+        assert abs(r["mean_winsorized"] - np.round(clamped, 4).mean()) <= 1e-5
+        assert abs(r["mean_trimmed_90"] - np.round(mid, 4).mean()) <= 1e-5
+        assert r["n_clamped_lo"] == int((x < p05).sum())
+        assert r["n_clamped_hi"] == int((x > p95).sum())
+
+
+def test_bot_heuristics_matches_python_features(spark):
+    """ev_bot_heuristics: per-user rate/CV features and the 2x2 flag
+    census must match a direct Python gap pass."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.events import (
+        BOT_CV_MAX,
+        BOT_RATE_PER_MIN,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ev_bot_heuristics"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    q6 = Decimal("1e-6")
+    cells = {}
+    for u, g in ev.groupby("user_id", sort=False):
+        ts = np.array([t.value // 1000 for t in g["ts"]], dtype=np.int64)
+        gaps = np.diff(ts).astype(float)
+        if len(gaps) < 5 or gaps.sum() <= 0:
+            continue
+        span = gaps.sum()
+        rate = (len(gaps) + 1) * 60000000.0 / span
+        mean_gap = span / len(gaps)
+        m2 = (gaps * gaps).sum() / len(gaps)
+        cv = np.sqrt(max(m2 - mean_gap**2, 0.0)) / mean_gap
+        key = (
+            1 if rate > BOT_RATE_PER_MIN else 0,
+            1 if cv < BOT_CV_MAX else 0,
+        )
+        c = cells.setdefault(key, [0, None, Decimal(0), Decimal(0)])
+        c[0] += 1
+        c[1] = u if c[1] is None else min(c[1], u)
+        c[2] += Decimal(repr(round(rate, 6))).quantize(q6, ROUND_HALF_UP)
+        c[3] += Decimal(repr(round(cv, 6))).quantize(q6, ROUND_HALF_UP)
+    assert {(r["f_rate"], r["f_regular"]) for r in rows} == set(cells)
+    for r in rows:
+        n, ex, sr, sc = cells[(r["f_rate"], r["f_regular"])]
+        assert r["n_users"] == n and r["example_user"] == ex
+        assert abs(r["mean_rate"] - round(float(sr) / n, 4)) <= 1e-6
+        assert abs(r["mean_cv"] - round(float(sc) / n, 4)) <= 1e-6
