@@ -2529,3 +2529,222 @@ def test_bot_heuristics_matches_python_features(spark):
         assert r["n_users"] == n and r["example_user"] == ex
         assert abs(r["mean_rate"] - round(float(sr) / n, 4)) <= 1e-6
         assert abs(r["mean_cv"] - round(float(sc) / n, 4)) <= 1e-6
+
+
+def test_burstiness_matches_numpy(spark):
+    """ev_interpurchase_burstiness: the CV and the share-under-threshold
+    rungs must match a direct numpy pass over per-user purchase gaps."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        load_all()["ev_interpurchase_burstiness"].spark_fn(spark, sf).collect()[0]
+    )
+
+    ev = _pd("events", sf)
+    ev = ev[ev["event_type"] == "purchase"].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    gaps = []
+    for _, g in ev.groupby("user_id", sort=False):
+        ts = [t.value // 1000 for t in g["ts"]]
+        gaps.extend(
+            round((b - a) / 3600000000.0, 6) for a, b in zip(ts, ts[1:])
+        )
+    gaps = np.array(gaps)
+    mu = gaps.mean()
+    sd = gaps.std(ddof=0)
+    assert row["n_gaps"] == len(gaps)
+    assert abs(row["mean_gap_h"] - mu) <= 1e-4
+    assert abs(row["sd_gap_h"] - sd) <= 1e-4
+    assert abs(row["cv"] - sd / mu) <= 1e-4
+    for thr, col in ((12, "pct_lt_12h"), (24, "pct_lt_24h"), (48, "pct_lt_48h")):
+        assert abs(row[col] - round((gaps < thr).mean(), 4)) <= 1e-9
+
+
+def test_conversion_window_sensitivity_matches_python(spark):
+    """ev_conversion_window_sensitivity: each rung must match a Python
+    first-signup → first-later-purchase sweep."""
+    from mcp_rag_server_spark.operators.events import CONV_WINDOWS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["window_label"]: r
+        for r in load_all()["ev_conversion_window_sensitivity"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ev = _pd("events", sf)
+    s_ts, p_ts = {}, {}
+    for r in ev.itertuples(index=False):
+        t = r.ts.value // 1000
+        if r.event_type == "signup":
+            if r.user_id not in s_ts or t < s_ts[r.user_id]:
+                s_ts[r.user_id] = t
+    for r in ev.itertuples(index=False):
+        t = r.ts.value // 1000
+        if (
+            r.event_type == "purchase"
+            and r.user_id in s_ts
+            and t > s_ts[r.user_id]
+        ):
+            if r.user_id not in p_ts or t < p_ts[r.user_id]:
+                p_ts[r.user_id] = t
+    for lab, hours in CONV_WINDOWS:
+        conv = sum(
+            1
+            for u, st in s_ts.items()
+            if u in p_ts and p_ts[u] - st <= hours * 3600000000
+        )
+        r = got[lab]
+        assert r["window_hours"] == hours
+        assert r["n_eligible"] == len(s_ts)
+        assert r["n_converted"] == conv, (lab, r["n_converted"], conv)
+        assert abs(r["conversion_rate"] - round(conv / len(s_ts), 4)) <= 1e-9
+
+
+def test_mode_per_group_matches_python_counter(spark):
+    """agg_mode_per_group: the spelled-out mode/runner-up under the
+    (n DESC, qty ASC) total order must match a Python Counter."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in load_all()["agg_mode_per_group"].spark_fn(spark, sf).collect()
+    }
+
+    li = _pd("lineitem", sf)
+    for flag, g in li.groupby("l_returnflag"):
+        counts = Counter(int(q) for q in g["l_quantity"])
+        order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (q1, n1), (q2, n2) = order[0], order[1]
+        r = got[flag]
+        assert r["mode_qty"] == q1 and r["mode_count"] == n1
+        assert r["second_mode_qty"] == q2 and r["second_mode_count"] == n2
+        assert (
+            abs(r["mode_share_pct"] - round(n1 * 100.0 / len(g), 6)) <= 1e-6
+        )
+
+
+def test_url_canonicalize_matches_python_urls(spark):
+    """dd_url_canonicalize: synthesize the same raw URLs in Python,
+    canonicalize with Python string ops (no regex), and compare the
+    per-source merge census exactly."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["dd_url_canonicalize"].spark_fn(spark, sf).collect()
+    }
+
+    docs = _pd("documents", sf)
+    per = {}
+    for r in docs.itertuples(index=False):
+        page = (r.doc_id // 7) % 13
+        host = r.source.upper() if r.doc_id % 3 == 0 else r.source
+        suffix = {0: "?utm_source=news", 1: "/", 2: "#section-2"}.get(
+            r.doc_id % 5, ""
+        )
+        raw = f"https://{host}.Example.COM/page/{page}{suffix}"
+        canon = raw.lower()
+        if "#" in canon:
+            canon = canon[: canon.index("#")]
+        if "?utm_" in canon:
+            canon = canon[: canon.index("?utm_")]
+        if canon.endswith("/") and not canon.endswith("//"):
+            canon = canon[:-1]
+        cell = per.setdefault(r.source, [0, set(), set()])
+        cell[0] += 1
+        cell[1].add(raw)
+        cell[2].add(canon)
+    assert set(got) == set(per)
+    for src, (n, raws, canons) in per.items():
+        r = got[src]
+        assert r["n_docs"] == n
+        assert r["n_raw_urls"] == len(raws)
+        assert r["n_canonical_urls"] == len(canons), (src, sorted(canons))
+        assert r["n_variants_merged"] == len(raws) - len(canons)
+        assert r["n_docs_removable"] == n - len(canons)
+        assert (
+            abs(r["dedup_rate_pct"] - round((n - len(canons)) * 100.0 / n, 6))
+            <= 1e-6
+        )
+
+
+def test_dq_expectations_match_pandas(spark):
+    """dq_expectations_audit: every violation COUNT must match a pandas
+    recomputation — including the deliberately-failing frequency cap
+    (the suite must exercise a real failure path, not hash an all-green
+    table). sf0.01: the cap is tuned to fail there (the sf0.001 max is
+    exactly at the cap, all-green)."""
+    from mcp_rag_server_spark.operators.dataquality import (
+        DQ_MAX_ORDERS_PER_CUSTOMER,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["check_name"]: r
+        for r in load_all()["dq_expectations_audit"].spark_fn(spark, sf).collect()
+    }
+
+    orders = _pd("orders", sf)
+    li = _pd("lineitem", sf)
+    ev = _pd("events", sf)
+    docs = _pd("documents", sf)
+    want = {
+        "o_totalprice_positive": (
+            len(orders),
+            int((orders["o_totalprice"] <= 0).sum()),
+        ),
+        "l_quantity_in_1_50": (
+            len(li),
+            int(((li["l_quantity"] < 1) | (li["l_quantity"] > 50)).sum()),
+        ),
+        "event_type_accepted": (
+            len(ev),
+            int(
+                (~ev["event_type"].isin(
+                    ["click", "error", "purchase", "signup", "view"]
+                )).sum()
+            ),
+        ),
+        "o_orderkey_unique": (
+            len(orders),
+            len(orders) - orders["o_orderkey"].nunique(),
+        ),
+        "lineitem_orderkey_fk": (
+            len(li),
+            int((~li["l_orderkey"].isin(set(orders["o_orderkey"]))).sum()),
+        ),
+        "n_chars_matches_text": (
+            len(docs),
+            int((docs["n_chars"] != docs["text"].str.len()).sum()),
+        ),
+        f"orders_per_customer_le_{DQ_MAX_ORDERS_PER_CUSTOMER}": (
+            orders["o_custkey"].nunique(),
+            int(
+                (
+                    orders.groupby("o_custkey").size()
+                    > DQ_MAX_ORDERS_PER_CUSTOMER
+                ).sum()
+            ),
+        ),
+    }
+    assert set(got) == set(want)
+    at_least_one_failure = False
+    for name, (n_rows, n_viol) in want.items():
+        r = got[name]
+        assert r["n_rows"] == n_rows, (name, r["n_rows"], n_rows)
+        assert r["n_violations"] == n_viol, (name, r["n_violations"], n_viol)
+        assert r["passed"] == (n_viol == 0)
+        at_least_one_failure |= n_viol > 0
+    assert at_least_one_failure, "suite must exercise a failing check"
