@@ -2748,3 +2748,230 @@ def test_dq_expectations_match_pandas(spark):
         assert r["passed"] == (n_viol == 0)
         at_least_one_failure |= n_viol > 0
     assert at_least_one_failure, "suite must exercise a failing check"
+
+
+def _py_minhash(sf):
+    """Plain-Python twin of the MinHash machinery (dedup.py constants):
+    per doc — 32-bit md5 token hashes, rolling 3-token shingle values,
+    8 permuted minima, 2 band keys. Returns (sigs, bands, shingles,
+    toksets, sources): dicts keyed by doc_id. Docs with <3 tokens have
+    no signature (no complete shingle)."""
+    import hashlib
+
+    from mcp_rag_server_spark.operators.dedup import (
+        MH_A,
+        MH_B,
+        MH_P,
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE_C,
+    )
+
+    c0, c1, c2 = SHINGLE_C
+    rows_per_band = N_MINHASH // N_BANDS
+    sigs, bands, shingles, toksets, sources = {}, {}, {}, {}, {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        toksets[r.doc_id] = frozenset(toks)
+        sources[r.doc_id] = r.source
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks
+        ]
+        vs = [
+            (hs[i] * c0 + hs[i + 1] * c1 + hs[i + 2] * c2) % MH_P
+            for i in range(len(hs) - 2)
+        ]
+        if not vs:
+            continue
+        shingles[r.doc_id] = frozenset(vs)
+        sig = [
+            min((MH_A[j] * v + MH_B[j]) % MH_P for v in vs)
+            for j in range(N_MINHASH)
+        ]
+        sigs[r.doc_id] = sig
+        bands[r.doc_id] = [
+            hashlib.md5(
+                "|".join(
+                    str(sig[b * rows_per_band + k])
+                    for k in range(rows_per_band)
+                ).encode()
+            ).hexdigest()
+            for b in range(N_BANDS)
+        ]
+    return sigs, bands, shingles, toksets, sources
+
+
+def _py_lsh_candidates(bands):
+    """Distinct (a, b) a<b sharing at least one band bucket."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d, bs in bands.items():
+        for i, b in enumerate(bs):
+            buckets[(i, b)].append(d)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((a, b))
+    return cand
+
+
+def test_minhash_est_audit_matches_python(spark):
+    """dd_minhash_est_audit: per candidate pair, the signature-
+    agreement estimate and the exact shingle Jaccard must match the
+    Python twin row for row."""
+    from mcp_rag_server_spark.operators.dedup import N_MINHASH
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_minhash_est_audit"].spark_fn(spark, sf).collect()
+
+    sigs, bands, shingles, _, _ = _py_minhash(sf)
+    cand = _py_lsh_candidates(bands)
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        est = (
+            sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / N_MINHASH
+        )
+        sa, sb = shingles[a], shingles[b]
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(r["est_jaccard"] - est) <= 1e-9, (a, b)
+        assert abs(r["exact_jaccard"] - exact) <= 1e-6
+        assert abs(r["abs_err"] - round(abs(est - exact), 4)) <= 1e-3
+
+
+def test_minhash_bbit_audit_matches_python(spark):
+    """dd_minhash_bbit_audit: the 1-bit estimator 2a−1 (clamped) and
+    the full-agreement estimate must match the Python signatures."""
+    from mcp_rag_server_spark.operators.dedup import N_MINHASH
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_minhash_bbit_audit"].spark_fn(spark, sf).collect()
+
+    sigs, bands, _, _, _ = _py_minhash(sf)
+    cand = _py_lsh_candidates(bands)
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        full = (
+            sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / N_MINHASH
+        )
+        bit = (
+            sum(1 for x, y in zip(sigs[a], sigs[b]) if x % 2 == y % 2)
+            / N_MINHASH
+        )
+        est1 = max(0.0, 2 * bit - 1)
+        assert abs(r["est_full"] - full) <= 1e-9
+        assert abs(r["est_1bit"] - est1) <= 1e-9
+        assert abs(r["abs_gap"] - abs(full - est1)) <= 1e-6
+
+
+def test_threshold_sweep_matches_python(spark):
+    """dd_threshold_sweep: every operating point (edges, affected docs,
+    greedy-removable, rate) must match the Python candidate verify."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_threshold_sweep"].spark_fn(spark, sf).collect()
+
+    _, bands, _, toksets, _ = _py_minhash(sf)
+    cand = _py_lsh_candidates(bands)
+    verified = []
+    for a, b in cand:
+        ta, tb = toksets[a], toksets[b]
+        verified.append((a, b, len(ta & tb) / len(ta | tb)))
+    n_docs_total = len(_pd("documents", sf))
+    for r in rows:
+        thr = float(r["threshold"])
+        edges = [(a, b) for a, b, j in verified if round(j, 6) >= thr]
+        docs = {d for e in edges for d in e}
+        removable = {b for _, b in edges}
+        assert r["n_edges"] == len(edges), (thr, r["n_edges"], len(edges))
+        assert r["n_docs_in_pairs"] == len(docs)
+        assert r["n_removable"] == len(removable)
+        assert (
+            abs(
+                r["dedup_rate_pct"]
+                - round(len(removable) * 100.0 / n_docs_total, 6)
+            )
+            <= 1e-6
+        )
+
+
+def test_cluster_size_hist_matches_union_find(spark):
+    """dd_cluster_size_hist: the component-size histogram must match a
+    Python union-find over the same-source ≥0.9 verified edges — the
+    independent-algorithm rule for connected components."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_cluster_size_hist"].spark_fn(spark, sf).collect()
+
+    _, bands, _, toksets, sources = _py_minhash(sf)
+    cand = _py_lsh_candidates(bands)
+    docs = list(_pd("documents", sf)["doc_id"])
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        if sources[a] != sources[b]:
+            continue
+        ta, tb = toksets[a], toksets[b]
+        if len(ta & tb) / len(ta | tb) >= 0.9:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(Counter(find(d) for d in docs).values())
+    assert {r["cluster_size"] for r in rows} == set(sizes)
+    for r in rows:
+        k, n = r["cluster_size"], sizes[r["cluster_size"]]
+        assert r["n_clusters"] == n
+        assert r["n_docs"] == k * n
+        assert r["docs_removable"] == (k - 1) * n
+    # mass conservation: every doc is in exactly one cluster
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+
+
+def test_graph_degree_stats_match_numpy(spark):
+    """dd_graph_degree_stats: degrees and Newman assortativity over the
+    unblocked ≥0.9 near-dup graph must match np.corrcoef over both
+    edge orientations."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["dd_graph_degree_stats"].spark_fn(spark, sf).collect()[0]
+
+    _, bands, _, toksets, _ = _py_minhash(sf)
+    cand = _py_lsh_candidates(bands)
+    edges = [
+        (a, b)
+        for a, b in cand
+        if len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b]) >= 0.9
+    ]
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    du = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    dv = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    r_assort = np.corrcoef(du, dv)[0, 1]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(edges)
+    assert abs(row["mean_degree"] - sum(deg.values()) / len(deg)) <= 1e-6
+    assert row["max_degree"] == max(deg.values())
+    assert abs(row["assortativity_r"] - r_assort) <= 1e-5
