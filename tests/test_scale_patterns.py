@@ -2975,3 +2975,87 @@ def test_graph_degree_stats_match_numpy(spark):
     assert abs(row["mean_degree"] - sum(deg.values()) / len(deg)) <= 1e-6
     assert row["max_degree"] == max(deg.values())
     assert abs(row["assortativity_r"] - r_assort) <= 1e-5
+
+
+def test_soft_dedup_weights_match_union_find(spark):
+    """dd_soft_dedup_weights: per-source effective doc/char mass under
+    1/cluster_size weights must match the Python union-find components
+    — and total effective_docs must equal the number of components
+    touching each source's docs summed fractionally (mass identity)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_soft_dedup_weights"].spark_fn(spark, sf).collect()
+
+    _, bands, _, toksets, sources = _py_minhash(sf)
+    docs_pd = _pd("documents", sf)
+    docs = list(docs_pd["doc_id"])
+    n_chars = dict(zip(docs_pd["doc_id"], docs_pd["n_chars"]))
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _py_lsh_candidates(bands):
+        if sources[a] != sources[b]:
+            continue
+        if (
+            len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b])
+            >= 0.9
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    comp = {d: find(d) for d in docs}
+    size = Counter(comp.values())
+    q8 = Decimal("1e-8")
+    per = {}
+    src_of = dict(zip(docs_pd["doc_id"], docs_pd["source"]))
+    for d in docs:
+        k = size[comp[d]]
+        w = Decimal(repr(round(1.0 / k, 8))).quantize(q8, ROUND_HALF_UP)
+        cell = per.setdefault(src_of[d], [0, 0, Decimal(0), Decimal(0)])
+        cell[0] += 1
+        cell[1] += 1 if k > 1 else 0
+        cell[2] += w
+        cell[3] += w * n_chars[d]
+    assert {r["source"] for r in rows} == set(per)
+    for r in rows:
+        n, dup, ed, ec = per[r["source"]]
+        assert r["n_docs"] == n and r["n_dup_docs"] == dup
+        assert abs(r["effective_docs"] - round(float(ed), 4)) <= 1e-4
+        assert abs(r["effective_chars"] - round(float(ec), 4)) <= 1e-2
+
+
+def test_cross_source_matrix_matches_python(spark):
+    """dd_cross_source_matrix: the cross-source ≥0.9 census must match
+    the Python candidate verify, cell by cell."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_cross_source_matrix"].spark_fn(spark, sf).collect()
+
+    _, bands, _, toksets, sources = _py_minhash(sf)
+    cells = {}
+    for a, b in _py_lsh_candidates(bands):
+        if sources[a] == sources[b]:
+            continue
+        j = len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b])
+        if j < 0.9:
+            continue
+        key = tuple(sorted((sources[a], sources[b])))
+        c = cells.setdefault(key, [0, 0.0])
+        c[0] += 1
+        c[1] = max(c[1], j)
+    assert {(r["source_a"], r["source_b"]) for r in rows} == set(cells)
+    for r in rows:
+        n, mx = cells[(r["source_a"], r["source_b"])]
+        assert r["n_pairs"] == n
+        assert abs(r["max_jaccard"] - mx) <= 1e-6
