@@ -3059,3 +3059,107 @@ def test_cross_source_matrix_matches_python(spark):
         n, mx = cells[(r["source_a"], r["source_b"])]
         assert r["n_pairs"] == n
         assert abs(r["max_jaccard"] - mx) <= 1e-6
+
+
+def test_cm_sketch_audit_matches_python(spark):
+    """agg_cm_sketch_audit: build the same d×w counter table in Python
+    dicts, probe the same exact top-10, compare estimates and the
+    never-underestimates guarantee."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.operators.sketches import CM_D, CM_TOP, CM_W
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["agg_cm_sketch_audit"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    exact = Counter(ev["user_id"])
+    cm = [Counter() for _ in range(CM_D)]
+    for u, n in exact.items():
+        for j in range(CM_D):
+            cm[j][_md5_fold(f"cm{j}:{u}") % CM_W] += n
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CM_TOP]
+    assert [(r["user_id"], r["n_exact"]) for r in rows] == top
+    for r in rows:
+        est = min(
+            cm[j][_md5_fold(f"cm{j}:{r['user_id']}") % CM_W]
+            for j in range(CM_D)
+        )
+        assert r["cm_est"] == est
+        assert r["overestimate"] == est - r["n_exact"]
+        assert r["never_underestimates"] == (est >= r["n_exact"])
+        assert r["never_underestimates"]  # the CM guarantee itself
+
+
+def test_kmv_distinct_audit_matches_python(spark):
+    """agg_kmv_distinct_audit: Python KMV sketches (k smallest md5
+    folds per type) must reproduce every union/Jaccard/intersection
+    estimate AND the exact answers."""
+    from mcp_rag_server_spark.operators.sketches import KMV_K
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["agg_kmv_distinct_audit"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    users = {}
+    for r in ev.itertuples(index=False):
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    hv = {
+        t: sorted(_md5_fold(f"kmv:{u}") for u in us)
+        for t, us in users.items()
+    }
+    sk = {t: set(h[:KMV_K]) for t, h in hv.items()}
+    for r in rows:
+        a, b = r["type_a"], r["type_b"]
+        assert r["n_a"] == len(users[a]) and r["n_b"] == len(users[b])
+        assert r["n_union_exact"] == len(users[a] | users[b])
+        assert r["n_inter_exact"] == len(users[a] & users[b])
+        upto = sorted(sk[a] | sk[b])[:KMV_K]
+        ku = len(upto)
+        est_union = (
+            float(ku)
+            if ku < KMV_K
+            else (KMV_K - 1) / (max(upto) / 4294967296.0)
+        )
+        n_both = sum(1 for h in upto if h in sk[a] and h in sk[b])
+        assert abs(r["est_union"] - round(est_union, 1)) <= 0.11
+        assert abs(r["est_jaccard"] - round(n_both / ku, 4)) <= 1e-9
+        assert abs(r["est_inter"] - round(n_both / ku * est_union, 1)) <= 0.11
+
+
+def test_join_cardinality_audit_matches_python(spark):
+    """agg_join_cardinality_audit: the uniform estimator and the exact
+    Σ ca·cb join sizes must match Python Counters."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["join_name"]: r
+        for r in load_all()["agg_join_cardinality_audit"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    orders = _pd("orders", sf)
+    customer = _pd("customer", sf)
+    li = _pd("lineitem", sf)
+    cases = {
+        "orders_customer": (orders["o_custkey"], customer["c_custkey"]),
+        "lineitem_orders": (li["l_orderkey"], orders["o_orderkey"]),
+        "orders_self_custkey": (orders["o_custkey"], orders["o_custkey"]),
+    }
+    assert set(got) == set(cases)
+    for name, (ka, kb) in cases.items():
+        ca, cb = Counter(ka), Counter(kb)
+        true_rows = sum(n * cb.get(k, 0) for k, n in ca.items())
+        est = len(ka) * len(kb) / max(len(ca), len(cb))
+        r = got[name]
+        assert r["rows_a"] == len(ka) and r["rows_b"] == len(kb)
+        assert r["ndv_a"] == len(ca) and r["ndv_b"] == len(cb)
+        assert r["true_rows"] == true_rows
+        assert abs(r["est_uniform"] - round(est, 2)) <= 1e-2
+        assert abs(r["err_ratio"] - round(true_rows / est, 4)) <= 1e-4
