@@ -3163,3 +3163,145 @@ def test_join_cardinality_audit_matches_python(spark):
         assert r["true_rows"] == true_rows
         assert abs(r["est_uniform"] - round(est, 2)) <= 1e-2
         assert abs(r["err_ratio"] - round(true_rows / est, 4)) <= 1e-4
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """ev_welch_ttest: t statistic and Welch–Satterthwaite df must
+    match numpy ddof=1 variances over the same md5-parity arms."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ev_welch_ttest"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    arm_b = np.array([_md5_fold(f"arm:{u}") % 2 == 1 for u in ev["user_id"]])
+    v = np.round(ev["value"].to_numpy(float), 4)
+    et = ev["event_type"].to_numpy()
+    for t in sorted(set(et)):
+        a, b = v[(et == t) & ~arm_b], v[(et == t) & arm_b]
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t_stat = (a.mean() - b.mean()) / np.sqrt(se2)
+        df = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1)
+            + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        r = got[t]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["mean_diff"] - (a.mean() - b.mean())) <= 1e-5
+        assert abs(r["t_stat"] - t_stat) <= 1e-3
+        assert abs(r["df_welch"] - df) <= 0.02
+        assert r["reject_95"] == (abs(t_stat) > 1.96)
+
+
+def test_readability_fk_matches_python_regex(spark):
+    """ta_readability_fk: the FK grade from Python re.findall counts
+    must match per language (same vowel-group heuristic)."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: r
+        for r in load_all()["ta_readability_fk"].spark_fn(spark, sf).collect()
+    }
+
+    q4 = Decimal("0.0001")
+    per = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        w = len(re.findall(r"[^ ]+", r.text))
+        syl = len(re.findall(r"[aeiouyAEIOUY]+", r.text))
+        sen = max(len(re.findall(r"[.!?]", r.text)), 1)
+        fk = round(0.39 * (w / sen) + 11.8 * (syl / w) - 15.59, 4)
+        cell = per.setdefault(r.lang, [0, Decimal(0), None, None])
+        cell[0] += 1
+        cell[1] += Decimal(repr(fk)).quantize(q4, ROUND_HALF_UP)
+        cell[2] = fk if cell[2] is None else min(cell[2], fk)
+        cell[3] = fk if cell[3] is None else max(cell[3], fk)
+    assert set(got) == set(per)
+    for lang, (n, s, mn, mx) in per.items():
+        r = got[lang]
+        assert r["n_docs"] == n
+        assert abs(r["avg_grade"] - round(float(s) / n, 4)) <= 1e-4
+        assert abs(r["min_grade"] - mn) <= 1e-9
+        assert abs(r["max_grade"] - mx) <= 1e-9
+
+
+def test_kl_source_drift_matches_python(spark):
+    """ta_kl_source_drift: KL(P_source || P_corpus) must match a
+    Counter-based plug-in computation."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_kl_source_drift"].spark_fn(spark, sf).collect()
+    }
+
+    from collections import Counter
+
+    corpus = Counter()
+    per_src = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        corpus.update(toks)
+        per_src.setdefault(r.source, Counter()).update(toks)
+    n = sum(corpus.values())
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        kl = sum(
+            (c / ns) * np.log((c / ns) / (corpus[t] / n))
+            for t, c in cnt.items()
+        )
+        r = got[src]
+        assert r["n_tokens"] == ns
+        assert r["n_distinct"] == len(cnt)
+        assert abs(r["kl_divergence"] - kl) <= 1e-5, (src, r, kl)
+        assert r["kl_divergence"] >= 0  # Gibbs' inequality
+
+
+def test_pmi_collocations_match_python(spark):
+    """ta_pmi_collocations: the PMI top-20 under the (pmi DESC, w1, w2)
+    total order must match a Counter recomputation."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.textanalysis import (
+        PMI_MIN_COUNT,
+        PMI_TOP_N,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ta_pmi_collocations"].spark_fn(spark, sf).collect()
+
+    from collections import Counter
+
+    bg = Counter()
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        bg.update(zip(toks, toks[1:]))
+    m1, m2 = Counter(), Counter()
+    for (a, b), c in bg.items():
+        m1[a] += c
+        m2[b] += c
+    n = sum(bg.values())
+    scored = [
+        (round(float(np.log(n * c / (m1[a] * m2[b]))), 6), a, b, c)
+        for (a, b), c in bg.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:PMI_TOP_N]
+    assert len(rows) == len(want)
+    for r, (pmi, a, b, c) in zip(rows, want):
+        assert (r["w1"], r["w2"], r["c_xy"]) == (a, b, c)
+        assert abs(r["pmi"] - pmi) <= 1e-6
