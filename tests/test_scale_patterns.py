@@ -3305,3 +3305,232 @@ def test_pmi_collocations_match_python(spark):
     for r, (pmi, a, b, c) in zip(rows, want):
         assert (r["w1"], r["w2"], r["c_xy"]) == (a, b, c)
         assert abs(r["pmi"] - pmi) <= 1e-6
+
+
+def test_binary_hamming_topk_matches_python(spark):
+    """sim_binary_hamming_topk: Python sign-bit packing + popcount must
+    reproduce the exact Hamming top-k."""
+    from mcp_rag_server_spark.operators.late_interaction import (
+        HAM_QUERY_ID,
+        HAM_TOP_K,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_all()["sim_binary_hamming_topk"].spark_fn(spark, sf).collect()
+    )
+
+    emb = _pd("embeddings", sf)
+    codes = {}
+    for r in emb.itertuples(index=False):
+        bits = 0
+        for i, x in enumerate(r.embedding):
+            if float(x) > 0:
+                bits |= 1 << i
+        codes[r.vec_id] = bits
+    qc = codes[HAM_QUERY_ID]
+    scored = sorted(
+        ((bin(c ^ qc).count("1"), v) for v, c in codes.items()
+         if v != HAM_QUERY_ID)
+    )
+    want = scored[:HAM_TOP_K]
+    assert [(r["hamming"], r["vec_id"]) for r in rows] == want
+
+
+def test_ndcg_sq8_matches_python(spark):
+    """sim_ndcg_sq8_eval: Python SQ8 quantization + ordered-fold cosine
+    + explicit DCG with the literal discounts must reproduce every
+    per-query nDCG row."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_K,
+        NDCG_QUERIES,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["sim_ndcg_sq8_eval"].spark_fn(spark, sf).collect()
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]), dtype=np.float32)
+    pos = {v: i for i, v in enumerate(ids)}
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for k in range(len(a)):
+            x, y = float(a[k]), float(b[k])
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (np.sqrt(na) * np.sqrt(nb) + 1e-10)
+
+    q0 = Decimal("1")
+    dq = {}
+    for v in ids:
+        x = E[pos[v]]
+        mn, mx = float(x.min()), float(x.max())
+        sc = (mx - mn) / 255.0
+        if sc == 0:
+            dq[v] = [mn] * len(x)
+        else:
+            dq[v] = [
+                mn
+                + float(
+                    Decimal(repr((float(e) - mn) / sc)).quantize(
+                        q0, ROUND_HALF_UP
+                    )
+                )
+                * sc
+                for e in x
+            ]
+    got = {r["q_id"]: r for r in rows}
+    q8 = Decimal("1e-8")
+    for q_id in range(NDCG_QUERIES):
+        qv = E[pos[q_id]]
+        cand = []
+        for v in ids:
+            if v == q_id:
+                continue
+            approx = round(fold_cos(dq[v], qv), 4)
+            gain = round(fold_cos(E[pos[v]], qv), 4) + 1
+            cand.append((v, approx, gain))
+        r_approx = sorted(cand, key=lambda t: (-t[1], t[0]))
+        r_ideal = sorted(cand, key=lambda t: (-t[2], t[0]))
+        dcg = sum(
+            (
+                Decimal(repr(round(g * NDCG_DISCOUNTS[i], 8))).quantize(
+                    q8, ROUND_HALF_UP
+                )
+                for i, (_, _, g) in enumerate(r_approx[:NDCG_K])
+            ),
+            Decimal(0),
+        )
+        idcg = sum(
+            (
+                Decimal(repr(round(g * NDCG_DISCOUNTS[i], 8))).quantize(
+                    q8, ROUND_HALF_UP
+                )
+                for i, (_, _, g) in enumerate(r_ideal[:NDCG_K])
+            ),
+            Decimal(0),
+        )
+        r = got[q_id]
+        assert abs(r["dcg_at_k"] - round(float(dcg), 6)) <= 1e-5
+        assert abs(r["idcg_at_k"] - round(float(idcg), 6)) <= 1e-5
+        assert abs(r["ndcg_at_k"] - float(dcg) / float(idcg)) <= 1e-4
+        assert r["ndcg_at_k"] <= 1.0 + 1e-9  # ideal ranking is optimal
+
+
+def _py_p_keep(n_tokens, distinct_ratio, mean_wordlen_raw):
+    """The fixed-weight logistic scorer, replicated (quality.py LR_*)."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.quality import (
+        LR_W0,
+        LR_W_DIV,
+        LR_W_TOK,
+        LR_W_WLEN,
+    )
+
+    z = (
+        LR_W0
+        + LR_W_TOK * (n_tokens / 100)
+        + LR_W_DIV * distinct_ratio
+        + LR_W_WLEN * (mean_wordlen_raw / 10)
+    )
+    return round(1.0 / (1.0 + np.exp(-z)), 6)
+
+
+def test_logreg_quality_matches_python(spark):
+    """ta_logreg_quality: per-source keep rates from the Python sigmoid
+    must match (rounded-6 transcendental discipline)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.quality import LR_THRESHOLD
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_logreg_quality"].spark_fn(spark, sf).collect()
+    }
+
+    q6 = Decimal("1e-6")
+    per = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        nt = len(toks)
+        p = _py_p_keep(nt, len(set(toks)) / nt, r.n_chars / nt)
+        cell = per.setdefault(r.source, [0, Decimal(0), 0])
+        cell[0] += 1
+        cell[1] += Decimal(repr(p)).quantize(q6, ROUND_HALF_UP)
+        cell[2] += 1 if p >= LR_THRESHOLD else 0
+    assert set(got) == set(per)
+    for src, (n, s, kept) in per.items():
+        r = got[src]
+        assert r["n_docs"] == n
+        assert abs(r["mean_p_keep"] - round(float(s) / n, 6)) <= 1e-6
+        assert r["n_kept"] == kept
+
+
+def test_quality_calibration_matches_python(spark):
+    """ta_quality_calibration: the per-bucket gopher-pass rates must
+    match the Python rule battery + sigmoid buckets."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.quality import (
+        RULE_MAX_MEAN_WORDLEN,
+        RULE_MAX_TOKENS,
+        RULE_MIN_DISTINCT_RATIO,
+        RULE_MIN_MEAN_WORDLEN,
+        RULE_MIN_TOKENS,
+        STOPWORDS,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["score_bucket"]: r
+        for r in load_all()["ta_quality_calibration"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    sw = set(STOPWORDS)
+    q6 = Decimal("1e-6")
+    cells = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        nt = len(toks)
+        dr = len(set(toks)) / nt
+        mw = (r.n_chars - nt + 1) / nt
+        n_stop = sum(1 for t in toks if t in sw)
+        label = (
+            1
+            if (
+                RULE_MIN_TOKENS <= nt <= RULE_MAX_TOKENS
+                and RULE_MIN_MEAN_WORDLEN <= mw <= RULE_MAX_MEAN_WORDLEN
+                and dr >= RULE_MIN_DISTINCT_RATIO
+                and n_stop > 0
+            )
+            else 0
+        )
+        p = _py_p_keep(nt, dr, r.n_chars / nt)
+        bucket = min(math.floor(p * 5), 4)
+        cell = cells.setdefault(bucket, [0, 0, Decimal(0)])
+        cell[0] += 1
+        cell[1] += label
+        cell[2] += Decimal(repr(p)).quantize(q6, ROUND_HALF_UP)
+    assert set(got) == set(cells)
+    for b, (n, npass, sp) in cells.items():
+        r = got[b]
+        assert r["n_docs"] == n and r["n_gopher_pass"] == npass
+        assert abs(r["gopher_pass_rate"] - round(npass / n, 4)) <= 1e-9
+        assert abs(r["mean_p_keep"] - round(float(sp) / n, 6)) <= 1e-6
