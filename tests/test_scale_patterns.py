@@ -3534,3 +3534,190 @@ def test_quality_calibration_matches_python(spark):
         assert r["n_docs"] == n and r["n_gopher_pass"] == npass
         assert abs(r["gopher_pass_rate"] - round(npass / n, 4)) <= 1e-9
         assert abs(r["mean_p_keep"] - round(float(sp) / n, 6)) <= 1e-6
+
+
+def test_set_all_multiplicity_matches_counters(spark):
+    """set_all_multiplicity: EXCEPT ALL / INTERSECT ALL bag semantics
+    must match Python Counter subtraction/intersection exactly."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["op"]: r
+        for r in load_all()["set_all_multiplicity"].spark_fn(spark, sf).collect()
+    }
+
+    li = _pd("lineitem", sf)
+    r_side = Counter(li[li["l_returnflag"] == "R"]["l_suppkey"])
+    a_side = Counter(li[li["l_returnflag"] == "A"]["l_suppkey"])
+    exc = r_side - a_side
+    inter = r_side & a_side
+    for op, bag in (("except_all", exc), ("intersect_all", inter)):
+        r = got[op]
+        assert r["n_rows"] == sum(bag.values()), (op, r["n_rows"])
+        assert r["n_keys"] == len(bag)
+        assert r["min_key"] == min(bag) and r["max_key"] == max(bag)
+
+
+def test_value_frames_match_python_slices(spark):
+    """window_value_frames: first/last/nth over the ±3 frame and the
+    running/remaining extrema must match explicit list slices."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["window_value_frames"].spark_fn(spark, sf).collect()
+
+    o = _pd("orders", sf)
+    want = {}
+    for pri, g in o.groupby("o_orderpriority"):
+        recs = sorted(
+            zip(g["o_totalprice"], g["o_orderkey"]),
+        )
+        prices = [p for p, _ in recs]
+        keys = [k for _, k in recs]
+        n = len(recs)
+        for i in range(n):
+            lo, hi = max(0, i - 3), min(n, i + 4)
+            frame = prices[lo:hi]
+            want[(pri, keys[i])] = (
+                frame[0],
+                frame[-1],
+                frame[1] if len(frame) >= 2 else None,
+                min(keys[: i + 1]),
+                max(keys[i:]),
+            )
+    assert len(rows) > 0
+    for r in rows:
+        ff, fl, fs, rmin, rmax = want[(r["o_orderpriority"], r["o_orderkey"])]
+        assert r["frame_first"] == ff and r["frame_last"] == fl
+        assert r["frame_second"] == fs
+        assert r["run_min_key"] == rmin
+        assert r["rem_max_key"] == rmax
+
+
+def test_lateral_topn_matches_python(spark):
+    """sql_lateral_topn: the decorrelated LATERAL must equal an explicit
+    per-customer top-2 sort."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["sql_lateral_topn"].spark_fn(spark, sf).collect()
+
+    o = _pd("orders", sf)
+    c = _pd("customer", sf)
+    by_cust = {}
+    for r in o.itertuples(index=False):
+        by_cust.setdefault(r.o_custkey, []).append(
+            (-r.o_totalprice, r.o_orderkey)
+        )
+    want = []
+    for r in sorted(
+        c[c["c_custkey"] % 10 == 0].itertuples(index=False),
+        key=lambda t: t.c_custkey,
+    ):
+        top = sorted(by_cust.get(r.c_custkey, []))[:2]
+        for rk, (negp, key) in enumerate(top, start=1):
+            want.append((r.c_custkey, key, -negp, rk))
+    assert [
+        (r["c_custkey"], r["o_orderkey"], r["o_totalprice"], r["rk"])
+        for r in rows
+    ] == want
+
+
+def test_nearest_order_matches_python_bisect(spark):
+    """tj_nearest_order: the two-window nearest must equal a bisect over
+    each user's sorted order dates (tie toward the prior side)."""
+    import bisect
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["tj_nearest_order"].spark_fn(spark, sf).collect()
+
+    ev = _pd("events", sf)
+    o = _pd("orders", sf)
+    by_user = {}
+    for r in o.itertuples(index=False):
+        by_user.setdefault(r.o_custkey, []).append(r.o_orderdate)
+    for v in by_user.values():
+        v.sort()
+    checked = 0
+    for r in ev.itertuples(index=False):
+        if r.event_id % 100 != 0:
+            continue
+        checked += 1
+        dates = by_user.get(r.user_id, [])
+        i = bisect.bisect_right(dates, r.ts)
+        prior = dates[i - 1] if i > 0 else None
+        nxt = dates[i] if i < len(dates) else None
+        if prior is None:
+            nearest = nxt
+        elif nxt is None:
+            nearest = prior
+        else:
+            dp = r.ts.value - prior.value
+            dn = nxt.value - r.ts.value
+            nearest = prior if dp <= dn else nxt
+        row = next(x for x in rows if x["event_id"] == r.event_id)
+        assert (row["prior_order"] is None) == (prior is None)
+        if prior is not None:
+            assert row["prior_order"] == prior
+        assert (row["nearest_order"] is None) == (nearest is None)
+        if nearest is not None:
+            assert row["nearest_order"] == nearest
+            gap_us = abs(r.ts.value - nearest.value) // 1000
+            assert row["nearest_gap_s"] == gap_us // 1000000
+    assert checked == len(rows) > 0
+
+
+def test_running_distinct_matches_python(spark):
+    """window_running_distinct: milestone times from an incremental
+    Python set must match the first-occurrence window formulation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.relational import RD_MILESTONES
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["milestone_distinct_types"]: r
+        for r in load_all()["window_running_distinct"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    q4 = Decimal("0.0001")
+    per_user = {}
+    for u, g in ev.groupby("user_id", sort=False):
+        seen = set()
+        t0 = None
+        tk = {}
+        for r in g.itertuples(index=False):
+            if t0 is None:
+                t0 = r.ts
+            seen.add(r.event_type)
+            for k in RD_MILESTONES:
+                if len(seen) >= k and k not in tk:
+                    tk[k] = r.ts
+        per_user[u] = (t0, tk)
+    n_users = len(per_user)
+    for k in RD_MILESTONES:
+        reached = [
+            (tk[k].value - t0.value) / 1000 / 60000000.0
+            for t0, tk in per_user.values()
+            if k in tk
+        ]
+        r = got[k]
+        assert r["n_users"] == n_users
+        assert r["n_reached"] == len(reached)
+        if reached:
+            mean = float(
+                sum(
+                    Decimal(repr(round(m, 4))).quantize(q4, ROUND_HALF_UP)
+                    for m in reached
+                )
+            ) / len(reached)
+            assert abs(r["mean_minutes_to_k"] - round(mean, 4)) <= 1e-4
