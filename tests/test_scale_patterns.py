@@ -3721,3 +3721,134 @@ def test_running_distinct_matches_python(spark):
                 )
             ) / len(reached)
             assert abs(r["mean_minutes_to_k"] - round(mean, 4)) <= 1e-4
+
+
+def test_gains_chart_matches_python(spark):
+    """ta_gains_chart: depth thresholds, capture rates, and lift must
+    match an explicit Python sort of the bucketed scores."""
+    import math
+
+    from mcp_rag_server_spark.operators.quality import (
+        AUC_SCORE_DECIMALS,
+        GAINS_DEPTHS,
+        RULE_MAX_MEAN_WORDLEN,
+        RULE_MAX_TOKENS,
+        RULE_MIN_DISTINCT_RATIO,
+        RULE_MIN_MEAN_WORDLEN,
+        RULE_MIN_TOKENS,
+        STOPWORDS,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        float(r["depth"]): r
+        for r in load_all()["ta_gains_chart"].spark_fn(spark, sf).collect()
+    }
+
+    sw = set(STOPWORDS)
+    from collections import Counter
+
+    buckets = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        nt = len(toks)
+        dr = len(set(toks)) / nt
+        mw = (r.n_chars - nt + 1) / nt
+        label = (
+            1
+            if (
+                RULE_MIN_TOKENS <= nt <= RULE_MAX_TOKENS
+                and RULE_MIN_MEAN_WORDLEN <= mw <= RULE_MAX_MEAN_WORDLEN
+                and dr >= RULE_MIN_DISTINCT_RATIO
+                and sum(1 for t in toks if t in sw) > 0
+            )
+            else 0
+        )
+        s = round(_py_p_keep(nt, dr, r.n_chars / nt), AUC_SCORE_DECIMALS)
+        cell = buckets.setdefault(s, [0, 0])
+        cell[0] += 1
+        cell[1] += label
+    order = sorted(buckets.items(), key=lambda kv: -kv[0])
+    n_docs = sum(n for _, (n, _) in order)
+    n_pos = sum(p for _, (_, p) in order)
+    cum = []
+    cn = cp = 0
+    for s, (n, p) in order:
+        cn += n
+        cp += p
+        cum.append((s, cn, cp))
+    for depth in GAINS_DEPTHS:
+        s, cn, cp = next(
+            t for t in cum if t[1] >= depth * n_docs
+        )
+        r = got[depth]
+        assert float(r["score_threshold"]) == s, (depth, r, s)
+        assert r["n_selected"] == cn
+        assert r["n_pos_captured"] == cp
+        assert abs(r["share_selected"] - round(cn / n_docs, 4)) <= 1e-9
+        assert abs(r["capture_rate"] - round(cp / n_pos, 4)) <= 1e-9
+        assert abs(r["lift"] - round((cp / n_pos) / (cn / n_docs), 4)) <= 1e-3
+    # gains curves never lose captured mass with depth
+    depths = sorted(got)
+    caps = [got[d]["capture_rate"] for d in depths]
+    assert caps == sorted(caps)
+
+
+def test_lang_confusion_matches_python(spark):
+    """ta_lang_confusion: the lexicon-vote confusion cells must match a
+    Python set-intersection replication."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ta_lang_confusion"].spark_fn(spark, sf).collect()
+
+    en_lex = {"the", "a", "of", "value", "fast"}
+    tech_lex = {"query", "data", "stream", "group", "filter"}
+    cells = {}
+    totals = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = set(r.text.split(" "))
+        pred = (
+            "en-like"
+            if len(toks & en_lex) >= len(toks & tech_lex)
+            else "tech-like"
+        )
+        cells[(r.lang, pred)] = cells.get((r.lang, pred), 0) + 1
+        totals[r.lang] = totals.get(r.lang, 0) + 1
+    assert {(r["lang"], r["pred_class"]) for r in rows} == set(cells)
+    for r in rows:
+        n = cells[(r["lang"], r["pred_class"])]
+        assert r["n"] == n
+        assert r["lang_total"] == totals[r["lang"]]
+        assert abs(r["row_frac"] - round(n / totals[r["lang"]], 4)) <= 1e-9
+
+
+def test_length_drift_matches_python_ks(spark):
+    """ta_length_drift: the per-source two-sample KS statistic (source
+    vs REST of corpus over n_chars) must match a direct numpy ECDF
+    comparison."""
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_length_drift"].spark_fn(spark, sf).collect()
+    }
+
+    docs = _pd("documents", sf)
+    all_v = docs["n_chars"].to_numpy()
+    vals = np.unique(all_v)
+    for src in sorted(set(docs["source"])):
+        sv = docs[docs["source"] == src]["n_chars"].to_numpy()
+        rv = docs[docs["source"] != src]["n_chars"].to_numpy()
+        ks = max(
+            abs((sv <= v).mean() - (rv <= v).mean()) for v in vals
+        )
+        crit = 1.36 * np.sqrt(len(all_v) / (len(sv) * len(rv)))
+        r = got[src]
+        assert r["n_src"] == len(sv) and r["n_rest"] == len(rv)
+        assert abs(r["ks_d"] - ks) <= 1e-6, (src, r["ks_d"], ks)
+        assert r["drifted_95"] == (ks > crit)
