@@ -3852,3 +3852,128 @@ def test_length_drift_matches_python_ks(spark):
         assert r["n_src"] == len(sv) and r["n_rest"] == len(rv)
         assert abs(r["ks_d"] - ks) <= 1e-6, (src, r["ks_d"], ks)
         assert r["drifted_95"] == (ks > crit)
+
+
+def test_centroid_drift_matches_python(spark):
+    """sim_centroid_drift: even/odd-half centroid cosines per label
+    must match a Decimal-exact Python recomputation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["label"]: r
+        for r in load_all()["sim_centroid_drift"].spark_fn(spark, sf).collect()
+    }
+
+    emb = _pd("embeddings", sf)
+    q7, q8 = Decimal("1e-7"), Decimal("1e-8")
+    cells = {}
+    counts = {}
+    for r in emb.itertuples(index=False):
+        half = r.vec_id % 2
+        lab = int(r.label)
+        counts.setdefault(lab, [0, 0])[half] += 1
+        for d, x in enumerate(r.embedding):
+            key = (lab, half, d)
+            s, n = cells.get(key, (Decimal(0), 0))
+            cells[key] = (
+                s + Decimal(repr(round(float(x), 7))).quantize(
+                    q7, ROUND_HALF_UP
+                ),
+                n + 1,
+            )
+    for lab, (n0, n1) in counts.items():
+        dot = na = nb = Decimal(0)
+        for d in range(64):
+            sa, ca_n = cells[(lab, 0, d)]
+            sb, cb_n = cells[(lab, 1, d)]
+            ca = float(sa) / ca_n
+            cb = float(sb) / cb_n
+            dot += Decimal(repr(round(ca * cb, 8))).quantize(q8, ROUND_HALF_UP)
+            na += Decimal(repr(round(ca * ca, 8))).quantize(q8, ROUND_HALF_UP)
+            nb += Decimal(repr(round(cb * cb, 8))).quantize(q8, ROUND_HALF_UP)
+        cos = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+        r = got[lab]
+        assert r["n_first"] == n0 and r["n_second"] == n1
+        assert abs(r["drift_cosine"] - round(cos, 6)) <= 1e-6, (lab, r, cos)
+        # no magnitude sanity bound: on the near-isotropic fixture the
+        # per-label centroids are noise vectors, so the half-vs-half
+        # cosine can legitimately sit anywhere in [-1, 1]
+
+
+def test_random_projection_jl_matches_python(spark):
+    """sim_random_projection_jl: md5-derived ±1 projection, pairwise
+    distortion ratios, and the JL-band share must match numpy."""
+    import hashlib
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.vector_audit import (
+        JL_DIM,
+        JL_EPS,
+        JL_K,
+        JL_PAIR_SAMPLE,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        load_all()["sim_random_projection_jl"].spark_fn(spark, sf).collect()[0]
+    )
+
+    emb = _pd("embeddings", sf)
+    ids = sorted(
+        emb["vec_id"],
+        key=lambda v: hashlib.md5(f"jls:{v}".encode()).hexdigest(),
+    )[:JL_PAIR_SAMPLE]
+    E = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in emb.itertuples(index=False)
+        if r.vec_id in set(ids)
+    }
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"jl:{k}:{i}".encode()).hexdigest()[0], 16)
+                % 2
+                == 0
+                else -1
+                for i in range(JL_DIM)
+            ]
+            for k in range(JL_K)
+        ],
+        dtype=float,
+    )
+    proj = {
+        v: np.array(
+            [np.round(S[k] * E[v], 8).sum() for k in range(JL_K)]
+        )
+        / np.sqrt(JL_K)
+        for v in ids
+    }
+    ratios = []
+    for i, a in enumerate(sorted(ids)):
+        for b in sorted(ids)[i + 1 :]:
+            od = np.round((E[a] - E[b]) ** 2, 8).sum()
+            if od <= 0:
+                continue
+            pdist = np.round((proj[a] - proj[b]) ** 2, 8).sum()
+            ratios.append(round(pdist / od, 6))
+    ratios = np.array(ratios)
+    assert row["k_dims"] == JL_K
+    assert row["n_pairs"] == len(ratios)
+    assert abs(row["mean_ratio_sq"] - ratios.mean()) <= 1e-5
+    assert abs(row["min_ratio_sq"] - ratios.min()) <= 1e-6
+    assert abs(row["max_ratio_sq"] - ratios.max()) <= 1e-6
+    assert (
+        abs(
+            row["share_within_eps"]
+            - round((np.abs(ratios - 1) <= JL_EPS).mean(), 6)
+        )
+        <= 1e-6
+    )
