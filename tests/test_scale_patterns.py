@@ -3977,3 +3977,125 @@ def test_random_projection_jl_matches_python(spark):
         )
         <= 1e-6
     )
+
+
+def test_dsir_weights_match_python(spark):
+    """ta_dsir_weights: per-source mean log importance weights under
+    add-1-smoothed target/raw unigram LMs must match a Counter
+    recomputation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.quality import DSIR_TARGET_LANG
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_dsir_weights"].spark_fn(spark, sf).collect()
+    }
+
+    from collections import Counter
+
+    docs = _pd("documents", sf)
+    corpus, target = Counter(), Counter()
+    for r in docs.itertuples(index=False):
+        toks = r.text.split(" ")
+        corpus.update(toks)
+        if r.lang == DSIR_TARGET_LANG:
+            target.update(toks)
+    n, v = sum(corpus.values()), len(corpus)
+    n_t = sum(target.values())
+    q8, q6 = Decimal("1e-8"), Decimal("1e-6")
+    per = {}
+    for r in docs.itertuples(index=False):
+        lw = sum(
+            (
+                Decimal(
+                    repr(
+                        round(
+                            float(
+                                np.log(
+                                    ((target.get(t, 0) + 1) / (n_t + v))
+                                    / ((corpus[t] + 1) / (n + v))
+                                )
+                            ),
+                            8,
+                        )
+                    )
+                ).quantize(q8, ROUND_HALF_UP)
+                for t in r.text.split(" ")
+            ),
+            Decimal(0),
+        )
+        lw6 = round(float(lw), 6)
+        cell = per.setdefault(r.source, [0, Decimal(0), None, 0])
+        cell[0] += 1
+        cell[1] += Decimal(repr(lw6)).quantize(q6, ROUND_HALF_UP)
+        cell[2] = lw6 if cell[2] is None else max(cell[2], lw6)
+        cell[3] += 1 if lw6 > 0 else 0
+    assert set(got) == set(per)
+    for src, (nd, s, mx, pos) in per.items():
+        r = got[src]
+        assert r["n_docs"] == nd
+        assert abs(r["mean_log_weight"] - round(float(s) / nd, 6)) <= 1e-6
+        assert abs(r["max_log_weight"] - mx) <= 1e-6
+        assert r["n_target_leaning"] == pos
+
+
+def test_bigram_logprob_matches_python(spark):
+    """ta_bigram_logprob: per-doc surprisal/perplexity under the add-1
+    corpus bigram LM must match a Counter recomputation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r
+        for r in load_all()["ta_bigram_logprob"].spark_fn(spark, sf).collect()
+    }
+
+    from collections import Counter
+
+    docs = _pd("documents", sf)
+    bg, c1 = Counter(), Counter()
+    vocab = set()
+    per_doc = {}
+    for r in docs.itertuples(index=False):
+        toks = r.text.split(" ")
+        vocab.update(toks)
+        pairs = list(zip(toks, toks[1:]))
+        per_doc[r.doc_id] = pairs
+        bg.update(pairs)
+    for (a, _), c in bg.items():
+        c1[a] += c
+    vsz = float(len(vocab))
+    q8 = Decimal("1e-8")
+    for doc_id, pairs in per_doc.items():
+        if not pairs:
+            assert doc_id not in got
+            continue
+        s = sum(
+            (
+                Decimal(
+                    repr(
+                        round(
+                            float(np.log((c1[a] + vsz) / (bg[(a, b)] + 1))),
+                            8,
+                        )
+                    )
+                ).quantize(q8, ROUND_HALF_UP)
+                for a, b in pairs
+            ),
+            Decimal(0),
+        )
+        mean = float(s) / len(pairs)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert abs(r["mean_surprisal"] - round(mean, 6)) <= 1e-6
+        assert abs(r["ppl"] - round(float(np.exp(mean)), 4)) <= 1e-3
+        assert r["mean_surprisal"] > 0  # smoothing keeps p < 1
