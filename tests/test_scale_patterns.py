@@ -4099,3 +4099,135 @@ def test_bigram_logprob_matches_python(spark):
         assert abs(r["mean_surprisal"] - round(mean, 6)) <= 1e-6
         assert abs(r["ppl"] - round(float(np.exp(mean)), 4)) <= 1e-3
         assert r["mean_surprisal"] > 0  # smoothing keeps p < 1
+
+
+def test_kanonymity_audit_matches_python(spark):
+    """ta_kanonymity_audit: class counts and at-risk shares at all
+    three generalization levels must match Python Counters."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.operators.quality import KANON_K
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["level"]: r
+        for r in load_all()["ta_kanonymity_audit"].spark_fn(spark, sf).collect()
+    }
+
+    docs = _pd("documents", sf)
+    levels = {
+        "0_len_bucket10": lambda r: (r.source, r.lang, r.n_chars // 10),
+        "1_len_bucket100": lambda r: (r.source, r.lang, r.n_chars // 100),
+        "2_source_lang_only": lambda r: (r.source, r.lang),
+    }
+    for level, keyf in levels.items():
+        classes = Counter(keyf(r) for r in docs.itertuples(index=False))
+        viol = [n for n in classes.values() if n < KANON_K]
+        r = got[level]
+        assert r["n_classes"] == len(classes)
+        assert r["min_class_size"] == min(classes.values())
+        assert r["n_violating"] == len(viol)
+        assert r["docs_at_risk"] == sum(viol)
+        assert (
+            abs(r["pct_at_risk"] - round(sum(viol) * 100.0 / len(docs), 6))
+            <= 1e-6
+        )
+
+
+def test_ngram_novelty_matches_python(spark):
+    """ta_ngram_novelty: per-source exclusivity and mean spread of
+    distinct 3-word shingles must match Python sets."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_ngram_novelty"].spark_fn(spark, sf).collect()
+    }
+
+    per_src = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        toks = r.text.split(" ")
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        per_src.setdefault(r.source, set()).update(shingles)
+    spread = {}
+    for src, shs in per_src.items():
+        for sh in shs:
+            spread[sh] = spread.get(sh, 0) + 1
+    assert set(got) == set(per_src)
+    for src, shs in per_src.items():
+        n = len(shs)
+        excl = sum(1 for sh in shs if spread[sh] == 1)
+        mean_spread = sum(spread[sh] for sh in shs) / n
+        r = got[src]
+        assert r["n_shingles"] == n
+        assert r["n_exclusive"] == excl
+        assert abs(r["exclusivity"] - round(excl / n, 4)) <= 1e-9
+        assert abs(r["mean_spread"] - round(mean_spread, 4)) <= 1e-9
+
+
+def test_ccnet_buckets_match_python(spark):
+    """ta_ccnet_buckets: language × perplexity-tier composition must
+    match a Counter-LM surprisal replication."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.quality import (
+        CCNET_HEAD_LT,
+        CCNET_MIDDLE_LT,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["lang"], r["tier"]): r
+        for r in load_all()["ta_ccnet_buckets"].spark_fn(spark, sf).collect()
+    }
+
+    from collections import Counter
+
+    docs = _pd("documents", sf)
+    tf = Counter()
+    for r in docs.itertuples(index=False):
+        tf.update(r.text.split(" "))
+    n = float(sum(tf.values()))
+    q8, q6 = Decimal("1e-8"), Decimal("1e-6")
+    cells = {}
+    lang_docs = Counter(docs["lang"])
+    total_tokens = 0
+    for r in docs.itertuples(index=False):
+        toks = r.text.split(" ")
+        total_tokens += len(toks)
+        s = sum(
+            (
+                Decimal(repr(round(float(np.log(n / tf[t])), 8))).quantize(
+                    q8, ROUND_HALF_UP
+                )
+                for t in toks
+            ),
+            Decimal(0),
+        )
+        ms = round(float(s) / len(toks), 6)
+        tier = (
+            "0_head"
+            if ms < CCNET_HEAD_LT
+            else ("1_middle" if ms < CCNET_MIDDLE_LT else "2_tail")
+        )
+        cell = cells.setdefault((r.lang, tier), [0, 0, Decimal(0)])
+        cell[0] += 1
+        cell[1] += len(toks)
+        cell[2] += Decimal(repr(ms)).quantize(q6, ROUND_HALF_UP)
+    assert set(got) == set(cells)
+    for (lang, tier), (nd, nt, sms) in cells.items():
+        r = got[(lang, tier)]
+        assert r["n_docs"] == nd and r["n_tokens"] == nt
+        assert abs(r["doc_share_in_lang"] - round(nd / lang_docs[lang], 4)) <= 1e-9
+        assert (
+            abs(r["token_share_overall"] - round(nt / total_tokens, 6))
+            <= 1e-6
+        )
+        assert abs(r["mean_surprisal"] - round(float(sms) / nd, 6)) <= 1e-6
