@@ -4231,3 +4231,162 @@ def test_ccnet_buckets_match_python(spark):
             <= 1e-6
         )
         assert abs(r["mean_surprisal"] - round(float(sms) / nd, 6)) <= 1e-6
+
+
+def test_interval_union_matches_python_merge(spark):
+    """tj_interval_union: the two-window island formulation must equal
+    the textbook sort-and-merge interval union per user."""
+    from mcp_rag_server_spark.operators.temporal import IU_SPAN_US
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r
+        for r in load_all()["tj_interval_union"].spark_fn(spark, sf).collect()
+    }
+
+    ev = _pd("events", sf)
+    per_user = {}
+    for r in ev.itertuples(index=False):
+        s = r.ts.value // 1000
+        per_user.setdefault(r.user_id, []).append((s, s + IU_SPAN_US))
+    assert set(got) == set(per_user)
+    for u, ivs in per_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        r = got[u]
+        assert r["n_islands"] == len(merged)
+        assert r["covered_us"] == sum(e - s for s, e in merged)
+        assert r["longest_us"] == max(e - s for s, e in merged)
+
+
+def test_distribution_pack_matches_python(spark):
+    """window_distribution_pack: percent_rank / cume_dist / ntile under
+    the (price, key) total order must match explicit formulas."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["window_distribution_pack"].spark_fn(spark, sf).collect()
+
+    o = _pd("orders", sf)
+    want = {}
+    for pri, g in o.groupby("o_orderpriority"):
+        recs = sorted(zip(g["o_totalprice"], g["o_orderkey"]))
+        n = len(recs)
+        prices = [p for p, _ in recs]
+        for i, (p, k) in enumerate(recs):
+            # peers share a cume_dist by VALUE, ranks by position
+            n_le = sum(1 for q in prices if q <= p)
+            pct = i / (n - 1) if n > 1 else 0.0
+            # ntile(4): first (n % 4) tiles get ceil(n/4)
+            base, extra = divmod(n, 4)
+            if i < (base + 1) * extra:
+                tile = i // (base + 1) + 1
+            else:
+                tile = (i - extra) // base + 1
+            want[(pri, k)] = (pct, n_le / n, tile)
+    assert rows
+    for r in rows:
+        pct, cume, tile = want[(r["o_orderpriority"], r["o_orderkey"])]
+        assert abs(r["pct_rank"] - pct) <= 1e-12, r
+        assert abs(r["cume"] - cume) <= 1e-12
+        assert r["quartile"] == tile
+
+
+def test_multi_query_fusion_matches_python_rrf(spark):
+    """rag_multi_query_fusion: per-variant rank pools + reciprocal-rank
+    fusion must match a numpy/ordered-fold replication."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.rag import (
+        MQF_POOL,
+        MQF_QUERY_IDS,
+        MQF_TOP,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["rag_multi_query_fusion"].spark_fn(spark, sf).collect()
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    pos = {v: i for i, v in enumerate(ids)}
+    q8 = Decimal("1e-8")
+    fused = {}
+    for q in MQF_QUERY_IDS:
+        cand = [v for v in ids if v not in MQF_QUERY_IDS]
+        cand.sort(key=lambda v: (-cos[pos[q], pos[v]], v))
+        for rnk, v in enumerate(cand[:MQF_POOL], start=1):
+            n, s = fused.get(v, (0, Decimal(0)))
+            fused[v] = (
+                n + 1,
+                s
+                + Decimal(repr(round(1.0 / (60 + rnk), 8))).quantize(
+                    q8, ROUND_HALF_UP
+                ),
+            )
+    order = sorted(
+        ((float(s), v, n) for v, (n, s) in fused.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:MQF_TOP]
+    assert len(rows) == len(order)
+    for r, (s, v, n) in zip(rows, order):
+        assert r["vec_id"] == v and r["n_lists"] == n
+        assert abs(r["rrf_score"] - s) <= 1e-9
+
+
+def test_parent_doc_topk_matches_python(spark):
+    """rag_parent_doc_topk: reference chunker + lexical overlap scores
+    + per-doc argmax must match the Python replication."""
+    import sys
+
+    from mcp_rag_server_spark.operators.rag import (
+        PD_CHUNK_OVERLAP,
+        PD_CHUNK_SIZE,
+        PD_QUERY_TERMS,
+        PD_TOP_K,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_reference_semantics import ref_split_chunks
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["rag_parent_doc_topk"].spark_fn(spark, sf).collect()
+
+    terms = set(PD_QUERY_TERMS)
+    best = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        chunks = ref_split_chunks(r.text, PD_CHUNK_SIZE, PD_CHUNK_OVERLAP)
+        scored = [
+            (
+                round(
+                    len(set(c.split(" ")) & terms) / len(terms), 4
+                ),
+                i,
+            )
+            for i, c in enumerate(chunks)
+        ]
+        n_match = sum(1 for s, _ in scored if s > 0)
+        s, i = max(scored, key=lambda t: (t[0], -t[1]))
+        best[r.doc_id] = (i, s, len(chunks), n_match)
+    order = sorted(
+        ((v[1], k) for k, v in best.items()), key=lambda t: (-t[0], t[1])
+    )[:PD_TOP_K]
+    assert len(rows) == len(order)
+    for r, (s, doc_id) in zip(rows, order):
+        i, s2, n_chunks, n_match = best[doc_id]
+        assert r["doc_id"] == doc_id
+        assert r["best_chunk"] == i
+        assert abs(r["best_score"] - s2) <= 1e-9
+        assert r["n_chunks"] == n_chunks
+        assert r["n_matching_chunks"] == n_match
