@@ -4390,3 +4390,129 @@ def test_parent_doc_topk_matches_python(spark):
         assert abs(r["best_score"] - s2) <= 1e-9
         assert r["n_chunks"] == n_chunks
         assert r["n_matching_chunks"] == n_match
+
+
+def test_maxsim_topk_matches_python(spark):
+    """sim_maxsim_topk: the nested sum-of-max-block-cosines must match
+    a numpy block replication."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.late_interaction import (
+        MAXSIM_BLOCKS,
+        MAXSIM_DIM,
+        MAXSIM_QUERY_ID,
+        MAXSIM_TOP_K,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["sim_maxsim_topk"].spark_fn(spark, sf).collect()
+
+    emb = _pd("embeddings", sf)
+    E = {r.vec_id: [float(x) for x in r.embedding]
+         for r in emb.itertuples(index=False)}
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+
+    def blocks(v):
+        return [
+            np.array(v[b * MAXSIM_DIM : (b + 1) * MAXSIM_DIM])
+            for b in range(MAXSIM_BLOCKS)
+        ]
+
+    qb = blocks(E[MAXSIM_QUERY_ID])
+
+    def cosb(a, b):
+        return float(
+            (a * b).sum()
+            / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()) + 1e-10)
+        )
+
+    scored = []
+    for v, vec in E.items():
+        if v == MAXSIM_QUERY_ID:
+            continue
+        db = blocks(vec)
+        s = round(sum(max(cosb(q, d) for d in db) for q in qb), 4)
+        scored.append((-s, v))
+    scored.sort()
+    want = scored[:MAXSIM_TOP_K]
+    assert [(r["vec_id"], r["maxsim"]) for r in rows] == [
+        (v, -s) for s, v in want
+    ]
+    for r in rows:
+        assert r["label"] == labels[r["vec_id"]]
+
+
+def test_mips_augmented_matches_python(spark):
+    """sim_mips_augmented: the norm-augmentation reduction must rank
+    identically to the raw inner product (the ALSH identity), and the
+    scores must match numpy."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.late_interaction import (
+        MIPS_QUERY_ID,
+        MIPS_TOP_K,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["sim_mips_augmented"].spark_fn(spark, sf).collect()
+
+    emb = _pd("embeddings", sf)
+    E = {r.vec_id: np.array([float(x) for x in r.embedding])
+         for r in emb.itertuples(index=False)}
+    q = E[MIPS_QUERY_ID]
+    scored = []
+    for v, x in E.items():
+        if v == MIPS_QUERY_ID:
+            continue
+        dot = round(float((x * q).sum()), 4)
+        dn2 = round(float((x * x).sum()), 6)
+        scored.append((-(round(2 * dot - dn2, 4)), v, dot))
+    scored.sort()
+    want = scored[:MIPS_TOP_K]
+    assert [(r["vec_id"], r["dot"], r["neg_aug_l2"]) for r in rows] == [
+        (v, d, -na) for na, v, d in want
+    ]
+    # the ALSH identity: augmented order == raw-dot order on these rows
+    dots = [r["dot"] for r in rows]
+    assert dots == sorted(dots, reverse=True)
+
+
+def test_hard_negatives_match_python(spark):
+    """sim_hard_negatives: per-anchor positive / hard-negative picks
+    must match a numpy argmax within/across label groups."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.late_interaction import HN_ANCHORS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["sim_hard_negatives"].spark_fn(spark, sf).collect()
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    pos = {v: i for i, v in enumerate(ids)}
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    want = []
+    for a in range(HN_ANCHORS):
+        for role in ("hard_negative", "positive"):
+            cand = [
+                v
+                for v in ids
+                if v != a
+                and (
+                    (labels[v] == labels[a]) == (role == "positive")
+                )
+            ]
+            cand.sort(key=lambda v: (-cos[pos[a], pos[v]], v))
+            want.append((a, labels[a], role, cand[0],
+                         cos[pos[a], pos[cand[0]]]))
+    assert len(rows) == len(want)
+    for r, (a, al, role, v, s) in zip(rows, want):
+        assert (r["a_id"], r["a_label"], r["role"], r["vec_id"]) == (
+            a, al, role, v,
+        )
+        assert abs(r["score"] - s) <= 1e-9
