@@ -4516,3 +4516,134 @@ def test_hard_negatives_match_python(spark):
             a, al, role, v,
         )
         assert abs(r["score"] - s) <= 1e-9
+
+
+def test_cascade_rerank_matches_python(spark):
+    """sim_cascade_rerank: Hamming pool → exact rerank → recall audit,
+    replayed in Python end to end."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.late_interaction import (
+        CR_K,
+        CR_POOL,
+        CR_QUERY_ID,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["sim_cascade_rerank"].spark_fn(spark, sf).collect()
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    pos = {v: i for i, v in enumerate(ids)}
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    codes = {}
+    for r in emb.itertuples(index=False):
+        bits = 0
+        for i, x in enumerate(r.embedding):
+            if float(x) > 0:
+                bits |= 1 << i
+        codes[r.vec_id] = bits
+    qc = codes[CR_QUERY_ID]
+    pool = sorted(
+        (bin(c ^ qc).count("1"), v)
+        for v, c in codes.items()
+        if v != CR_QUERY_ID
+    )[:CR_POOL]
+    rerank = sorted(
+        ((-cos[pos[CR_QUERY_ID], pos[v]], v, h) for h, v in pool)
+    )[:CR_K]
+    exact = {
+        v
+        for _, v in sorted(
+            (-cos[pos[CR_QUERY_ID], pos[v]], v)
+            for v in ids
+            if v != CR_QUERY_ID
+        )[:CR_K]
+    }
+    assert len(rows) == CR_K
+    for r, (negs, v, h) in zip(rows, rerank):
+        assert r["vec_id"] == v and r["hamming"] == h
+        assert abs(r["score"] - (-negs)) <= 1e-9
+        assert r["label"] == labels[v]
+        assert r["in_exact_topk"] == (v in exact)
+
+
+def test_multiprobe_lsh_matches_python(spark):
+    """sim_multiprobe_lsh: the three-tier probe curve must match a
+    Python bucket replication — and recall must be monotone in the
+    probe budget."""
+    import hashlib
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.vector_lsh import (
+        DIM,
+        MP_QUERY_ID,
+        MP_TOP_K,
+        N_PLANES,
+        _plane,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["strategy"]: r
+        for r in load_all()["sim_multiprobe_lsh"].spark_fn(spark, sf).collect()
+    }
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    pos = {v: i for i, v in enumerate(ids)}
+    planes = [np.array(_plane(i)) for i in range(N_PLANES)]
+    buckets = {}
+    for r in emb.itertuples(index=False):
+        x = np.array([float(v) for v in r.embedding])
+        b = 0
+        for i, p in enumerate(planes):
+            # index-order fold like the SQL literal dot
+            acc = 0.0
+            for j in range(DIM):
+                acc += x[j] * p[j]
+            if acc >= 0:
+                b |= 1 << i
+        buckets[r.vec_id] = b
+    qb = buckets[MP_QUERY_ID]
+    exact = {
+        v
+        for _, v in sorted(
+            (-cos[pos[MP_QUERY_ID], pos[v]], v)
+            for v in ids
+            if v != MP_QUERY_ID
+        )[:MP_TOP_K]
+    }
+    probe_tier = {qb: 0}
+    for i in range(N_PLANES):
+        probe_tier.setdefault(qb ^ (1 << i), 1)
+    for i in range(N_PLANES):
+        for j in range(i + 1, N_PLANES):
+            probe_tier.setdefault(qb ^ ((1 << i) | (1 << j)), 2)
+    recalls = []
+    for strategy, max_tier in (
+        ("0_home", 0),
+        ("1_hamming1", 1),
+        ("2_hamming2", 2),
+    ):
+        cand = [
+            v
+            for v in ids
+            if v != MP_QUERY_ID
+            and probe_tier.get(buckets[v], 99) <= max_tier
+        ]
+        cand.sort(key=lambda v: (-cos[pos[MP_QUERY_ID], pos[v]], v))
+        hits = sum(1 for v in cand[:MP_TOP_K] if v in exact)
+        r = got[strategy]
+        assert r["n_candidates"] == len(cand), (strategy, r, len(cand))
+        assert r["n_topk_hits"] == hits
+        assert abs(r["recall_at_k"] - round(hits / MP_TOP_K, 4)) <= 1e-9
+        recalls.append(r["recall_at_k"])
+    assert recalls == sorted(recalls)  # more probes never lose recall
