@@ -4647,3 +4647,104 @@ def test_multiprobe_lsh_matches_python(spark):
         assert abs(r["recall_at_k"] - round(hits / MP_TOP_K, 4)) <= 1e-9
         recalls.append(r["recall_at_k"])
     assert recalls == sorted(recalls)  # more probes never lose recall
+
+
+def test_feature_hashing_matches_python(spark):
+    """ta_feature_hashing: dims-used and mean per-doc collision rate at
+    each width must match Python md5 folds."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.textanalysis import FH_DIMS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["n_dims"]: r
+        for r in load_all()["ta_feature_hashing"].spark_fn(spark, sf).collect()
+    }
+
+    docs = _pd("documents", sf)
+    doc_toks = {
+        r.doc_id: set(r.text.split(" "))
+        for r in docs.itertuples(index=False)
+    }
+    vocab = set().union(*doc_toks.values())
+    fold = {t: _md5_fold(f"fh:{t}") for t in vocab}
+    q8 = Decimal("1e-8")
+    for d in FH_DIMS:
+        used = {fold[t] % d for t in vocab}
+        s = Decimal(0)
+        for toks in doc_toks.values():
+            nnz = len({fold[t] % d for t in toks})
+            s += Decimal(repr(round(1.0 - nnz / len(toks), 8))).quantize(
+                q8, ROUND_HALF_UP
+            )
+        r = got[d]
+        assert r["vocab_size"] == len(vocab)
+        assert r["n_dims_used"] == len(used)
+        assert (
+            abs(
+                r["mean_doc_collision_rate"]
+                - round(float(s) / len(doc_toks), 6)
+            )
+            <= 1e-6
+        )
+    # more dims never increase collisions
+    rates = [got[d]["mean_doc_collision_rate"] for d in sorted(FH_DIMS)]
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_mojibake_detect_matches_python(spark):
+    """ta_mojibake_detect: the injected-corruption census per source
+    must match a Python string replication."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.quality import (
+        MOJI_CTRL,
+        MOJI_DOUBLE_ENC,
+        MOJI_REPLACEMENT,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_mojibake_detect"].spark_fn(spark, sf).collect()
+    }
+
+    q6 = Decimal("1e-6")
+    per = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        text = r.text
+        if r.doc_id % 13 == 0:
+            text += MOJI_DOUBLE_ENC
+        if r.doc_id % 17 == 0:
+            text += MOJI_REPLACEMENT
+        if r.doc_id % 19 == 0:
+            text += MOJI_CTRL
+        f_repl = 1 if "�" in text else 0
+        f_ctrl = 1 if "\x07" in text else 0
+        f_dbl = 1 if "Ã©" in text else 0
+        ascii_len = sum(1 for ch in text if " " <= ch <= "~")
+        pct = Decimal(
+            repr(round((len(text) - ascii_len) * 100.0 / len(text), 6))
+        ).quantize(q6, ROUND_HALF_UP)
+        cell = per.setdefault(r.source, [0, 0, 0, 0, 0, Decimal(0)])
+        cell[0] += 1
+        cell[1] += f_repl
+        cell[2] += f_ctrl
+        cell[3] += f_dbl
+        cell[4] += 1 if (f_repl + f_ctrl + f_dbl) == 0 else 0
+        cell[5] += pct
+    assert set(got) == set(per)
+    for src, (n, nr, nc, nd, ncl, sp) in per.items():
+        r = got[src]
+        assert r["n_docs"] == n
+        assert r["n_replacement_docs"] == nr
+        assert r["n_control_docs"] == nc
+        assert r["n_double_encoded_docs"] == nd
+        assert r["n_clean_docs"] == ncl
+        assert (
+            abs(r["mean_non_printable_pct"] - round(float(sp) / n, 6))
+            <= 1e-6
+        )
