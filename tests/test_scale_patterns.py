@@ -4748,3 +4748,70 @@ def test_mojibake_detect_matches_python(spark):
             abs(r["mean_non_printable_pct"] - round(float(sp) / n, 6))
             <= 1e-6
         )
+
+
+def test_weighted_sample_es_matches_python(spark):
+    """ta_weighted_sample_es: the Efraimidis–Spirakis top-3 per source
+    under the md5-fold draw must match a Python rank."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.textanalysis import ES_K
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ta_weighted_sample_es"].spark_fn(spark, sf).collect()
+
+    per = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        u = (_md5_fold(f"es:{r.doc_id}") + 1) / 4294967296.0
+        key = float(np.log(u)) / r.n_chars
+        per.setdefault(r.source, []).append((-key, r.doc_id, r.n_chars))
+    want = []
+    for src in sorted(per):
+        picks = sorted(per[src])[:ES_K]
+        for rnk, (nk, doc_id, n_chars) in enumerate(picks, start=1):
+            want.append((src, rnk, doc_id, n_chars, round(-nk, 8)))
+    assert len(rows) == len(want)
+    for r, (src, rnk, doc_id, n_chars, key) in zip(rows, want):
+        assert (r["source"], r["rnk"], r["doc_id"], r["n_chars"]) == (
+            src, rnk, doc_id, n_chars,
+        )
+        assert abs(r["es_key"] - key) <= 1e-8
+    # E-S law: within a source, longer docs are never systematically
+    # excluded — at minimum the keys must be negative (ln u < 0, w > 0)
+    assert all(r["es_key"] < 0 for r in rows)
+
+
+def test_code_detect_matches_python(spark):
+    """ta_code_detect: the symbol-density + keyword-lexicon flag census
+    must match a Python regex replication."""
+    import re
+
+    from mcp_rag_server_spark.operators.textanalysis import (
+        CODE_KEYWORD_MIN,
+        CODE_KEYWORDS,
+        CODE_SYMBOL_RATIO,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_code_detect"].spark_fn(spark, sf).collect()
+    }
+
+    kw = set(CODE_KEYWORDS)
+    per = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        sym = len(re.findall(r"[{};=<>()]", r.text))
+        ratio = sym / max(len(r.text), 1)
+        hits = len(set(r.text.split(" ")) & kw)
+        is_code = 1 if (ratio > CODE_SYMBOL_RATIO or hits >= CODE_KEYWORD_MIN) else 0
+        cell = per.setdefault(r.source, [0, 0])
+        cell[0] += 1
+        cell[1] += is_code
+    assert set(got) == set(per)
+    for src, (n, nc) in per.items():
+        r = got[src]
+        assert r["n_docs"] == n and r["n_code_like"] == nc
+        assert abs(r["code_ratio"] - round(nc / n, 4)) <= 1e-9
