@@ -4815,3 +4815,100 @@ def test_code_detect_matches_python(spark):
         r = got[src]
         assert r["n_docs"] == n and r["n_code_like"] == nc
         assert abs(r["code_ratio"] - round(nc / n, 4)) <= 1e-9
+
+
+def test_bpe_train_matches_python(spark):
+    """ta_bpe_train: the learned merge sequence must match a classic
+    from-scratch Python BPE (dict of word freqs, pair counts, the
+    ' '-bounded non-overlapping replace)."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.operators.textanalysis import BPE_ITERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ta_bpe_train"].spark_fn(spark, sf).collect()
+
+    words = Counter()
+    for r in _pd("documents", sf).itertuples(index=False):
+        words.update(w for w in r.text.split(" ") if w)
+    syms = {" ".join(list(w)) + " </w>": f for w, f in words.items()}
+    want = []
+    for rank in range(1, BPE_ITERS + 1):
+        pairs = Counter()
+        for sym, f in syms.items():
+            parts = sym.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pairs[f"{a} {b}"] += f
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = pair.replace(" ", "")
+        new_syms = {}
+        for sym, f in syms.items():
+            ns = (" " + sym + " ").replace(
+                " " + pair + " ", " " + merged + " "
+            ).strip()
+            new_syms[ns] = new_syms.get(ns, 0) + f
+        syms = new_syms
+        corpus_tokens = sum(len(s.split(" ")) * f for s, f in syms.items())
+        want.append((rank, pair, merged, cnt, corpus_tokens))
+    assert len(rows) == len(want)
+    for r, (rank, pair, merged, cnt, ct) in zip(rows, want):
+        assert (
+            r["merge_rank"], r["pair"], r["merged"],
+            r["pair_count"], r["corpus_tokens_after"],
+        ) == (rank, pair, merged, cnt, ct)
+    # each merge strictly shrinks the symbol-level corpus
+    cts = [r["corpus_tokens_after"] for r in rows]
+    assert all(a > b for a, b in zip(cts, cts[1:])) or len(cts) <= 1
+
+
+def test_zorder_layout_matches_python(spark):
+    """zorder_layout: Morton interleave, partition census, and the
+    tile-bounded guarantee must match a Python bit replication."""
+    from mcp_rag_server_spark.operators.layout import (
+        ZO_BITS,
+        ZO_CELLS,
+        ZO_PART_SHIFT,
+        ZO_TILE,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["zorder_layout"].spark_fn(spark, sf).collect()
+
+    o = _pd("orders", sf)
+    cmin, cmax = o["o_custkey"].min(), o["o_custkey"].max()
+    dmin, dmax = o["o_orderdate"].min(), o["o_orderdate"].max()
+    span_days = (dmax.normalize() - dmin.normalize()).days
+    parts = {}
+    for r in o.itertuples(index=False):
+        x = min(
+            int((r.o_custkey - cmin) * float(ZO_CELLS) / (cmax - cmin + 1)),
+            ZO_CELLS - 1,
+        )
+        dd = (r.o_orderdate.normalize() - dmin.normalize()).days
+        y = min(int(dd * float(ZO_CELLS) / (span_days + 1)), ZO_CELLS - 1)
+        z = 0
+        for i in range(ZO_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        p = z >> ZO_PART_SHIFT
+        cell = parts.setdefault(p, [0, x, x, y, y])
+        cell[0] += 1
+        cell[1] = min(cell[1], x)
+        cell[2] = max(cell[2], x)
+        cell[3] = min(cell[3], y)
+        cell[4] = max(cell[4], y)
+    assert {r["z_part"] for r in rows} == set(parts)
+    for r in rows:
+        n, xmn, xmx, ymn, ymx = parts[r["z_part"]]
+        assert r["n_rows"] == n
+        assert (r["x_min"], r["x_max"], r["y_min"], r["y_max"]) == (
+            xmn, xmx, ymn, ymx,
+        )
+        assert r["x_extent"] == xmx - xmn + 1
+        assert r["y_extent"] == ymx - ymn + 1
+        assert r["tile_bounded"] == (
+            (xmx - xmn + 1 <= ZO_TILE) and (ymx - ymn + 1 <= ZO_TILE)
+        )
+        assert r["tile_bounded"]  # the Morton locality guarantee itself
