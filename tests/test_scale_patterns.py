@@ -4912,3 +4912,59 @@ def test_zorder_layout_matches_python(spark):
             (xmx - xmn + 1 <= ZO_TILE) and (ymx - ymn + 1 <= ZO_TILE)
         )
         assert r["tile_bounded"]  # the Morton locality guarantee itself
+
+
+def test_leakage_safe_split_matches_union_find(spark):
+    """ta_leakage_safe_split: component-hash assignment, per-part
+    censuses, and BOTH leak counts must match a Python union-find +
+    md5 replication — with the zero-leak guarantee asserted."""
+    from mcp_rag_server_spark.operators.dedup import (
+        SPLIT_MOD,
+        SPLIT_TEST_LT,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["part"]: r
+        for r in load_all()["ta_leakage_safe_split"].spark_fn(spark, sf).collect()
+    }
+
+    _, bands, _, toksets, _ = _py_minhash(sf)
+    docs_pd = _pd("documents", sf)
+    docs = list(docs_pd["doc_id"])
+    n_chars = dict(zip(docs_pd["doc_id"], docs_pd["n_chars"]))
+    gpairs = [
+        (a, b)
+        for a, b in _py_lsh_candidates(bands)
+        if len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b]) >= 0.9
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in gpairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {d: find(d) for d in docs}
+
+    def is_test(key):
+        return _md5_fold(f"split:{key}") % SPLIT_MOD < SPLIT_TEST_LT
+
+    part = {d: ("test" if is_test(comp[d]) else "train") for d in docs}
+    n_cross_cluster = sum(1 for a, b in gpairs if part[a] != part[b])
+    n_cross_naive = sum(1 for a, b in gpairs if is_test(a) != is_test(b))
+    assert n_cross_cluster == 0  # zero by construction
+    for p in ("test", "train"):
+        members = [d for d in docs if part[d] == p]
+        r = got[p]
+        assert r["n_docs"] == len(members)
+        assert r["n_components"] == len({comp[d] for d in members})
+        assert r["total_chars"] == sum(n_chars[d] for d in members)
+        assert r["leaked_edges_cluster_split"] == 0
+        assert r["leaked_edges_naive_split"] == n_cross_naive
