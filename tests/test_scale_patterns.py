@@ -4968,3 +4968,36 @@ def test_leakage_safe_split_matches_union_find(spark):
         assert r["total_chars"] == sum(n_chars[d] for d in members)
         assert r["leaked_edges_cluster_split"] == 0
         assert r["leaked_edges_naive_split"] == n_cross_naive
+
+
+def test_trigram_index_search_matches_python(spark):
+    """ta_trigram_index_search: the candidate/verified/missed census
+    per needle must match Python trigram sets — with the index
+    completeness contract (n_missed = 0) asserted."""
+    from mcp_rag_server_spark.operators.textanalysis import TRGM_NEEDLES
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["needle"]: r
+        for r in load_all()["ta_trigram_index_search"].spark_fn(spark, sf).collect()
+    }
+
+    def trigrams(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    docs = {
+        r.doc_id: r.text for r in _pd("documents", sf).itertuples(index=False)
+    }
+    doc_tris = {d: trigrams(t) for d, t in docs.items()}
+    for needle in TRGM_NEEDLES:
+        nt = trigrams(needle)
+        cands = {d for d, tg in doc_tris.items() if nt <= tg}
+        truth = {d for d, t in docs.items() if needle in t}
+        r = got[needle]
+        assert r["n_trigrams"] == len(nt)
+        assert r["n_candidates"] == len(cands)
+        assert r["n_verified"] == len(cands & truth)
+        assert r["n_false_pos"] == len(cands - truth)
+        assert r["n_missed"] == len(truth - cands)
+        assert r["n_missed"] == 0  # trigram index is complete
