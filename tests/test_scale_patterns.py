@@ -5001,3 +5001,83 @@ def test_trigram_index_search_matches_python(spark):
         assert r["n_false_pos"] == len(cands - truth)
         assert r["n_missed"] == len(truth - cands)
         assert r["n_missed"] == 0  # trigram index is complete
+
+
+def test_du_rollup_matches_python(spark):
+    """fileops_du_rollup: the ancestor-explode rollup must match a
+    Python os.path-style prefix walk — with the mass-conservation
+    identity (the '.' row carries the whole-tree total)."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["fileops_du_rollup"].spark_fn(spark, sf).collect()
+
+    per = {}
+    total = 0
+    for r in _pd("documents", sf).itertuples(index=False):
+        ext = {0: "txt", 1: "md"}.get(r.doc_id % 3, "log")
+        path = f"{r.source}/{r.lang}/doc_{r.doc_id}.{ext}"
+        total += r.n_chars
+        parts = path.split("/")
+        for depth in range(len(parts)):
+            dir_path = "." if depth == 0 else "/".join(parts[:depth])
+            cell = per.setdefault((dir_path, depth), [0, 0, 0])
+            cell[0] += 1
+            cell[1] += r.n_chars
+            cell[2] = max(cell[2], r.n_chars)
+    assert {(r["dir_path"], r["depth"]) for r in rows} == set(per)
+    for r in rows:
+        n, tot, mx = per[(r["dir_path"], r["depth"])]
+        assert r["n_files"] == n
+        assert r["total_bytes"] == tot
+        assert r["max_file_bytes"] == mx
+    root = next(r for r in rows if r["dir_path"] == ".")
+    assert root["total_bytes"] == total
+
+
+def test_csv_quarantine_preserves_raw_lines(spark):
+    """ingest_csv_malformed's contract is quarantine-don't-crash AND
+    never-silently-drop: beyond the count the oracle pins, the corrupt
+    column must hold the planted bad lines VERBATIM so a downstream
+    repair job can reprocess them."""
+    from mcp_rag_server_spark.operators.ingest_query import CSV_BAD_LINES
+    from mcp_rag_server_spark.registry import load_all
+
+    import hashlib as _h
+    import os
+    import tempfile
+
+    sf = "/root/testdata/sf0.001"
+    # run the operator to (re)build its side-effect corpus
+    load_all()["ingest_csv_malformed"].spark_fn(spark, sf).collect()
+
+    digest = _h.md5(sf.encode()).hexdigest()[:8]
+    cdir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ingest_bad_{digest}", "csv"
+    )
+    schema = (
+        "event_id bigint, user_id bigint, event_type string,"
+        " value double, _corrupt string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(cdir)
+        .cache()
+    )
+    bad = sorted(
+        r["_corrupt"]
+        for r in parsed.filter(F.col("_corrupt").isNotNull()).collect()
+    )
+    assert bad == sorted(CSV_BAD_LINES)
+    # and the good side parsed every remaining row without loss
+    from mcp_rag_server_spark.operators.ingest_query import TXT_USERS
+
+    n_good = parsed.filter(F.col("_corrupt").isNull()).count()
+    n_src = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("user_id") < TXT_USERS)
+        .count()
+    )
+    assert n_good == n_src
