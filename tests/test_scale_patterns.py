@@ -5081,3 +5081,97 @@ def test_csv_quarantine_preserves_raw_lines(spark):
         .count()
     )
     assert n_good == n_src
+
+
+def _py_simhash(sf):
+    """{doc_id: 16-bit simhash}: per distinct token, 4 leading md5 hex
+    digits give 16 bit votes (+1/-1); bit set iff the vote sum is
+    positive — the dedup.py _simhash_sql twin."""
+    import hashlib
+
+    out = {}
+    for r in _pd("documents", sf).itertuples(index=False):
+        votes = [0] * 16
+        for tok in set(r.text.split(" ")):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for i in range(16):
+                d = int(h[i // 4], 16)
+                votes[i] += 1 if (d >> (i % 4)) & 1 else -1
+        out[r.doc_id] = sum(
+            (1 << i) for i in range(16) if votes[i] > 0
+        )
+    return out
+
+
+def test_simhash_matches_python(spark):
+    """dd_simhash: every 16-bit signature must match the Python vote
+    replication exactly."""
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["dd_simhash"].spark_fn(spark, sf).collect()
+
+    want = _py_simhash(sf)
+    assert {r["doc_id"]: r["simhash"] for r in rows} == want
+
+
+def test_method_agreement_matches_python_pair_sets(spark):
+    """dd_method_agreement: the Spark side counts via histogram/mask
+    identities without ever materializing a pair set; this check
+    BUILDS all three pair sets explicitly in Python (the thing the
+    production plan must never do) and verifies every census number
+    and pair-set Jaccard."""
+    import hashlib
+
+    from mcp_rag_server_spark.operators.dedup import SIMHASH_AGREE_HAMMING
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["method_pair"]: r
+        for r in load_all()["dd_method_agreement"].spark_fn(spark, sf).collect()
+    }
+
+    _, bands, _, toksets, sources = _py_minhash(sf)
+    lsh = {
+        (a, b)
+        for a, b in _py_lsh_candidates(bands)
+        if sources[a] == sources[b]
+        and len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b])
+        >= 0.9
+    }
+    sh = _py_simhash(sf)
+    ids = sorted(sh)
+    sim = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= SIMHASH_AGREE_HAMMING
+    }
+    texts = {
+        r.doc_id: hashlib.md5(r.text.encode()).hexdigest()
+        for r in _pd("documents", sf).itertuples(index=False)
+    }
+    ex = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if texts[a] == texts[b]
+    }
+
+    def check(name, A, B):
+        r = got[name]
+        both = len(A & B)
+        union = len(A | B)
+        assert r["n_a"] == len(A), (name, r["n_a"], len(A))
+        assert r["n_b"] == len(B)
+        assert r["n_both"] == both
+        want_j = 0.0 if union == 0 else round(both / union, 6)
+        assert abs(r["pair_jaccard"] - want_j) <= 1e-9
+
+    check("lsh_jaccard09_vs_simhash16", lsh, sim)
+    check("lsh_jaccard09_vs_exact", lsh, ex)
+    check("simhash16_vs_exact", sim, ex)
+    # exact duplicates share a simhash, so exact ⊆ simhash at any
+    # Hamming bound — the containment the census's warning relies on
+    assert ex <= sim
