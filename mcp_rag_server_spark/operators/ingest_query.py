@@ -1083,6 +1083,11 @@ def ingest_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, user_id bigint, event_type string,"
         " value double, _corrupt string"
     )
+    # A prior same-session invocation cached a read of this SAME path;
+    # CacheManager dedupes by analyzed plan, so without invalidation
+    # the fresh .cache() below silently resolves to the stale
+    # InMemoryRelation whose part files the rmtree above deleted.
+    spark.catalog.refreshByPath(cdir)
     parsed = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
