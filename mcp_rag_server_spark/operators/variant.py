@@ -50,8 +50,9 @@ SELECT event_type,
                      THEN CAST(json_extract(p, '$.k') AS BIGINT) END)
             AS BIGINT) AS sum_k,
        CAST(SUM(CASE WHEN json_valid(p)
-                      AND json_extract(p, '$.missing') IS NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+                     THEN CASE WHEN json_extract(p, '$.missing') IS NULL
+                               THEN 1 ELSE 0 END
+                     ELSE 0 END) AS BIGINT) AS n_missing
 FROM src GROUP BY event_type ORDER BY event_type
 """,
     description="VARIANT ingestion of the props bag (Spark 4"
@@ -66,7 +67,13 @@ def ev_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All aggregates are exact BIGINT sums/counts (no float path at
     all), so cross-engine hashing is trivially stable. The oracle
     mirrors variant semantics relationally: json_valid() stands in for
-    try_parse_json's null-on-error, json_extract for try_variant_get."""
+    try_parse_json's null-on-error, json_extract for try_variant_get.
+    Oracle hazard (caught by the r7 sf0.1 three-scale sweep): DuckDB
+    does NOT guarantee row-wise short-circuit of an AND conjunct, so
+    ``json_valid(p) AND json_extract(p, ...)`` can evaluate the
+    extract on malformed rows (chunk-dependent — sf0.01 happened to
+    pass); json_extract must sit inside a CASE branch GUARDED by
+    json_valid, which DuckDB selection-vectors correctly."""
     ev = load_table(spark, sf_dir, "events")
     src = ev.select(
         "event_type",
