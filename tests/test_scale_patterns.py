@@ -5175,3 +5175,161 @@ def test_method_agreement_matches_python_pair_sets(spark):
     # exact duplicates share a simhash, so exact ⊆ simhash at any
     # Hamming bound — the containment the census's warning relies on
     assert ex <= sim
+
+
+def test_compression_frontier_matches_python(spark):
+    """sim_compression_frontier: the bytes-vs-recall ladder must match
+    a Python replay of all four rungs (exact fold cosine, SQ8
+    dequant, md5 sign-plane JL-16, 1-bit Hamming) over the shared
+    query set — with the float32-anchor and recall-ordering laws
+    asserted."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.vector_audit import (
+        CF_JL_K,
+        CF_K,
+        CF_QUERIES,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["method"]: r
+        for r in load_all()["sim_compression_frontier"].spark_fn(spark, sf).collect()
+    }
+
+    emb = _pd("embeddings", sf)
+    ids = list(emb["vec_id"])
+    E = np.array(list(emb["embedding"]))
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    pos = {v: i for i, v in enumerate(ids)}
+    q0, q8 = Decimal("1"), Decimal("1e-8")
+
+    # SQ8 dequant + fold cosine vs each query
+    dq = {}
+    for v in ids:
+        x = E[pos[v]]
+        mn, mx = float(x.min()), float(x.max())
+        sc = (mx - mn) / 255.0
+        dq[v] = (
+            [mn] * len(x)
+            if sc == 0
+            else [
+                mn
+                + float(
+                    Decimal(repr((float(e) - mn) / sc)).quantize(
+                        q0, ROUND_HALF_UP
+                    )
+                )
+                * sc
+                for e in x
+            ]
+        )
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for k in range(len(a)):
+            xx, yy = float(a[k]), float(b[k])
+            dot += xx * yy
+            na += xx * xx
+            nb += yy * yy
+        return dot / (np.sqrt(na) * np.sqrt(nb) + 1e-10)
+
+    # JL-16: md5 sign planes, y = decimal-sum of round-8 terms / 4
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"jl:{k}:{i}".encode()).hexdigest()[0], 16)
+                % 2
+                == 0
+                else -1
+                for i in range(64)
+            ]
+            for k in range(CF_JL_K)
+        ],
+        dtype=float,
+    )
+    proj = {}
+    for v in ids:
+        x = E[pos[v]].astype(float)
+        proj[v] = np.array(
+            [
+                float(
+                    sum(
+                        (
+                            Decimal(repr(round(S[k][i] * x[i], 8))).quantize(
+                                q8, ROUND_HALF_UP
+                            )
+                            for i in range(64)
+                        ),
+                        Decimal(0),
+                    )
+                )
+                / 4.0
+                for k in range(CF_JL_K)
+            ]
+        )
+    n2 = {v: float(np.round(proj[v] * proj[v], 8).sum()) for v in ids}
+
+    codes = {}
+    for r in emb.itertuples(index=False):
+        bits = 0
+        for i, x in enumerate(r.embedding):
+            if float(x) > 0:
+                bits |= 1 << i
+        codes[r.vec_id] = bits
+
+    h_sq8 = h_jl = h_ham = h_total = 0
+    for q in range(CF_QUERIES):
+        cand = [v for v in ids if v != q]
+        top_exact = set(
+            sorted(cand, key=lambda v: (-cos[pos[q], pos[v]], v))[:CF_K]
+        )
+        top_sq8 = set(
+            sorted(
+                cand, key=lambda v: (-round(fold_cos(dq[v], E[pos[q]]), 4), v)
+            )[:CF_K]
+        )
+        def s_jl(v):
+            dot = float(
+                sum(
+                    (
+                        Decimal(repr(round(proj[v][k] * proj[q][k], 8))).quantize(
+                            q8, ROUND_HALF_UP
+                        )
+                        for k in range(CF_JL_K)
+                    ),
+                    Decimal(0),
+                )
+            )
+            return round(dot / (np.sqrt(n2[v]) * np.sqrt(n2[q]) + 1e-10), 4)
+        top_jl = set(sorted(cand, key=lambda v: (-s_jl(v), v))[:CF_K])
+        top_ham = set(
+            sorted(
+                cand,
+                key=lambda v: (bin(codes[v] ^ codes[q]).count("1"), v),
+            )[:CF_K]
+        )
+        h_total += CF_K
+        h_sq8 += len(top_sq8 & top_exact)
+        h_jl += len(top_jl & top_exact)
+        h_ham += len(top_ham & top_exact)
+
+    want = {
+        "0_float32": (256, 1.0),
+        "1_sq8": (64, round(h_sq8 / h_total, 4)),
+        "2_jl16": (64, round(h_jl / h_total, 4)),
+        "3_binary": (8, round(h_ham / h_total, 4)),
+    }
+    assert set(got) == set(want)
+    for m, (bpv, rec) in want.items():
+        r = got[m]
+        assert r["bytes_per_vec"] == bpv
+        assert abs(r["recall_at_k"] - rec) <= 1e-9, (m, r["recall_at_k"], rec)
+    # ladder laws: the anchor is exact; 1-bit never beats SQ8
+    assert got["0_float32"]["recall_at_k"] == 1.0
+    assert got["3_binary"]["recall_at_k"] <= got["1_sq8"]["recall_at_k"]
