@@ -5333,3 +5333,65 @@ def test_compression_frontier_matches_python(spark):
     # ladder laws: the anchor is exact; 1-bit never beats SQ8
     assert got["0_float32"]["recall_at_k"] == 1.0
     assert got["3_binary"]["recall_at_k"] <= got["1_sq8"]["recall_at_k"]
+
+
+def test_fuzzy_correct_matches_python(spark):
+    """ta_fuzzy_correct: the injected typos, the brute-force
+    edit-distance-1 dictionary scan (NO deletion-key blocking — the
+    independent algorithm), and the frequency-ranked corrections must
+    match."""
+    from collections import Counter
+
+    from mcp_rag_server_spark.operators.textanalysis import (
+        FUZZY_MIN_LEN,
+        FUZZY_MOD,
+        FUZZY_REM,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["ta_fuzzy_correct"].spark_fn(spark, sf).collect()
+
+    docs = _pd("documents", sf)
+    dictionary = Counter()
+    typos = Counter()
+    for r in docs.itertuples(index=False):
+        toks = r.text.split(" ")
+        dictionary.update(toks)
+        if r.doc_id % FUZZY_MOD == FUZZY_REM:
+            t = toks[0]
+            if len(t) >= FUZZY_MIN_LEN:
+                typos[t[0] + t[2:]] += 1
+
+    def lev1(a, b):
+        """edit distance exactly 1 (brute force, not the deletion
+        neighborhood)."""
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # one substitution
+            return sum(1 for x, y in zip(a, b) if x != y) == 1
+        s, t = (a, b) if la < lb else (b, a)  # one insertion
+        i = 0
+        while i < len(s) and s[i] == t[i]:
+            i += 1
+        return s[i:] == t[i + 1 :]
+
+    want = []
+    for typo in sorted(typos):
+        cands = [
+            (-cnt, tok)
+            for tok, cnt in dictionary.items()
+            if lev1(typo, tok)
+        ]
+        if not cands:
+            continue
+        negc, tok = min(cands)
+        want.append((typo, typos[typo], tok, -negc))
+    assert [
+        (r["typo"], r["n_typo_docs"], r["correction"], r["correction_cnt"])
+        for r in rows
+    ] == want
+    assert len(want) > 0
