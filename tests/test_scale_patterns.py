@@ -5395,3 +5395,95 @@ def test_fuzzy_correct_matches_python(spark):
         for r in rows
     ] == want
     assert len(want) > 0
+
+
+def test_dataset_card_matches_python(spark):
+    """ta_dataset_card: every datasheet cell must match a Python
+    recomputation over the raw corpus — the composed census of the
+    per-operator checks above (gopher rules, CCNet tiers, LSH-verified
+    near-dup pairs, token stats) in one row."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.quality import (
+        CCNET_HEAD_LT,
+        CCNET_MIDDLE_LT,
+        RULE_MAX_MEAN_WORDLEN,
+        RULE_MAX_TOKENS,
+        RULE_MIN_DISTINCT_RATIO,
+        RULE_MIN_MEAN_WORDLEN,
+        RULE_MIN_TOKENS,
+        STOPWORDS,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all()["ta_dataset_card"].spark_fn(spark, sf).collect()[0]
+
+    docs = _pd("documents", sf)
+    tf = Counter()
+    for r in docs.itertuples(index=False):
+        tf.update(r.text.split(" "))
+    n_tok = sum(tf.values())
+    sw = set(STOPWORDS)
+    q8 = Decimal("1e-8")
+    n_pass = n_head = n_middle = n_tail = 0
+    for r in docs.itertuples(index=False):
+        toks = r.text.split(" ")
+        nt = len(toks)
+        dr = len(set(toks)) / nt
+        mw = (r.n_chars - nt + 1) / nt
+        if (
+            RULE_MIN_TOKENS <= nt <= RULE_MAX_TOKENS
+            and RULE_MIN_MEAN_WORDLEN <= mw <= RULE_MAX_MEAN_WORDLEN
+            and dr >= RULE_MIN_DISTINCT_RATIO
+            and any(t in sw for t in toks)
+        ):
+            n_pass += 1
+        s = sum(
+            (
+                Decimal(repr(round(float(np.log(n_tok / tf[t])), 8))).quantize(
+                    q8, ROUND_HALF_UP
+                )
+                for t in toks
+            ),
+            Decimal(0),
+        )
+        ms = round(float(s) / nt, 6)
+        if ms < CCNET_HEAD_LT:
+            n_head += 1
+        elif ms < CCNET_MIDDLE_LT:
+            n_middle += 1
+        else:
+            n_tail += 1
+
+    _, bands, _, toksets, sources = _py_minhash(sf)
+    pairs = [
+        (a, b)
+        for a, b in _py_lsh_candidates(bands)
+        if sources[a] == sources[b]
+        and len(toksets[a] & toksets[b]) / len(toksets[a] | toksets[b])
+        >= 0.9
+    ]
+    dup_docs = {d for p in pairs for d in p}
+    n_docs = len(docs)
+
+    assert row["n_docs"] == n_docs
+    assert row["n_sources"] == docs["source"].nunique()
+    assert row["n_langs"] == docs["lang"].nunique()
+    assert row["total_chars"] == int(docs["n_chars"].sum())
+    assert row["n_tokens"] == n_tok
+    assert row["vocab_size"] == len(tf)
+    assert abs(row["mean_doc_tokens"] - round(n_tok / n_docs, 2)) <= 1e-9
+    assert row["n_gopher_pass"] == n_pass
+    assert abs(row["gopher_pass_rate"] - round(n_pass / n_docs, 4)) <= 1e-9
+    assert row["n_neardup_pairs"] == len(pairs)
+    assert row["n_dup_docs"] == len(dup_docs)
+    assert abs(row["dup_doc_pct"] - round(len(dup_docs) / n_docs, 4)) <= 1e-9
+    assert (row["n_head"], row["n_middle"], row["n_tail"]) == (
+        n_head, n_middle, n_tail,
+    )
+    # datasheet mass conservation: tiers partition the corpus
+    assert row["n_head"] + row["n_middle"] + row["n_tail"] == n_docs
