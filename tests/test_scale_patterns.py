@@ -5487,3 +5487,62 @@ def test_dataset_card_matches_python(spark):
     )
     # datasheet mass conservation: tiers partition the corpus
     assert row["n_head"] + row["n_middle"] + row["n_tail"] == n_docs
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, no_broadcast):
+    """AQE skew-join is the README scale note's runtime lever beside
+    the explicit salted_join: with skewJoin enabled and thresholds
+    forced low, a 90%-hot-key sort-merge join must execute with the
+    hot partition SPLIT (the final adaptive plan reports a skew=true
+    shuffle read), and the result must equal the plain join row set."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        big = spark.range(0, 40_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        small = spark.range(0, 2_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("dim_val"),
+        )
+        # the executed-plan inspection must target the SAME dataset the
+        # action ran on (each action materializes its own QE): reduce
+        # the join to one count row and collect THAT dataset. The agg
+        # reads payload so column pruning cannot strip the shuffle down
+        # to the constant hot key (which compresses below any skew
+        # byte threshold).
+        cnt = big.join(small, "k").groupBy().agg(
+            F.count("*").alias("n"), F.sum(F.length("payload")).alias("b")
+        )
+        n = cnt.collect()[0]["n"]
+        big_counts = dict(big.groupBy("k").count().collect())
+        small_counts = dict(small.groupBy("k").count().collect())
+        want = sum(
+            c * small_counts.get(k, 0) for k, c in big_counts.items()
+        )
+        assert n == want
+        final_plan = cnt._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan, final_plan[:500]
+        # the hot partition was detected and split
+        assert "skewed" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
