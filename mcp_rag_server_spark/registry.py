@@ -71,72 +71,70 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 7 rotation): the driver checks a
-#: 50-query prefix of this ordering. Round-6 verdict: 121 of 302
-#: registered queries have no driver row; directive = point the whole
-#: window at the backlog and FREEZE new registrations until it clears.
-#: This window = (a) the 43 alphabetically-first never-driver-checked
-#: queries per tools/rotation_audit.py; (b) sim_knn_graph +
-#: dd_embedding_neardup, whose candidate generation was re-blocked on
-#: data-derived LSH/kmeans keys this round (r6 verdict task 2) and so
-#: need fresh rows; (c) the five streaming queries st_enrich_static /
-#: st_heavy_hitters / st_incremental_rollup / st_kmv_sketch /
-#: st_lambda_cutover (r6 verdict task 4 — the exactly-once/state
-#: surface of SURVEY §2.9). Exactly 50 entries. The remaining
-#: never-checked backlog (~71 after this window scores) is the r8
-#: window, in rotation_audit order — regenerate the list with
-#: `python3 tools/rotation_audit.py`, do not hand-maintain it here.
+#: Driver-evidence priority (round 8 rotation): the driver checks a
+#: 50-query prefix of this ordering. Round-7 verdict: 72 of 302
+#: registered queries have no driver row (cumulative 230 distinct
+#: green); directive = keep the whole window on the backlog and keep
+#: the registration FREEZE until it clears. This window = the 50
+#: first never-driver-checked queries in tools/rotation_audit.py
+#: order (its "(a) NO driver row" section, verbatim:
+#: ev_rolling_median … ta_lang_confusion). Exactly 50 entries. The
+#: remaining 22 never-checked queries (ta_leakage_safe_split …
+#: zorder_layout) are the r9 window, after which rotation returns to
+#: oldest-vintage re-checks and registration may resume — regenerate
+#: the list with `python3 tools/rotation_audit.py`, do not
+#: hand-maintain it here.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "agg_cm_sketch_audit",
-    "agg_join_cardinality_audit",
-    "agg_kmv_distinct_audit",
-    "agg_mode_per_group",
-    "agg_ols_sufficient_stats",
-    "agg_skew_kurtosis",
-    "agg_skyline_2d",
-    "agg_winsorized_mean",
-    "dd_cluster_size_hist",
-    "dd_cross_source_matrix",
-    "dd_graph_degree_stats",
-    "dd_method_agreement",
-    "dd_minhash_bbit_audit",
-    "dd_minhash_est_audit",
-    "dd_soft_dedup_weights",
-    "dd_threshold_sweep",
-    "dd_url_canonicalize",
-    "dq_expectations_audit",
-    "ev_absorbing_conversion_prob",
-    "ev_anomaly_seasonal_zscore",
-    "ev_bootstrap_ci",
-    "ev_bot_heuristics",
-    "ev_changepoint",
-    "ev_cohort_ltv_curve",
-    "ev_concurrency_curve",
-    "ev_conversion_window_sensitivity",
-    "ev_cuped_adjustment",
-    "ev_delta_decomposition",
-    "ev_did_estimator",
-    "ev_entropy_rate",
-    "ev_forecast_backtest",
-    "ev_funnel_time_quantiles",
-    "ev_growth_accounting",
-    "ev_hits_scores",
-    "ev_interpurchase_burstiness",
-    "ev_ivm_delta_rollup",
-    "ev_markov_stationary",
-    "ev_msprt_sequential",
-    "ev_mutual_information",
-    "ev_ohlc_bars",
-    "ev_power_mde",
-    "ev_propensity_ipw",
-    "ev_ratio_metric_ci",
-    "sim_knn_graph",
-    "dd_embedding_neardup",
-    "st_enrich_static",
-    "st_heavy_hitters",
-    "st_incremental_rollup",
-    "st_kmv_sketch",
-    "st_lambda_cutover",
+    "ev_rolling_median",
+    "ev_seasonal_decompose",
+    "ev_seq_pattern_support",
+    "ev_slo_burn_rate",
+    "ev_stickiness_ratio",
+    "ev_theil_sen",
+    "ev_user_overlap_jaccard",
+    "ev_welch_ttest",
+    "fileops_du_rollup",
+    "ingest_compaction_plan",
+    "ingest_csv_malformed",
+    "ingest_orc_roundtrip",
+    "ingest_snapshot_diff",
+    "mm_scene_cuts",
+    "rag_multi_query_fusion",
+    "rag_parent_doc_topk",
+    "set_all_multiplicity",
+    "sim_binary_hamming_topk",
+    "sim_cascade_rerank",
+    "sim_centroid_drift",
+    "sim_compression_frontier",
+    "sim_filtered_topk",
+    "sim_graph_greedy_search",
+    "sim_hard_negatives",
+    "sim_kcore_decompose",
+    "sim_maxsim_topk",
+    "sim_mips_augmented",
+    "sim_multiprobe_lsh",
+    "sim_ndcg_sq8_eval",
+    "sim_power_iteration_pc1",
+    "sim_pq_train",
+    "sim_random_projection_jl",
+    "sql_lateral_topn",
+    "sql_recursive_reach",
+    "ta_admission_pipeline",
+    "ta_bigram_logprob",
+    "ta_bpe_apply",
+    "ta_bpe_train",
+    "ta_ccnet_buckets",
+    "ta_code_detect",
+    "ta_dataset_card",
+    "ta_doremi_step",
+    "ta_dsir_weights",
+    "ta_feature_hashing",
+    "ta_fuzzy_correct",
+    "ta_gains_chart",
+    "ta_kanonymity_audit",
+    "ta_kl_source_drift",
+    "ta_kneser_ney_bigram",
+    "ta_lang_confusion",
 )
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry re-keyed so DRIVER_PRIORITY names come first (in that
