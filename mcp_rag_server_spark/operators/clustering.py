@@ -371,19 +371,39 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pick identical seeds); every vector probes its CELL_PROBES nearest
 #: cells (squared-L2, rounded-6, cell-id tie-break), so candidate pairs
 #: are vectors sharing a probed cell. Multi-probe to 2 cells recovers
-#: boundary pairs a single-cell assignment would sever. CELL_SEEDS is
-#: fixture-sized; at 100 TB the seed count scales with the corpus
-#: (nlist ~ N / target-cell-size, trained like sim_kmeans_refine's
-#: codebook) so expected cell size — and per-cell quadratic work —
-#: stays constant. Measured on the near-isotropic fixture (DuckDB
-#: probe, BENCH_NOTES): pair recall at cosine>=0.35 is 196/272 (0.72)
-#: at sf0.01 and 2948/4143 (0.71) at sf0.1; kNN recall@3 is 0.69 /
-#: 0.70 — honestly bounded, like the multi-probe/JL audits, because
-#: isotropic vectors carry little cluster structure for ANY geometric
-#: blocking; production embedding corpora are strongly clustered.
-CELL_SEEDS = 8
+#: boundary pairs a single-cell assignment would sever. The seed
+#: count is COMPUTED from the corpus: nlist = max(CELL_SEEDS,
+#: ceil(N / TARGET_CELL_SIZE)) — see :func:`n_cells` — so expected
+#: cell size, and with it the per-cell quadratic pair work, stays
+#: constant as the corpus grows (the IVF sizing rule; at real scale
+#: the seeds would be kmeans-trained like sim_kmeans_refine's
+#: codebook, but the count law is the same). At every fixture SF
+#: (5 / 500 / 5000 vectors) the formula resolves to the CELL_SEEDS
+#: floor of 8, so fixture behavior — and every recorded recall
+#: number — is unchanged. Measured on the near-isotropic fixture
+#: (DuckDB probe, BENCH_NOTES): pair recall at cosine>=0.35 is
+#: 196/272 (0.72) at sf0.01 and 2948/4143 (0.71) at sf0.1; kNN
+#: recall@3 is 0.69 / 0.70 — honestly bounded, like the
+#: multi-probe/JL audits, because isotropic vectors carry little
+#: cluster structure for ANY geometric blocking; production embedding
+#: corpora are strongly clustered.
+CELL_SEEDS = 8  # nlist floor — what every fixture SF resolves to
 CELL_PROBES = 2
 CELL_SALT = "cell"
+#: Target expected vectors per IVF cell: nlist grows ∝ N above
+#: CELL_SEEDS · TARGET_CELL_SIZE vectors (8192 — above the largest
+#: fixture, far below any production corpus), bounding candidate
+#: pairs per vector at ~CELL_PROBES · TARGET_CELL_SIZE regardless of
+#: corpus size.
+TARGET_CELL_SIZE = 1024
+
+
+def n_cells(n_vectors: int) -> int:
+    """IVF cell count for a corpus of ``n_vectors``: ceil(N / target
+    cell size), floored at CELL_SEEDS. Shared by the Spark plan, the
+    DuckDB oracle CTE (which embeds the same formula as SQL over
+    COUNT(*)), and the Python twin in tests."""
+    return max(CELL_SEEDS, -(-int(n_vectors) // TARGET_CELL_SIZE))
 
 
 def cell_probes(emb: DataFrame) -> DataFrame:
@@ -392,7 +412,15 @@ def cell_probes(emb: DataFrame) -> DataFrame:
     (CELL_SEEDS rows); distances are one narrow pass; the top-2 pick is
     a map-side-combinable ``collect_list`` of CELL_SEEDS structs per
     vector — no window, no N×k sort-shuffle (the `_assign` argument,
-    extended to rank 2)."""
+    extended to rank 2). The seed count is :func:`n_cells` of the
+    corpus size — the count is a 1-row scalar (parquet-footer count at
+    the fixture layout), and the dynamic limit still plans as a
+    TakeOrdered, never a global sort. At large nlist the
+    collect_list-of-nlist-structs top-2 state grows with nlist; the
+    scale path swaps it for sim_kmeans_refine's ``min(struct)``
+    argmin taken twice (constant state) — same contract, same
+    arithmetic."""
+    nlist = n_cells(emb.count())
     seeds = (
         emb.orderBy(
             F.md5(
@@ -401,7 +429,7 @@ def cell_probes(emb: DataFrame) -> DataFrame:
                 )
             )
         )
-        .limit(CELL_SEEDS)
+        .limit(nlist)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
     )
     dd = F.round(
@@ -432,9 +460,14 @@ def duckdb_cell_probes_cte() -> str:
     :func:`cell_probes` arithmetic exactly (index-order squared-L2
     fold, round 6, (dd, cell) tie-break)."""
     return f"""cp_seeds AS (
-  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-  ORDER BY md5('{CELL_SALT}:' || CAST(vec_id AS VARCHAR))
-  LIMIT {CELL_SEEDS}
+  SELECT cell, cvec FROM (
+    SELECT vec_id AS cell, embedding AS cvec,
+           row_number() OVER (
+             ORDER BY md5('{CELL_SALT}:' || CAST(vec_id AS VARCHAR))
+           ) AS cp_sr
+    FROM embeddings)
+  WHERE cp_sr <= GREATEST({CELL_SEEDS},
+    CEIL((SELECT COUNT(*) FROM embeddings) / {TARGET_CELL_SIZE}.0))
 ),
 cp_dist AS (
   SELECT e.vec_id, s.cell,

@@ -659,9 +659,11 @@ ORDER BY vec_a, vec_b
     "dd_embedding_neardup",
     oracle=_embedding_neardup_oracle(),
     description="embedding-cosine near-dup pairs blocked on DATA-derived"
-    " IVF cells (8 md5-seeded medoids, 2-probe assignment) + exact"
+    " IVF cells (corpus-scaled md5-seeded medoids — ceil(N/1024),"
+    " floor 8, so 8 at every fixture SF — 2-probe assignment) + exact"
     " rounded-cosine verify — never an all-pairs or fixture-label join",
     tags=("dedup", "vector", "clustering"),
+    bench=True,
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with the SemDeDup economics, but the blocking
@@ -2624,14 +2626,20 @@ def _agreement_counts_sql() -> str:
       is fine, it is only the BIG relation that must never see a
       Hamming theta join.
 
-    The DuckDB oracle keeps the generic tagged-census derivation, so
-    the hash gate checks these counting identities against an
-    independent computation of the same six numbers."""
+    The DuckDB oracle keeps the generic tagged-census derivation over
+    DISTINCT tagged pairs, so every ``lsh_pairs_v`` count here is
+    ``COUNT(DISTINCT doc_a, doc_b)`` too — parity no longer leans on
+    ``_lsh_candidate_pairs`` keeping its output distinct (it does
+    today; this stops a future duplicate-row change surfacing as a
+    confusing parity diff). The hash gate checks these counting
+    identities against an independent computation of the same six
+    numbers."""
     vals_nz = ", ".join(f"({m})" for m in _simhash_masks() if m)
     return f"""
 SELECT l.n_lsh, s.n_sim, e.n_ex, ls.n_ls, le.n_le, se.n_se
 FROM
- (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh_pairs_v) l,
+ (SELECT CAST(COUNT(DISTINCT doc_a, doc_b) AS BIGINT) AS n_lsh
+    FROM lsh_pairs_v) l,
  (SELECT CAST(COALESCE(SUM(term), 0) AS BIGINT) AS n_sim FROM (
     SELECT SUM(c * (c - 1) DIV 2) AS term
     FROM (SELECT COUNT(*) AS c FROM simhash_v GROUP BY simhash)
@@ -2646,13 +2654,13 @@ FROM
       ON b.simhash = p.probe AND p.simhash < b.simhash) u) s,
  (SELECT CAST(COALESCE(SUM(c * (c - 1) DIV 2), 0) AS BIGINT) AS n_ex
     FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))) e,
- (SELECT CAST(COUNT(*) AS BIGINT) AS n_ls
+ (SELECT CAST(COUNT(DISTINCT p.doc_a, p.doc_b) AS BIGINT) AS n_ls
     FROM lsh_pairs_v p
     JOIN simhash_v x ON x.doc_id = p.doc_a
     JOIN simhash_v y ON y.doc_id = p.doc_b
     WHERE bit_count(x.simhash ^ y.simhash)
           <= {SIMHASH_AGREE_HAMMING}) ls,
- (SELECT CAST(COUNT(*) AS BIGINT) AS n_le
+ (SELECT CAST(COUNT(DISTINCT p.doc_a, p.doc_b) AS BIGINT) AS n_le
     FROM lsh_pairs_v p
     JOIN documents da ON da.doc_id = p.doc_a
     JOIN documents db ON db.doc_id = p.doc_b
@@ -2680,6 +2688,7 @@ FROM
     " verified near-dups — the parameterization warning hashed as"
     " data",
     tags=("dedup", "audit", "simhash", "minhash"),
+    bench=True,
 )
 def dd_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipelines routinely stack dedup methods; whether they agree is

@@ -627,6 +627,19 @@ def _cell_scored_half(emb: DataFrame) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
         )
         .distinct()
+        # The scoring join below broadcasts both embedding sides, so
+        # the interpreted HOF cosine fold over ~1M candidate pairs
+        # (sf0.1) inherits THIS side's partitioning — which collapses
+        # to ONE task (~13 s single-threaded, r7 verdict item 3): the
+        # upstream collect_list shuffle is already hashpartitioning
+        # (vec_id = vec_a, 32), so EnsureRequirements ELIMINATES a
+        # repartition(32, "vec_a") as redundant, and AQE then
+        # coalesces that tiny (≈N rows) shuffle to a single reader
+        # that pipelines the whole pair expansion + distinct + fold.
+        # Round-robin can be neither eliminated nor coalesced, and
+        # per-row math is partitioning-independent — measured 32 even
+        # tasks and a 12.6 s → ~2 s steady fold (BENCH_NOTES r8).
+        .repartition(32)
     )
     withnorm = emb.select(
         "vec_id", "embedding", F.expr(_GB_NORM).alias("nrm")
@@ -673,10 +686,11 @@ ORDER BY vec_id, rnk
     "sim_knn_graph",
     oracle=_knn_graph_oracle(),
     description="k-NN graph build over embeddings: per vector the top-3"
-    " cosine neighbors among IVF-cell candidates (8 md5-seeded medoid"
-    " cells, 2-probe assignment; rounded-score + neighbor-id total"
-    " order) — the neighborhood graph that seeds graph-ANN indexes,"
-    " semantic-dedup connectivity, and diversity-aware sampling",
+    " cosine neighbors among IVF-cell candidates (corpus-scaled"
+    " md5-seeded medoid cells — ceil(N/1024), floor 8 — 2-probe"
+    " assignment; rounded-score + neighbor-id total order) — the"
+    " neighborhood graph that seeds graph-ANN indexes, semantic-dedup"
+    " connectivity, and diversity-aware sampling",
     tags=("similarity", "vector", "graph", "knn"),
     bench=True,
 )

@@ -1243,6 +1243,7 @@ def _frontier_sql(dialect: str) -> str:
     " queries — the storage-budget decision table every vector-index"
     " deployment starts from",
     tags=("similarity", "vector", "quantization", "audit", "eval"),
+    bench=True,
 )
 def sim_compression_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each compression rung is registered alone (sim_sq8_topk,

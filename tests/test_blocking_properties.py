@@ -191,3 +191,26 @@ def test_kmv_union_of_sketches_is_sketch_of_union(a, b):
     100 TB (combine per-shard sketches, never re-scan)."""
     sk = lambda s: set(sorted(s)[:KMV_K])
     assert sk(sk(a) | sk(b)) == sk(a | b)
+
+
+def test_ivf_cell_count_scales_with_corpus():
+    """clustering.n_cells (r7 verdict item 4): the IVF cell count is
+    COMPUTED from the corpus — floor CELL_SEEDS at every fixture SF
+    (5 / 500 / 5000 vectors, so fixture hashes and recall contracts
+    are unchanged), then ceil(N / TARGET_CELL_SIZE) above it, which
+    keeps expected cell size — and per-cell quadratic candidate work —
+    constant as the corpus grows."""
+    from mcp_rag_server_spark.operators.clustering import (
+        CELL_SEEDS,
+        TARGET_CELL_SIZE,
+        n_cells,
+    )
+
+    for fixture_n in (5, 500, 5000):
+        assert n_cells(fixture_n) == CELL_SEEDS
+    assert n_cells(CELL_SEEDS * TARGET_CELL_SIZE) == CELL_SEEDS
+    assert n_cells(CELL_SEEDS * TARGET_CELL_SIZE + 1) == CELL_SEEDS + 1
+    # 1B vectors -> ~1M cells, expected cell size stays TARGET_CELL_SIZE
+    n = 1_000_000_000
+    assert n_cells(n) == -(-n // TARGET_CELL_SIZE)
+    assert n / n_cells(n) <= TARGET_CELL_SIZE

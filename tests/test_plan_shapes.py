@@ -1212,9 +1212,20 @@ def test_pair_candidates_are_cell_blocked_not_label_blocked(spark):
             name,
             stripped[:2000],
         )
-        # the fixture label column must appear nowhere — not as a join
-        # key, not even in the scan schema (column pruning)
-        assert "label" not in stripped, name
+        # the fixture label column must not be a join key and must be
+        # pruned from every scan — checked against the join-key lists
+        # and ReadSchema/output lines specifically (a whole-plan
+        # substring check would trip on any future alias or codegen
+        # node name containing 'label')
+        key_lines = re.findall(r"keys(?: \[\d+\])?: \[[^\]]*\]", stripped)
+        assert not any("label" in k for k in key_lines), (name, key_lines)
+        schema_lines = re.findall(
+            r"(?:ReadSchema|Output(?: \[\d+\])?): \S*[^\n]*", stripped
+        )
+        assert not any("label" in s for s in schema_lines), (
+            name,
+            [s for s in schema_lines if "label" in s],
+        )
         # nested loops are only the CELL_SEEDS-row seed broadcasts (one
         # per self-join side); counted via the detail-section headers
         # (the tree section lists every node a second time)

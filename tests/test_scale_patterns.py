@@ -642,14 +642,14 @@ def _cell_candidate_sets(ids, E):
     from mcp_rag_server_spark.operators.clustering import (
         CELL_PROBES,
         CELL_SALT,
-        CELL_SEEDS,
+        n_cells,
     )
 
     pos = {v: i for i, v in enumerate(ids)}
     seed_ids = sorted(
         ids,
         key=lambda v: hashlib.md5(f"{CELL_SALT}:{v}".encode()).hexdigest(),
-    )[:CELL_SEEDS]
+    )[: n_cells(len(ids))]
     cells = {}
     for v in ids:
         x = E[pos[v]]

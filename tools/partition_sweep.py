@@ -59,6 +59,7 @@ def main() -> int:
             f" read_parquet('{sf}/{t}.parquet')"
         )
     bad: list[str] = []
+    unchecked: list[str] = []  # ran, but no oracle to compare against
     for name in sorted(qs):
         try:
             spdf = qs[name](spark, sf).toPandas()
@@ -76,10 +77,17 @@ def main() -> int:
                 ):
                     bad.append(name)
                     print("MISMATCH", name)
+            else:
+                unchecked.append(name)
         except Exception as e:  # noqa: BLE001 - sweep reports, not raises
             bad.append(name)
             print("ERROR", name, type(e).__name__, str(e)[:160])
-    print(f"swept {len(qs)} queries at local[3]/3: {len(bad)} bad {bad}")
+    compared = len(qs) - len(unchecked) - len(bad)
+    print(
+        f"swept {len(qs)} queries at local[3]/3: {compared} compared and"
+        f" matched, {len(unchecked)} ran-but-no-oracle {unchecked},"
+        f" {len(bad)} bad {bad}"
+    )
     return 1 if bad else 0
 
 
