@@ -41,7 +41,12 @@ def main() -> None:
     # query, not session bring-up (the driver's interest is throughput).
     bench_specs["rag_topk"].spark_fn(spark, sf_dir).collect()
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Min-of-3 by default: two consecutive rounds recorded a
+    # load-contaminated official bench (r6/r7 verdicts) — a third
+    # sample materially improves the odds the minimum catches an idle
+    # window when the box is busy. Still override with
+    # SPARK_GRAFT_BENCH_RUNS for quick iteration.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(bench_specs):
         best = float("inf")
