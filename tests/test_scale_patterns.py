@@ -5546,3 +5546,339 @@ def test_aqe_skew_join_splits_hot_partition(spark, no_broadcast):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_compaction_plan_matches_python_packing(spark):
+    """ingest_compaction_plan: per-source stats from an explicit Python
+    re-implementation of the sorted-greedy prefix-sum bin packing
+    (sort files bytes DESC / lang, EXCLUSIVE cumsum // target = bin) —
+    the packing law itself, independent of the shared SQL text."""
+    from mcp_rag_server_spark.operators.layout import (
+        COMPACT_SMALL_LT,
+        COMPACT_TARGET,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ingest_compaction_plan"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    docs = _pd("documents", sf)
+    files = (
+        docs.groupby(["source", "lang"])["n_chars"].sum().reset_index()
+    )
+    for source, grp in files.groupby("source"):
+        sizes = sorted(
+            zip(grp["n_chars"].astype(int), grp["lang"]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        bins: dict[int, int] = {}
+        cum = 0
+        for b, _lang in sizes:
+            bins[cum // COMPACT_TARGET] = (
+                bins.get(cum // COMPACT_TARGET, 0) + b
+            )
+            cum += b
+        r = got[source]
+        assert r["n_files"] == len(sizes)
+        assert r["total_bytes"] == sum(b for b, _ in sizes)
+        assert r["n_small_files"] == sum(
+            1 for b, _ in sizes if b < COMPACT_SMALL_LT
+        )
+        assert r["n_bins"] == len(bins)
+        assert r["max_bin_bytes"] == max(bins.values())
+        import math
+
+        fill = sum(b for b, _ in sizes) / (len(bins) * COMPACT_TARGET)
+        assert r["avg_fill_ratio"] == math.floor(fill * 1e4 + 0.5) / 1e4
+
+
+def test_orc_roundtrip_matches_python_and_rows(spark):
+    """ingest_orc_roundtrip: (a) the ORC-read aggregates match a plain
+    Python/Decimal recomputation from the parquet slice (Spark casts
+    double->DECIMAL(18,4) via the shortest-repr HALF_UP route —
+    Decimal(repr(v)) replicates it); (b) row-level: the ORC dir the
+    operator wrote reads back exceptAll-identical to the parquet slice
+    in BOTH directions, so compensating aggregate errors can't hide."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.ingest_query import TXT_USERS
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in load_all()["ingest_orc_roundtrip"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ev = _pd("events", sf)
+    ev = ev[ev["user_id"] < TXT_USERS]
+    q4 = Decimal("0.0001")
+    for et, grp in ev.groupby("event_type"):
+        r = got[et]
+        assert r["n_events"] == len(grp)
+        tot = sum(
+            Decimal(repr(float(v))).quantize(q4, ROUND_HALF_UP)
+            for v in grp["value"]
+        )
+        assert abs(r["total_value"] - float(tot)) <= 1e-9
+        assert r["max_event_id"] == int(grp["event_id"].max())
+        assert r["max_ts"] == grp["ts"].max().floor("us")
+
+    # row-level: the ORC dir written by the op vs the parquet slice
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ingest_orc_{_hl.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    back = spark.read.orc(os.path.join(base, "events_orc"))
+    src = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("user_id") < TXT_USERS)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .select(*[F.col(c).cast(t) for c, t in back.dtypes])
+    )
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+
+def test_snapshot_diff_matches_python_set_algebra(spark):
+    """ingest_snapshot_diff: added/removed/common from plain Python set
+    algebra over the residue classes — independent of both the Spark
+    manifest machinery and the oracle's NOT IN derivation."""
+    from mcp_rag_server_spark.operators.ingest_query import (
+        SD_ADD_MOD,
+        SD_DEL_MOD,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["version_pair"]: r
+        for r in load_all()["ingest_snapshot_diff"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ids = set(int(i) for i in _pd("documents", sf)["doc_id"])
+    v0 = {i for i in ids if i % SD_ADD_MOD != 0}
+    v1 = ids
+    v2 = {i for i in ids if i % SD_DEL_MOD != 0}
+    for pair, a, b in (("0_to_1", v0, v1), ("1_to_2", v1, v2)):
+        r = got[pair]
+        assert r["n_added"] == len(b - a)
+        assert r["n_removed"] == len(a - b)
+        assert r["n_common"] == len(a & b)
+
+
+def test_scene_cuts_matches_python_numpy(spark):
+    """mm_scene_cuts: per-doc frame energies / jumps / cuts recomputed
+    with a direct numpy pass over the UTF-8 bytes (independent of the
+    mapInPandas batching AND the DuckDB window-lag derivation)."""
+    import math
+
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.multimodal import (
+        SCENE_CUT_THRESHOLD,
+        SCENE_FRAME_LEN,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r
+        for r in load_all()["mm_scene_cuts"].spark_fn(spark, sf).collect()
+    }
+
+    def r4(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    docs = _pd("documents", sf)
+    n_checked = 0
+    for row in docs.itertuples(index=False):
+        if len(row.text) == 0:
+            assert row.doc_id not in got
+            continue
+        x = np.frombuffer(row.text.encode("utf-8"), np.uint8).astype(
+            np.int64
+        )
+        n = len(x) // SCENE_FRAME_LEN + (1 if len(x) % SCENE_FRAME_LEN else 0)
+        e = np.array(
+            [
+                x[i * SCENE_FRAME_LEN : (i + 1) * SCENE_FRAME_LEN].mean()
+                for i in range(n)
+            ]
+        )
+        jumps = np.abs(np.diff(e))
+        r = got[row.doc_id]
+        assert r["n_frames"] == n
+        assert r["n_cuts"] == int((jumps > SCENE_CUT_THRESHOLD).sum())
+        if len(jumps):
+            assert r["max_jump"] == r4(float(jumps.max()))
+        else:
+            assert r["max_jump"] is None
+        assert r["mean_energy"] == r4(float(e.mean()))
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_filtered_topk_matches_python_bruteforce(spark):
+    """sim_filtered_topk: brute-force Python top-k — apply the metadata
+    predicate, score every survivor with the ordered-fold cosine, rank
+    by (rounded score DESC, vec_id) — must equal the composed plan."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.similarity import (
+        FILT_K,
+        FILT_LANG,
+        FILT_MIN_CHARS,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        tuple(r)
+        for r in load_all()["sim_filtered_topk"]
+        .spark_fn(spark, sf)
+        .select("vec_id", "label", "lang", "n_chars", "score")
+        .collect()
+    ]
+
+    emb = _pd("embeddings", sf)
+    ids = [int(i) for i in emb["vec_id"]]
+    E = np.stack([np.asarray(v) for v in emb["embedding"]])
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    qpos = ids.index(0)
+    meta = {
+        int(r.doc_id): (r.lang, int(r.n_chars))
+        for r in _pd("documents", sf).itertuples(index=False)
+    }
+    label = {int(r.vec_id): r.label for r in emb.itertuples(index=False)}
+    cand = [
+        (v, label[v], meta[v][0], meta[v][1], float(cos[qpos, ids.index(v)]))
+        for v in ids
+        if v != 0
+        and meta[v][0] == FILT_LANG
+        and meta[v][1] >= FILT_MIN_CHARS
+    ]
+    cand.sort(key=lambda t: (-t[4], t[0]))
+    assert got == cand[:FILT_K]
+
+
+def test_admission_pipeline_matches_python_stages(spark):
+    """ta_admission_pipeline: the full 5-stage chain (lexicon gate ->
+    quality gate -> shingle-fingerprint dedup -> PII scrub -> per-source
+    budget) replayed as a sequential Python program with explicit
+    loops — every cross-stage contract re-derived without SQL."""
+    import re
+    from collections import defaultdict
+
+    from mcp_rag_server_spark.operators.quality import (
+        ADM_CHAR_BUDGET,
+        ADM_MAX_TOKENS,
+        ADM_MIN_DISTINCT,
+        ADM_MIN_TOKENS,
+    )
+    from mcp_rag_server_spark.operators.training_prep import (
+        EMAIL_RE,
+        PHONE_RE,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in load_all()["ta_admission_pipeline"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    en_lex = {"the", "a", "of", "value", "fast"}
+    tech_lex = {"query", "data", "stream", "group", "filter"}
+
+    docs = sorted(
+        _pd("documents", sf).itertuples(index=False),
+        key=lambda r: int(r.doc_id),
+    )
+    n_docs = defaultdict(int)
+    drop_lang = defaultdict(int)
+    drop_quality = defaultdict(int)
+    survivors = []  # (doc_id, source, text) past both gates
+    for r in docs:
+        src = r.source
+        n_docs[src] += 1
+        words = r.text.split(" ")
+        uniq = set(words)
+        en_like = len(uniq & en_lex) >= len(uniq & tech_lex)
+        quality_ok = (
+            ADM_MIN_TOKENS <= len(words) <= ADM_MAX_TOKENS
+            and len(uniq) / len(words) >= ADM_MIN_DISTINCT
+        )
+        if not en_like:
+            drop_lang[src] += 1
+        elif not quality_ok:
+            drop_quality[src] += 1
+        else:
+            survivors.append((int(r.doc_id), src, r.text, words))
+
+    seen_fp = set()
+    drop_dup = defaultdict(int)
+    deduped = []
+    for doc_id, src, text, words in survivors:  # doc_id ascending
+        sh = [
+            " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 0))
+        ]
+        fp = min(md5(s) for s in sh) if sh else md5(text)
+        if fp in seen_fp:
+            drop_dup[src] += 1
+        else:
+            seen_fp.add(fp)
+            deduped.append((doc_id, src, text))
+
+    n_redacted = defaultdict(int)
+    kept = defaultdict(int)
+    drop_budget = defaultdict(int)
+    chars_kept = defaultdict(int)
+    cum = defaultdict(int)
+    for doc_id, src, text in deduped:  # doc_id ascending per source
+        aug = text
+        if doc_id % 7 == 0:
+            aug += f" contact user{doc_id}@example.com now"
+        if doc_id % 11 == 0:
+            aug += f" call 555-{doc_id % 10000:04d}"
+        n_pii = len(re.findall(EMAIL_RE, aug)) + len(
+            re.findall(PHONE_RE, aug)
+        )
+        clean = re.sub(PHONE_RE, "[PHONE]", re.sub(EMAIL_RE, "[EMAIL]", aug))
+        if n_pii > 0:
+            n_redacted[src] += 1
+        cum[src] += len(clean)
+        if cum[src] <= ADM_CHAR_BUDGET:
+            kept[src] += 1
+            chars_kept[src] += len(clean)
+        else:
+            drop_budget[src] += 1
+
+    assert set(got) == set(n_docs)
+    for src, r in got.items():
+        assert r["n_docs"] == n_docs[src]
+        assert r["drop_lang"] == drop_lang[src]
+        assert r["drop_quality"] == drop_quality[src]
+        assert r["drop_dup"] == drop_dup[src]
+        assert r["n_redacted"] == n_redacted[src]
+        assert r["kept"] == kept[src]
+        assert r["drop_budget"] == drop_budget[src]
+        assert r["chars_kept"] == chars_kept[src]
