@@ -214,3 +214,58 @@ def test_ivf_cell_count_scales_with_corpus():
     n = 1_000_000_000
     assert n_cells(n) == -(-n // TARGET_CELL_SIZE)
     assert n / n_cells(n) <= TARGET_CELL_SIZE
+
+
+def test_winnowing_query_matches_python_mirror(spark):
+    """Bridge the property mirror to the REGISTERED query: per doc at
+    sf0.001, ta_winnowing_fingerprint's n_kgrams / n_fingerprints /
+    fp_digest / density must equal a direct Python winnowing pass
+    (same 32-bit md5 k-gram fold, packed h*2^20+i window minimum,
+    distinct PACKED selections, sorted '|'-joined md5 digest). The
+    guarantee test above checks the scheme; this checks the SQL
+    implements the scheme."""
+    import math
+
+    import duckdb
+
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r
+        for r in load_all()["ta_winnowing_fingerprint"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    assert len(got) == sum(
+        1 for _, text in docs if len(text.split(" ")) >= WINNOW_K
+    )
+    for doc_id, text in docs:
+        tokens = text.split(" ")
+        hs = _winnow_hashes(tokens)
+        if not hs:
+            assert doc_id not in got
+            continue
+        packed = [h * WINNOW_POS_MOD + i for i, h in enumerate(hs)]
+        sel = {
+            min(packed[end - WINNOW_W + 1 : end + 1])
+            for end in range(WINNOW_W - 1, len(packed))
+        }
+        digest = (
+            _hashlib.md5(
+                "|".join(str(c) for c in sorted(sel)).encode()
+            ).hexdigest()
+            if sel
+            else ""
+        )
+        r = got[doc_id]
+        assert r["n_kgrams"] == len(hs)
+        assert r["n_fingerprints"] == len(sel)
+        assert r["fp_digest"] == digest
+        assert r["density"] == math.floor(
+            len(sel) / len(hs) * 1e4 + 0.5
+        ) / 1e4
