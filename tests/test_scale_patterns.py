@@ -5882,3 +5882,104 @@ def test_admission_pipeline_matches_python_stages(spark):
         assert r["kept"] == kept[src]
         assert r["drop_budget"] == drop_budget[src]
         assert r["chars_kept"] == chars_kept[src]
+
+
+def test_attribution_last_touch_matches_python_replay(spark):
+    """ev_attribution_last_touch: sequential per-user replay — carry
+    the last click ts seen STRICTLY before each row, credit purchases
+    within the 24h deadline to the click's hour — recomputed with an
+    explicit loop (the Spark and DuckDB sides share one windowed SQL
+    text, so the carry/frame semantics need a third derivation)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mcp_rag_server_spark.operators.events import ATTR_WINDOW_US
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["click_hour"]: r
+        for r in load_all()["ev_attribution_last_touch"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+
+    ev = _pd("events", sf).sort_values(["user_id", "ts", "event_id"])
+    q4 = Decimal("0.0001")
+    n_purch = defaultdict(int)
+    credit = defaultdict(Decimal)
+    for _user, grp in ev.groupby("user_id", sort=False):
+        last_click = None
+        for r in grp.itertuples(index=False):
+            if (
+                r.event_type == "purchase"
+                and last_click is not None
+                and (r.ts - last_click).value // 1000 <= ATTR_WINDOW_US
+            ):
+                hour = last_click.floor("h")
+                n_purch[hour] += 1
+                credit[hour] += Decimal(repr(float(r.value))).quantize(
+                    q4, ROUND_HALF_UP
+                )
+            if r.event_type == "click":
+                last_click = r.ts
+    assert set(got) == set(n_purch)
+    for hour, r in got.items():
+        assert r["n_purchases"] == n_purch[hour]
+        assert abs(r["attributed_value"] - float(credit[hour])) <= 1e-9
+
+
+def test_context_pack_matches_python_replay(spark):
+    """rag_context_pack: greedy budget packing replayed in Python —
+    per query, rank all candidates by (rounded fold cosine DESC,
+    vec_id), bound the pool, inclusive-cumsum whitespace token counts,
+    keep while <= budget — independent of the shared rank/prefix-sum
+    window SQL."""
+    import numpy as np
+
+    from mcp_rag_server_spark.operators.rag import (
+        PACK_BUDGET_TOKENS,
+        PACK_POOL,
+        PACK_QUERIES,
+    )
+    from mcp_rag_server_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["q_id"]: r
+        for r in load_all()["rag_context_pack"].spark_fn(spark, sf).collect()
+    }
+
+    emb = _pd("embeddings", sf)
+    ids = [int(i) for i in emb["vec_id"]]
+    E = np.stack([np.asarray(v) for v in emb["embedding"]])
+    cos = np.round(_fold_cosine_matrix(E), 4)
+    ntok = {
+        int(r.doc_id): len(r.text.split(" "))
+        for r in _pd("documents", sf).itertuples(index=False)
+    }
+    expected = {}
+    for q in range(PACK_QUERIES):
+        qpos = ids.index(q)
+        pool = sorted(
+            (
+                (float(cos[qpos, ids.index(v)]), v)
+                for v in ids
+                if v != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:PACK_POOL]
+        cum, packed = 0, []
+        for score, v in pool:  # already in (score DESC, vec_id) order
+            cum += ntok[v]
+            if cum <= PACK_BUDGET_TOKENS:
+                packed.append((score, cum))
+        if packed:
+            expected[q] = packed
+    assert set(got) == set(expected)
+    for q, packed in expected.items():
+        r = got[q]
+        assert r["n_docs_packed"] == len(packed)
+        assert r["tokens_used"] == packed[-1][1]
+        assert r["min_score_packed"] == min(s for s, _ in packed)
+        assert r["top_score"] == max(s for s, _ in packed)
