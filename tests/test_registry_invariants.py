@@ -17,6 +17,12 @@ from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 #: item 3) — see BENCH_NOTES.md; cross-round totals compare on the
 #: original-18 subset, per-query times on everything.
 BENCH_SET = {
+    # round-8 promotions (r7 verdict item 5: the three slowest real
+    # queries regressed/hid silently because none was bench=True —
+    # BENCH_NOTES "Round-8 idle bench reference")
+    "dd_embedding_neardup",
+    "dd_method_agreement",
+    "sim_compression_frontier",
     # fourth-sitting promotions (BENCH_NOTES "Round-6 sitting bench")
     "ev_ivm_delta_rollup",
     "ta_bpe_apply",
