@@ -1219,7 +1219,12 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substring(md5(ct_t), 1, 8), 16, 10) AS BIGINT)))"
         ).alias("toks"),
     ).withColumn("ntok", F.size("toks"))
-    a, b = t.alias("a"), t.alias("b")
+    # round-robin the PROBE side: the build side broadcasts (2k rows),
+    # so the ~1.3M-pair array_intersect fold inherits the probe side's
+    # partitioning — the single-row-group fixture scan, ONE task
+    # (measured: 2.3 s single-task -> 0.76 s at 32 tasks; the
+    # _cell_scored_half lesson, BENCH_NOTES r8). Values are per-row.
+    a, b = t.repartition(32).alias("a"), t.alias("b")
     # materialize the intersection size ONCE per pair: containment,
     # jaccard, and the threshold filter all derive from this column
     # (inline expressions would re-evaluate the array_intersect per

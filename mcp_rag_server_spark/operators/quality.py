@@ -684,11 +684,13 @@ def ta_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("quality_ok"),
     )
+    # single-eval coalesce form — see ta_fingerprint: the size()-guarded
+    # CASE built the shingle array twice per row (no CSE for
+    # interpreted HOFs); array_min(empty) IS NULL
     sh_sql = word_shingles_sql("split(text, ' ')", 3, var="adm")
     fp = F.expr(
-        f"CASE WHEN size({sh_sql}) > 0 "
-        f"THEN array_min(transform({sh_sql}, admv -> md5(admv))) "
-        f"ELSE md5(text) END"
+        f"coalesce(array_min(transform({sh_sql}, admv -> md5(admv))),"
+        f" md5(text))"
     )
     surv = flagged.filter(F.col("en_like") & F.col("quality_ok")).select(
         "doc_id",

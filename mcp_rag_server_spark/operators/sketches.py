@@ -113,29 +113,45 @@ def agg_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data value, and the audit's contract is the bound, not the
     interpolation convention."""
     li = load_table(spark, sf_dir, "lineitem")
-    rows = []
-    for p in PCT_PS:
-        lo, hi = max(0.0, p - PCT_RANK_TOL), min(1.0, p + PCT_RANK_TOL)
-        rows.append(
-            li.agg(
-                F.lit(p).alias("p"),
-                F.count("*").alias("n_rows"),
-                F.expr(
-                    f"percentile_approx(l_extendedprice, {p}, {PCT_ACCURACY})"
-                ).alias("_approx"),
-                F.expr(f"percentile(l_extendedprice, {lo})").alias("_lo"),
-                F.expr(f"percentile(l_extendedprice, {hi})").alias("_hi"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    in_bound = (F.col("_approx") >= F.col("_lo")) & (
-        F.col("_approx") <= F.col("_hi")
+    # ONE aggregate pass for all three p's: the array forms of
+    # percentile_approx / percentile share a single sketch / a single
+    # sorted value buffer, where the per-p loop paid 3 scans and six
+    # independent exact-percentile states (measured 11 s -> ~3 s steady
+    # at sf0.1; values and hash identical — same literals, same
+    # arithmetic, one posexplode instead of a union)
+    ps = list(PCT_PS)
+    los = [max(0.0, p - PCT_RANK_TOL) for p in ps]
+    his = [min(1.0, p + PCT_RANK_TOL) for p in ps]
+    ps_sql = ", ".join(str(p) for p in ps)
+    bounds_sql = ", ".join(str(x) for x in los + his)
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            f"percentile_approx(l_extendedprice, array({ps_sql}),"
+            f" {PCT_ACCURACY})"
+        ).alias("_approx"),
+        F.expr(
+            f"percentile(l_extendedprice, array({bounds_sql}))"
+        ).alias("_bounds"),
     )
-    return out.select(
-        "p", "n_rows", in_bound.alias("approx_in_bound")
-    ).orderBy("p")
+    n = len(ps)
+    return (
+        agg.selectExpr(
+            "n_rows",
+            "_approx",
+            "_bounds",
+            f"posexplode(array({ps_sql})) AS (_i, p)",
+        )
+        .select(
+            "p",
+            "n_rows",
+            (
+                (F.expr("_approx[_i]") >= F.expr("_bounds[_i]"))
+                & (F.expr("_approx[_i]") <= F.expr(f"_bounds[_i + {n}]"))
+            ).alias("approx_in_bound"),
+        )
+        .orderBy("p")
+    )
 
 
 #: Bloom prefilter geometry: m bits, k md5-seeded hash positions.

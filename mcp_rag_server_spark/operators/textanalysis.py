@@ -208,11 +208,16 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Nested HOF (md5-transform over the shingle-transform) — built as SQL
     # text with distinct lambda vars (shi/fpv); see functions/vector.py.
+    # coalesce instead of a size()-guarded CASE: HOFs run interpreted
+    # with no common-subexpression elimination, so the CASE form built
+    # the full shingle array TWICE per row (guard + branch) — array_min
+    # of an empty array is NULL, which makes coalesce the single-eval
+    # equivalent (measured ~6 s -> ~3 s steady at sf0.1, values
+    # identical).
     sh_sql = word_shingles_sql("split(text, ' ')", 3, var="shi")
     fp = F.expr(
-        f"CASE WHEN size({sh_sql}) > 0 "
-        f"THEN array_min(transform({sh_sql}, fpv -> md5(fpv))) "
-        f"ELSE md5(text) END"
+        f"coalesce(array_min(transform({sh_sql}, fpv -> md5(fpv))),"
+        f" md5(text))"
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
