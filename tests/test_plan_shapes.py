@@ -2351,3 +2351,35 @@ def test_pq_train_argmin_is_partial_agg_not_window(spark):
     plan = plan_string(q(spark, "sim_pq_train"))
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0, plan
+
+
+def test_round8_perf_fixes_stay_pinned(spark):
+    """The four round-8 plan fixes, pinned so they can't silently
+    regress (BENCH_NOTES 'Round-8'):
+
+    1. sim_knn_graph / dd_containment carry a RoundRobinPartitioning
+       exchange under their pair stages — a by-key repartition there is
+       ELIMINATED by EnsureRequirements (the upstream shuffle already
+       hash-partitions on the same key) and AQE coalesces the survivor
+       to one reader, single-tasking the heavy per-pair fold; only
+       round-robin survives to the executed plan.
+    2. agg_percentile_audit reads lineitem ONCE — the array forms of
+       percentile_approx/percentile share one buffer (three per-p
+       aggregate passes scanned it three times).
+    3. ta_fingerprint builds the shingle array once per row — the
+       coalesce form; the size()-guarded CASE evaluated the
+       word_shingles fragment (its `sequence(1, greatest(` spine)
+       twice in the same Project."""
+    import re
+
+    p = plan_string(q(spark, "sim_knn_graph"))
+    assert "RoundRobinPartitioning" in p
+
+    p = plan_string(q(spark, "dd_containment"))
+    assert "RoundRobinPartitioning" in p
+
+    p = plan_string(q(spark, "agg_percentile_audit"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1500]
+
+    p = plan_string(q(spark, "ta_fingerprint"))
+    assert p.count("sequence(1, greatest(") == 1
