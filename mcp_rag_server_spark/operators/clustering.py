@@ -409,8 +409,8 @@ def n_cells(n_vectors: int) -> int:
 def cell_probes(emb: DataFrame) -> DataFrame:
     """(vec_id, cell) with CELL_PROBES rows per vector: the IVF
     coarse-assignment used as a candidate-blocking key. Seeds broadcast
-    (CELL_SEEDS rows); distances are one narrow pass; the top-2 pick is
-    a map-side-combinable ``collect_list`` of CELL_SEEDS structs per
+    (nlist rows); distances are one narrow pass; the top-2 pick is
+    a map-side-combinable ``collect_list`` of nlist structs per
     vector — no window, no N×k sort-shuffle (the `_assign` argument,
     extended to rank 2). The seed count is :func:`n_cells` of the
     corpus size — the count is a 1-row scalar (parquet-footer count at
