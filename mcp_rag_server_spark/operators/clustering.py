@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import fanout_width
 
 KM_DIMS = 64
 KM_ITERS = 2
@@ -615,8 +616,9 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a global limit lands on ONE partition — without this
         # re-spread the whole sample·d² product pass runs as a single
         # task (measured 9.4 s -> ~1.5 s at sf0.1); keying by vec_id
-        # also co-partitions the self-join below
-        .repartition(32, "vec_id")
+        # also co-partitions the self-join below. Width derives from
+        # the cluster (hash-partition count never affects values).
+        .repartition(fanout_width(spark), "vec_id")
     )
     el = samp.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xf")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import fanout_width
 
 N_MINHASH = 8
 #: Default banding: 2 bands x 4 rows, P(candidate) = 1-(1-j^4)^2.
@@ -1223,8 +1224,10 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the ~1.3M-pair array_intersect fold inherits the probe side's
     # partitioning — the single-row-group fixture scan, ONE task
     # (measured: 2.3 s single-task -> 0.76 s at 32 tasks; the
-    # _cell_scored_half lesson, BENCH_NOTES r8). Values are per-row.
-    a, b = t.repartition(32).alias("a"), t.alias("b")
+    # _cell_scored_half lesson, BENCH_NOTES r8). Values are per-row,
+    # so the width (cluster-derived, not a fixture literal) never
+    # affects the hash.
+    a, b = t.repartition(fanout_width(spark)).alias("a"), t.alias("b")
     # materialize the intersection size ONCE per pair: containment,
     # jaccard, and the threshold filter all derive from this column
     # (inline expressions would re-evaluate the array_intersect per

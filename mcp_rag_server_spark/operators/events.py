@@ -29,6 +29,7 @@ from mcp_rag_server_spark.functions.numeric import (
     duckdb_dsum,
 )
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import fanout_width
 
 #: Session gap threshold (microseconds) — 30 minutes.
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -2584,7 +2585,7 @@ def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CHANGEPOINT_SQL)
 
 
-def _theil_sen_sql(dialect: str) -> str:
+def _theil_sen_sql(dialect: str, width: int = 32) -> str:
     """Theil-Sen robust slope per type: exact median over all pairwise
     slopes of the hourly series. The pair join is bounded by CALENDAR
     (n = hours in range, so n(n-1)/2 pairs per type regardless of row
@@ -2596,7 +2597,9 @@ seq_probe AS (
   -- REPARTITION spreads the probe side round-robin so the pair
   -- expansion (only ~5 join keys) parallelizes beyond the key count;
   -- the hint is a comment to DuckDB (2.7x at sf0.1: 4.5s -> 1.7s).
-  SELECT /*+ REPARTITION(32) */ event_type, v, t FROM seq
+  -- Width is cluster-derived at execution (fanout_width), 32 in the
+  -- registered oracle text where it is dead commentary.
+  SELECT /*+ REPARTITION({width}) */ event_type, v, t FROM seq
 ),
 pairs AS (
   SELECT a.event_type,
@@ -2656,7 +2659,7 @@ def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output IS the robustness diagnostic: slope_gap far from 0
     means outlier hours are steering the least-squares fit."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_theil_sen_sql("spark"))
+    return spark.sql(_theil_sen_sql("spark", width=fanout_width(spark)))
 
 
 #: Train share of the hourly series for the forecast backtest.

@@ -30,6 +30,7 @@ from mcp_rag_server_spark.functions.vector import (
     l2_dist_score,
 )
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import fanout_width
 
 N_QUERIES = 10
 TOP_K = 5
@@ -639,7 +640,8 @@ def _cell_scored_half(emb: DataFrame) -> DataFrame:
         # Round-robin can be neither eliminated nor coalesced, and
         # per-row math is partitioning-independent — measured 32 even
         # tasks and a 12.6 s → ~2 s steady fold (BENCH_NOTES r8).
-        .repartition(32)
+        # Width derives from the cluster, not a fixture literal.
+        .repartition(fanout_width(emb.sparkSession))
     )
     withnorm = emb.select(
         "vec_id", "embedding", F.expr(_GB_NORM).alias("nrm")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import fanout_width
 
 #: Prefix widths audited (the last is the full fixture width = exact).
 MAT_DIMS = (8, 16, 32, 64)
@@ -1017,14 +1018,14 @@ _CF_SIGN_SPARK = (
 )
 
 
-def _frontier_proj_sql() -> str:
+def _frontier_proj_sql(width: int = 32) -> str:
     """Standalone Spark statement for the JL sign-projection — the
     (vec_id, k, y) table the operator localCheckpoints as
     ``cf_proj_v`` (it is consumed four times downstream; inline it
     re-ran per consumer). Identical arithmetic to the DuckDB oracle's
     inline ``proj`` CTE."""
     return f"""
-WITH elx AS (SELECT /*+ REPARTITION(32, vec_id) */
+WITH elx AS (SELECT /*+ REPARTITION({width}, vec_id) */
                     vec_id, posexplode(embedding) AS (i0, xf)
              FROM embeddings),
 el AS (SELECT vec_id, i0 AS i, CAST(xf AS DOUBLE) AS x FROM elx),
@@ -1041,7 +1042,7 @@ GROUP BY e.vec_id, r.k
 """
 
 
-def _frontier_hits_sql(dialect: str, staged: bool = False) -> str:
+def _frontier_hits_sql(dialect: str, staged: bool = False, width: int = 32) -> str:
     """The expensive core of the bytes-vs-recall frontier — float32
     (truth), SQ8 dequantized cosine, JL-16 projected cosine, and 1-bit
     sign/Hamming, all ranked against the exact top-{CF_K} — reduced to
@@ -1110,7 +1111,7 @@ proj AS (
     # as ONE task. Production layouts have many files; the hint only
     # restores the parallelism a real layout gives for free (the
     # sim_power_iteration_pc1 pattern).
-    hint = "/*+ REPARTITION(32, vec_id) */ " if dialect == "spark" else ""
+    hint = f"/*+ REPARTITION({width}, vec_id) */ " if dialect == "spark" else ""
     return f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
            WHERE vec_id < {CF_QUERIES}),
@@ -1268,12 +1269,12 @@ def sim_compression_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
-    spark.sql(_frontier_proj_sql()).localCheckpoint(
+    spark.sql(_frontier_proj_sql(width=fanout_width(spark))).localCheckpoint(
         eager=True
     ).createOrReplaceTempView("cf_proj_v")
-    spark.sql(_frontier_hits_sql("spark", staged=True)).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("cf_hits_v")
+    spark.sql(
+        _frontier_hits_sql("spark", staged=True, width=fanout_width(spark))
+    ).localCheckpoint(eager=True).createOrReplaceTempView("cf_hits_v")
     return spark.sql(
         _frontier_ladder_sql("SELECT * FROM cf_hits_v")
     )

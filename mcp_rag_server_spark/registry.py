@@ -71,70 +71,71 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 8 rotation): the driver checks a
-#: 50-query prefix of this ordering. Round-7 verdict: 72 of 302
-#: registered queries have no driver row (cumulative 230 distinct
-#: green); directive = keep the whole window on the backlog and keep
-#: the registration FREEZE until it clears. This window = the 50
-#: first never-driver-checked queries in tools/rotation_audit.py
-#: order (its "(a) NO driver row" section, verbatim:
-#: ev_rolling_median … ta_lang_confusion). Exactly 50 entries. The
-#: remaining 22 never-checked queries (ta_leakage_safe_split …
-#: zorder_layout) are the r9 window, after which rotation returns to
-#: oldest-vintage re-checks and registration may resume — regenerate
-#: the list with `python3 tools/rotation_audit.py`, do not
-#: hand-maintain it here.
+#: Driver-evidence priority (round 9 rotation): the driver checks a
+#: 50-query prefix of this ordering. Round-8 verdict: 280 of 302
+#: registry queries have a green driver row; the never-checked
+#: backlog is down to 22. Directive #1 = this window closes the
+#: backlog for good: the 22 remaining never-checked queries
+#: (ta_leakage_safe_split ... zorder_layout, rotation_audit "(a)"
+#: order) followed by the 28 oldest stale rows (r3-vintage green
+#: rows whose files have since been edited: arrow_token_stats ...
+#: ta_pii_scrub). Exactly 50 entries. After the driver scores this
+#: window, every registry query has a driver row and rotation
+#: becomes pure oldest-evidence re-checks (now query-granular, keyed
+#: to each query's own source+oracle hash — see
+#: tools/rotation_audit.py). Regenerate with
+#: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ev_rolling_median",
-    "ev_seasonal_decompose",
-    "ev_seq_pattern_support",
-    "ev_slo_burn_rate",
-    "ev_stickiness_ratio",
-    "ev_theil_sen",
-    "ev_user_overlap_jaccard",
-    "ev_welch_ttest",
-    "fileops_du_rollup",
-    "ingest_compaction_plan",
-    "ingest_csv_malformed",
-    "ingest_orc_roundtrip",
-    "ingest_snapshot_diff",
-    "mm_scene_cuts",
-    "rag_multi_query_fusion",
-    "rag_parent_doc_topk",
-    "set_all_multiplicity",
-    "sim_binary_hamming_topk",
-    "sim_cascade_rerank",
-    "sim_centroid_drift",
-    "sim_compression_frontier",
-    "sim_filtered_topk",
-    "sim_graph_greedy_search",
-    "sim_hard_negatives",
-    "sim_kcore_decompose",
-    "sim_maxsim_topk",
-    "sim_mips_augmented",
-    "sim_multiprobe_lsh",
-    "sim_ndcg_sq8_eval",
-    "sim_power_iteration_pc1",
-    "sim_pq_train",
-    "sim_random_projection_jl",
-    "sql_lateral_topn",
-    "sql_recursive_reach",
-    "ta_admission_pipeline",
-    "ta_bigram_logprob",
-    "ta_bpe_apply",
-    "ta_bpe_train",
-    "ta_ccnet_buckets",
-    "ta_code_detect",
-    "ta_dataset_card",
-    "ta_doremi_step",
-    "ta_dsir_weights",
-    "ta_feature_hashing",
-    "ta_fuzzy_correct",
-    "ta_gains_chart",
-    "ta_kanonymity_audit",
-    "ta_kl_source_drift",
-    "ta_kneser_ney_bigram",
-    "ta_lang_confusion",
+    "ta_leakage_safe_split",
+    "ta_length_drift",
+    "ta_logreg_quality",
+    "ta_mojibake_detect",
+    "ta_ngram_novelty",
+    "ta_pmi_collocations",
+    "ta_quality_auc",
+    "ta_quality_calibration",
+    "ta_readability_fk",
+    "ta_simpson_diversity",
+    "ta_textrank_keywords",
+    "ta_trigram_index_search",
+    "ta_weighted_sample_es",
+    "ta_winnowing_fingerprint",
+    "ta_zipf_fit",
+    "tj_interval_union",
+    "tj_nearest_order",
+    "window_distribution_pack",
+    "window_range_trailing30",
+    "window_running_distinct",
+    "window_value_frames",
+    "zorder_layout",
+    "arrow_token_stats",
+    "chunk_split",
+    "chunk_split_clamped",
+    "chunk_udtf",
+    "chunks_table",
+    "cube_lineitem_flags",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "emb_hash_embed",
+    "fileops_list",
+    "fileops_reassemble_text",
+    "ingest_roundtrip",
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "rag_hybrid_topk",
+    "rag_query_result",
+    "read_range",
+    "rollup_sales_by_region",
+    "set_except_customers",
+    "set_intersect_status",
+    "sim_ivf_recall",
+    "sim_sq8_topk",
+    "st_ingest_roundtrip",
+    "ta_decontaminate",
+    "ta_mixture_cap",
+    "ta_pack_sequences",
+    "ta_pii_scrub",
 )
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry re-keyed so DRIVER_PRIORITY names come first (in that

@@ -43,6 +43,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def fanout_width(spark: SparkSession, floor: int = 8) -> int:
+    """Fan-out width for explicit de-collapse ``repartition()`` hints.
+
+    A handful of operators re-spread a stage whose upstream partitioning
+    Catalyst/AQE would otherwise collapse to one task (single-row-group
+    fixture scans, global limits, same-key repartition elimination — see
+    BENCH_NOTES r8). Those hints must scale with the cluster, not carry a
+    fixture-tuned literal: this derives the width from
+    ``sc.defaultParallelism`` (= total executor cores on a real cluster,
+    = N on ``local[N]``), floored so a tiny local session still spreads
+    skew-prone folds. Partition COUNT never affects values — every
+    caller does per-row math downstream — so correctness hashes are
+    width-independent by construction.
+    """
+    return max(int(spark.sparkContext.defaultParallelism), floor)
+
+
 def get_spark(
     app_name: str = "mcp-rag-server-spark",
     cpus: str | int | None = None,

@@ -2357,16 +2357,19 @@ def test_round8_perf_fixes_stay_pinned(spark):
     """The four round-8 plan fixes, pinned so they can't silently
     regress (BENCH_NOTES 'Round-8'):
 
-    1. sim_knn_graph / dd_containment carry a RoundRobinPartitioning
-       exchange under their pair stages — a by-key repartition there is
-       ELIMINATED by EnsureRequirements (the upstream shuffle already
+    1. sim_knn_graph carries a RoundRobinPartitioning exchange under
+       its pair stage — a by-key repartition there is ELIMINATED by
+       EnsureRequirements (the upstream shuffle already
        hash-partitions on the same key) and AQE coalesces the survivor
        to one reader, single-tasking the heavy per-pair fold; only
        round-robin survives to the executed plan.
-    2. agg_percentile_audit reads lineitem ONCE — the array forms of
+    2. dd_containment likewise round-robins its probe side (same
+       collapse mechanism, via the broadcast build side inheriting the
+       single-row-group scan's partitioning).
+    3. agg_percentile_audit reads lineitem ONCE — the array forms of
        percentile_approx/percentile share one buffer (three per-p
        aggregate passes scanned it three times).
-    3. ta_fingerprint builds the shingle array once per row — the
+    4. ta_fingerprint builds the shingle array once per row — the
        coalesce form; the size()-guarded CASE evaluated the
        word_shingles fragment (its `sequence(1, greatest(` spine)
        twice in the same Project."""

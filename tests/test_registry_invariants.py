@@ -102,6 +102,39 @@ def test_no_session_conf_mutation_outside_session_module():
     assert offenders == [], offenders
 
 
+def test_no_fixture_tuned_fanout_literal():
+    """Fan-out de-collapse hints must derive their width from the
+    cluster (session.fanout_width), never a fixture-tuned literal
+    (r8 verdict item 2: three hard-coded repartition(32)s would
+    under-spread a 1000-executor cluster 32×). Scope: operator
+    modules — the ONLY repartition integers allowed there are small
+    file-count knobs (<8) on fixture-writing paths; streaming/
+    modules keep N_SPLIT_FILES constants (named, documented source
+    splits)."""
+    import pathlib
+    import re
+
+    ops = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "mcp_rag_server_spark"
+        / "operators"
+    )
+    code_pat = re.compile(r"\.repartition\(\s*(\d+)")
+    sql_pat = re.compile(r"REPARTITION\(\s*(\d+)")
+    offenders = []
+    for p in sorted(ops.glob("*.py")):
+        for lineno, line in enumerate(p.read_text().splitlines(), 1):
+            stripped = line.split("#", 1)[0]
+            for pat in (code_pat, sql_pat):
+                for m in pat.finditer(stripped):
+                    if int(m.group(1)) >= 8:
+                        offenders.append(f"{p.name}:{lineno}: {line.strip()}")
+    assert offenders == [], (
+        "fixture-tuned partition literal — use session.fanout_width: "
+        f"{offenders}"
+    )
+
+
 def test_every_query_has_oracle_or_documented_rows_only():
     reg = load_all()
     no_oracle = [n for n, s in reg.items() if s.oracle is None]

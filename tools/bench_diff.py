@@ -28,7 +28,13 @@ def load(path: str) -> dict[str, float]:
         doc = json.load(fh)
     if "queries" in doc:
         return doc["queries"]
-    return doc["parsed"]["queries"]
+    if "parsed" in doc and "queries" in doc["parsed"]:
+        return doc["parsed"]["queries"]
+    raise SystemExit(
+        f"{path}: unrecognized bench artifact — expected bench.py output"
+        " (top-level 'queries' map) or a driver BENCH_r{{N}}.json wrapper"
+        " ('parsed'->'queries')"
+    )
 
 
 def main() -> int:
@@ -50,10 +56,16 @@ def main() -> int:
 
     sub_a = sum(a[q] for q in shared)
     sub_b = sum(b[q] for q in shared)
-    print(
-        f"shared {len(shared)} queries: {sub_a:.2f}s -> {sub_b:.2f}s"
-        f" (x{sub_b / sub_a:.2f})"
-    )
+    if not shared or sub_a == 0:
+        print(
+            f"shared {len(shared)} queries, old subtotal {sub_a:.2f}s —"
+            " no comparable ratio (disjoint query sets or zeroed times)"
+        )
+    else:
+        print(
+            f"shared {len(shared)} queries: {sub_a:.2f}s -> {sub_b:.2f}s"
+            f" (x{sub_b / sub_a:.2f})"
+        )
     if added:
         print(f"added ({len(added)}): "
               + ", ".join(f"{q}={b[q]}" for q in added))

@@ -88,15 +88,21 @@ json.dump(t, open(%(out)r, "w"))
 
 
 def run(cpus: str, sf: str) -> dict[str, float]:
-    out = os.path.join(
-        tempfile.gettempdir(), f"parallelism_audit_{cpus}.json"
+    # mkstemp, not a fixed name in the shared tempdir: a predictable
+    # path collides across concurrent runs and is symlink-clobberable.
+    fd, out = tempfile.mkstemp(
+        prefix=f"parallelism_audit_{cpus}_", suffix=".json"
     )
-    code = _CHILD % {"repo": REPO, "cpus": cpus, "sf": sf, "out": out}
-    subprocess.run(
-        [sys.executable, "-c", code], check=True, timeout=1800
-    )
-    with open(out, encoding="utf-8") as fh:
-        return json.load(fh)
+    os.close(fd)
+    try:
+        code = _CHILD % {"repo": REPO, "cpus": cpus, "sf": sf, "out": out}
+        subprocess.run(
+            [sys.executable, "-c", code], check=True, timeout=1800
+        )
+        with open(out, encoding="utf-8") as fh:
+            return json.load(fh)
+    finally:
+        os.unlink(out)
 
 
 def main() -> int:
