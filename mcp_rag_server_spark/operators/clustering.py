@@ -381,13 +381,21 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: codebook, but the count law is the same). At every fixture SF
 #: (5 / 500 / 5000 vectors) the formula resolves to the CELL_SEEDS
 #: floor of 8, so fixture behavior — and every recorded recall
-#: number — is unchanged. Measured on the near-isotropic fixture
-#: (DuckDB probe, BENCH_NOTES): pair recall at cosine>=0.35 is
-#: 196/272 (0.72) at sf0.01 and 2948/4143 (0.71) at sf0.1; kNN
-#: recall@3 is 0.69 / 0.70 — honestly bounded, like the
-#: multi-probe/JL audits, because isotropic vectors carry little
-#: cluster structure for ANY geometric blocking; production embedding
-#: corpora are strongly clustered.
+#: number — is unchanged. Round 9 (r8 verdict item 5): the raw
+#: md5 medoids are refined by ONE Lloyd pass before the probe
+#: assignment — argmin over seeds, then decimal-exact per-cell
+#: element means (the sim_kmeans_refine machinery) — keeping the
+#: deterministic seed chain so the DuckDB CTE replays it
+#: end-to-end. Measured on the near-isotropic fixture (DuckDB
+#: probe, tools/recall_probe.py): pair recall at cosine>=0.35 rises
+#: 196/272 (0.72) -> 212/272 (0.78) at sf0.01 and 2948/4143 (0.71)
+#: -> 3017/4143 (0.73) at sf0.1; kNN recall@3 rises 0.69 -> 0.74 /
+#: 0.70 -> 0.72 — all at an essentially unchanged candidate budget
+#: (58.0k -> 59.1k / 925.6k -> 928.3k pairs) —
+#: honestly bounded, like the multi-probe/JL audits, because
+#: isotropic vectors carry little cluster structure for ANY
+#: geometric blocking; production embedding corpora are strongly
+#: clustered.
 CELL_SEEDS = 8  # nlist floor — what every fixture SF resolves to
 CELL_PROBES = 2
 CELL_SALT = "cell"
@@ -407,21 +415,44 @@ def n_cells(n_vectors: int) -> int:
     return max(CELL_SEEDS, -(-int(n_vectors) // TARGET_CELL_SIZE))
 
 
-def cell_probes(emb: DataFrame) -> DataFrame:
+def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     """(vec_id, cell) with CELL_PROBES rows per vector: the IVF
-    coarse-assignment used as a candidate-blocking key. Seeds broadcast
-    (nlist rows); distances are one narrow pass; the top-2 pick is
-    a map-side-combinable ``collect_list`` of nlist structs per
-    vector — no window, no N×k sort-shuffle (the `_assign` argument,
-    extended to rank 2). The seed count is :func:`n_cells` of the
-    corpus size — the count is a 1-row scalar (parquet-footer count at
-    the fixture layout), and the dynamic limit still plans as a
-    TakeOrdered, never a global sort. At large nlist the
+    coarse-assignment used as a candidate-blocking key.
+
+    Stage 0 picks the nlist lowest-md5 vectors as medoid seeds; ONE
+    Lloyd refinement pass (argmin over seeds, then decimal-exact
+    per-cell element means — :func:`_centroids_from`, the
+    sim_kmeans_refine machinery) replaces each medoid with its cell's
+    centroid before the probe assignment, lifting pair recall 0.72 ->
+    0.78 (sf0.01) / 0.71 -> 0.73 (sf0.1) at the same candidate budget
+    (r8 verdict item 5; constants block above). Every stage stays in
+    the deterministic seed chain, so the DuckDB CTE
+    (:func:`duckdb_cell_probes_cte`) replays it end-to-end.
+
+    Plan shape: seeds then centroids broadcast (nlist rows each);
+    the argmin is a map-side-combinable ``min(struct)``; the centroid
+    update is one (cell, dim)-keyed shuffle of partial sums; the
+    top-2 pick is a ``collect_list`` of nlist structs per vector — no
+    window, no N×k sort-shuffle. At large nlist the
     collect_list-of-nlist-structs top-2 state grows with nlist; the
-    scale path swaps it for sim_kmeans_refine's ``min(struct)``
-    argmin taken twice (constant state) — same contract, same
-    arithmetic."""
-    nlist = n_cells(emb.count())
+    scale path swaps it for the ``min(struct)`` argmin taken twice
+    (constant state) — same contract, same arithmetic.
+
+    PRECONDITION: ``emb`` must be the FULL embeddings table of the
+    sf_dir being queried — the DuckDB oracle CTE hard-codes
+    ``COUNT(*) FROM embeddings`` for the seed count, so a filtered or
+    sampled ``emb`` diverges from the oracle. Callers with a known
+    count pass ``n_vectors`` to skip the eager ``emb.count()`` Spark
+    action this otherwise runs at DataFrame-CONSTRUCTION time (a
+    footer-only job at the fixture layout, but a scheduled job per
+    plan build for plan-only tooling like plan_lint/gen_plans).
+
+    Every cell is non-empty by construction — each seed assigns to
+    itself at distance 0 — except when two seed VECTORS are
+    bit-identical (the lower cell id absorbs both); production corpora
+    with duplicate vectors should exact-dedup first (dd_exact_keep)
+    or seed over distinct embeddings."""
+    nlist = n_cells(emb.count() if n_vectors is None else n_vectors)
     seeds = (
         emb.orderBy(
             F.md5(
@@ -442,8 +473,29 @@ def cell_probes(emb: DataFrame) -> DataFrame:
         ),
         6,
     )
-    return (
+    # one Lloyd pass: rank-1 assignment to the raw medoids, then
+    # per-cell element means as the refined centroid table
+    assign0 = (
         emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "cell", dd.alias("dd"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dd", "cell")).alias("cp_b"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(F.col("cp_b.cell").alias("cluster"), "embedding")
+    )
+    cent = _centroids_from(
+        assign0.select(
+            "cluster", F.posexplode("embedding").alias("pos", "xf")
+        ).select(
+            "cluster",
+            F.col("pos").cast("int").alias("d"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    ).select(F.col("cluster").alias("cell"), "cvec")
+    return (
+        emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", dd.alias("dd"))
         .groupBy("vec_id")
         .agg(
@@ -457,9 +509,13 @@ def cell_probes(emb: DataFrame) -> DataFrame:
 
 
 def duckdb_cell_probes_cte() -> str:
-    """DuckDB CTE chain ``cp_seeds / cp_dist / probed`` mirroring
-    :func:`cell_probes` arithmetic exactly (index-order squared-L2
-    fold, round 6, (dd, cell) tie-break)."""
+    """DuckDB CTE chain ``cp_seeds / cp_d0 / cp_a0 / cp_cent /
+    cp_dist / probed`` mirroring :func:`cell_probes` arithmetic
+    exactly: index-order squared-L2 fold rounded 6 with (dd, cell)
+    tie-break, one Lloyd refinement of the md5 medoids (rank-1
+    assignment, then round-7-decimal per-cell element means — the
+    _KM_ORACLE c1e discipline) before the final top-CELL_PROBES
+    assignment."""
     return f"""cp_seeds AS (
   SELECT cell, cvec FROM (
     SELECT vec_id AS cell, embedding AS cvec,
@@ -470,13 +526,39 @@ def duckdb_cell_probes_cte() -> str:
   WHERE cp_sr <= GREATEST({CELL_SEEDS},
     CEIL((SELECT COUNT(*) FROM embeddings) / {TARGET_CELL_SIZE}.0))
 ),
-cp_dist AS (
+cp_d0 AS (
   SELECT e.vec_id, s.cell,
          round(list_sum(list_transform(range(1, {KM_DIMS} + 1), cp_i ->
            (CAST(e.embedding[cp_i] AS DOUBLE) - CAST(s.cvec[cp_i] AS DOUBLE))
            * (CAST(e.embedding[cp_i] AS DOUBLE)
               - CAST(s.cvec[cp_i] AS DOUBLE)))), 6) AS dd
   FROM embeddings e CROSS JOIN cp_seeds s
+),
+cp_a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dd, cell) AS cp_rn0
+    FROM cp_d0) WHERE cp_rn0 = 1
+),
+cp_cent AS MATERIALIZED (
+  SELECT cell, list(c ORDER BY d) AS cvec FROM (
+    SELECT a.cell, cp_u.d,
+           CAST(SUM(CAST(round(CAST(e.embedding[cp_u.d + 1] AS DOUBLE), 7)
+                         AS DECIMAL(18,7))) AS DOUBLE)
+             / COUNT(*) AS c
+    FROM cp_a0 a JOIN embeddings e USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(0, {KM_DIMS})) AS d) cp_u
+    GROUP BY a.cell, cp_u.d)
+  GROUP BY cell
+),
+cp_dist AS (
+  SELECT e.vec_id, s.cell,
+         round(list_sum(list_transform(range(1, {KM_DIMS} + 1), cp_i ->
+           (CAST(e.embedding[cp_i] AS DOUBLE) - s.cvec[cp_i])
+           * (CAST(e.embedding[cp_i] AS DOUBLE)
+              - s.cvec[cp_i]))), 6) AS dd
+  FROM embeddings e CROSS JOIN cp_cent s
 ),
 probed AS (
   SELECT vec_id, cell FROM (

@@ -615,7 +615,17 @@ def _cell_scored_half(emb: DataFrame) -> DataFrame:
     the result before mirroring it."""
     from mcp_rag_server_spark.operators.clustering import cell_probes
 
-    probed = cell_probes(emb)
+    # cache before the self-join: the probed assignment's lineage
+    # (argmin over seeds + Lloyd centroid update + re-assign, r9
+    # refinement) would otherwise evaluate TWICE — once per join
+    # side. cache(), not localCheckpoint(eager): the cached output is
+    # tiny (CELL_PROBES rows per vector, two ints each) and the
+    # ANALYZED subtree stays deterministic, so CacheManager dedupes
+    # it across the consumers sharing this stage in one session —
+    # an eager checkpoint would mint a fresh RDD per call and
+    # re-materialize each time (measured: 9.8 s vs 8.2 s single-run,
+    # 3.2 s vs 1.3 s steady on sim_knn_graph at sf0.1).
+    probed = cell_probes(emb).cache()
     a, b = probed.alias("a"), probed.alias("b")
     cand = (
         a.join(

@@ -633,7 +633,9 @@ def _fold_cosine_matrix(E):
 
 def _cell_candidate_sets(ids, E):
     """Replicate clustering.cell_probes in plain Python: md5-lowest
-    medoid seeds, per-vector top-CELL_PROBES cells by index-order
+    medoid seeds, ONE Lloyd refinement (rank-1 assignment to the
+    seeds, then per-cell element means of round-7 values — the r9
+    refinement), then per-vector top-CELL_PROBES cells by index-order
     float64 squared-L2 fold rounded to 6 (dd asc, cell-id tie-break).
     Returns {vec_id: frozenset(probed cell ids)} — two vectors are
     graph-build candidates iff their probe sets intersect."""
@@ -650,18 +652,36 @@ def _cell_candidate_sets(ids, E):
         ids,
         key=lambda v: hashlib.md5(f"{CELL_SALT}:{v}".encode()).hexdigest(),
     )[: n_cells(len(ids))]
-    cells = {}
-    for v in ids:
-        x = E[pos[v]]
+
+    def dists(x, cents):
         ds = []
-        for c in seed_ids:
-            cv = E[pos[c]]
+        for c, cv in cents:
             acc = 0.0
             for k in range(len(x)):
                 diff = float(x[k]) - float(cv[k])
                 acc += diff * diff
             ds.append((round(acc, 6), c))
         ds.sort()
+        return ds
+
+    seed_cents = [(c, E[pos[c]]) for c in seed_ids]
+    members = {c: [] for c in seed_ids}
+    for v in ids:
+        members[dists(E[pos[v]], seed_cents)[0][1]].append(v)
+    refined = []
+    for c in seed_ids:
+        if not members[c]:
+            continue
+        dim = len(E[0])
+        cv = [
+            sum(round(float(E[pos[m]][k]), 7) for m in members[c])
+            / len(members[c])
+            for k in range(dim)
+        ]
+        refined.append((c, cv))
+    cells = {}
+    for v in ids:
+        ds = dists(E[pos[v]], refined)
         cells[v] = frozenset(c for _, c in ds[:CELL_PROBES])
     return cells
 
