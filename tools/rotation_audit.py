@@ -7,18 +7,39 @@ checked round (VERDICT r2, "What's missing" #1). This tool computes,
 for every registry query:
 
 - the latest round with a CORRECTNESS_r{N}.json row (and its verdict);
-- whether the file defining the query changed in git AFTER that round's
-  snapshot commit (=> the row is STALE);
+- whether the query's OWN LOGIC changed after that round's snapshot
+  commit (=> the row is STALE);
 
 and prints a risk-ordered candidate list for the next round's window:
 (a) no driver row at all, (b) row exists but stale, (c) fresh rows by
 age. Run it at the start of each round before editing DRIVER_PRIORITY.
 
-Usage: python tools/rotation_audit.py
+Staleness is QUERY-GRANULAR (r8 verdict item 3). A query's logic is
+the concatenated source of: its ``@register``-decorated function
+(decorators included, so inline oracle SQL counts), plus — resolved
+transitively, across package files — every module-level assignment or
+function the decorator expression or any included segment references
+(oracle constant strings, SQL-builder helpers, shared stages like
+``_cell_scored_half``/``cell_probes``). The same extraction runs
+against the round-snapshot commit (``git show``) and the working
+tree; differing text => stale. This replaces the r4-r8 whole-file
+import-closure mtime heuristic, which marked all ~150 queries in a
+file stale whenever ANY query in it changed (156 stale at r8 close;
+the truthful list is the queries whose own chain changed).
+
+Known coarseness that remains: a segment is included only if it is
+reachable by NAME reference from the query's chain within the
+package; dynamic dispatch (getattr, registry lookups) and
+out-of-package behavior (Spark/DuckDB upgrades) are invisible, and
+catalog/session plumbing is excluded like registry.py (it changes
+every round; the in-session 302-query replay covers it).
+
+Usage: python tools/rotation_audit.py [--verbose]
 """
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
 import os
@@ -50,98 +71,228 @@ def round_rows() -> dict[str, tuple[int, bool]]:
     return out
 
 
-def round_commit_times() -> dict[int, int]:
-    """round -> unix time of the driver's 'round N: verdict/...' commit
-    (the snapshot the round's correctness rows describe)."""
+def round_commits() -> dict[int, str]:
+    """round -> commit hash of the driver's 'round N: verdict/...'
+    commit (the snapshot the round's correctness rows describe)."""
     log = subprocess.run(
-        ["git", "log", "--format=%ct %s"],
+        ["git", "log", "--format=%H %s"],
         cwd=REPO,
         capture_output=True,
         text=True,
         check=True,
     ).stdout
-    times: dict[int, int] = {}
+    commits: dict[int, str] = {}
     for line in log.splitlines():
-        ct, _, subject = line.partition(" ")
+        sha, _, subject = line.partition(" ")
         m = re.match(r"round (\d+): verdict", subject)
         if m:
-            times[int(m.group(1))] = int(ct)
-    return times
+            commits[int(m.group(1))] = sha
+    return commits
 
 
-def file_last_change(path: str) -> int:
-    out = subprocess.run(
-        ["git", "log", "-1", "--format=%ct", "--", path],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.strip()
-    return int(out) if out else 0
+#: Excluded from logic chains: registry.py changes every round by
+#: design (the DRIVER_PRIORITY rotation lives there) and its decorator
+#: machinery does not touch query results; catalog/session are load
+#: plumbing every query shares (a change there ages ALL 302 rows
+#: equally — the in-session full replay, not the driver rotation, is
+#: the check that catches it).
+_CHAIN_EXCLUDE = {
+    "mcp_rag_server_spark/registry.py",
+    "mcp_rag_server_spark/catalog.py",
+    "mcp_rag_server_spark/session.py",
+}
+
+_PKG = "mcp_rag_server_spark"
 
 
-_IMPORT_RE = re.compile(
-    r"^(?:from|import)\s+(mcp_rag_server_spark[.\w]*)"
-    r"(?:\s+import\s+\(?([\w,\s]+)\)?)?",
-    re.M,
-)
+class _FileIndex:
+    """Parsed top-level structure of one module file at one revision:
+    name -> (segment text, referenced names), plus the import map."""
+
+    def __init__(self, text: str):
+        self.ok = True
+        try:
+            tree = ast.parse(text)
+        except SyntaxError:
+            self.ok = False
+            return
+        lines = text.splitlines(keepends=True)
+
+        def seg(node) -> str:
+            start = node.lineno
+            decs = getattr(node, "decorator_list", [])
+            if decs:
+                start = min([start] + [d.lineno for d in decs])
+            return "".join(lines[start - 1 : node.end_lineno])
+
+        self.defs: dict[str, tuple[str, ast.AST]] = {}
+        self.imports: dict[str, str] = {}  # local name -> dotted module
+        self.register_of: dict[str, str] = {}  # query name -> func name
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self.defs[node.name] = (seg(node), node)
+                for dec in getattr(node, "decorator_list", []):
+                    qname = self._register_name(dec)
+                    if qname is not None:
+                        self.register_of[qname] = node.name
+            elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+                targets = (
+                    node.targets
+                    if isinstance(node, ast.Assign)
+                    else [node.target]
+                )
+                for t in targets:
+                    if isinstance(t, ast.Name):
+                        self.defs[t.id] = (seg(node), node)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                if node.module.startswith(_PKG):
+                    for alias in node.names:
+                        self.imports[alias.asname or alias.name] = (
+                            f"{node.module}.{alias.name}"
+                        )
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(_PKG):
+                        self.imports[alias.asname or alias.name] = alias.name
+
+    @staticmethod
+    def _register_name(dec: ast.AST) -> str | None:
+        if not isinstance(dec, ast.Call):
+            return None
+        fname = getattr(dec.func, "id", getattr(dec.func, "attr", None))
+        if fname != "register":
+            return None
+        if dec.args and isinstance(dec.args[0], ast.Constant):
+            return dec.args[0].value
+        for kw in dec.keywords:
+            if kw.arg == "name" and isinstance(kw.value, ast.Constant):
+                return kw.value.value
+        return None
+
+
+class _Revision:
+    """Lazy file reader + index cache for one revision ('WORKTREE' or a
+    commit hash)."""
+
+    def __init__(self, rev: str):
+        self.rev = rev
+        self._idx: dict[str, _FileIndex | None] = {}
+
+    def index(self, relpath: str) -> _FileIndex | None:
+        if relpath in self._idx:
+            return self._idx[relpath]
+        text: str | None = None
+        if self.rev == "WORKTREE":
+            try:
+                with open(
+                    os.path.join(REPO, relpath), encoding="utf-8"
+                ) as f:
+                    text = f.read()
+            except OSError:
+                text = None
+        else:
+            proc = subprocess.run(
+                ["git", "show", f"{self.rev}:{relpath}"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+            )
+            text = proc.stdout if proc.returncode == 0 else None
+        idx = _FileIndex(text) if text is not None else None
+        if idx is not None and not idx.ok:
+            idx = None
+        self._idx[relpath] = idx
+        return idx
 
 
 def _module_file(dotted: str) -> str | None:
-    """mcp_rag_server_spark.functions.vector -> its repo-relative .py
-    path (package __init__ if it names a package)."""
-    rel = dotted.replace(".", os.sep)
-    for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+    rel = dotted.replace(".", "/")
+    for cand in (rel + ".py", rel + "/__init__.py"):
         if os.path.exists(os.path.join(REPO, cand)):
             return cand
     return None
 
 
-#: Excluded from staleness closures: registry.py changes every round by
-#: design (the DRIVER_PRIORITY rotation lives there) and its decorator
-#: machinery does not touch query results — including it would mark the
-#: whole registry permanently stale and destroy the signal.
-_CLOSURE_EXCLUDE = {os.path.join("mcp_rag_server_spark", "registry.py")}
+def _resolve_import(dotted: str) -> tuple[str, str | None] | None:
+    """'pkg.mod.name' -> (file, defined name) or (file, None) for a
+    whole-module import; None when outside the repo/package."""
+    f = _module_file(dotted)
+    if f is not None:
+        return (f, None)
+    mod, _, name = dotted.rpartition(".")
+    f = _module_file(mod)
+    if f is not None:
+        return (f, name)
+    return None
 
 
-def dep_closure(path: str, cache: dict[str, set[str]]) -> set[str]:
-    """Transitive in-package import closure of a module file. A query's
-    driver row describes the whole code path it executes, so a change to
-    catalog.py/session.py/functions/* ages every query that imports them
-    (the round-4 lesson: the events.ts encoding change lived in
-    catalog.py while every ev_*/st_* row pointed at unchanged files)."""
-    if path in _CLOSURE_EXCLUDE:
-        return set()
-    if path in cache:
-        return cache[path]
-    cache[path] = {path}  # cycle guard
-    closure = {path}
-    try:
-        with open(os.path.join(REPO, path), encoding="utf-8") as f:
-            src = f.read()
-    except OSError:
-        return closure
-    for m in _IMPORT_RE.finditer(src):
-        dotted, names = m.group(1), m.group(2)
-        targets = [dotted]
-        if names:  # "from pkg import a, b" where a/b may be modules
-            targets += [
-                f"{dotted}.{n.strip()}" for n in names.split(",") if n.strip()
-            ]
-        for t in targets:
-            dep = _module_file(t)
-            if dep and dep != path:
-                closure |= dep_closure(dep, cache)
-    cache[path] = closure
-    return closure
+def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
+    """Concatenated source segments of query ``qname``'s logic chain at
+    one revision, or None when the query/file is absent there."""
+    root = rev.index(relpath)
+    if root is None or qname not in root.register_of:
+        return None
+    segments: list[str] = []
+    visited: set[tuple[str, str]] = set()
+
+    def include(path: str, name: str) -> None:
+        if (path, name) in visited or path in _CHAIN_EXCLUDE:
+            return
+        visited.add((path, name))
+        idx = rev.index(path)
+        if idx is None:
+            return
+        if name in idx.defs:
+            seg_text, node = idx.defs[name]
+            segments.append(f"# {path}:{name}\n" + seg_text)
+            # function-LOCAL imports (the deferred-import idiom used to
+            # break module cycles, e.g. _cell_scored_half importing
+            # clustering.cell_probes inside its body) resolve like
+            # module-level ones, shadowing them in this subtree
+            local_imports = dict(idx.imports)
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.ImportFrom) and sub.module and (
+                    sub.module.startswith(_PKG)
+                ):
+                    for alias in sub.names:
+                        local_imports[alias.asname or alias.name] = (
+                            f"{sub.module}.{alias.name}"
+                        )
+                elif isinstance(sub, ast.Import):
+                    for alias in sub.names:
+                        if alias.name.startswith(_PKG):
+                            local_imports[alias.asname or alias.name] = (
+                                alias.name
+                            )
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Name):
+                    if sub.id in idx.defs:
+                        include(path, sub.id)
+                    elif sub.id in local_imports:
+                        tgt = _resolve_import(local_imports[sub.id])
+                        if tgt and tgt[1]:
+                            include(tgt[0], tgt[1])
+                elif isinstance(sub, ast.Attribute) and isinstance(
+                    sub.value, ast.Name
+                ):
+                    # module.attr where module was imported
+                    dotted = local_imports.get(sub.value.id)
+                    if dotted:
+                        tgt = _resolve_import(f"{dotted}.{sub.attr}")
+                        if tgt and tgt[1]:
+                            include(tgt[0], tgt[1])
+
+    include(relpath, root.register_of[qname])
+    return "".join(segments)
 
 
 def main() -> None:
+    verbose = "--verbose" in sys.argv
     reg = load_all()
     rows = round_rows()
-    rtimes = round_commit_times()
-    changed: dict[str, int] = {}
-    closures: dict[str, set[str]] = {}
+    rcommits = round_commits()
+    worktree = _Revision("WORKTREE")
+    snapshots: dict[int, _Revision] = {}
     no_row, stale, fresh = [], [], []
     for name, spec in reg.items():
         mod = sys.modules[spec.spark_fn.__module__]
@@ -150,24 +301,35 @@ def main() -> None:
             no_row.append((name, path))
             continue
         rnd, green = rows[name]
-        # A row from round N describes the whole code path at round N's
-        # snapshot commit: the query ages when its defining file OR any
-        # in-package module it (transitively) imports changed later.
-        newest, culprit = 0, path
-        for dep in dep_closure(path, closures):
-            if dep not in changed:
-                changed[dep] = file_last_change(dep)
-            if changed[dep] > newest:
-                newest, culprit = changed[dep], dep
-        is_stale = rnd in rtimes and newest > rtimes[rnd]
-        label = path if culprit == path else f"{path} via {culprit}"
-        (stale if is_stale else fresh).append((name, rnd, green, label))
+        if rnd not in rcommits:
+            fresh.append((name, rnd, green, path))
+            continue
+        snap = snapshots.setdefault(rnd, _Revision(rcommits[rnd]))
+        now_chain = query_chain(worktree, path, name)
+        then_chain = query_chain(snap, path, name)
+        is_stale = (
+            now_chain is None
+            or then_chain is None
+            or now_chain != then_chain
+        )
+        if verbose and is_stale:
+            why = (
+                "chain unextractable"
+                if now_chain is None or then_chain is None
+                else f"chain text differs ({len(then_chain)} -> "
+                f"{len(now_chain)} chars)"
+            )
+            print(f"STALE {name}: {why}")
+        (stale if is_stale else fresh).append((name, rnd, green, path))
 
     print(f"registry queries: {len(reg)}")
     print(f"\n(a) NO driver row ({len(no_row)}):")
     for name, path in sorted(no_row):
         print(f"  {name}  [{path}]")
-    print(f"\n(b) row STALE — file changed after its round ({len(stale)}):")
+    print(
+        f"\n(b) row STALE — query logic changed after its round"
+        f" ({len(stale)}):"
+    )
     for name, rnd, green, path in sorted(stale, key=lambda t: (t[1], t[0])):
         mark = "green" if green else "NOT GREEN"
         print(f"  {name}  r{rnd} {mark}  [{path}]")
