@@ -5,6 +5,14 @@ partitioning (reference src/indexer.ts:22, src/index.ts:21); this module
 is where the new engine's execution model diverges deliberately: AQE,
 Arrow, broadcast-join thresholds and sane shuffle partitioning are set
 once so every operator inherits them.
+
+Session cache contract: operators ``cache()`` a handful of bounded
+intermediates and never unpersist them (they return lazy DataFrames,
+so the cache must outlive the function); CacheManager analyzed-plan
+dedup keeps the entry set bounded across re-invocation and sharing,
+``spark.catalog.clearCache()`` reclaims everything between workloads,
+and correctness never depends on a cache being present. Pinned by
+tests/test_cache_lifecycle.py, where the contract is spelled out.
 """
 
 from __future__ import annotations
