@@ -45,7 +45,6 @@ SELECT v.doc_id, CAST(v.dim AS INTEGER) AS dim,
        round(CAST(CAST(CASE WHEN n.n > 0 THEN v.c / n.n ELSE 0.0 END
                        AS REAL) AS DOUBLE), 6) AS val
 FROM vals v JOIN norms n ON n.doc_id = v.doc_id
-ORDER BY v.doc_id, v.dim
 """
 
 
@@ -60,8 +59,16 @@ ORDER BY v.doc_id, v.dim
 def emb_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed every document with the Arrow-batched hash embedder, explode
     to (doc_id, dim, val). Plan shape: scan → BatchEvalPython (Arrow) →
-    posexplode — narrow end to end; at 100 TB this is one scan stage with
-    Python workers saturating each executor core."""
+    posexplode — narrow end to end, NO sort: the r8 artifact's "negative
+    scaling" (0.92 s local[1] → 1.68 s local[32]) was a trailing global
+    orderBy, whose range-partitioner sampling pass re-ran the UDF and
+    whose 32-way exchange of 320k tiny rows cost more than the embed
+    itself (measured r9: sort 1.01→1.65 s across cpus, sortless
+    1.01→0.96 — flat, as a narrow plan should be). No limit ⇒ no
+    ordering obligation (registry rule 5); the driver comparison is
+    order-insensitive. At 100 TB this is one scan stage with Python
+    workers saturating each executor core; Arrow batch sizing is
+    secondary (BENCH_NOTES round-9)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = with_embedding(docs.select("doc_id", "text"))
     return (
@@ -71,7 +78,6 @@ def emb_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim").cast("int").alias("dim"),
             F.round(F.col("val").cast("double"), 6).alias("val"),
         )
-        .orderBy("doc_id", "dim")
     )
 
 

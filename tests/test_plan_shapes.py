@@ -105,13 +105,15 @@ def test_chunking_is_narrow(spark):
 
 def test_embed_stage_is_narrow_arrow(spark):
     """Embedding = scan → Arrow-batched Python eval → explode; a shuffle
-    here would move the whole corpus. The single allowed exchange is the
-    final presentation orderBy (oracle-comparison determinism, not part
-    of the embed pipeline)."""
+    here would move the whole corpus. ZERO exchanges: the r8 trailing
+    presentation orderBy was removed in r9 — its range-partitioner
+    sampling re-ran the UDF and its global exchange was the bench
+    set's one negative scaler (driver comparison is order-insensitive;
+    no limit ⇒ no ordering obligation)."""
     df = q(spark, "emb_hash_embed")
     plan = plan_string(df)
     assert "ArrowEvalPython" in plan
-    assert count_exchanges(df) <= 1
+    assert count_exchanges(df) == 0
 
 
 def test_top_parts_preaggregates_before_join(spark):

@@ -50,8 +50,9 @@ ALLOW = {
     # compute is histogram-sized after the r7 restructure; remaining
     # time is six 1-row subqueries + the single-task corpus scan
     "dd_method_agreement",
-    # pandas_udf over 32 near-empty Arrow batches pays 32 Python
-    # round-trips at fixture scale; amortizes at production batches
+    # narrow scan → Arrow UDF → explode on the single-row-group
+    # fixture: one task by design (r9 removed the trailing sort that
+    # made it a NEGATIVE scaler; now ~1.0x flat, the scan-bound class)
     "emb_hash_embed",
     # shuffle-light TPC-H / window / broadcast work at this SF where
     # 32-way scheduling overhead ~= compute
