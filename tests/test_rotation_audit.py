@@ -1,0 +1,100 @@
+"""Unit tests for tools/rotation_audit.py's query-granular staleness.
+
+The audit decides which driver-evidence rows to trust each round, so
+its chain extraction must actually see the things that change query
+results: the decorated function, inline oracle SQL in the decorator,
+oracle constants referenced by name, same-file helpers, cross-file
+helpers (module-level AND function-local deferred imports), and
+module attribute references. A blind spot here silently re-labels a
+stale row fresh — the exact failure the r8 verdict's item 3 exists to
+prevent.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+rotation_audit = importlib.import_module("rotation_audit")
+_Revision = rotation_audit._Revision
+query_chain = rotation_audit.query_chain
+
+WT = _Revision("WORKTREE")
+
+
+def _chain(path: str, qname: str) -> str:
+    c = query_chain(WT, path, qname)
+    assert c is not None, f"chain unextractable for {qname}"
+    return c
+
+
+def test_chain_includes_decorated_function_and_inline_oracle():
+    c = _chain("mcp_rag_server_spark/operators/relational.py", "tpch_q1")
+    assert "def tpch_q1" in c
+    assert "@register(" in c
+    # the inline oracle SQL rides in the decorator segment
+    assert "l_returnflag" in c
+
+
+def test_chain_follows_oracle_constant_reference():
+    # sim_kmeans_refine registers with oracle=_KM_ORACLE (a module
+    # constant) — the constant's defining assignment must be included
+    c = _chain(
+        "mcp_rag_server_spark/operators/clustering.py", "sim_kmeans_refine"
+    )
+    assert "_KM_ORACLE" in c
+    assert "c1e AS (" in c  # text from the constant's value
+
+
+def test_chain_follows_function_local_deferred_import():
+    # sim_knn_graph -> _cell_scored_half -> (function-local import)
+    # clustering.cell_probes -> _centroids_from: all four must appear
+    c = _chain(
+        "mcp_rag_server_spark/operators/similarity.py", "sim_knn_graph"
+    )
+    for marker in (
+        "similarity.py:_cell_scored_half",
+        "clustering.py:cell_probes",
+        "clustering.py:_centroids_from",
+        "clustering.py:CELL_PROBES",
+    ):
+        assert f"mcp_rag_server_spark/operators/{marker}" in c, marker
+
+
+def test_chain_follows_cross_file_helper():
+    # emb_hash_embed's spark fn calls functions/embedding.py helpers
+    # via module-level from-imports
+    c = _chain("mcp_rag_server_spark/operators/embed.py", "emb_hash_embed")
+    assert "mcp_rag_server_spark/functions/embedding.py:with_embedding" in c
+
+
+def test_chain_is_revision_sensitive():
+    # the round-8 snapshot predates the r9 cell-probe refinement: the
+    # same query's chain must differ between that commit and HEAD, and
+    # an untouched query's chain must not
+    rcommits = rotation_audit.round_commits()
+    assert 8 in rcommits
+    snap = _Revision(rcommits[8])
+    path = "mcp_rag_server_spark/operators/similarity.py"
+    assert query_chain(snap, path, "sim_knn_graph") != _chain(
+        path, "sim_knn_graph"
+    )
+    rel = "mcp_rag_server_spark/operators/relational.py"
+    assert query_chain(snap, rel, "tpch_q6") == _chain(rel, "tpch_q6")
+
+
+def test_every_registry_query_is_extractable():
+    """No query may fall out of the evidence audit: the @register
+    decorator with a literal name must be AST-visible for all 302."""
+    from mcp_rag_server_spark.registry import load_all
+    import os
+
+    bad = []
+    for name, spec in load_all().items():
+        mod = sys.modules[spec.spark_fn.__module__]
+        path = os.path.relpath(mod.__file__, "/root/repo")
+        if query_chain(WT, path, name) is None:
+            bad.append(name)
+    assert bad == [], bad
