@@ -438,6 +438,15 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     scale path swaps it for the ``min(struct)`` argmin taken twice
     (constant state) — same contract, same arithmetic.
 
+    Broadcast bound, stated honestly: nlist = N/TARGET_CELL_SIZE, and
+    a centroid row is 64 float64s, so the broadcast stays under
+    Spark's comfort zone (~512 MB) up to nlist ≈ 10^6 — about 10^9
+    vectors at the current sizing. Beyond that, the textbook move is
+    two-level coarse quantization (a sqrt(nlist)-cell quantizer over
+    the centroids themselves, then probe within the winning
+    super-cell), which keeps every broadcast at sqrt scale; the
+    assignment/update stages here are unchanged by that swap.
+
     PRECONDITION: ``emb`` must be the FULL embeddings table of the
     sf_dir being queried — the DuckDB oracle CTE hard-codes
     ``COUNT(*) FROM embeddings`` for the seed count, so a filtered or
