@@ -503,6 +503,27 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
             F.col("xf").cast("double").alias("x"),
         )
     ).select(F.col("cluster").alias("cell"), "cvec")
+    # empty-cell guard: when two seed VECTORS are bit-identical, the
+    # (dd, cell) tie-break assigns both to the lower cell id and the
+    # higher cell wins no rank-1 member, so its centroid row would
+    # vanish and nlist silently shrink. Fall back to the seed vector
+    # itself, element-rounded to 7 — bit-identical to the centroid a
+    # sole-member cell would get (round-7 decimal sum / 1), so the
+    # guard changes nothing on corpora without duplicate seeds.
+    cent = (
+        seeds.select("cell", F.col("cvec").alias("cp_seed_vec"))
+        .join(cent, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(
+                F.col("cvec"),
+                F.expr(
+                    "transform(cp_seed_vec, cp_x ->"
+                    " round(CAST(cp_x AS DOUBLE), 7))"
+                ),
+            ).alias("cvec"),
+        )
+    )
     return (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", dd.alias("dd"))
@@ -561,13 +582,19 @@ cp_cent AS MATERIALIZED (
     GROUP BY a.cell, cp_u.d)
   GROUP BY cell
 ),
+cp_centf AS (
+  SELECT s.cell,
+         coalesce(c.cvec, list_transform(s.cvec, cp_x ->
+           round(CAST(cp_x AS DOUBLE), 7))) AS cvec
+  FROM cp_seeds s LEFT JOIN cp_cent c USING (cell)
+),
 cp_dist AS (
   SELECT e.vec_id, s.cell,
          round(list_sum(list_transform(range(1, {KM_DIMS} + 1), cp_i ->
            (CAST(e.embedding[cp_i] AS DOUBLE) - s.cvec[cp_i])
            * (CAST(e.embedding[cp_i] AS DOUBLE)
               - s.cvec[cp_i]))), 6) AS dd
-  FROM embeddings e CROSS JOIN cp_cent s
+  FROM embeddings e CROSS JOIN cp_centf s
 ),
 probed AS (
   SELECT vec_id, cell FROM (

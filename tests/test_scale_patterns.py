@@ -6070,3 +6070,46 @@ def _check_cell_probe_invariants(spark, sf):
     # at least one probed cell per vector's own seed set (non-empty
     # coverage) and that no probe references a non-seed cell (above).
     assert probed_cells, probed_cells
+
+
+def test_cell_probe_empty_cell_guard_on_duplicate_seeds(spark):
+    """Bit-identical seed vectors send every vector to the lowest
+    duplicate cell at rank 1; without the r9 seed-fallback guard the
+    other cells' centroid rows vanish and each vector emits fewer
+    than CELL_PROBES probes (silent nlist shrink). Extreme case: ALL
+    vectors identical — the guard must keep every seed cell alive as
+    an assignment target so each vector still probes CELL_PROBES
+    distinct cells (ties break by cell id, so probes are the two
+    lowest cell ids)."""
+    from pyspark.sql import functions as F
+
+    import hashlib
+
+    from mcp_rag_server_spark.operators.clustering import (
+        CELL_PROBES,
+        CELL_SALT,
+        cell_probes,
+        n_cells,
+    )
+
+    vec = [float(i % 7) / 7.0 for i in range(64)]
+    arr = "array(" + ", ".join(f"CAST({x} AS FLOAT)" for x in vec) + ")"
+    emb = spark.range(12).select(
+        F.col("id").alias("vec_id"), F.expr(arr).alias("embedding")
+    )
+    rows = cell_probes(emb, n_vectors=12).collect()
+    per_vec: dict[int, set[int]] = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], set()).add(r["cell"])
+    assert set(per_vec) == set(range(12))
+    # all centroids are identical (guarded fallbacks == the sole
+    # populated cell's mean of identical vectors), so every dd ties
+    # and the (dd, cell) tie-break picks the two lowest SEED cell ids
+    seed_ids = sorted(
+        range(12),
+        key=lambda v: hashlib.md5(f"{CELL_SALT}:{v}".encode()).hexdigest(),
+    )[: n_cells(12)]
+    expect = set(sorted(seed_ids)[:CELL_PROBES])
+    for v, cells in per_vec.items():
+        assert len(cells) == CELL_PROBES, (v, cells)
+        assert cells == expect, (v, cells)
