@@ -456,11 +456,12 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     footer-only job at the fixture layout, but a scheduled job per
     plan build for plan-only tooling like plan_lint/gen_plans).
 
-    Every cell is non-empty by construction — each seed assigns to
-    itself at distance 0 — except when two seed VECTORS are
-    bit-identical (the lower cell id absorbs both); production corpora
-    with duplicate vectors should exact-dedup first (dd_exact_keep)
-    or seed over distinct embeddings."""
+    Every cell keeps at least its own seed at distance 0 — unless two
+    seeds TIE at rounded-6 squared distance 0 (bit-identical vectors,
+    or near-duplicates within ~7e-4 L2 that round to 0.0; exact dedup
+    does NOT prevent the latter), in which case the lower cell id
+    absorbs both and the emptied cell falls back to its seed vector
+    (round-7) as its refined centroid — see the guard below."""
     nlist = n_cells(emb.count() if n_vectors is None else n_vectors)
     seeds = (
         emb.orderBy(
@@ -503,13 +504,15 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
             F.col("xf").cast("double").alias("x"),
         )
     ).select(F.col("cluster").alias("cell"), "cvec")
-    # empty-cell guard: when two seed VECTORS are bit-identical, the
-    # (dd, cell) tie-break assigns both to the lower cell id and the
-    # higher cell wins no rank-1 member, so its centroid row would
-    # vanish and nlist silently shrink. Fall back to the seed vector
-    # itself, element-rounded to 7 — bit-identical to the centroid a
-    # sole-member cell would get (round-7 decimal sum / 1), so the
-    # guard changes nothing on corpora without duplicate seeds.
+    # empty-cell guard: when two seeds TIE at rounded-6 squared
+    # distance 0 (bit-identical vectors, or any pair within ~7e-4 L2
+    # that rounds to 0.0), the (dd, cell) tie-break assigns both to
+    # the lower cell id and the higher cell wins no rank-1 member, so
+    # its centroid row would vanish and nlist silently shrink. Fall
+    # back to the seed vector itself, element-rounded to 7 —
+    # bit-identical to the centroid a sole-member cell would get
+    # (round-7 decimal sum / 1), so the guard is a no-op whenever
+    # every cell keeps a member (all fixtures).
     cent = (
         seeds.select("cell", F.col("cvec").alias("cp_seed_vec"))
         .join(cent, "cell", "left")
@@ -540,7 +543,7 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
 
 def duckdb_cell_probes_cte() -> str:
     """DuckDB CTE chain ``cp_seeds / cp_d0 / cp_a0 / cp_cent /
-    cp_dist / probed`` mirroring :func:`cell_probes` arithmetic
+    cp_centf / cp_dist / probed`` mirroring :func:`cell_probes` arithmetic
     exactly: index-order squared-L2 fold rounded 6 with (dd, cell)
     tie-break, one Lloyd refinement of the md5 medoids (rank-1
     assignment, then round-7-decimal per-cell element means — the

@@ -560,8 +560,10 @@ _GB_NORM = (
 
 
 def duckdb_cell_half_cte() -> str:
-    """DuckDB CTE chain ``cp_seeds/cp_dist/probed`` +
-    ``gb_emb/gb_cand/gb_half/gb_sym``: the shared cell-blocked scored
+    """DuckDB CTE chain ``cp_seeds/cp_d0/cp_a0/cp_cent/cp_centf/
+    cp_dist/probed`` (the Lloyd-refined probe assignment from
+    clustering.duckdb_cell_probes_cte) + ``gb_emb/gb_cand/gb_half/
+    gb_sym``: the shared cell-blocked scored
     candidate half-matrix every graph build in this module derives
     from (mirrors :func:`_cell_scored_half` exactly, including the
     precomputed-norm scoring). ``gb_sym`` is (vec_id, nbr_id, score)

@@ -669,15 +669,19 @@ def _cell_candidate_sets(ids, E):
     for v in ids:
         members[dists(E[pos[v]], seed_cents)[0][1]].append(v)
     refined = []
+    dim = len(E[0])
     for c in seed_ids:
-        if not members[c]:
-            continue
-        dim = len(E[0])
-        cv = [
-            sum(round(float(E[pos[m]][k]), 7) for m in members[c])
-            / len(members[c])
-            for k in range(dim)
-        ]
+        if members[c]:
+            cv = [
+                sum(round(float(E[pos[m]][k]), 7) for m in members[c])
+                / len(members[c])
+                for k in range(dim)
+            ]
+        else:
+            # the shipped guard: an emptied cell (seeds tying at
+            # rounded-6 distance 0) falls back to its own seed vector
+            # element-rounded to 7 — the sole-member-cell centroid
+            cv = [round(float(E[pos[c]][k]), 7) for k in range(dim)]
         refined.append((c, cv))
     cells = {}
     for v in ids:

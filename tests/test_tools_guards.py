@@ -52,9 +52,12 @@ def test_fanout_width_derives_from_parallelism():
     from mcp_rag_server_spark.session import fanout_width, get_spark
 
     spark = get_spark(app_name="fanout-test", cpus="8")
-    # local[8] -> defaultParallelism 8 -> width 8 (floor met exactly)
-    assert fanout_width(spark) == max(
-        spark.sparkContext.defaultParallelism, 8
-    )
-    # the floor protects tiny sessions from single-digit fan-out
+    # literal expectations, NOT re-derivations of the implementation:
+    # local[8] -> defaultParallelism 8, at the floor exactly
+    assert spark.sparkContext.defaultParallelism == 8
+    assert fanout_width(spark) == 8
+    # the floor protects tiny sessions from single-digit fan-out: with
+    # parallelism 8, a floor of 64 must win outright
     assert fanout_width(spark, floor=64) == 64
+    # and a floor below the parallelism must NOT cap the width
+    assert fanout_width(spark, floor=2) == 8

@@ -27,6 +27,7 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from mcp_rag_server_spark.functions.vector import duckdb_cosine  # noqa: E402
 from mcp_rag_server_spark.operators.clustering import (  # noqa: E402
     duckdb_cell_probes_cte,
 )
@@ -34,15 +35,10 @@ from mcp_rag_server_spark.operators.clustering import (  # noqa: E402
 THRESH = 0.35
 K = 3
 
-_COS = (
-    "round(list_sum(list_transform(range(1,65), rp_i -> "
-    "CAST(a.embedding[rp_i] AS DOUBLE) * CAST(b.embedding[rp_i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform(range(1,65), rp_i -> "
-    "CAST(a.embedding[rp_i] AS DOUBLE)*CAST(a.embedding[rp_i] AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform(range(1,65), rp_i -> "
-    "CAST(b.embedding[rp_i] AS DOUBLE)*CAST(b.embedding[rp_i] AS DOUBLE))))"
-    " + 1e-10), 4)"
-)
+# the oracles' own cosine discipline (round-4, epsilon denominator) —
+# shared helper, so the recorded recall numbers can never be measured
+# with a silently different formula than the queries use
+_COS = f"round({duckdb_cosine('a.embedding', 'b.embedding')}, 4)"
 
 
 def main() -> int:
@@ -72,8 +68,9 @@ SELECT (SELECT COUNT(*) FROM scored WHERE cos >= {THRESH}),
        (SELECT COUNT(*) FROM cand)
 """
     ).fetchone()
+    rec = f"{nh / nt:.4f}" if nt else "n/a (no ground-truth pairs)"
     print(
-        f"pair recall @ cos>={THRESH}: {nh}/{nt} = {nh / nt:.4f}"
+        f"pair recall @ cos>={THRESH}: {nh}/{nt} = {rec}"
         f"  (candidate pairs: {nc})"
     )
 

@@ -177,6 +177,24 @@ class _Revision:
     def __init__(self, rev: str):
         self.rev = rev
         self._idx: dict[str, _FileIndex | None] = {}
+        self._exists: dict[str, bool] = {}
+
+    def exists(self, relpath: str) -> bool:
+        """File existence AT THIS REVISION — resolving a snapshot's
+        imports against today's worktree silently drops segments when
+        a helper was since renamed (and vice versa)."""
+        if self.rev == "WORKTREE":
+            return os.path.exists(os.path.join(REPO, relpath))
+        if relpath not in self._exists:
+            self._exists[relpath] = (
+                subprocess.run(
+                    ["git", "cat-file", "-e", f"{self.rev}:{relpath}"],
+                    cwd=REPO,
+                    capture_output=True,
+                ).returncode
+                == 0
+            )
+        return self._exists[relpath]
 
     def index(self, relpath: str) -> _FileIndex | None:
         if relpath in self._idx:
@@ -205,22 +223,23 @@ class _Revision:
         return idx
 
 
-def _module_file(dotted: str) -> str | None:
+def _module_file(rev: _Revision, dotted: str) -> str | None:
     rel = dotted.replace(".", "/")
     for cand in (rel + ".py", rel + "/__init__.py"):
-        if os.path.exists(os.path.join(REPO, cand)):
+        if rev.exists(cand):
             return cand
     return None
 
 
-def _resolve_import(dotted: str) -> tuple[str, str | None] | None:
+def _resolve_import(rev: _Revision, dotted: str) -> tuple[str, str | None] | None:
     """'pkg.mod.name' -> (file, defined name) or (file, None) for a
-    whole-module import; None when outside the repo/package."""
-    f = _module_file(dotted)
+    whole-module import; None when outside the repo/package. Resolved
+    against ``rev``'s file set, not the worktree's."""
+    f = _module_file(rev, dotted)
     if f is not None:
         return (f, None)
     mod, _, name = dotted.rpartition(".")
-    f = _module_file(mod)
+    f = _module_file(rev, mod)
     if f is not None:
         return (f, name)
     return None
@@ -269,7 +288,7 @@ def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
                     if sub.id in idx.defs:
                         include(path, sub.id)
                     elif sub.id in local_imports:
-                        tgt = _resolve_import(local_imports[sub.id])
+                        tgt = _resolve_import(rev, local_imports[sub.id])
                         if tgt and tgt[1]:
                             include(tgt[0], tgt[1])
                 elif isinstance(sub, ast.Attribute) and isinstance(
@@ -278,7 +297,9 @@ def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
                     # module.attr where module was imported
                     dotted = local_imports.get(sub.value.id)
                     if dotted:
-                        tgt = _resolve_import(f"{dotted}.{sub.attr}")
+                        tgt = _resolve_import(
+                            rev, f"{dotted}.{sub.attr}"
+                        )
                         if tgt and tgt[1]:
                             include(tgt[0], tgt[1])
 
