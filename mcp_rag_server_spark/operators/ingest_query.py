@@ -63,6 +63,14 @@ def _doc_rel_path(source: str, lang: str, doc_id: int) -> str:
     return f"{source}/{lang}/doc_{doc_id}.txt"
 
 
+# PRECONDITION (applies to every caller of the two corpus writers
+# below): the ingest_* family `.collect()`s the documents table to the
+# DRIVER to materialize an on-disk file corpus — that simulation IS the
+# thing under test (the reference ingests a directory tree,
+# src/indexer.ts:226-317), and the fixture slice is bounded (≤500 rows,
+# ~100 KB). Never point this pattern at a production-sized table: a
+# real deployment's corpus already exists on storage, so build() /
+# run_ingest_stream() read it directly and nothing is collected.
 def _write_corpus_v1(root: str, docs) -> None:
     for r in docs:
         if r.doc_id % MOD_NEW[0] == MOD_NEW[1]:
@@ -175,6 +183,8 @@ ORDER BY f.id
     tags=("ingest", "delta", "store"),
 )
 def ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded driver-side corpus materialization — see the PRECONDITION
+    # note above _write_corpus_v1
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "lang", "text")
@@ -258,6 +268,8 @@ def ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode/extract stage and must be skipped there — the oracle never
     models it, so a P4 regression (ingesting a file whose extraction
     errored) breaks the hash."""
+    # bounded driver-side corpus materialization — see the PRECONDITION
+    # note above _write_corpus_v1
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "lang", "text")
@@ -339,6 +351,8 @@ def st_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    # bounded driver-side corpus materialization — see the PRECONDITION
+    # note above _write_corpus_v1
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < ST_DOC_LIMIT)

@@ -154,7 +154,15 @@ def ev_cogrouped_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-group outputs are order-independent (count/min/max), so results
     are deterministic regardless of shuffle order. Scale: one co-shuffle
     of both sides on user_id, per-group memory = that key's rows — same
-    contract as grouped-map, doubled."""
+    contract as grouped-map, doubled.
+
+    PRODUCTION FORM: this query exists to demonstrate the cogrouped
+    shape; its own oracle — ``groupBy(user_id).agg(...)`` joined to the
+    quota dim — IS the recommended implementation for this computation.
+    cogroup().applyInPandas invokes Python once per key (~1 ms each;
+    measured ~10 s over the ~10k-user sf0.1 fixture vs well under a
+    second for join+aggregate), so reserve it for reconciliation logic
+    that genuinely needs both frames in one function."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")

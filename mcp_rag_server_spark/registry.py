@@ -71,71 +71,70 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 9 rotation): the driver checks a
-#: 50-query prefix of this ordering. Round-8 verdict: 280 of 302
-#: registry queries have a green driver row; the never-checked
-#: backlog is down to 22. Directive #1 = this window closes the
-#: backlog for good: the 22 remaining never-checked queries
-#: (ta_leakage_safe_split ... zorder_layout, rotation_audit "(a)"
-#: order) followed by the 28 oldest stale rows (r3-vintage green
-#: rows whose files have since been edited: arrow_token_stats ...
-#: ta_pii_scrub). Exactly 50 entries. After the driver scores this
-#: window, every registry query has a driver row and rotation
-#: becomes pure oldest-evidence re-checks (now query-granular, keyed
-#: to each query's own source+oracle hash — see
-#: tools/rotation_audit.py). Regenerate with
-#: `python3 tools/rotation_audit.py`, do not hand-maintain.
+#: Driver-evidence priority (round 10 rotation): the driver checks a
+#: 50-query prefix of this ordering. Round-9 closed the never-checked
+#: backlog — all 302 registry queries have a green driver row — so
+#: rotation is now steady-state (the cadence rule is written in
+#: COVERAGE.md "Rotation cadence"): stale logic chains first, then
+#: oldest driver evidence. This window = the 23 stale logic chains
+#: (`tools/rotation_audit.py` list (b): 18 edited during round 9 —
+#: the fanout_width threading, the Lloyd cell-probe refinement, the
+#: probe cache — plus 5 touched by round 10's own docstring /
+#: PRECONDITION additions), followed by the 27 oldest-evidence rows
+#: (r3/r4-vintage greens). Exactly 50 entries.
+#: Regenerate with `python3 tools/rotation_audit.py`, do not
+#: hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ta_leakage_safe_split",
-    "ta_length_drift",
-    "ta_logreg_quality",
-    "ta_mojibake_detect",
-    "ta_ngram_novelty",
-    "ta_pmi_collocations",
-    "ta_quality_auc",
-    "ta_quality_calibration",
-    "ta_readability_fk",
-    "ta_simpson_diversity",
-    "ta_textrank_keywords",
-    "ta_trigram_index_search",
-    "ta_weighted_sample_es",
-    "ta_winnowing_fingerprint",
-    "ta_zipf_fit",
-    "tj_interval_union",
-    "tj_nearest_order",
-    "window_distribution_pack",
-    "window_range_trailing30",
-    "window_running_distinct",
-    "window_value_frames",
-    "zorder_layout",
-    "arrow_token_stats",
-    "chunk_split",
-    "chunk_split_clamped",
-    "chunk_udtf",
-    "chunks_table",
-    "cube_lineitem_flags",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "emb_hash_embed",
-    "fileops_list",
-    "fileops_reassemble_text",
+    "agg_percentile_audit",
+    "ev_cogrouped_quota",
+    "ev_grouped_map_running",
+    "ev_scd2_intervals",
+    "sim_ivfpq_topk",
+    "sim_kmeans_refine",
+    "sim_pq_adc_topk",
+    "ta_gopher_rules",
+    "dd_lsh_band_audit",
+    "ev_props_variant_stats",
+    "ingest_compacted",
+    "ta_fingerprint",
+    "dd_containment",
+    "dd_embedding_neardup",
+    "dd_method_agreement",
+    "sim_knn_graph",
+    "ev_theil_sen",
+    "sim_compression_frontier",
+    "sim_graph_greedy_search",
+    "sim_kcore_decompose",
+    "sim_power_iteration_pc1",
     "ingest_roundtrip",
-    "mm_audio_windows",
-    "mm_frame_sample",
-    "mm_image_meta",
-    "rag_hybrid_topk",
-    "rag_query_result",
-    "read_range",
-    "rollup_sales_by_region",
-    "set_except_customers",
-    "set_intersect_status",
-    "sim_ivf_recall",
-    "sim_sq8_topk",
     "st_ingest_roundtrip",
-    "ta_decontaminate",
-    "ta_mixture_cap",
-    "ta_pack_sequences",
-    "ta_pii_scrub",
+    "ta_token_budget",
+    "tpch_q1",
+    "tpch_q4_exists",
+    "tpch_q6",
+    "window_topn_per_nation",
+    "agg_hll_audit",
+    "anti_join_idle_customers",
+    "correlated_max_price_part",
+    "distinct_agg_lineitem",
+    "ev_anomaly_zscore",
+    "ev_cohort_retention",
+    "ev_dedup_by_second",
+    "ev_funnel",
+    "ev_hourly_windows",
+    "ev_json_extract",
+    "ev_latest_state",
+    "ev_salted_hot_key_join",
+    "ev_sessionize",
+    "ev_top_users_by_value",
+    "ev_type_value_stats",
+    "full_outer_order_ship_days",
+    "outer_join_order_counts",
+    "rag_mmr_batch",
+    "rag_mmr_topk",
+    "sim_matryoshka_topk",
+    "st_dedup_within_watermark",
+    "st_hourly_windows",
 )
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry re-keyed so DRIVER_PRIORITY names come first (in that

@@ -85,6 +85,43 @@ def test_chain_is_revision_sensitive():
     assert query_chain(snap, rel, "tpch_q6") == _chain(rel, "tpch_q6")
 
 
+def test_free_name_loads_respects_python_scoping():
+    """Shadowed names (parameters, locals, loop/comprehension targets,
+    nested-def locals) must NOT count as module references — they made
+    rows spuriously stale; genuinely free names (module consts, helper
+    calls, names closed over by nested functions) must."""
+    import ast
+
+    src = (
+        "def q(spark, load_table):\n"
+        "    helper = 1\n"
+        "    x = helper + load_table\n"
+        "    ys = [shadow * x for shadow in range(3)]\n"
+        "    def inner(pdf):\n"
+        "        return pdf + MODULE_CONST + x\n"
+        "    for row in ys:\n"
+        "        x += row\n"
+        "    return other_helper(x) + shadow\n"
+    )
+    fn = ast.parse(src).body[0]
+    free = {n.id for n in rotation_audit._free_name_loads(fn)}
+    # free: module-scope resolutions (incl. from inside nested scopes)
+    assert {"MODULE_CONST", "other_helper", "range", "shadow"} <= free
+    # shadowed: params, locals, comp targets, for targets, nested names
+    assert not {"load_table", "helper", "x", "ys", "pdf", "row", "inner"} & free
+
+
+def test_chain_skips_value_neutral_session_names():
+    """fanout_width (a repartition-WIDTH pick — partition count never
+    affects per-row values) is name-excluded from chains; the rest of
+    the chain is unaffected."""
+    c = _chain(
+        "mcp_rag_server_spark/operators/similarity.py", "sim_knn_graph"
+    )
+    assert "session.py:fanout_width" not in c
+    assert "mcp_rag_server_spark/operators/similarity.py:_cell_scored_half" in c
+
+
 def test_every_registry_query_is_extractable():
     """No query may fall out of the evidence audit: the @register
     decorator with a literal name must be AST-visible for all 302."""

@@ -6017,20 +6017,77 @@ def test_cell_probe_refinement_invariants(spark):
     cell survives refinement non-empty on the fixture (each seed
     assigns to itself at distance 0), and the two probes per vector
     are distinct cells."""
-    import hashlib
-
-    from pyspark.sql import functions as F
-
-    from mcp_rag_server_spark.catalog import load_table
-    from mcp_rag_server_spark.operators.clustering import (
-        CELL_PROBES,
-        CELL_SALT,
-        cell_probes,
-        n_cells,
-    )
-
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         _check_cell_probe_invariants(spark, sf)
+
+
+def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
+    """The constant-state top-2 (_probe_top2_argmin — the large-nlist
+    path behind CELL_PROBE_STATE_SWITCH) emits the IDENTICAL
+    (vec_id, cell) multiset as the shipped collect_list slice at both
+    fixture SFs: same distance arithmetic, same (dd, cell) tie-break,
+    exact winner exclusion. Forced by monkeypatching the switch to 0
+    (fixture nlist is 8, far below the production switch of 256)."""
+    from mcp_rag_server_spark import catalog
+    from mcp_rag_server_spark.operators import clustering
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = catalog.load_table(spark, sf, "embeddings")
+        baseline = sorted(
+            (r["vec_id"], r["cell"])
+            for r in clustering.cell_probes(emb).collect()
+        )
+        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_SWITCH", 0)
+        forced = sorted(
+            (r["vec_id"], r["cell"])
+            for r in clustering.cell_probes(emb).collect()
+        )
+        monkeypatch.undo()
+        assert forced == baseline, sf
+        # the forced run really took the argmin path
+        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_SWITCH", 0)
+        plan = (
+            clustering.cell_probes(emb)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        monkeypatch.undo()
+        # cp_top is the list-path slice alias; cp_b2 exists only in
+        # the argmin path. (collect_list itself legitimately remains
+        # in the plan: _centroids_from assembles the 64-dim centroid
+        # vectors with a dimension-bounded collect_list.)
+        assert "cp_top" not in plan and "cp_b2" in plan, sf
+
+
+def test_cell_probe_argmin_path_consumer_oracle_parity(
+    spark, duck, monkeypatch
+):
+    """End-to-end driver-style gate with the argmin top-2 path forced:
+    sim_knn_graph (a full _cell_scored_half consumer — probe
+    assignment, cell-blocked half-matrix, rank window) replayed
+    against its own DuckDB oracle at sf0.01 with canon_rows, proving
+    the two probe paths are hash-identical through a shipped query,
+    not just at the probe table."""
+    from conftest import SF001
+    from test_oracle_parity import canon_rows
+
+    from mcp_rag_server_spark.operators import clustering
+    from mcp_rag_server_spark.registry import load_all
+
+    monkeypatch.setattr(clustering, "CELL_PROBE_STATE_SWITCH", 0)
+    spec = load_all()["sim_knn_graph"]
+    spdf = spec.spark_fn(spark, SF001).toPandas()
+    monkeypatch.undo()
+    odf = duck.execute(spec.oracle).fetchdf()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    assert canon_rows(
+        list(spdf.columns),
+        [tuple(r) for r in spdf.itertuples(index=False, name=None)],
+    ) == canon_rows(
+        list(odf.columns),
+        [tuple(r) for r in odf.itertuples(index=False, name=None)],
+    )
 
 
 def _check_cell_probe_invariants(spark, sf):

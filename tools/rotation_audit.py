@@ -92,14 +92,26 @@ def round_commits() -> dict[int, str]:
 
 #: Excluded from logic chains: registry.py changes every round by
 #: design (the DRIVER_PRIORITY rotation lives there) and its decorator
-#: machinery does not touch query results; catalog/session are load
-#: plumbing every query shares (a change there ages ALL 302 rows
-#: equally — the in-session full replay, not the driver rotation, is
-#: the check that catches it).
+#: machinery does not touch query results; catalog is load plumbing
+#: every query shares (a change there ages ALL 302 rows equally — the
+#: in-session full replay, not the driver rotation, is the check that
+#: catches it).
 _CHAIN_EXCLUDE = {
     "mcp_rag_server_spark/registry.py",
     "mcp_rag_server_spark/catalog.py",
-    "mcp_rag_server_spark/session.py",
+}
+
+#: Specific names excluded from chains (file, name): value-neutral by
+#: contract — fanout_width only picks a repartition WIDTH (partition
+#: count never affects per-row values; pinned by
+#: tests/test_registry_invariants.py) and ensure_session_confs sets
+#: value-neutral runtime confs. Unlike the r9 whole-module exclusion
+#: of session.py, any OTHER session.py symbol a query chain reaches
+#: (or a future result-affecting conf helper) now ages its consumers
+#: normally.
+_NAME_EXCLUDE = {
+    ("mcp_rag_server_spark/session.py", "fanout_width"),
+    ("mcp_rag_server_spark/session.py", "ensure_session_confs"),
 }
 
 _PKG = "mcp_rag_server_spark"
@@ -245,6 +257,94 @@ def _resolve_import(rev: _Revision, dotted: str) -> tuple[str, str | None] | Non
     return None
 
 
+#: AST nodes that open a new Python scope: their bindings shadow the
+#: enclosing function chain, and (for our purpose) their bodies are
+#: analyzed with the enclosing bindings in effect.
+_SCOPE_NODES = (
+    ast.FunctionDef,
+    ast.AsyncFunctionDef,
+    ast.Lambda,
+    ast.ListComp,
+    ast.SetComp,
+    ast.DictComp,
+    ast.GeneratorExp,
+    ast.ClassDef,
+)
+
+
+def _scope_bindings(scope: ast.AST) -> tuple[set[str], list[ast.AST]]:
+    """(names bound directly in ``scope``, child nodes belonging to this
+    scope — nested scope nodes included as single entries, their insides
+    not). Bindings: parameters, comprehension targets, Store/Del names
+    (assignments, for/with/except/walrus targets), nested def/class
+    statement names. ``global``/``nonlocal`` declarations un-bind (the
+    name resolves outward). Import aliases are deliberately NOT counted:
+    the caller routes them through its local-import map."""
+    bound: set[str] = set()
+    unbound: set[str] = set()
+    children: list[ast.AST] = []
+    if isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+        a = scope.args
+        for arg in (
+            a.posonlyargs
+            + a.args
+            + a.kwonlyargs
+            + ([a.vararg] if a.vararg else [])
+            + ([a.kwarg] if a.kwarg else [])
+        ):
+            bound.add(arg.arg)
+    if isinstance(scope, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)):
+        for comp in scope.generators:
+            for n in ast.walk(comp.target):
+                if isinstance(n, ast.Name):
+                    bound.add(n.id)
+    stack = list(ast.iter_child_nodes(scope))
+    while stack:
+        n = stack.pop()
+        children.append(n)
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            bound.add(n.name)
+            continue  # nested scope: its own bindings don't leak out
+        if isinstance(n, _SCOPE_NODES):
+            continue
+        if isinstance(n, ast.Name) and isinstance(n.ctx, (ast.Store, ast.Del)):
+            bound.add(n.id)
+        elif isinstance(n, ast.ExceptHandler) and n.name:
+            bound.add(n.name)
+        elif isinstance(n, (ast.Global, ast.Nonlocal)):
+            unbound.update(n.names)
+        stack.extend(ast.iter_child_nodes(n))
+    return bound - unbound, children
+
+
+def _free_name_loads(root: ast.AST) -> list[ast.Name]:
+    """Name(Load) nodes inside ``root`` whose identifier is not bound
+    anywhere in the enclosing scope chain within ``root`` — i.e. names
+    that resolve to module scope under LEGB. Shadowed names (function
+    parameters, locals, loop/comprehension targets) are skipped, so a
+    parameter that happens to share a module-level def's name no longer
+    drags that def into the logic chain (spurious staleness). Class
+    scopes are approximated as ordinary enclosing scopes (slightly
+    over-shadows for methods; operator modules are function-based)."""
+    out: list[ast.Name] = []
+
+    def visit(scope: ast.AST, enclosing: frozenset[str]) -> None:
+        bound, children = _scope_bindings(scope)
+        avail = enclosing | bound
+        for n in children:
+            if isinstance(n, _SCOPE_NODES):
+                visit(n, avail)
+            elif (
+                isinstance(n, ast.Name)
+                and isinstance(n.ctx, ast.Load)
+                and n.id not in avail
+            ):
+                out.append(n)
+
+    visit(root, frozenset())
+    return out
+
+
 def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
     """Concatenated source segments of query ``qname``'s logic chain at
     one revision, or None when the query/file is absent there."""
@@ -255,7 +355,11 @@ def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
     visited: set[tuple[str, str]] = set()
 
     def include(path: str, name: str) -> None:
-        if (path, name) in visited or path in _CHAIN_EXCLUDE:
+        if (
+            (path, name) in visited
+            or path in _CHAIN_EXCLUDE
+            or (path, name) in _NAME_EXCLUDE
+        ):
             return
         visited.add((path, name))
         idx = rev.index(path)
@@ -283,18 +387,28 @@ def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
                             local_imports[alias.asname or alias.name] = (
                                 alias.name
                             )
+            # scope-aware reference extraction: only Name loads that
+            # resolve OUTSIDE the function (module scope under LEGB)
+            # count — a parameter or local that shadows a module-level
+            # def must not drag that def into the chain (it made rows
+            # spuriously stale; never false-fresh, but noisy).
+            free = _free_name_loads(node)
+            free_ids = {id(nm) for nm in free}
+            for nm in free:
+                if nm.id in idx.defs:
+                    include(path, nm.id)
+                elif nm.id in local_imports:
+                    tgt = _resolve_import(rev, local_imports[nm.id])
+                    if tgt and tgt[1]:
+                        include(tgt[0], tgt[1])
             for sub in ast.walk(node):
-                if isinstance(sub, ast.Name):
-                    if sub.id in idx.defs:
-                        include(path, sub.id)
-                    elif sub.id in local_imports:
-                        tgt = _resolve_import(rev, local_imports[sub.id])
-                        if tgt and tgt[1]:
-                            include(tgt[0], tgt[1])
-                elif isinstance(sub, ast.Attribute) and isinstance(
-                    sub.value, ast.Name
+                if (
+                    isinstance(sub, ast.Attribute)
+                    and isinstance(sub.value, ast.Name)
+                    and id(sub.value) in free_ids
                 ):
-                    # module.attr where module was imported
+                    # module.attr where module was imported (and the
+                    # module name itself is not shadowed locally)
                     dotted = local_imports.get(sub.value.id)
                     if dotted:
                         tgt = _resolve_import(
