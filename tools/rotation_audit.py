@@ -421,8 +421,10 @@ def query_chain(rev: _Revision, relpath: str, qname: str) -> str | None:
     return "".join(segments)
 
 
-def main() -> None:
-    verbose = "--verbose" in sys.argv
+def audit(verbose: bool = False):
+    """Classify every registry query's driver evidence. Returns
+    (n_registry, no_row, stale, fresh): no_row = [(name, path)],
+    stale/fresh = [(name, round, green, path)]."""
     reg = load_all()
     rows = round_rows()
     rcommits = round_commits()
@@ -456,8 +458,25 @@ def main() -> None:
             )
             print(f"STALE {name}: {why}")
         (stale if is_stale else fresh).append((name, rnd, green, path))
+    return len(reg), no_row, stale, fresh
 
-    print(f"registry queries: {len(reg)}")
+
+def proposed_window(no_row, stale, fresh, size: int = 50) -> list[str]:
+    """The deterministic next driver window (COVERAGE.md 'Rotation
+    cadence'): never-checked queries first, then stale logic chains
+    (oldest evidence first), then oldest-evidence fresh rows — name
+    order breaking ties throughout."""
+    window = [n for n, _ in sorted(no_row)]
+    window += [n for n, _, _, _ in sorted(stale, key=lambda t: (t[1], t[0]))]
+    window += [n for n, _, _, _ in sorted(fresh, key=lambda t: (t[1], t[0]))]
+    return window[:size]
+
+
+def main() -> None:
+    verbose = "--verbose" in sys.argv
+    n_reg, no_row, stale, fresh = audit(verbose=verbose)
+
+    print(f"registry queries: {n_reg}")
     print(f"\n(a) NO driver row ({len(no_row)}):")
     for name, path in sorted(no_row):
         print(f"  {name}  [{path}]")
@@ -477,12 +496,9 @@ def main() -> None:
     for _, rnd, _, _ in fresh:
         by_round[rnd] = by_round.get(rnd, 0) + 1
     print(f"\n(c) fresh rows by round: {dict(sorted(by_round.items()))}")
-    window = [n for n, _ in sorted(no_row)]
-    window += [n for n, _, _, _ in sorted(stale, key=lambda t: (t[1], t[0]))]
-    oldest_first = sorted(fresh, key=lambda t: (t[1], t[0]))
-    window += [n for n, _, _, _ in oldest_first]
+    window = proposed_window(no_row, stale, fresh)
     print("\nproposed 50-query window (edit registry.DRIVER_PRIORITY):")
-    for i, name in enumerate(window[:50]):
+    for i, name in enumerate(window):
         print(f"  {i + 1:2d}. {name}")
 
 

@@ -81,6 +81,33 @@ def main() -> int:
               " r4 events.ts precedent) before writing new code.")
         return 1
     print("no drift; fixtures match the recorded snapshot")
+
+    # Emit this round's driver window (COVERAGE.md "Rotation cadence"):
+    # the window is a pure function of the tree — never-checked first,
+    # then stale logic chains, then oldest evidence — so the judge can
+    # predict it, and a divergence between the registry and the
+    # proposal is loud. At round START the two must match; mid-round
+    # edits legitimately create new staleness, which the round-end
+    # regeneration (rotation_audit -> DRIVER_PRIORITY) folds in.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import rotation_audit
+
+    from mcp_rag_server_spark.registry import DRIVER_PRIORITY
+
+    _, no_row, stale, fresh = rotation_audit.audit()
+    window = rotation_audit.proposed_window(no_row, stale, fresh)
+    print(f"\nrotation window ({len(window)} queries, cadence order):")
+    for i, name in enumerate(window):
+        print(f"  {i + 1:2d}. {name}")
+    if list(DRIVER_PRIORITY) == window:
+        print("DRIVER_PRIORITY matches the proposal — window is current")
+    else:
+        extra = set(DRIVER_PRIORITY) - set(window)
+        missing = set(window) - set(DRIVER_PRIORITY)
+        print("DRIVER_PRIORITY DIVERGES from the proposal"
+              f" (registry-only: {sorted(extra)};"
+              f" proposal-only: {sorted(missing)}) —"
+              " regenerate before round end if this is round start.")
     return 0
 
 
