@@ -68,14 +68,28 @@ def spark():
 
 
 def _cache_entries(spark) -> int:
-    return (
-        spark._jsparkSession.sharedState().cacheManager().cachedData().size()
-    )
+    # reaches through private py4j internals (no public cache-entry
+    # count exists); a Spark upgrade that moves them should skip the
+    # suite's mechanism pin, not error it — the cache CONTRACT is
+    # still covered by the re-invocation row-identity checks in
+    # tools/reinvoke_audit.py, which use only public API.
+    try:
+        return (
+            spark._jsparkSession.sharedState()
+            .cacheManager()
+            .cachedData()
+            .size()
+        )
+    except AttributeError as e:  # pragma: no cover - Spark upgrade path
+        pytest.skip(f"CacheManager internals moved in this Spark: {e}")
 
 
 def _cached_bytes(spark) -> int:
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    return sum(i.memSize() + i.diskSize() for i in infos)
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+    except AttributeError as e:  # pragma: no cover - Spark upgrade path
+        pytest.skip(f"RDD storage internals moved in this Spark: {e}")
 
 
 def test_cache_entries_bounded_across_reinvocation(spark):

@@ -6060,6 +6060,31 @@ def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
         assert "cp_top" not in plan and "cp_b2" in plan, sf
 
 
+def test_cell_probe_corpus_count_memo(spark):
+    """cell_probes' construction-time corpus count is memoized per
+    input-file set: two plan builds over the same parquet source pay
+    one count job (plan-only tooling builds hundreds of plans per
+    session), and distinct sources get distinct entries."""
+    from mcp_rag_server_spark import catalog
+    from mcp_rag_server_spark.operators import clustering
+
+    clustering._COUNT_MEMO.clear()
+    emb1 = catalog.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb2 = catalog.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n1 = emb1.count()
+    assert clustering._corpus_count(emb1) == n1
+    assert clustering._corpus_count(emb2) == emb2.count()
+    # same row COUNT at these two SFs, but distinct sources -> two keys
+    assert len(clustering._COUNT_MEMO) == 2
+    # second resolution is a pure dict hit: poison the memo and verify
+    # the poisoned value is returned (no fresh count job re-runs)
+    key = tuple(sorted(emb1.inputFiles()))
+    clustering._COUNT_MEMO[key] = n1 + 7
+    assert clustering._corpus_count(emb1) == n1 + 7
+    clustering._COUNT_MEMO.clear()
+    assert clustering._corpus_count(emb1) == n1
+
+
 def test_cell_probe_argmin_path_consumer_oracle_parity(
     spark, duck, monkeypatch
 ):
