@@ -10,6 +10,14 @@ run it before every commit that touches a query or operator.
 Usage: python tools/verify_contract.py [sf_dir]   (default sf0.01)
 Exit 1 on any mismatch or error; prints one line per failure plus a
 TOTAL line.
+
+SPARK_GRAFT_EXTRA_CONFS="k=v,k=v" adds Spark confs to the session —
+the no-codegen sweep modality (r8 addition, previously an inline
+script) is:
+
+    SPARK_GRAFT_EXTRA_CONFS="spark.sql.codegen.wholeStage=false,\
+spark.sql.codegen.factoryMode=NO_CODEGEN" \
+        python tools/verify_contract.py /root/testdata/sf0.001
 """
 
 from __future__ import annotations
@@ -39,12 +47,17 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        print(f"extra conf: {k.strip()}={v.strip()}")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     df = mod.entry(spark)
     print("entry rows:", len(df.collect()), df.schema.simpleString()[:120])
 
