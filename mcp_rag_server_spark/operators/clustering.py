@@ -24,6 +24,8 @@ rounded distances.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -430,23 +432,46 @@ def n_cells(n_vectors: int) -> int:
     return max(CELL_SEEDS, -(-int(n_vectors) // TARGET_CELL_SIZE))
 
 
-#: Memoized full-table counts keyed by the source's input-file list:
-#: :func:`cell_probes` runs an eager ``count()`` at DataFrame-
-#: CONSTRUCTION time when the caller passes no ``n_vectors`` (the
-#: seed count must be known to build the plan). Plan-only tooling
-#: (plan_lint / gen_plans) and multi-query sessions construct the
-#: probe plan many times over the SAME read-only parquet source —
-#: memoizing by ``df.inputFiles()`` (a metadata-only listing, no
-#: Spark job) makes the count a once-per-source cost. A rewritten
-#: directory gets fresh part filenames, so a changed source never
-#: hits a stale entry; non-file sources (empty key) skip the memo.
-_COUNT_MEMO: dict[tuple[str, ...], int] = {}
+#: Memoized full-table counts: :func:`cell_probes` runs an eager
+#: ``count()`` at DataFrame-CONSTRUCTION time when the caller passes
+#: no ``n_vectors`` (the seed count must be known to build the plan).
+#: Plan-only tooling (plan_lint / gen_plans) and multi-query sessions
+#: construct the probe plan many times over the SAME read-only parquet
+#: source — memoizing makes the count a once-per-source cost. Key =
+#: input file list PLUS each local file's (size, mtime), so both a
+#: rewritten directory (fresh part filenames) AND an in-place
+#: single-file regeneration (same path, new stat — the round-4
+#: fixture-refresh precedent) get fresh entries. The memo is only
+#: consulted for bare scans (no Filter/Join/Aggregate/Limit/Sample in
+#: the analyzed plan): a contract-violating filtered ``emb`` stays
+#: locally wrong instead of poisoning later full-table calls.
+_COUNT_MEMO: dict[tuple, int] = {}
+
+#: Logical nodes whose presence means the frame's count is NOT a pure
+#: property of the source files.
+_COUNT_UNSAFE_NODES = (
+    "Filter", "Join", "Aggregate", "GlobalLimit", "LocalLimit",
+    "Sample", "Union", "Deduplicate", "Intersect", "Except", "Window",
+    "Generate",
+)
 
 
 def _corpus_count(df: DataFrame) -> int:
     try:
-        key = tuple(sorted(df.inputFiles()))
-    except Exception:  # non-file-backed plans (unions, local relations)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(node in plan for node in _COUNT_UNSAFE_NODES):
+            return df.count()
+        files = sorted(df.inputFiles())
+        key_parts = []
+        for uri in files:
+            local = uri[7:] if uri.startswith("file://") else uri
+            try:
+                st = os.stat(local)
+                key_parts.append((uri, st.st_size, st.st_mtime_ns))
+            except OSError:  # non-local scheme: path-only key part
+                key_parts.append((uri, -1, -1))
+        key = tuple(key_parts)
+    except Exception:  # non-file-backed plans (local relations etc.)
         key = ()
     if not key:
         return df.count()
@@ -569,7 +594,19 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
             ).alias("cvec"),
         )
     )
-    if CELL_PROBES == 2 and nlist > CELL_PROBE_STATE_SWITCH:
+    if nlist > CELL_PROBE_STATE_SWITCH:
+        if CELL_PROBES != 2:
+            # fail LOUD rather than silently reverting to the
+            # state-growing collect_list path in exactly the regime the
+            # constant-state path exists for (executor memory, not an
+            # error, is what gives out otherwise)
+            raise NotImplementedError(
+                f"constant-state probe pick is implemented for "
+                f"CELL_PROBES == 2 only (got {CELL_PROBES}) — generalize "
+                f"_probe_top2_argmin (argmin taken k times) before raising "
+                f"CELL_PROBES for corpora with nlist > "
+                f"{CELL_PROBE_STATE_SWITCH}"
+            )
         return _probe_top2_argmin(emb, cent, dd)
     return (
         emb.crossJoin(F.broadcast(cent))

@@ -67,12 +67,26 @@ def spark():
     yield s
 
 
+try:  # the introspection below needs py4j; absent under Spark Connect
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover
+    Py4JError = ()  # type: ignore[assignment,misc]
+
+#: Missing Python-side attrs (_jsparkSession under Connect) raise
+#: AttributeError; a RENAMED/REMOVED JVM-side method raises Py4JError
+#: at call time (py4j resolves attributes lazily, so the miss only
+#: surfaces on invocation). Both mean "introspection internals moved",
+#: not "cache contract broken" — skip, don't error: the contract
+#: itself stays covered by tools/reinvoke_audit.py via public API.
+_INTERNALS_MOVED = (AttributeError,) + (
+    (Py4JError,) if isinstance(Py4JError, type) else ()
+)
+
+
 def _cache_entries(spark) -> int:
     # reaches through private py4j internals (no public cache-entry
     # count exists); a Spark upgrade that moves them should skip the
-    # suite's mechanism pin, not error it — the cache CONTRACT is
-    # still covered by the re-invocation row-identity checks in
-    # tools/reinvoke_audit.py, which use only public API.
+    # suite's mechanism pin, not error it.
     try:
         return (
             spark._jsparkSession.sharedState()
@@ -80,7 +94,7 @@ def _cache_entries(spark) -> int:
             .cachedData()
             .size()
         )
-    except AttributeError as e:  # pragma: no cover - Spark upgrade path
+    except _INTERNALS_MOVED as e:  # pragma: no cover - upgrade path
         pytest.skip(f"CacheManager internals moved in this Spark: {e}")
 
 
@@ -88,7 +102,7 @@ def _cached_bytes(spark) -> int:
     try:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         return sum(i.memSize() + i.diskSize() for i in infos)
-    except AttributeError as e:  # pragma: no cover - Spark upgrade path
+    except _INTERNALS_MOVED as e:  # pragma: no cover - upgrade path
         pytest.skip(f"RDD storage internals moved in this Spark: {e}")
 
 

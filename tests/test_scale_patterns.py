@@ -6076,13 +6076,26 @@ def test_cell_probe_corpus_count_memo(spark):
     assert clustering._corpus_count(emb2) == emb2.count()
     # same row COUNT at these two SFs, but distinct sources -> two keys
     assert len(clustering._COUNT_MEMO) == 2
+    # keys carry (path, size, mtime) so an in-place single-file
+    # regeneration (same path, new stat) misses the stale entry
+    key1 = next(
+        k for k in clustering._COUNT_MEMO
+        if any("sf0.001" in part[0] for part in k)
+    )
+    assert all(part[1] > 0 and part[2] > 0 for part in key1), key1
     # second resolution is a pure dict hit: poison the memo and verify
     # the poisoned value is returned (no fresh count job re-runs)
-    key = tuple(sorted(emb1.inputFiles()))
-    clustering._COUNT_MEMO[key] = n1 + 7
+    clustering._COUNT_MEMO[key1] = n1 + 7
     assert clustering._corpus_count(emb1) == n1 + 7
     clustering._COUNT_MEMO.clear()
     assert clustering._corpus_count(emb1) == n1
+    # a NON-bare-scan frame (Filter in the analyzed plan) bypasses the
+    # memo entirely: correct local count, no poisoning of the
+    # full-table entry in either direction
+    flt = emb1.filter("vec_id < 3")
+    before = dict(clustering._COUNT_MEMO)
+    assert clustering._corpus_count(flt) == 3
+    assert clustering._COUNT_MEMO == before
 
 
 def test_cell_probe_argmin_path_consumer_oracle_parity(

@@ -30,9 +30,11 @@ the truthful list is the queries whose own chain changed).
 Known coarseness that remains: a segment is included only if it is
 reachable by NAME reference from the query's chain within the
 package; dynamic dispatch (getattr, registry lookups) and
-out-of-package behavior (Spark/DuckDB upgrades) are invisible, and
-catalog/session plumbing is excluded like registry.py (it changes
-every round; the in-session 302-query replay covers it).
+out-of-package behavior (Spark/DuckDB upgrades) are invisible.
+registry.py and catalog.py are excluded wholesale (shared plumbing
+that changes every round; the in-session 302-query replay covers
+them); session.py participates normally EXCEPT the specific
+value-neutral names in _NAME_EXCLUDE.
 
 Usage: python tools/rotation_audit.py [--verbose]
 """
@@ -104,14 +106,14 @@ _CHAIN_EXCLUDE = {
 #: Specific names excluded from chains (file, name): value-neutral by
 #: contract — fanout_width only picks a repartition WIDTH (partition
 #: count never affects per-row values; pinned by
-#: tests/test_registry_invariants.py) and ensure_session_confs sets
-#: value-neutral runtime confs. Unlike the r9 whole-module exclusion
-#: of session.py, any OTHER session.py symbol a query chain reaches
-#: (or a future result-affecting conf helper) now ages its consumers
-#: normally.
+#: tests/test_registry_invariants.py). ensure_session_confs is NOT
+#: excluded: it pins spark.sql.session.timeZone (every timestamp
+#: conversion) and parquet nanosAsLong (how events.ts reads) — a
+#: change there must age its consumers. Unlike the r9 whole-module
+#: exclusion of session.py, any other session.py symbol a query chain
+#: reaches now ages its consumers normally.
 _NAME_EXCLUDE = {
     ("mcp_rag_server_spark/session.py", "fanout_width"),
-    ("mcp_rag_server_spark/session.py", "ensure_session_confs"),
 }
 
 _PKG = "mcp_rag_server_spark"

@@ -8,8 +8,12 @@ Usage:  python tools/roundstart.py  [sf_dir=/root/testdata/sf0.01]
 
 Prints each table's parquet schema, flags anything that differs from
 the LAST ROUND's recorded snapshot (tools/fixture_schemas.json, updated
-on every run), then replays the flagship query. Exit 1 on drift or a
-broken flagship, 0 otherwise — safe to run first thing, every round.
+on every run), replays the flagship query, then emits the rotation
+window (COVERAGE.md "Rotation cadence") and checks it against
+registry.DRIVER_PRIORITY. Exit 1 on schema drift, a broken flagship,
+or a window divergence (at round start the registry must equal the
+proposal; mid-round divergence just means "regenerate before round
+end"), 0 otherwise — safe to run first thing, every round.
 """
 
 from __future__ import annotations
@@ -101,14 +105,26 @@ def main() -> int:
         print(f"  {i + 1:2d}. {name}")
     if list(DRIVER_PRIORITY) == window:
         print("DRIVER_PRIORITY matches the proposal — window is current")
-    else:
-        extra = set(DRIVER_PRIORITY) - set(window)
-        missing = set(window) - set(DRIVER_PRIORITY)
-        print("DRIVER_PRIORITY DIVERGES from the proposal"
-              f" (registry-only: {sorted(extra)};"
-              f" proposal-only: {sorted(missing)}) —"
-              " regenerate before round end if this is round start.")
-    return 0
+        return 0
+    extra = set(DRIVER_PRIORITY) - set(window)
+    missing = set(window) - set(DRIVER_PRIORITY)
+    if extra or missing:
+        detail = (f"registry-only: {sorted(extra)}; "
+                  f"proposal-only: {sorted(missing)}")
+    else:  # same 50 names, different cadence order
+        i, a, b = next(
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(DRIVER_PRIORITY, window))
+            if a != b
+        )
+        detail = (f"same names, order diverges at position {i + 1}: "
+                  f"registry has {a!r}, proposal has {b!r}")
+    print(f"DRIVER_PRIORITY DIVERGES from the proposal ({detail}).\n"
+          "At round start this is a failure (the round-end regeneration "
+          "was skipped) — run tools/rotation_audit.py and update "
+          "registry.DRIVER_PRIORITY. Mid-round, new edits legitimately "
+          "create staleness; regenerate before round end.")
+    return 1
 
 
 if __name__ == "__main__":
