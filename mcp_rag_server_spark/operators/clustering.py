@@ -408,20 +408,49 @@ CELL_SALT = "cell"
 #: corpus size.
 TARGET_CELL_SIZE = 1024
 
-#: Aggregation-state switch for the probe top-2 pick: at or below this
-#: nlist the single-shuffle ``collect_list``-of-nlist-structs slice is
-#: used (per-key state = nlist structs ≈ 24·nlist bytes — fine while
-#: nlist is small); above it :func:`_probe_top2_argmin` takes over —
-#: the constant-state ``min(struct)`` argmin taken twice, which
-#: re-evaluates the broadcast distance fold once more but keeps the
-#: aggregation buffer at one struct per key regardless of nlist
-#: (executor memory binds before the 2× fold cost does: at the sizing
-#: law above, nlist crosses this switch at ~256 Ki vectors, where
-#: millions of keys × nlist structs of list state would be GBs).
-#: Both paths share the same arithmetic and (dd, cell) tie-break;
-#: tests/test_scale_patterns.py forces the argmin path at fixture
-#: scale and hash-verifies it against the oracle end-to-end.
-CELL_PROBE_STATE_SWITCH = 256
+#: Per-JVM aggregation-state budget for the probe top-2 pick. The
+#: ``collect_list``-of-nlist-structs slice is the FASTER form — one
+#: distance pass, one shuffle (measured at nlist=293 / N=300k:
+#: 109 s vs 294 s for the constant-state alternative,
+#: tools/probe_path_stress.py) — but its aggregation state is
+#: keys × nlist structs, quadratic in N under the sizing law
+#: (N²·32B/1024: ~2.8 GB at N=300k, ~31 GB at N=10^6, ~3 TB at
+#: N=10^7). :func:`cell_probes` therefore estimates the state a JVM
+#: would hold (:func:`_probe_list_state_bytes`) and dispatches to
+#: :func:`_probe_top2_argmin` — the ``min(struct)`` argmin taken
+#: twice, constant buffer per key, ~2.7× the probe-stage compute —
+#: only when the estimate exceeds this budget. 1 GiB is conservative
+#: against typical 8–16 GB executor heaps (the agg shares the heap
+#: with everything else, and skewed partitions concentrate state).
+#: Both paths are hash-identical (same arithmetic, same (dd, cell)
+#: tie-break) — proven by the forced-path oracle replays in
+#: tests/test_scale_patterns.py and the stress tool at real trigger
+#: sizing.
+CELL_PROBE_STATE_BUDGET = 1 << 30  # bytes per JVM
+
+#: Measured in-heap footprint of one (double, bigint) struct inside a
+#: collect_list aggregation buffer (object headers included).
+_PROBE_STRUCT_BYTES = 32
+
+
+def _probe_list_state_bytes(n_vectors: int, nlist: int, spark) -> int:
+    """Estimated peak per-JVM aggregation state of the collect_list
+    probe pick: this JVM's share of the N keys × nlist structs. In
+    local mode ONE JVM holds every partition's state concurrently; on
+    a cluster the keys divide across executor JVMs
+    (defaultParallelism = total cores, spark.executor.cores = cores
+    per JVM — unset locally, so the divisor degrades to 1)."""
+    sc = spark.sparkContext
+    try:
+        exec_cores = int(sc.getConf().get("spark.executor.cores", "0") or 0)
+    except Exception:
+        exec_cores = 0
+    n_jvms = (
+        max(1, int(sc.defaultParallelism) // exec_cores)
+        if exec_cores > 0
+        else 1
+    )
+    return (int(n_vectors) // n_jvms) * nlist * _PROBE_STRUCT_BYTES
 
 
 def n_cells(n_vectors: int) -> int:
@@ -497,12 +526,15 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     Plan shape: seeds then centroids broadcast (nlist rows each);
     the argmin is a map-side-combinable ``min(struct)``; the centroid
     update is one (cell, dim)-keyed shuffle of partial sums; the
-    top-2 pick is size-switched on nlist (CELL_PROBE_STATE_SWITCH):
-    at small nlist a ``collect_list`` of nlist structs per vector
-    (one shuffle, no window, no N×k sort-shuffle); above the switch
-    the implementation is the constant-state ``min(struct)`` argmin
-    taken twice (:func:`_probe_top2_argmin`) — same contract, same
-    arithmetic, per-key aggregation state independent of nlist.
+    top-2 pick is dispatched on ESTIMATED AGGREGATION STATE
+    (:data:`CELL_PROBE_STATE_BUDGET`): while a JVM's share of the
+    keys × nlist list state fits the budget, a ``collect_list`` of
+    nlist structs per vector (one shuffle, no window, no N×k
+    sort-shuffle — the faster form, measured 2.7× cheaper than the
+    alternative at nlist=293); past the budget the implementation is
+    the constant-state ``min(struct)`` argmin taken twice
+    (:func:`_probe_top2_argmin`) — same contract, same arithmetic,
+    per-key aggregation state independent of nlist.
 
     Broadcast bound, stated honestly: nlist = N/TARGET_CELL_SIZE, and
     a centroid row is 64 float64s, so the broadcast stays under
@@ -529,7 +561,8 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     does NOT prevent the latter), in which case the lower cell id
     absorbs both and the emptied cell falls back to its seed vector
     (round-7) as its refined centroid — see the guard below."""
-    nlist = n_cells(_corpus_count(emb) if n_vectors is None else n_vectors)
+    n = _corpus_count(emb) if n_vectors is None else n_vectors
+    nlist = n_cells(n)
     seeds = (
         emb.orderBy(
             F.md5(
@@ -594,7 +627,8 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
             ).alias("cvec"),
         )
     )
-    if nlist > CELL_PROBE_STATE_SWITCH:
+    state = _probe_list_state_bytes(n, nlist, emb.sparkSession)
+    if state > CELL_PROBE_STATE_BUDGET:
         if CELL_PROBES != 2:
             # fail LOUD rather than silently reverting to the
             # state-growing collect_list path in exactly the regime the
@@ -603,9 +637,9 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
             raise NotImplementedError(
                 f"constant-state probe pick is implemented for "
                 f"CELL_PROBES == 2 only (got {CELL_PROBES}) — generalize "
-                f"_probe_top2_argmin (argmin taken k times) before raising "
-                f"CELL_PROBES for corpora with nlist > "
-                f"{CELL_PROBE_STATE_SWITCH}"
+                f"_probe_top2_argmin (argmin taken k times) before "
+                f"raising CELL_PROBES for corpora whose collect_list "
+                f"state ({state >> 20} MiB/JVM) exceeds the budget"
             )
         return _probe_top2_argmin(emb, cent, dd)
     return (
@@ -639,11 +673,15 @@ def _probe_top2_argmin(
 
     Cost vs the collect_list path: one extra fold evaluation per
     (vector, cell) and one extra shuffle of ``emb`` (to join the
-    pass-1 winner back), in exchange for per-key aggregation state
-    that no longer grows with nlist. Both paths hash-identically;
-    tests/test_scale_patterns.py forces this path at fixture scale
-    (CELL_PROBE_STATE_SWITCH monkeypatched to 0) and replays a full
-    consumer against its DuckDB oracle."""
+    pass-1 winner back) — measured 2.7× the probe-stage wall time at
+    the first real trigger sizing (294 s vs 109 s at N=300k /
+    nlist=293, tools/probe_path_stress.py) — in exchange for per-key
+    aggregation state that no longer grows with nlist (the list
+    path's state is quadratic in N under the sizing law). Both paths
+    hash-identically; tests/test_scale_patterns.py forces this path
+    at fixture scale (CELL_PROBE_STATE_BUDGET monkeypatched to 0) and
+    replays a full consumer against its DuckDB oracle, and the stress
+    tool proves identity at real trigger sizing."""
     b1 = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", dd.alias("dd"))

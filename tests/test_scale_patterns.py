@@ -6023,11 +6023,12 @@ def test_cell_probe_refinement_invariants(spark):
 
 def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
     """The constant-state top-2 (_probe_top2_argmin — the large-nlist
-    path behind CELL_PROBE_STATE_SWITCH) emits the IDENTICAL
+    path behind CELL_PROBE_STATE_BUDGET) emits the IDENTICAL
     (vec_id, cell) multiset as the shipped collect_list slice at both
     fixture SFs: same distance arithmetic, same (dd, cell) tie-break,
-    exact winner exclusion. Forced by monkeypatching the switch to 0
-    (fixture nlist is 8, far below the production switch of 256)."""
+    exact winner exclusion. Forced by monkeypatching the state budget
+    to 0 (the fixtures' estimated list state is far below the 1 GiB
+    production budget, so the list path is their default)."""
     from mcp_rag_server_spark import catalog
     from mcp_rag_server_spark.operators import clustering
 
@@ -6037,7 +6038,7 @@ def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
             (r["vec_id"], r["cell"])
             for r in clustering.cell_probes(emb).collect()
         )
-        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_SWITCH", 0)
+        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_BUDGET", 0)
         forced = sorted(
             (r["vec_id"], r["cell"])
             for r in clustering.cell_probes(emb).collect()
@@ -6045,7 +6046,7 @@ def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
         monkeypatch.undo()
         assert forced == baseline, sf
         # the forced run really took the argmin path
-        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_SWITCH", 0)
+        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_BUDGET", 0)
         plan = (
             clustering.cell_probes(emb)
             ._jdf.queryExecution()
@@ -6113,7 +6114,7 @@ def test_cell_probe_argmin_path_consumer_oracle_parity(
     from mcp_rag_server_spark.operators import clustering
     from mcp_rag_server_spark.registry import load_all
 
-    monkeypatch.setattr(clustering, "CELL_PROBE_STATE_SWITCH", 0)
+    monkeypatch.setattr(clustering, "CELL_PROBE_STATE_BUDGET", 0)
     spec = load_all()["sim_knn_graph"]
     spdf = spec.spark_fn(spark, SF001).toPandas()
     monkeypatch.undo()
