@@ -6061,6 +6061,35 @@ def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
         assert "cp_top" not in plan and "cp_b2" in plan, sf
 
 
+def test_cell_probe_state_model_dispatch(spark):
+    """The probe top-2 dispatch is a memory model, not an nlist
+    constant: _probe_list_state_bytes estimates a JVM's share of the
+    keys x nlist struct state (one JVM holds everything in local
+    mode), and the fixtures sit far under the 1 GiB budget (list path
+    default) while the stress sizing (300k vectors) crosses it."""
+    from mcp_rag_server_spark.operators import clustering
+
+    # local mode: executor.cores unset -> one JVM -> full state
+    est = clustering._probe_list_state_bytes(300_000, 293, spark)
+    assert est == 300_000 * 293 * clustering._PROBE_STRUCT_BYTES
+    assert est > clustering.CELL_PROBE_STATE_BUDGET  # stress: argmin
+    # fixture sizings: far under budget -> list path is the default
+    for n in (500, 2000):
+        est = clustering._probe_list_state_bytes(
+            n, clustering.n_cells(n), spark
+        )
+        assert est < clustering.CELL_PROBE_STATE_BUDGET // 1000, est
+    # quadratic growth under the sizing law: 10x the corpus is ~100x
+    # the state once nlist is off the floor
+    e1 = clustering._probe_list_state_bytes(
+        10**6, clustering.n_cells(10**6), spark
+    )
+    e2 = clustering._probe_list_state_bytes(
+        10**7, clustering.n_cells(10**7), spark
+    )
+    assert 90 < e2 / e1 < 110, e2 / e1
+
+
 def test_cell_probe_corpus_count_memo(spark):
     """cell_probes' construction-time corpus count is memoized per
     input-file set: two plan builds over the same parquet source pay
