@@ -1,0 +1,86 @@
+"""Box-condition probe: is a bench comparison trustworthy right now?
+
+Rounds 3, 6, 7 and 10 each lost time to machine-condition artifacts
+(concurrent load fabricating a +53% "regression"; lucky-tail records;
+a day-long monotonic drift that moved queries untouched since r3 in
+lockstep). The reliable tell is always the same: SENTINEL queries
+whose code has not changed in many rounds move together with the
+suspect ones. This tool automates that tell.
+
+It times four cheap, stable, old-code sentinels (min-of-3, same
+harness discipline as bench.py) and compares each against its pinned
+idle reference (recorded round 10, load avg 0.10, the same box the
+baselines were recorded on):
+
+    ratio ~ 1.00        box matches the reference recordings
+    ratio >> 1 (broad)  machine degraded: do NOT adjudicate bench
+                        movement as code until the probe recovers
+
+Usage: python tools/box_probe.py
+Exit 0 and print the index either way (informational); treat a
+geometric-mean index above ~1.15 as "bench numbers unreliable".
+Re-pin SENTINEL_REF only from a run whose probe index was ~1.0 and
+whose load average was idle, and note the re-pin in BENCH_NOTES.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from mcp_rag_server_spark.registry import load_all  # noqa: E402
+from mcp_rag_server_spark.session import get_spark  # noqa: E402
+
+#: (query, pinned idle min-of-3 seconds at sf0.1 local[32]) — all four
+#: untouched since early rounds, spanning the cost classes a box
+#: slowdown shows up in: codegen scan-agg (tpch_q6), shuffle-free
+#: top-k with a HOF fold (rag_topk), explode-heavy SQL (chunk_split),
+#: Arrow batch boundary (ta_token_stats). Pinned from the round-10
+#: round-start idle run (BENCH_NOTES "Round-10 opening
+#: adjudications").
+SENTINEL_REF: dict[str, float] = {
+    "tpch_q6": 0.201,
+    "rag_topk": 0.237,
+    "chunk_split": 0.467,
+    "ta_token_stats": 0.265,
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="box-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+
+    # same warm-up bench.py uses, so ratios compare like with like
+    reg["rag_topk"].spark_fn(spark, sf_dir).collect()
+
+    ratios = []
+    print(f"{'sentinel':16s} {'ref':>7s} {'now':>7s} {'ratio':>6s}")
+    for name, ref in SENTINEL_REF.items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            reg[name].spark_fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        r = best / ref
+        ratios.append(r)
+        print(f"{name:16s} {ref:7.3f} {best:7.3f} {r:6.2f}")
+
+    index = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    verdict = (
+        "box matches reference recordings"
+        if index < 1.15
+        else "box DEGRADED vs reference — bench comparisons unreliable"
+    )
+    print(f"box condition index (geomean): {index:.2f} — {verdict}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
