@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
@@ -408,51 +408,6 @@ CELL_SALT = "cell"
 #: corpus size.
 TARGET_CELL_SIZE = 1024
 
-#: Per-JVM aggregation-state budget for the probe top-2 pick. The
-#: ``collect_list``-of-nlist-structs slice is the FASTER form — one
-#: distance pass, one shuffle (measured at nlist=293 / N=300k:
-#: 109 s vs 294 s for the constant-state alternative,
-#: tools/probe_path_stress.py) — but its aggregation state is
-#: keys × nlist structs, quadratic in N under the sizing law
-#: (N²·32B/1024: ~2.8 GB at N=300k, ~31 GB at N=10^6, ~3 TB at
-#: N=10^7). :func:`cell_probes` therefore estimates the state a JVM
-#: would hold (:func:`_probe_list_state_bytes`) and dispatches to
-#: :func:`_probe_top2_argmin` — the ``min(struct)`` argmin taken
-#: twice, constant buffer per key, ~2.7× the probe-stage compute —
-#: only when the estimate exceeds this budget. 1 GiB is conservative
-#: against typical 8–16 GB executor heaps (the agg shares the heap
-#: with everything else, and skewed partitions concentrate state).
-#: Both paths are hash-identical (same arithmetic, same (dd, cell)
-#: tie-break) — proven by the forced-path oracle replays in
-#: tests/test_scale_patterns.py and the stress tool at real trigger
-#: sizing.
-CELL_PROBE_STATE_BUDGET = 1 << 30  # bytes per JVM
-
-#: Measured in-heap footprint of one (double, bigint) struct inside a
-#: collect_list aggregation buffer (object headers included).
-_PROBE_STRUCT_BYTES = 32
-
-
-def _probe_list_state_bytes(n_vectors: int, nlist: int, spark) -> int:
-    """Estimated peak per-JVM aggregation state of the collect_list
-    probe pick: this JVM's share of the N keys × nlist structs. In
-    local mode ONE JVM holds every partition's state concurrently; on
-    a cluster the keys divide across executor JVMs
-    (defaultParallelism = total cores, spark.executor.cores = cores
-    per JVM — unset locally, so the divisor degrades to 1)."""
-    sc = spark.sparkContext
-    try:
-        exec_cores = int(sc.getConf().get("spark.executor.cores", "0") or 0)
-    except Exception:
-        exec_cores = 0
-    n_jvms = (
-        max(1, int(sc.defaultParallelism) // exec_cores)
-        if exec_cores > 0
-        else 1
-    )
-    return (int(n_vectors) // n_jvms) * nlist * _PROBE_STRUCT_BYTES
-
-
 def n_cells(n_vectors: int) -> int:
     """IVF cell count for a corpus of ``n_vectors``: ceil(N / target
     cell size), floored at CELL_SEEDS. Shared by the Spark plan, the
@@ -509,36 +464,159 @@ def _corpus_count(df: DataFrame) -> int:
     return _COUNT_MEMO[key]
 
 
+#: SQL text of the rounded-6 squared-L2 fold between the row's
+#: ``embedding`` and one broadcast centroid struct ``cp_s`` — the
+#: SAME arithmetic (casts, fold order, rounding) as the DuckDB CTE's
+#: cp_d0/cp_dist stages.
+_CP_DD_FOLD = (
+    "round(aggregate(zip_with(embedding, cp_s.cvec, (cp_x, cp_c) -> "
+    "(CAST(cp_x AS DOUBLE) - CAST(cp_c AS DOUBLE)) "
+    "* (CAST(cp_x AS DOUBLE) - CAST(cp_c AS DOUBLE))), "
+    "CAST(0 AS DOUBLE), (cp_acc, cp_v) -> cp_acc + cp_v), 6)"
+)
+
+_CP_LONG_MAX = (1 << 63) - 1
+
+
+def _scored_cells_expr(arr_col: str) -> str:
+    """``array<struct(dd, cell)>`` per row: the distance to every
+    centroid in the broadcast array column ``arr_col``, computed ONCE
+    per element (interpreted HOFs get no common-subexpression
+    elimination — the r8 lesson — so dd must be materialized before
+    any comparator references it twice)."""
+    return (
+        f"transform({arr_col}, cp_s -> "
+        f"named_struct('dd', {_CP_DD_FOLD}, 'cell', cp_s.cell))"
+    )
+
+
+def _fold_top2_expr(arr_col: str) -> str:
+    """Single-pass per-row top-2 over the scored-cells array: an
+    ``aggregate`` fold carrying (best, second-best) — constant
+    accumulator, no shuffle, no per-key aggregation state. The
+    comparator is lexicographic (dd, cell), identical to ``min
+    (struct)`` / ``array_sort`` / the oracle's ``ORDER BY dd, cell``;
+    (dd, cell) elements are unique per row (cell is unique), so the
+    result is independent of the array's construction order and the
+    +Infinity/LONG_MAX sentinels can never survive (nlist >= 2
+    always: n_cells floors at CELL_SEEDS)."""
+    return f"""aggregate(
+  {_scored_cells_expr(arr_col)},
+  named_struct(
+    'b1d', CAST('Infinity' AS DOUBLE), 'b1c', {_CP_LONG_MAX}L,
+    'b2d', CAST('Infinity' AS DOUBLE), 'b2c', {_CP_LONG_MAX}L),
+  (cp_a, cp_e) -> CASE
+    WHEN cp_e.dd < cp_a.b1d
+         OR (cp_e.dd = cp_a.b1d AND cp_e.cell < cp_a.b1c)
+      THEN named_struct('b1d', cp_e.dd, 'b1c', cp_e.cell,
+                        'b2d', cp_a.b1d, 'b2c', cp_a.b1c)
+    WHEN cp_e.dd < cp_a.b2d
+         OR (cp_e.dd = cp_a.b2d AND cp_e.cell < cp_a.b2c)
+      THEN named_struct('b1d', cp_a.b1d, 'b1c', cp_a.b1c,
+                        'b2d', cp_e.dd, 'b2c', cp_e.cell)
+    ELSE cp_a END)"""
+
+
+def _refined_centroids(emb: DataFrame, nlist: int) -> DataFrame:
+    """(cell, cvec): the nlist lowest-md5 medoid seeds refined by ONE
+    Lloyd pass (per-row fold argmin over the broadcast seed array,
+    then decimal-exact per-cell element means — :func:`_centroids_from`,
+    the sim_kmeans_refine machinery), with the empty-cell guard.
+
+    The rank-1 assignment is ``array_min`` over the scored-cells array
+    — struct ordering IS the (dd, cell) tie-break — evaluated per row
+    against the ONE-row broadcast seed array: zero shuffles and no
+    aggregation where the r9 form paid a crossJoin + SortAggregate
+    (min(struct) buffers are not mutable-fixed-width, so that agg
+    sorted N x nlist rows per partition).
+
+    Empty-cell guard: when two seeds TIE at rounded-6 squared distance
+    0 (bit-identical vectors, or any pair within ~7e-4 L2 that rounds
+    to 0.0 — exact dedup does NOT prevent the latter), the (dd, cell)
+    tie-break assigns both to the lower cell id and the higher cell
+    wins no rank-1 member, so its centroid row would vanish and nlist
+    silently shrink. Fall back to the seed vector itself,
+    element-rounded to 7 — bit-identical to the centroid a sole-member
+    cell would get (round-7 decimal sum / 1), so the guard is a no-op
+    whenever every cell keeps a member (all fixtures)."""
+    seeds = (
+        emb.orderBy(
+            F.md5(
+                F.concat(
+                    F.lit(f"{CELL_SALT}:"), F.col("vec_id").cast("string")
+                )
+            )
+        )
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    )
+    seeds_arr = seeds.agg(
+        F.collect_list(F.struct("cell", "cvec")).alias("cp_arr")
+    )
+    assign0 = emb.crossJoin(F.broadcast(seeds_arr)).select(
+        F.expr(f"array_min({_scored_cells_expr('cp_arr')}).cell").alias(
+            "cluster"
+        ),
+        "embedding",
+    )
+    cent = _centroids_from(
+        assign0.select(
+            "cluster", F.posexplode("embedding").alias("pos", "xf")
+        ).select(
+            "cluster",
+            F.col("pos").cast("int").alias("d"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    ).select(F.col("cluster").alias("cell"), "cvec")
+    return (
+        seeds.select("cell", F.col("cvec").alias("cp_seed_vec"))
+        .join(cent, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(
+                F.col("cvec"),
+                F.expr(
+                    "transform(cp_seed_vec, cp_x ->"
+                    " round(CAST(cp_x AS DOUBLE), 7))"
+                ),
+            ).alias("cvec"),
+        )
+    )
+
+
 def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     """(vec_id, cell) with CELL_PROBES rows per vector: the IVF
     coarse-assignment used as a candidate-blocking key.
 
     Stage 0 picks the nlist lowest-md5 vectors as medoid seeds; ONE
-    Lloyd refinement pass (argmin over seeds, then decimal-exact
-    per-cell element means — :func:`_centroids_from`, the
-    sim_kmeans_refine machinery) replaces each medoid with its cell's
-    centroid before the probe assignment, lifting pair recall 0.72 ->
-    0.78 (sf0.01) / 0.71 -> 0.73 (sf0.1) at the same candidate budget
-    (r8 verdict item 5; constants block above). Every stage stays in
-    the deterministic seed chain, so the DuckDB CTE
-    (:func:`duckdb_cell_probes_cte`) replays it end-to-end.
+    Lloyd refinement pass (:func:`_refined_centroids`) replaces each
+    medoid with its cell's centroid before the probe assignment,
+    lifting pair recall 0.72 -> 0.78 (sf0.01) / 0.71 -> 0.73 (sf0.1)
+    at the same candidate budget (r8 verdict item 5; constants block
+    above). Every stage stays in the deterministic seed chain, so the
+    DuckDB CTE (:func:`duckdb_cell_probes_cte`) replays it end-to-end.
 
-    Plan shape: seeds then centroids broadcast (nlist rows each);
-    the argmin is a map-side-combinable ``min(struct)``; the centroid
-    update is one (cell, dim)-keyed shuffle of partial sums; the
-    top-2 pick is dispatched on ESTIMATED AGGREGATION STATE
-    (:data:`CELL_PROBE_STATE_BUDGET`): while a JVM's share of the
-    keys × nlist list state fits the budget, a ``collect_list`` of
-    nlist structs per vector (one shuffle, no window, no N×k
-    sort-shuffle — the faster form, measured 2.7× cheaper than the
-    alternative at nlist=293); past the budget the implementation is
-    the constant-state ``min(struct)`` argmin taken twice
-    (:func:`_probe_top2_argmin`) — same contract, same arithmetic,
-    per-key aggregation state independent of nlist.
+    Plan shape (round 10): the centroid table is collected to a
+    ONE-row broadcast array and both the Lloyd argmin and the final
+    top-2 are PER-ROW folds over it (:func:`_fold_top2_expr`) — zero
+    shuffles and zero aggregation state in the assignment stages; the
+    only shuffle left is the (cell, dim)-keyed centroid update
+    inherent to Lloyd. This one form replaced r9's collect_list
+    groupBy (per-key state = nlist structs, quadratic in N total
+    under the sizing law) and r10-interim's min(struct) argmin taken
+    twice (SortAggregate x2 + an emb re-shuffle, measured 2.7x the
+    list path): the fold needs no memory-model dispatch because its
+    state is a 4-field accumulator per row at ANY nlist — measured
+    identical output and faster than both at N=300k/nlist=293
+    (tools/probe_path_stress.py). Per-row transient cost is the
+    nlist-element scored array (~16 B x nlist), which stays tiny
+    beneath the broadcast bound below. A larger CELL_PROBES would be
+    ``slice(array_sort(scored), 1, k)`` — same semantics, one sort
+    per row.
 
     Broadcast bound, stated honestly: nlist = N/TARGET_CELL_SIZE, and
     a centroid row is 64 float64s, so the broadcast stays under
-    Spark's comfort zone (~512 MB) up to nlist ≈ 10^6 — about 10^9
+    Spark's comfort zone (~512 MB) up to nlist ~ 10^6 — about 10^9
     vectors at the current sizing. Beyond that, the textbook move is
     two-level coarse quantization (a sqrt(nlist)-cell quantizer over
     the centroids themselves, then probe within the winning
@@ -553,27 +631,30 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     this otherwise runs at DataFrame-CONSTRUCTION time; without it
     the count is memoized per input-file set (:data:`_COUNT_MEMO`),
     so plan-only tooling (plan_lint / gen_plans) and multi-query
-    sessions pay it once per source, not once per plan build.
-
-    Every cell keeps at least its own seed at distance 0 — unless two
-    seeds TIE at rounded-6 squared distance 0 (bit-identical vectors,
-    or near-duplicates within ~7e-4 L2 that round to 0.0; exact dedup
-    does NOT prevent the latter), in which case the lower cell id
-    absorbs both and the emptied cell falls back to its seed vector
-    (round-7) as its refined centroid — see the guard below."""
+    sessions pay it once per source, not once per plan build."""
     n = _corpus_count(emb) if n_vectors is None else n_vectors
-    nlist = n_cells(n)
-    seeds = (
-        emb.orderBy(
-            F.md5(
-                F.concat(
-                    F.lit(f"{CELL_SALT}:"), F.col("vec_id").cast("string")
-                )
-            )
-        )
-        .limit(nlist)
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    cent = _refined_centroids(emb, n_cells(n))
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("cell", "cvec")).alias("cp_arr")
     )
+    return (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", F.expr(_fold_top2_expr("cp_arr")).alias("cp_b"))
+        .select(
+            "vec_id",
+            F.explode(F.array("cp_b.b1c", "cp_b.b2c")).alias("cell"),
+        )
+    )
+
+
+def _probe_reference_list(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """REFERENCE top-2 picker: the r5-r9 shipped form (crossJoin the
+    centroid TABLE, shuffle on vec_id, ``collect_list`` all nlist
+    scored structs per key, sort-slice). Kept solely so tests and
+    tools/probe_path_stress.py can prove the shipped per-row fold
+    emits the identical probe table through an independently-shaped
+    plan — do not use in operators (its aggregation state is nlist
+    structs per key, quadratic in N total under the sizing law)."""
     dd = F.round(
         F.expr(
             "aggregate(zip_with(embedding, cvec, (cp_x, cp_c) -> "
@@ -583,65 +664,6 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
         ),
         6,
     )
-    # one Lloyd pass: rank-1 assignment to the raw medoids, then
-    # per-cell element means as the refined centroid table
-    assign0 = (
-        emb.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "embedding", "cell", dd.alias("dd"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dd", "cell")).alias("cp_b"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select(F.col("cp_b.cell").alias("cluster"), "embedding")
-    )
-    cent = _centroids_from(
-        assign0.select(
-            "cluster", F.posexplode("embedding").alias("pos", "xf")
-        ).select(
-            "cluster",
-            F.col("pos").cast("int").alias("d"),
-            F.col("xf").cast("double").alias("x"),
-        )
-    ).select(F.col("cluster").alias("cell"), "cvec")
-    # empty-cell guard: when two seeds TIE at rounded-6 squared
-    # distance 0 (bit-identical vectors, or any pair within ~7e-4 L2
-    # that rounds to 0.0), the (dd, cell) tie-break assigns both to
-    # the lower cell id and the higher cell wins no rank-1 member, so
-    # its centroid row would vanish and nlist silently shrink. Fall
-    # back to the seed vector itself, element-rounded to 7 —
-    # bit-identical to the centroid a sole-member cell would get
-    # (round-7 decimal sum / 1), so the guard is a no-op whenever
-    # every cell keeps a member (all fixtures).
-    cent = (
-        seeds.select("cell", F.col("cvec").alias("cp_seed_vec"))
-        .join(cent, "cell", "left")
-        .select(
-            "cell",
-            F.coalesce(
-                F.col("cvec"),
-                F.expr(
-                    "transform(cp_seed_vec, cp_x ->"
-                    " round(CAST(cp_x AS DOUBLE), 7))"
-                ),
-            ).alias("cvec"),
-        )
-    )
-    state = _probe_list_state_bytes(n, nlist, emb.sparkSession)
-    if state > CELL_PROBE_STATE_BUDGET:
-        if CELL_PROBES != 2:
-            # fail LOUD rather than silently reverting to the
-            # state-growing collect_list path in exactly the regime the
-            # constant-state path exists for (executor memory, not an
-            # error, is what gives out otherwise)
-            raise NotImplementedError(
-                f"constant-state probe pick is implemented for "
-                f"CELL_PROBES == 2 only (got {CELL_PROBES}) — generalize "
-                f"_probe_top2_argmin (argmin taken k times) before "
-                f"raising CELL_PROBES for corpora whose collect_list "
-                f"state ({state >> 20} MiB/JVM) exceeds the budget"
-            )
-        return _probe_top2_argmin(emb, cent, dd)
     return (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "cell", dd.alias("dd"))
@@ -653,57 +675,6 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
             ).alias("cp_top")
         )
         .select("vec_id", F.explode("cp_top.cell").alias("cell"))
-    )
-
-
-def _probe_top2_argmin(
-    emb: DataFrame, cent: DataFrame, dd: Column
-) -> DataFrame:
-    """Constant-state top-2 probe pick (the large-nlist path of
-    :func:`cell_probes`): the ``min(struct(dd, cell))`` argmin taken
-    twice. Pass 1 finds the best cell per vector with a map-side-
-    combinable min whose aggregation buffer is ONE struct per key.
-    Pass 2 re-evaluates the same broadcast distance fold (``cent`` is
-    broadcast both times — no extra shuffle of the candidates),
-    excludes the pass-1 winner, and takes the min again. struct
-    comparison is lexicographic on (dd, cell) — exactly the
-    ``array_sort`` order of the small-nlist path and the
-    ``ORDER BY dd, cell`` of the DuckDB CTE — and (vec_id, cell) rows
-    are unique, so the winner is unique and the exclusion is exact.
-
-    Cost vs the collect_list path: one extra fold evaluation per
-    (vector, cell) and one extra shuffle of ``emb`` (to join the
-    pass-1 winner back) — measured 2.7× the probe-stage wall time at
-    the first real trigger sizing (294 s vs 109 s at N=300k /
-    nlist=293, tools/probe_path_stress.py) — in exchange for per-key
-    aggregation state that no longer grows with nlist (the list
-    path's state is quadratic in N under the sizing law). Both paths
-    hash-identically; tests/test_scale_patterns.py forces this path
-    at fixture scale (CELL_PROBE_STATE_BUDGET monkeypatched to 0) and
-    replays a full consumer against its DuckDB oracle, and the stress
-    tool proves identity at real trigger sizing."""
-    b1 = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell", dd.alias("dd"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dd", "cell")).alias("cp_b1"))
-    )
-    b2 = (
-        emb.join(b1, "vec_id")
-        .crossJoin(F.broadcast(cent))
-        .where(F.col("cell") != F.col("cp_b1.cell"))
-        .select("vec_id", "cell", dd.alias("dd"), "cp_b1")
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dd", "cell")).alias("cp_b2"),
-            # cp_b1 is join-constant per vec_id, so first() is
-            # deterministic here
-            F.first("cp_b1").alias("cp_b1"),
-        )
-    )
-    return b2.select(
-        "vec_id",
-        F.explode(F.array("cp_b1.cell", "cp_b2.cell")).alias("cell"),
     )
 
 

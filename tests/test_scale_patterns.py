@@ -6021,73 +6021,43 @@ def test_cell_probe_refinement_invariants(spark):
         _check_cell_probe_invariants(spark, sf)
 
 
-def test_cell_probe_argmin_path_matches_collect_list(spark, monkeypatch):
-    """The constant-state top-2 (_probe_top2_argmin — the large-nlist
-    path behind CELL_PROBE_STATE_BUDGET) emits the IDENTICAL
-    (vec_id, cell) multiset as the shipped collect_list slice at both
-    fixture SFs: same distance arithmetic, same (dd, cell) tie-break,
-    exact winner exclusion. Forced by monkeypatching the state budget
-    to 0 (the fixtures' estimated list state is far below the 1 GiB
-    production budget, so the list path is their default)."""
+def test_cell_probe_fold_matches_reference_list(spark):
+    """The shipped per-row fold top-2 (cell_probes' only path since
+    r10: zero shuffles, constant accumulator) emits the IDENTICAL
+    (vec_id, cell) multiset as the r5-r9 reference picker
+    (_probe_reference_list: centroid-TABLE crossJoin + vec_id shuffle
+    + collect_list sort-slice) at both fixture SFs — same distance
+    arithmetic, same (dd, cell) tie-break, through two independently
+    shaped plans. The same identity holds at real large-nlist sizing
+    via tools/probe_path_stress.py."""
     from mcp_rag_server_spark import catalog
     from mcp_rag_server_spark.operators import clustering
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         emb = catalog.load_table(spark, sf, "embeddings")
-        baseline = sorted(
+        n = emb.count()
+        shipped = sorted(
             (r["vec_id"], r["cell"])
-            for r in clustering.cell_probes(emb).collect()
+            for r in clustering.cell_probes(emb, n_vectors=n).collect()
         )
-        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_BUDGET", 0)
-        forced = sorted(
+        cent = clustering._refined_centroids(emb, clustering.n_cells(n))
+        ref = sorted(
             (r["vec_id"], r["cell"])
-            for r in clustering.cell_probes(emb).collect()
+            for r in clustering._probe_reference_list(emb, cent).collect()
         )
-        monkeypatch.undo()
-        assert forced == baseline, sf
-        # the forced run really took the argmin path
-        monkeypatch.setattr(clustering, "CELL_PROBE_STATE_BUDGET", 0)
+        assert shipped == ref, sf
+        # the shipped plan really is the fold shape: no per-key list
+        # aggregation (cp_top) anywhere; the fold accumulator (b1d)
+        # present. (collect_list legitimately remains for the
+        # dimension-bounded centroid assembly and the one-row
+        # centroid-array broadcast.)
         plan = (
-            clustering.cell_probes(emb)
+            clustering.cell_probes(emb, n_vectors=n)
             ._jdf.queryExecution()
             .analyzed()
             .toString()
         )
-        monkeypatch.undo()
-        # cp_top is the list-path slice alias; cp_b2 exists only in
-        # the argmin path. (collect_list itself legitimately remains
-        # in the plan: _centroids_from assembles the 64-dim centroid
-        # vectors with a dimension-bounded collect_list.)
-        assert "cp_top" not in plan and "cp_b2" in plan, sf
-
-
-def test_cell_probe_state_model_dispatch(spark):
-    """The probe top-2 dispatch is a memory model, not an nlist
-    constant: _probe_list_state_bytes estimates a JVM's share of the
-    keys x nlist struct state (one JVM holds everything in local
-    mode), and the fixtures sit far under the 1 GiB budget (list path
-    default) while the stress sizing (300k vectors) crosses it."""
-    from mcp_rag_server_spark.operators import clustering
-
-    # local mode: executor.cores unset -> one JVM -> full state
-    est = clustering._probe_list_state_bytes(300_000, 293, spark)
-    assert est == 300_000 * 293 * clustering._PROBE_STRUCT_BYTES
-    assert est > clustering.CELL_PROBE_STATE_BUDGET  # stress: argmin
-    # fixture sizings: far under budget -> list path is the default
-    for n in (500, 2000):
-        est = clustering._probe_list_state_bytes(
-            n, clustering.n_cells(n), spark
-        )
-        assert est < clustering.CELL_PROBE_STATE_BUDGET // 1000, est
-    # quadratic growth under the sizing law: 10x the corpus is ~100x
-    # the state once nlist is off the floor
-    e1 = clustering._probe_list_state_bytes(
-        10**6, clustering.n_cells(10**6), spark
-    )
-    e2 = clustering._probe_list_state_bytes(
-        10**7, clustering.n_cells(10**7), spark
-    )
-    assert 90 < e2 / e1 < 110, e2 / e1
+        assert "cp_top" not in plan and "b1d" in plan, sf
 
 
 def test_cell_probe_corpus_count_memo(spark):
@@ -6126,36 +6096,6 @@ def test_cell_probe_corpus_count_memo(spark):
     before = dict(clustering._COUNT_MEMO)
     assert clustering._corpus_count(flt) == 3
     assert clustering._COUNT_MEMO == before
-
-
-def test_cell_probe_argmin_path_consumer_oracle_parity(
-    spark, duck, monkeypatch
-):
-    """End-to-end driver-style gate with the argmin top-2 path forced:
-    sim_knn_graph (a full _cell_scored_half consumer — probe
-    assignment, cell-blocked half-matrix, rank window) replayed
-    against its own DuckDB oracle at sf0.01 with canon_rows, proving
-    the two probe paths are hash-identical through a shipped query,
-    not just at the probe table."""
-    from conftest import SF001
-    from test_oracle_parity import canon_rows
-
-    from mcp_rag_server_spark.operators import clustering
-    from mcp_rag_server_spark.registry import load_all
-
-    monkeypatch.setattr(clustering, "CELL_PROBE_STATE_BUDGET", 0)
-    spec = load_all()["sim_knn_graph"]
-    spdf = spec.spark_fn(spark, SF001).toPandas()
-    monkeypatch.undo()
-    odf = duck.execute(spec.oracle).fetchdf()
-    assert sorted(spdf.columns) == sorted(odf.columns)
-    assert canon_rows(
-        list(spdf.columns),
-        [tuple(r) for r in spdf.itertuples(index=False, name=None)],
-    ) == canon_rows(
-        list(odf.columns),
-        [tuple(r) for r in odf.itertuples(index=False, name=None)],
-    )
 
 
 def _check_cell_probe_invariants(spark, sf):

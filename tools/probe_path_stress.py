@@ -1,33 +1,38 @@
-"""Stress the IVF probe assignment at its real dispatch-trigger sizing.
+"""Stress the IVF probe assignment at real large-nlist sizing.
 
-The fixture corpora never leave the nlist = 8 floor, so the
-constant-state argmin path (clustering._probe_top2_argmin, taken when
-the collect_list pick's estimated per-JVM aggregation state exceeds
-CELL_PROBE_STATE_BUDGET) is exercised there only by forcing the budget
-down. This tool builds a deterministic synthetic corpus large enough
-that the state estimate itself crosses the budget in local mode
-(N = 300k -> nlist = 293 -> ~2.6 GiB estimated list state > 1 GiB),
-then:
+The fixture corpora never leave the nlist = 8 floor, so the shipped
+per-row fold top-2 (clustering.cell_probes, r10 form: ONE-row
+broadcast centroid array, zero shuffles, constant accumulator) is
+exercised at scale only here. This tool builds a deterministic
+synthetic corpus far off the floor (N = 300k -> nlist = 293) and:
 
-  1. runs cell_probes() with NO overrides and asserts the plan took
-     the argmin path (production dispatch at production sizing);
-  2. re-runs with the budget lifted to force the collect_list path and
-     asserts the two probe tables are IDENTICAL;
+  1. runs the shipped cell_probes end-to-end;
+  2. runs the r5-r9 REFERENCE picker (_probe_reference_list:
+     centroid-TABLE crossJoin + vec_id shuffle + collect_list
+     sort-slice — per-key state nlist structs, quadratic in N total)
+     over the SAME refined centroids and asserts the two probe tables
+     are IDENTICAL;
   3. checks the structural invariants (2 distinct probes per vector);
-  4. reports wall time for each path — the honest datum behind the
-     budget constant (recorded r10: argmin 294 s vs list 109 s, i.e.
-     the constant-state form costs ~2.7x compute and exists purely for
-     memory safety where the quadratic-in-N list state cannot fit).
+  4. reports wall time for each form.
+
+History of this comparison (all figures N=300k / nlist=293, sf-style
+64-dim vectors, local[32], idle):
+  - r5-r9 collect_list groupBy pick:            109 s  (full pipeline)
+  - r10-interim min(struct) argmin taken twice: 294 s  (full pipeline)
+  - r10 shipped per-row fold:                   measured by this tool
+The fold form needs no memory-model dispatch: its state is a 4-field
+accumulator per row at ANY nlist, its only transient is the
+nlist-element scored array per row, and it is the fastest of the
+three — which is why it is the only path.
 
 Synthetic embeddings are pure hash functions of (vec_id, dim) — no
-rand(), so re-runs and both paths see bit-identical input. Written as
+rand(), so re-runs and both forms see bit-identical input. Written as
 multi-file parquet so the scan parallelizes like a production layout.
 
 Usage: python tools/probe_path_stress.py [n_vectors=300000]
 Not part of the pytest suite (minutes of fold work by design); run it
-whenever cell_probes' path dispatch, the state model, or the budget
-constant changes. Give the JVM headroom for the forced list pass:
-SPARK_GRAFT_DRIVER_MEM=16g.
+whenever cell_probes' expressions change. Give the JVM headroom for
+the reference form's aggregation state: SPARK_GRAFT_DRIVER_MEM=16g.
 """
 
 from __future__ import annotations
@@ -49,18 +54,13 @@ from mcp_rag_server_spark.session import get_spark  # noqa: E402
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     nlist = clustering.n_cells(n)
-    budget = clustering.CELL_PROBE_STATE_BUDGET
+    print(f"n_vectors={n} -> nlist={nlist}")
+    if nlist <= clustering.CELL_SEEDS:
+        print("nlist is at the fixture floor — raise n_vectors")
+        return 1
 
     spark = get_spark(app_name="probe-path-stress")
     spark.sparkContext.setLogLevel("ERROR")
-
-    state = clustering._probe_list_state_bytes(n, nlist, spark)
-    print(f"n_vectors={n} -> nlist={nlist}, estimated list state "
-          f"{state >> 20} MiB/JVM vs budget {budget >> 20} MiB")
-    if state <= budget:
-        print("state under budget: the argmin path would not be the "
-              "default at this sizing — raise n_vectors")
-        return 1
 
     path = f"/tmp/spark_graft_probe_stress_{n}"
     shutil.rmtree(path, ignore_errors=True)
@@ -79,44 +79,33 @@ def main() -> int:
     )
     emb = spark.read.parquet(path)
 
-    # 1+4: default dispatch at this sizing = argmin path
-    df_arg = clustering.cell_probes(emb, n_vectors=n)
-    plan = df_arg._jdf.queryExecution().analyzed().toString()
-    assert "cp_b2" in plan and "cp_top" not in plan, (
-        "state model did not dispatch to the argmin path"
-    )
-    t0 = time.perf_counter()
-    rows_arg = df_arg.groupBy().agg(
-        F.count("*").alias("n"),
-        F.sum(F.hash("vec_id", "cell").cast("long")).alias("sig"),
-    ).collect()[0]
-    t_arg = time.perf_counter() - t0
-    print(f"argmin path:       {t_arg:7.1f}s  rows={rows_arg['n']} "
-          f"sig={rows_arg['sig']}")
-
-    # 2: force the list path (same arithmetic, growing agg state)
-    clustering.CELL_PROBE_STATE_BUDGET = state + 1
-    try:
-        df_list = clustering.cell_probes(emb, n_vectors=n)
-        plan = df_list._jdf.queryExecution().analyzed().toString()
-        assert "cp_top" in plan, "forced list path not taken"
-        t0 = time.perf_counter()
-        rows_list = df_list.groupBy().agg(
+    def sig_of(df):
+        return df.groupBy().agg(
             F.count("*").alias("n"),
             F.sum(F.hash("vec_id", "cell").cast("long")).alias("sig"),
         ).collect()[0]
-        t_list = time.perf_counter() - t0
-    finally:
-        clustering.CELL_PROBE_STATE_BUDGET = budget
-    print(f"collect_list path: {t_list:7.1f}s  rows={rows_list['n']} "
-          f"sig={rows_list['sig']}")
 
-    ident = (rows_arg["n"] == rows_list["n"]
-             and rows_arg["sig"] == rows_list["sig"])
+    # 1: shipped fold path, full pipeline
+    t0 = time.perf_counter()
+    shipped = sig_of(clustering.cell_probes(emb, n_vectors=n))
+    t_fold = time.perf_counter() - t0
+    print(f"shipped fold pipeline:   {t_fold:7.1f}s  rows={shipped['n']} "
+          f"sig={shipped['sig']}")
+
+    # 2: reference picker over the same refined centroids (full
+    # pipeline too: centroids recomputed, aggregation-state pick)
+    t0 = time.perf_counter()
+    cent = clustering._refined_centroids(emb, nlist)
+    ref = sig_of(clustering._probe_reference_list(emb, cent))
+    t_ref = time.perf_counter() - t0
+    print(f"reference list pipeline: {t_ref:7.1f}s  rows={ref['n']} "
+          f"sig={ref['sig']}")
+
+    ident = shipped["n"] == ref["n"] and shipped["sig"] == ref["sig"]
     print(f"probe tables identical (count + order-insensitive "
           f"hash-sum over (vec_id, cell)): {ident}")
 
-    # 3: structural invariants on the default path, checked
+    # 3: structural invariants on the shipped path, checked
     # distributed (no driver-side collect of N rows)
     bad = (
         clustering.cell_probes(emb, n_vectors=n)
