@@ -408,6 +408,7 @@ CELL_SALT = "cell"
 #: corpus size.
 TARGET_CELL_SIZE = 1024
 
+
 def n_cells(n_vectors: int) -> int:
     """IVF cell count for a corpus of ``n_vectors``: ceil(N / target
     cell size), floored at CELL_SEEDS. Shared by the Spark plan, the
