@@ -1682,7 +1682,10 @@ picked AS (
   JOIN cum c CROSS JOIN tot t
     ON c.cum_n >= g.depth * t.n_docs
 )
-SELECT depth,
+-- depth stays DECIMAL through the join (exact 0.1*n boundary picks);
+-- the OUTPUT must be DOUBLE — DecimalType output columns hash-drift
+-- between engines whenever str(Decimal) and float repr diverge.
+SELECT CAST(depth AS DOUBLE) AS depth,
        s AS score_threshold,
        cum_n AS n_selected,
        round(cum_n / CAST(n_docs AS DOUBLE), 4) AS share_selected,

@@ -90,7 +90,7 @@ PCT_ACCURACY = 10000
 @register(
     "agg_percentile_audit",
     oracle="\nUNION ALL\n".join(
-        f"SELECT {p} AS p,"
+        f"SELECT CAST({p} AS DOUBLE) AS p,"
         f" COUNT(*) AS n_rows,"
         f" TRUE AS approx_in_bound FROM lineitem"
         for p in PCT_PS
@@ -123,6 +123,13 @@ def agg_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     los = [max(0.0, p - PCT_RANK_TOL) for p in ps]
     his = [min(1.0, p + PCT_RANK_TOL) for p in ps]
     ps_sql = ", ".join(str(p) for p in ps)
+    # Double-typed literals for the OUTPUT column: bare `array(0.5, ...)`
+    # parses as decimal(2,2), which reaches pandas as Decimal('0.50') and
+    # hash-mismatches the oracle's float64 0.5 under string
+    # canonicalization (r10 regression). `0.5D` forces DOUBLE. The
+    # _approx/_bounds literals below are percentile-function INPUTS, not
+    # output columns — their type never leaves the aggregate.
+    ps_sql_d = ", ".join(f"{p}D" for p in ps)
     bounds_sql = ", ".join(str(x) for x in los + his)
     agg = li.agg(
         F.count("*").alias("n_rows"),
@@ -140,7 +147,7 @@ def agg_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "_approx",
             "_bounds",
-            f"posexplode(array({ps_sql})) AS (_i, p)",
+            f"posexplode(array({ps_sql_d})) AS (_i, p)",
         )
         .select(
             "p",

@@ -35,7 +35,13 @@ def canon_value(v):
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, Decimal):
-        v = float(v)
+        # DO NOT collapse to float: the driver's hash canonicalizes at
+        # the string level, so Decimal('0.50') != 0.5 there even though
+        # float(Decimal('0.50')) == 0.5. Collapsing here is exactly the
+        # blind spot that let the r8 decimal(2,2) regression ship as
+        # "hash identical" (caught red by the r10 driver). Keep the
+        # replica at-least-as-strict: str() preserves scale.
+        return "s:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
@@ -103,3 +109,18 @@ def test_query_matches_oracle(name, spark, duck):
         f"{name}: value mismatch ({len(mismatches)} rows); first 3: "
         f"{mismatches[:3]}"
     )
+
+
+def test_canon_value_is_driver_strict_on_decimal():
+    """Regression pin for the r8→r10 blind spot: the replica used to
+    collapse Decimal→float, so Spark's Decimal('0.50') hashed equal to
+    the oracle's float64 0.5 HERE while the driver's string-level hash
+    flagged '0.50' != '0.5' (CORRECTNESS_r10 agg_percentile_audit).
+    The replica must be at-least-as-strict than the driver on Decimal:
+    scale is preserved, and a Decimal never matches a float."""
+    assert canon_value(Decimal("0.50")) != canon_value(0.5)
+    assert canon_value(Decimal("0.5")) != canon_value(0.5)
+    # same-scale decimals on both sides still match (driver behavior:
+    # '0.50' == '0.50')
+    assert canon_value(Decimal("0.50")) == canon_value(Decimal("0.50"))
+    assert canon_value(Decimal("0.50")) != canon_value(Decimal("0.5"))

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 
+from conftest import SF001
+
 #: The bench headline set is fixed across rounds — BENCH_r{N}.json totals
 #: are only comparable because this list never changes (BASELINE.md).
 #: Sanctioned expansions only: round 4 added the five r3 flagships
@@ -132,6 +134,50 @@ def test_no_fixture_tuned_fanout_literal():
     assert offenders == [], (
         "fixture-tuned partition literal — use session.fanout_width: "
         f"{offenders}"
+    )
+
+
+def _has_decimal(dt) -> bool:
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    if isinstance(dt, DecimalType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_has_decimal(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _has_decimal(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+    return False
+
+
+def test_no_decimal_type_in_any_query_output_schema(spark):
+    """DecimalType is BANNED from query output schemas (top-level or
+    nested). Spark→pandas yields Decimal objects whose str() rendering
+    carries scale ('0.50'), while the DuckDB oracle side fetches
+    float64 ('0.5') — the driver's string-level hash flags exactly the
+    cases where the renderings diverge, and whether they diverge is an
+    accident of scale (the r8→r10 agg_percentile_audit regression:
+    decimal(2,2) red, while decimal(2,1) passed by luck). Decimals are
+    fine INSIDE a query (exact arithmetic); cast to DOUBLE/BIGINT at
+    the output projection. Schema analysis only — nothing executes."""
+    reg = load_all()
+    offenders = []
+    for name in sorted(reg):
+        df = reg[name].spark_fn(spark, SF001)
+        bad = [
+            f.name for f in df.schema.fields if _has_decimal(f.dataType)
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert offenders == [], (
+        "DecimalType in output schema — cast to DOUBLE/BIGINT at the "
+        f"projection: {offenders}"
     )
 
 

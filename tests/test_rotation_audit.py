@@ -111,6 +111,29 @@ def test_free_name_loads_respects_python_scoping():
     assert not {"load_table", "helper", "x", "ys", "pdf", "row", "inner"} & free
 
 
+def test_nested_def_decorators_and_defaults_resolve_in_enclosing_scope():
+    """Decorator/default/annotation expressions of a nested def
+    evaluate in the ENCLOSING scope: a default naming a module symbol
+    that collides with one of the nested function's own parameter names
+    must still be counted free (advice r10 — the old behavior dropped
+    it, the false-fresh direction)."""
+    import ast
+
+    src = (
+        "def q(spark):\n"
+        "    @module_deco\n"
+        "    def inner(limit, cap=limit, tag=MODULE_TAG):\n"
+        "        return cap + limit + tag\n"
+        "    g = lambda x, y=MODULE_Y: x + y\n"
+        "    return inner, g\n"
+    )
+    fn = ast.parse(src).body[0]
+    free = {n.id for n in rotation_audit._free_name_loads(fn)}
+    assert {"limit", "MODULE_TAG", "module_deco", "MODULE_Y"} <= free
+    # the body's own uses of parameters stay shadowed
+    assert not {"cap", "tag", "x", "y", "spark", "g"} & free
+
+
 def test_chain_skips_value_neutral_session_names():
     """fanout_width (a repartition-WIDTH pick — partition count never
     affects per-row values) is name-excluded from chains; the rest of
@@ -120,6 +143,34 @@ def test_chain_skips_value_neutral_session_names():
     )
     assert "session.py:fanout_width" not in c
     assert "mcp_rag_server_spark/operators/similarity.py:_cell_scored_half" in c
+
+
+def test_proposed_window_puts_not_green_rows_first():
+    """A red row enters every window until green, UNCONDITIONALLY —
+    even when its row is fresh. r10's red row (`agg_percentile_audit`)
+    was fresh-but-red and the proposal relied on the fix edit staling
+    its chain to pull it in; the cadence's freshness bar is a promise
+    about GREEN evidence, so red must outrank everything including
+    never-checked."""
+    no_row = [("nc_b", "p.py"), ("nc_a", "p.py")]
+    stale = [
+        ("stale_green", 4, True, "p.py"),
+        ("stale_red", 9, False, "p.py"),
+    ]
+    fresh = [
+        ("fresh_red", 10, False, "p.py"),
+        ("fresh_green_old", 3, True, "p.py"),
+    ]
+    w = rotation_audit.proposed_window(no_row, stale, fresh)
+    assert w[:2] == ["fresh_red", "stale_red"]  # red first, name-sorted
+    assert w[2:4] == ["nc_a", "nc_b"]  # then never-checked
+    assert w[4:] == ["stale_green", "fresh_green_old"]  # then by vintage
+    assert len(w) == len(set(w))  # red rows not re-listed in their tier
+    # size cap still applies, red always survives the cut
+    assert rotation_audit.proposed_window(no_row, stale, fresh, size=2) == [
+        "fresh_red",
+        "stale_red",
+    ]
 
 
 def test_every_registry_query_is_extractable():

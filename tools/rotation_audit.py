@@ -274,6 +274,32 @@ _SCOPE_NODES = (
 )
 
 
+def _outer_scope_exprs(fn: ast.AST) -> list[ast.AST]:
+    """Expressions that sit syntactically inside a def/lambda but
+    evaluate in the ENCLOSING scope: decorators, parameter defaults,
+    and annotations. Python binds the function's own parameters only
+    for its body — a default naming a module symbol that collides with
+    one of the function's parameters still resolves to the module."""
+    exprs: list[ast.AST] = []
+    if isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        exprs += fn.decorator_list
+        if fn.returns is not None:
+            exprs.append(fn.returns)
+    a = fn.args
+    exprs += [d for d in a.defaults if d is not None]
+    exprs += [d for d in a.kw_defaults if d is not None]
+    for arg in (
+        a.posonlyargs
+        + a.args
+        + a.kwonlyargs
+        + ([a.vararg] if a.vararg else [])
+        + ([a.kwarg] if a.kwarg else [])
+    ):
+        if arg.annotation is not None:
+            exprs.append(arg.annotation)
+    return exprs
+
+
 def _scope_bindings(scope: ast.AST) -> tuple[set[str], list[ast.AST]]:
     """(names bound directly in ``scope``, child nodes belonging to this
     scope — nested scope nodes included as single entries, their insides
@@ -285,6 +311,7 @@ def _scope_bindings(scope: ast.AST) -> tuple[set[str], list[ast.AST]]:
     bound: set[str] = set()
     unbound: set[str] = set()
     children: list[ast.AST] = []
+    outer_ids: set[int] = set()
     if isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
         a = scope.args
         for arg in (
@@ -295,14 +322,22 @@ def _scope_bindings(scope: ast.AST) -> tuple[set[str], list[ast.AST]]:
             + ([a.kwarg] if a.kwarg else [])
         ):
             bound.add(arg.arg)
+        # decorator / default / annotation expressions evaluate in the
+        # ENCLOSING scope, not this one — exclude their subtrees here;
+        # _free_name_loads scans them with the enclosing bindings.
+        outer_ids = {id(e) for e in _outer_scope_exprs(scope)}
     if isinstance(scope, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)):
         for comp in scope.generators:
             for n in ast.walk(comp.target):
                 if isinstance(n, ast.Name):
                     bound.add(n.id)
-    stack = list(ast.iter_child_nodes(scope))
+    stack = [
+        c for c in ast.iter_child_nodes(scope) if id(c) not in outer_ids
+    ]
     while stack:
         n = stack.pop()
+        if id(n) in outer_ids:
+            continue
         children.append(n)
         if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             bound.add(n.name)
@@ -330,7 +365,34 @@ def _free_name_loads(root: ast.AST) -> list[ast.Name]:
     over-shadows for methods; operator modules are function-based)."""
     out: list[ast.Name] = []
 
+    def scan_expr(expr: ast.AST, avail: frozenset[str]) -> None:
+        # An enclosing-scope expression (decorator/default/annotation):
+        # walk it under `avail`; a nested scope inside it (e.g. a lambda
+        # used as a default) opens its own scope from here.
+        stack = [expr]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, _SCOPE_NODES):
+                visit(n, avail)
+                continue
+            if (
+                isinstance(n, ast.Name)
+                and isinstance(n.ctx, ast.Load)
+                and n.id not in avail
+            ):
+                out.append(n)
+            stack.extend(ast.iter_child_nodes(n))
+
     def visit(scope: ast.AST, enclosing: frozenset[str]) -> None:
+        if isinstance(
+            scope, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+        ):
+            # decorators/defaults/annotations evaluate OUTSIDE the
+            # function's own bindings (advice r10: a default naming a
+            # module symbol shadowed by a parameter was dropped from
+            # the chain — the false-fresh direction).
+            for e in _outer_scope_exprs(scope):
+                scan_expr(e, enclosing)
         bound, children = _scope_bindings(scope)
         avail = enclosing | bound
         for n in children:
@@ -465,12 +527,28 @@ def audit(verbose: bool = False):
 
 def proposed_window(no_row, stale, fresh, size: int = 50) -> list[str]:
     """The deterministic next driver window (COVERAGE.md 'Rotation
-    cadence'): never-checked queries first, then stale logic chains
-    (oldest evidence first), then oldest-evidence fresh rows — name
-    order breaking ties throughout."""
-    window = [n for n, _ in sorted(no_row)]
-    window += [n for n, _, _, _ in sorted(stale, key=lambda t: (t[1], t[0]))]
-    window += [n for n, _, _, _ in sorted(fresh, key=lambda t: (t[1], t[0]))]
+    cadence'): NOT-GREEN rows first unconditionally (a red row enters
+    every window until green — even a fresh red row must not wait for
+    its fix edit to stale the chain; r10 lesson: the freshness bar is a
+    promise about green evidence, not about evidence), then
+    never-checked queries, then stale logic chains (oldest evidence
+    first), then oldest-evidence fresh rows — name order breaking ties
+    throughout."""
+    red = sorted(
+        {n for n, _, green, _ in list(stale) + list(fresh) if not green}
+    )
+    window = list(red)
+    window += [n for n, _ in sorted(no_row) if n not in red]
+    window += [
+        n
+        for n, _, _, _ in sorted(stale, key=lambda t: (t[1], t[0]))
+        if n not in red
+    ]
+    window += [
+        n
+        for n, _, _, _ in sorted(fresh, key=lambda t: (t[1], t[0]))
+        if n not in red
+    ]
     return window[:size]
 
 
