@@ -432,29 +432,54 @@ def n_cells(n_vectors: int) -> int:
 #: locally wrong instead of poisoning later full-table calls.
 _COUNT_MEMO: dict[tuple, int] = {}
 
-#: Logical nodes whose presence means the frame's count is NOT a pure
-#: property of the source files.
-_COUNT_UNSAFE_NODES = (
-    "Filter", "Join", "Aggregate", "GlobalLimit", "LocalLimit",
-    "Sample", "Union", "Deduplicate", "Intersect", "Except", "Window",
-    "Generate",
+#: Logical nodes under which a frame's row count IS a pure property of
+#: the source files — a WHITELIST (advice r10): a blocklist of
+#: count-changing nodes silently goes stale when Spark adds one
+#: (Offset, FlatMapGroupsInPandas, ...), and a false negative poisons
+#: the full-table memo entry, while a false positive here merely pays
+#: an extra count(). Anything not listed (including every count-neutral
+#: node we could have allowed, e.g. Sort/Repartition) skips the memo.
+_COUNT_SAFE_NODES = frozenset(
+    {"Relation", "Project", "SubqueryAlias", "View"}
 )
+
+
+def _plan_nodes(plan: str) -> list[str]:
+    """Leading node names of an analyzed-plan dump's lines (tree
+    markers ``+-``/``:-``/``:`` stripped)."""
+    out = []
+    for line in plan.splitlines():
+        word = line.lstrip(" +-:")
+        tok = ""
+        for c in word:
+            if c.isalpha():
+                tok += c
+            else:
+                break
+        if tok:
+            out.append(tok)
+    return out
 
 
 def _corpus_count(df: DataFrame) -> int:
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
-        if any(node in plan for node in _COUNT_UNSAFE_NODES):
+        if any(n not in _COUNT_SAFE_NODES for n in _plan_nodes(plan)):
             return df.count()
         files = sorted(df.inputFiles())
         key_parts = []
         for uri in files:
-            local = uri[7:] if uri.startswith("file://") else uri
+            if not uri.startswith("file://"):
+                # Non-local scheme: no stat available, so an in-place
+                # overwrite would be invisible to the key (and read
+                # format/options aren't in the key either) — skip the
+                # memo rather than cache a stale count (advice r10).
+                return df.count()
             try:
-                st = os.stat(local)
-                key_parts.append((uri, st.st_size, st.st_mtime_ns))
-            except OSError:  # non-local scheme: path-only key part
-                key_parts.append((uri, -1, -1))
+                st = os.stat(uri[7:])
+            except OSError:
+                return df.count()
+            key_parts.append((uri, st.st_size, st.st_mtime_ns))
         key = tuple(key_parts)
     except Exception:  # non-file-backed plans (local relations etc.)
         key = ()
@@ -499,8 +524,11 @@ def _fold_top2_expr(arr_col: str) -> str:
     (struct)`` / ``array_sort`` / the oracle's ``ORDER BY dd, cell``;
     (dd, cell) elements are unique per row (cell is unique), so the
     result is independent of the array's construction order and the
-    +Infinity/LONG_MAX sentinels can never survive (nlist >= 2
-    always: n_cells floors at CELL_SEEDS)."""
+    +Infinity/LONG_MAX sentinels can never survive for CONTRACT-VALID
+    input (nlist >= 2 always: n_cells floors at CELL_SEEDS, and every
+    non-null non-NaN dd beats +Infinity). A NULL/NaN embedding element
+    nulls/NaNs dd for every centroid and the sentinel survives —
+    :func:`cell_probes` raises on it rather than emit LONG_MAX."""
     return f"""aggregate(
   {_scored_cells_expr(arr_col)},
   named_struct(
@@ -638,12 +666,29 @@ def cell_probes(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     cent_arr = cent.agg(
         F.collect_list(F.struct("cell", "cvec")).alias("cp_arr")
     )
+    # Sentinel guard (advice r10): a NULL/NaN element anywhere in a
+    # row's embedding makes the dd fold NULL (or NaN, which Spark
+    # orders above +Infinity) for EVERY centroid, so no fold step ever
+    # fires and the (Infinity, LONG_MAX) init survives — the reference
+    # list picker would instead emit nothing for that row, so the two
+    # forms diverge exactly when input violates the non-null contract.
+    # Fail loudly instead of emitting LONG_MAX as a real cell id.
     return (
         emb.crossJoin(F.broadcast(cent_arr))
         .select("vec_id", F.expr(_fold_top2_expr("cp_arr")).alias("cp_b"))
         .select(
             "vec_id",
             F.explode(F.array("cp_b.b1c", "cp_b.b2c")).alias("cell"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN cell = {_CP_LONG_MAX}L THEN"
+                " CAST(raise_error('cell_probes: top-2 sentinel"
+                " survived — an embedding contains NULL/NaN, violating"
+                " the non-null input contract') AS BIGINT)"
+                " ELSE cell END"
+            ).alias("cell"),
         )
     )
 

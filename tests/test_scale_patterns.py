@@ -6096,6 +6096,46 @@ def test_cell_probe_corpus_count_memo(spark):
     before = dict(clustering._COUNT_MEMO)
     assert clustering._corpus_count(flt) == 3
     assert clustering._COUNT_MEMO == before
+    # count-safety is a WHITELIST (advice r10): a count-changing node
+    # the old blocklist never listed (Offset) must also bypass the
+    # memo — and a bare-scan entry must not be poisoned by it
+    off = emb1.offset(1)
+    n_off = clustering._corpus_count(off)
+    assert n_off == n1 - 1
+    assert clustering._COUNT_MEMO == before
+    # a per-row explode (Generate) changes count too — bypasses
+    gen = emb1.selectExpr("explode(embedding) AS x")
+    assert clustering._corpus_count(gen) == gen.count()
+    assert clustering._COUNT_MEMO == before
+
+
+def test_cell_probes_raises_on_null_embedding_element(spark):
+    """The per-row fold's (Infinity, LONG_MAX) sentinel survives when a
+    row's embedding contains NULL/NaN (the dd fold nulls for every
+    centroid); cell_probes must FAIL LOUDLY rather than emit LONG_MAX
+    as a real cell id (advice r10 — the reference list picker would
+    instead silently drop the row, so the forms diverge exactly on
+    contract-violating input)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from mcp_rag_server_spark.operators import clustering
+
+    emb = spark.range(12).select(
+        SF.col("id").alias("vec_id"),
+        SF.expr(
+            "transform(sequence(1, 4), s ->"
+            " CASE WHEN id = 5 AND s = 2 THEN CAST(NULL AS FLOAT)"
+            " ELSE CAST(pmod(id * 31 + s * 7, 13) AS FLOAT) END)"
+        ).alias("embedding"),
+    )
+    with _pytest.raises(Exception, match="sentinel survived"):
+        clustering.cell_probes(emb, n_vectors=12).collect()
+    # the clean subset of the same frame passes through the guard
+    clean = emb.filter("vec_id <> 5")
+    rows = clustering.cell_probes(clean, n_vectors=11).collect()
+    assert len(rows) == 11 * clustering.CELL_PROBES
+    assert all(r.cell != clustering._CP_LONG_MAX for r in rows)
 
 
 def _check_cell_probe_invariants(spark, sf):
