@@ -137,47 +137,60 @@ def test_no_fixture_tuned_fanout_literal():
     )
 
 
-def _has_decimal(dt) -> bool:
+def _has_fragile_type(dt) -> bool:
     from pyspark.sql.types import (
         ArrayType,
+        DateType,
         DecimalType,
         MapType,
         StructType,
     )
 
-    if isinstance(dt, DecimalType):
+    if isinstance(dt, (DecimalType, DateType)):
         return True
     if isinstance(dt, StructType):
-        return any(_has_decimal(f.dataType) for f in dt.fields)
+        return any(_has_fragile_type(f.dataType) for f in dt.fields)
     if isinstance(dt, ArrayType):
-        return _has_decimal(dt.elementType)
+        return _has_fragile_type(dt.elementType)
     if isinstance(dt, MapType):
-        return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+        return _has_fragile_type(dt.keyType) or _has_fragile_type(
+            dt.valueType
+        )
     return False
 
 
-def test_no_decimal_type_in_any_query_output_schema(spark):
-    """DecimalType is BANNED from query output schemas (top-level or
-    nested). Spark→pandas yields Decimal objects whose str() rendering
-    carries scale ('0.50'), while the DuckDB oracle side fetches
-    float64 ('0.5') — the driver's string-level hash flags exactly the
-    cases where the renderings diverge, and whether they diverge is an
-    accident of scale (the r8→r10 agg_percentile_audit regression:
-    decimal(2,2) red, while decimal(2,1) passed by luck). Decimals are
-    fine INSIDE a query (exact arithmetic); cast to DOUBLE/BIGINT at
-    the output projection. Schema analysis only — nothing executes."""
+def test_no_hash_fragile_type_in_any_query_output_schema(spark):
+    """DecimalType and DateType are BANNED from query output schemas
+    (top-level or nested) — the two types whose pandas-side rendering
+    diverges between engines independently of the VALUES:
+
+    - Decimal: Spark→pandas yields Decimal objects whose str() carries
+      scale ('0.50'), the DuckDB side fetches float64 ('0.5') — the
+      driver's string-level hash flags exactly the cases where the
+      renderings diverge, and whether they diverge is an accident of
+      scale (the r8→r10 agg_percentile_audit regression: decimal(2,2)
+      red, decimal(2,1) green by luck). Cast to DOUBLE/BIGINT at the
+      output projection; decimals are fine INSIDE a query.
+    - Date: Spark toPandas → datetime.date, DuckDB fetchdf →
+      Timestamp — different canon classes even for identical values
+      (the ev_msprt_sequential r6 lesson). CAST day columns to
+      STRING/VARCHAR at output.
+
+    Schema analysis only — nothing executes."""
     reg = load_all()
     offenders = []
     for name in sorted(reg):
         df = reg[name].spark_fn(spark, SF001)
         bad = [
-            f.name for f in df.schema.fields if _has_decimal(f.dataType)
+            f.name
+            for f in df.schema.fields
+            if _has_fragile_type(f.dataType)
         ]
         if bad:
             offenders.append(f"{name}: {bad}")
     assert offenders == [], (
-        "DecimalType in output schema — cast to DOUBLE/BIGINT at the "
-        f"projection: {offenders}"
+        "hash-fragile type (Decimal/Date) in output schema — cast to "
+        f"DOUBLE/BIGINT/STRING at the projection: {offenders}"
     )
 
 

@@ -7,10 +7,10 @@ lockstep). The reliable tell is always the same: SENTINEL queries
 whose code has not changed in many rounds move together with the
 suspect ones. This tool automates that tell.
 
-It times four cheap, stable, old-code sentinels (min-of-3, same
-harness discipline as bench.py) and compares each against its pinned
-idle reference (recorded round 10, load avg 0.10, the same box the
-baselines were recorded on):
+It times four cheap, stable, old-code sentinels (min-of-5, after a
+bench-like multi-query JVM warm-up — see _WARMUP for why that matters)
+and compares each against its pinned idle reference (recorded round
+10, load avg 0.10, the same box the baselines were recorded on):
 
     ratio ~ 1.00        box matches the reference recordings
     ratio >> 1 (broad)  machine degraded: do NOT adjudicate bench
@@ -19,8 +19,10 @@ baselines were recorded on):
 Usage: python tools/box_probe.py
 Exit 0 and print the index either way (informational); treat a
 geometric-mean index above ~1.15 as "bench numbers unreliable".
-Re-pin SENTINEL_REF only from a run whose probe index was ~1.0 and
-whose load average was idle, and note the re-pin in BENCH_NOTES.
+Re-pin SENTINEL_REF only from a run whose probe index was ~1.0, whose
+load average was idle, AND whose same-day full bench matched the
+recorded bands (bench_diff vs the latest artifact: no broad shift) —
+and note the re-pin in BENCH_NOTES.
 """
 
 from __future__ import annotations
@@ -50,6 +52,21 @@ SENTINEL_REF: dict[str, float] = {
     "ta_token_stats": 0.265,
 }
 
+#: Bench-like JVM warm-up before measuring (r11 finding, BENCH_NOTES
+#: "Round-11 box_probe protocol fix"): the pinned refs come from
+#: bench.py's fully-warmed 37-query session, so measuring after a
+#: SINGLE warm-up query reads JIT/codegen warm-up, not box condition —
+#: an idle healthy box scored 1.54-1.60 under the old protocol and
+#: 1.02-1.06 under this one, on the same hour, with the full bench at
+#: x0.94 vs the r10 artifact / zero >25% movers. The spread covers the
+#: hot code classes the sentinels exercise (codegen scan-agg, HOF
+#: folds, explode, Arrow batches, shuffle joins).
+_WARMUP = (
+    "rag_topk", "tpch_q1", "tpch_q3", "ta_token_stats", "chunk_split",
+    "ev_sessionize", "dd_minhash_lsh", "ta_bigram_top", "tpch_q6",
+    "sim_sq8_topk", "rag_hybrid_topk", "top_parts_by_revenue",
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,14 +74,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
 
-    # same warm-up bench.py uses, so ratios compare like with like
-    reg["rag_topk"].spark_fn(spark, sf_dir).collect()
+    # bench-like warm-up so ratios compare like with like (the refs
+    # were recorded in a fully-warmed bench session — see _WARMUP)
+    for w in _WARMUP:
+        reg[w].spark_fn(spark, sf_dir).collect()
 
     ratios = []
     print(f"{'sentinel':16s} {'ref':>7s} {'now':>7s} {'ratio':>6s}")
     for name, ref in SENTINEL_REF.items():
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             reg[name].spark_fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
