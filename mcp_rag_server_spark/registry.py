@@ -71,70 +71,69 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 10 rotation): the driver checks a
-#: 50-query prefix of this ordering. Round-9 closed the never-checked
-#: backlog — all 302 registry queries have a green driver row — so
-#: rotation is now steady-state (the cadence rule is written in
-#: COVERAGE.md "Rotation cadence"): stale logic chains first, then
-#: oldest driver evidence. This window = the 23 stale logic chains
-#: (`tools/rotation_audit.py` list (b): 18 edited during round 9 —
-#: the fanout_width threading, the Lloyd cell-probe refinement, the
-#: probe cache — plus 5 touched by round 10's own docstring /
-#: PRECONDITION additions), followed by the 27 oldest-evidence rows
-#: (r3/r4-vintage greens). Exactly 50 entries.
+#: Driver-evidence priority (round 11 rotation): the driver checks a
+#: 50-query prefix of this ordering. Steady-state cadence (COVERAGE.md
+#: "Rotation cadence"): NOT-GREEN rows first unconditionally, then
+#: stale logic chains, then oldest driver evidence. This window =
+#: `agg_percentile_audit` (the r10 red row — decimal-typed output, fix
+#: landed at sketches.py:143) and `ta_gains_chart` (same class,
+#: CAST(depth AS DOUBLE) fix) at positions 1-2, the chains staled by
+#: the r11 fixes (the probe-fold consumers re-touched by the sentinel
+#: guard), the r4/r5-vintage streaming + tpch_q7/8/14-19 block, then
+#: the oldest-evidence remainder. Exactly 50 entries.
 #: Regenerate with `python3 tools/rotation_audit.py`, do not
 #: hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_percentile_audit",
-    "ev_cogrouped_quota",
-    "ev_grouped_map_running",
-    "ev_scd2_intervals",
-    "sim_ivfpq_topk",
-    "sim_kmeans_refine",
-    "sim_pq_adc_topk",
-    "ta_gopher_rules",
-    "dd_lsh_band_audit",
-    "ev_props_variant_stats",
-    "ingest_compacted",
-    "ta_fingerprint",
-    "dd_containment",
+    "ta_gains_chart",
     "dd_embedding_neardup",
-    "dd_method_agreement",
-    "sim_knn_graph",
-    "ev_theil_sen",
-    "sim_compression_frontier",
     "sim_graph_greedy_search",
     "sim_kcore_decompose",
-    "sim_power_iteration_pc1",
-    "ingest_roundtrip",
-    "st_ingest_roundtrip",
-    "ta_token_budget",
-    "tpch_q1",
-    "tpch_q4_exists",
-    "tpch_q6",
-    "window_topn_per_nation",
-    "agg_hll_audit",
-    "anti_join_idle_customers",
-    "correlated_max_price_part",
-    "distinct_agg_lineitem",
-    "ev_anomaly_zscore",
-    "ev_cohort_retention",
-    "ev_dedup_by_second",
-    "ev_funnel",
-    "ev_hourly_windows",
-    "ev_json_extract",
-    "ev_latest_state",
-    "ev_salted_hot_key_join",
-    "ev_sessionize",
-    "ev_top_users_by_value",
-    "ev_type_value_stats",
-    "full_outer_order_ship_days",
-    "outer_join_order_counts",
-    "rag_mmr_batch",
-    "rag_mmr_topk",
-    "sim_matryoshka_topk",
-    "st_dedup_within_watermark",
-    "st_hourly_windows",
+    "sim_knn_graph",
+    "st_sessionize",
+    "st_sliding_windows",
+    "st_stateful_user_stats",
+    "st_stream_stream_join",
+    "ta_mix_temperature",
+    "ta_shard_assign",
+    "ta_unigram_logprob",
+    "ta_vocab_growth",
+    "top_parts_by_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_lag_orders",
+    "agg_exact_percentiles",
+    "agg_stats_lineitem",
+    "agg_string_concat_nations",
+    "dd_exact_stats",
+    "ev_props_map_stats",
+    "ev_user_type_count_map",
+    "fileops_list_ext",
+    "fileops_read_guard",
+    "grouping_sets_sales",
+    "pivot_status_by_priority",
+    "rag_topk",
+    "sim_ann_topk",
+    "sim_hyperplane_lsh",
+    "sim_ivf_topk",
+    "sim_l2_topk",
+    "sim_label_centroids",
+    "sim_radius_search",
+    "sql_rag_topk",
+    "st_latest_state",
+    "ta_bigram_top",
+    "ta_dedup_budget_pipeline",
+    "ta_filter_pipeline",
+    "ta_lang_profile",
+    "ta_langid_heuristic",
+    "ta_quality_score",
+    "ta_repetition_stats",
+    "ta_stratified_sample",
 )
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry re-keyed so DRIVER_PRIORITY names come first (in that
