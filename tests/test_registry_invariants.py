@@ -137,32 +137,61 @@ def test_no_fixture_tuned_fanout_literal():
     )
 
 
-def _has_fragile_type(dt) -> bool:
-    from pyspark.sql.types import (
-        ArrayType,
-        DateType,
-        DecimalType,
-        MapType,
-        StructType,
-    )
+#: The ONLY types allowed in query output schemas: each has VERIFIED
+#: pandas-side rendering parity between Spark toPandas() and DuckDB
+#: fetchdf() under the driver's string-level hash (the r11 full-registry
+#: type sweep found exactly these eight in the 302 outputs — no Float/
+#: Decimal/Date/Map/Binary/Array anywhere). A whitelist, not a
+#: blocklist, for the same reason _corpus_count's plan-node check is
+#: (r10): a blocklist silently goes stale the day a new fragile type
+#: ships; an over-strict whitelist just fails a test, and the fix is a
+#: one-line addition HERE after verifying the new type's rendering
+#: parity on both engines.
+_RENDER_SAFE_LEAF_TYPES = frozenset(
+    {
+        "BooleanType",
+        "ByteType",
+        "ShortType",
+        "IntegerType",
+        "LongType",
+        "DoubleType",
+        "StringType",
+        "TimestampType",
+        "TimestampNTZType",
+    }
+)
 
-    if isinstance(dt, (DecimalType, DateType)):
-        return True
+
+def _unverified_types(dt) -> set:
+    """Leaf-type names (plus 'ArrayType'/'MapType'/'StructType' markers
+    for nesting) in dt that are NOT on the rendering-parity whitelist."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    # Nested containers are themselves unverified: no current query
+    # outputs one, and the canon for list/dict values differs between
+    # engines (np.ndarray vs list, dict insertion order) in ways the
+    # leaf-type whitelist cannot vouch for.
     if isinstance(dt, StructType):
-        return any(_has_fragile_type(f.dataType) for f in dt.fields)
+        bad = {"StructType"}
+        for f in dt.fields:
+            bad |= _unverified_types(f.dataType)
+        return bad
     if isinstance(dt, ArrayType):
-        return _has_fragile_type(dt.elementType)
+        return {"ArrayType"} | _unverified_types(dt.elementType)
     if isinstance(dt, MapType):
-        return _has_fragile_type(dt.keyType) or _has_fragile_type(
-            dt.valueType
+        return (
+            {"MapType"}
+            | _unverified_types(dt.keyType)
+            | _unverified_types(dt.valueType)
         )
-    return False
+    name = type(dt).__name__
+    return set() if name in _RENDER_SAFE_LEAF_TYPES else {name}
 
 
-def test_no_hash_fragile_type_in_any_query_output_schema(spark):
-    """DecimalType and DateType are BANNED from query output schemas
-    (top-level or nested) — the two types whose pandas-side rendering
-    diverges between engines independently of the VALUES:
+def test_output_schema_types_are_rendering_verified(spark):
+    """Every query output column must use a type with verified
+    cross-engine rendering parity (_RENDER_SAFE_LEAF_TYPES). Known
+    offenders this guards against, each a real or near-miss regression:
 
     - Decimal: Spark→pandas yields Decimal objects whose str() carries
       scale ('0.50'), the DuckDB side fetches float64 ('0.5') — the
@@ -175,22 +204,29 @@ def test_no_hash_fragile_type_in_any_query_output_schema(spark):
       Timestamp — different canon classes even for identical values
       (the ev_msprt_sequential r6 lesson). CAST day columns to
       STRING/VARCHAR at output.
+    - Float (float32): promoted to float64 by canon .item(), so the
+      repr exposes float32 rounding ('0.10000000149011612') whenever
+      the oracle computes the same value in float64. Cast to DOUBLE.
+    - Map: reaches pandas as dict; str(dict) is insertion-order-
+      sensitive and Spark map ordering is not deterministic. Project
+      to sorted key/value arrays or exploded rows.
 
     Schema analysis only — nothing executes."""
     reg = load_all()
     offenders = []
     for name in sorted(reg):
         df = reg[name].spark_fn(spark, SF001)
-        bad = [
-            f.name
+        bad = {
+            f.name: sorted(_unverified_types(f.dataType))
             for f in df.schema.fields
-            if _has_fragile_type(f.dataType)
-        ]
+            if _unverified_types(f.dataType)
+        }
         if bad:
             offenders.append(f"{name}: {bad}")
     assert offenders == [], (
-        "hash-fragile type (Decimal/Date) in output schema — cast to "
-        f"DOUBLE/BIGINT/STRING at the projection: {offenders}"
+        "output column type lacks verified cross-engine rendering "
+        "parity — cast at the projection, or verify the new type on "
+        f"both engines and extend _RENDER_SAFE_LEAF_TYPES: {offenders}"
     )
 
 
