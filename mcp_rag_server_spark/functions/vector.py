@@ -171,3 +171,46 @@ def duckdb_l2_dist(a: str, b: str) -> str:
         f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
         f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"
     )
+
+
+#: Dimensionality of the fixture embedding corpus (TESTDATA.md). Every
+#: fixed-dim consumer (hyperplane planes, bit packing, PQ codebooks)
+#: derives its index range from a per-module constant equal to this;
+#: the validity gate below is how dirty rows are kept away from them.
+EMBEDDING_DIM = 64
+
+
+def valid_embedding_sql(
+    dialect: str, col: str = "embedding", dim: int = EMBEDDING_DIM
+) -> str:
+    """Boolean SQL predicate: ``col`` is a usable dense vector — non-NULL,
+    exactly ``dim`` elements, and no NULL/NaN element.
+
+    This is the input contract of every fixed-dimension vector operator
+    (positional indexing throws under Spark ANSI on a short array and
+    silently yields NULL in DuckDB — one engine loud, one engine garbage;
+    a NULL/NaN element makes every distance fold NULL/NaN). The gate is a
+    per-row scan-stage predicate: no shuffle, vectorizable, and identical
+    text semantics in both engines, so gated operators keep oracle parity
+    on dirty corpora instead of diverging row-by-row. Zero vectors pass —
+    shape-valid, with defined downstream behavior (cosine's epsilon
+    denominator scores them 0, reference src/embeddings.ts:77-92).
+
+    ``sim_embedding_validate`` is the census twin: it reports how many
+    rows each clause would drop, so the gate is observable, not silent.
+    """
+    if dialect == "spark":
+        return (
+            f"({col} IS NOT NULL AND size({col}) = {dim} "
+            f"AND NOT exists({col}, ve_x -> ve_x IS NULL OR isnan(ve_x)))"
+        )
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {dim} "
+        f"AND len(list_filter({col}, ve_x -> ve_x IS NULL OR isnan(ve_x)))"
+        f" = 0)"
+    )
+
+
+def valid_embedding(col: str = "embedding", dim: int = EMBEDDING_DIM) -> Column:
+    """DataFrame form of :func:`valid_embedding_sql` (Spark dialect)."""
+    return F.expr(valid_embedding_sql("spark", col, dim))

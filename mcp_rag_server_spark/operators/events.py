@@ -68,7 +68,12 @@ def ev_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_json_extract",
     oracle="""
-SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+-- json_valid gate: Spark's get_json_object returns NULL on malformed
+-- JSON; DuckDB's json_extract_string THROWS — the CASE makes the
+-- oracle's malformed/NULL-props behavior identical (NULL bucket)
+SELECT CAST(json_extract_string(
+         CASE WHEN json_valid(props) THEN props END, '$.k')
+       AS INT) % 10 AS k_bucket,
        COUNT(*) AS n,
        MIN(event_id) AS min_event_id,
        MAX(event_id) AS max_event_id
@@ -504,6 +509,10 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_props_map_stats",
     oracle="""
+-- json_valid gate: Spark's from_json yields a NULL map on malformed/
+-- NULL props and explode drops the row; DuckDB's json_keys THROWS on
+-- malformed input — the CASE (json_keys(NULL) -> NULL -> unnest
+-- emits no rows) reproduces the drop
 SELECT e.event_type,
        t.key AS prop_key,
        COUNT(*) AS n,
@@ -511,7 +520,9 @@ SELECT e.event_type,
        MAX(CAST(json_extract(e.props, '$.' || t.key) AS INT)) AS max_v,
        round(CAST(SUM(CAST(json_extract(e.props, '$.' || t.key) AS INT))
                   AS DOUBLE) / COUNT(*), 6) AS avg_v
-FROM events e, unnest(json_keys(e.props)) AS t(key)
+FROM events e,
+     unnest(json_keys(CASE WHEN json_valid(e.props) THEN e.props END))
+       AS t(key)
 GROUP BY e.event_type, t.key
 ORDER BY e.event_type, prop_key
 """,
@@ -1288,15 +1299,17 @@ m AS (
          CAST(MAX(t) AS BIGINT) AS tmax
   FROM idx GROUP BY event_type
 )
+-- NULLIF: a one-hour series (e.g. the NULL-type/NULL-ts dirty group)
+-- has zero t-variance; both engines must yield NULL, not throw
 SELECT event_type, n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 9) AS slope,
+       round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n, 9)
          AS intercept,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (tmax + 1), 6)
+       round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n
+             + (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * (tmax + 1), 6)
          AS fc_1h,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (tmax + 3), 6)
+       round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n
+             + (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * (tmax + 3), 6)
          AS fc_3h
 FROM m
 ORDER BY event_type
@@ -2004,20 +2017,25 @@ wide AS (
          MAX(CASE WHEN arm = 'B' THEN s2 END) AS s2_b
   FROM m GROUP BY event_type
 ),
+-- NULLIF guards: a degenerate group (single-row arm, or an arm with
+-- zero variance) must yield NULL stats on BOTH engines — DuckDB NULLs
+-- division by zero, Spark under ANSI throws without them
 stats AS (
   SELECT event_type, n_a, n_b,
          s1_a / n_a AS m_a,
          s1_b / n_b AS m_b,
-         (s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a,
-         (s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b
+         (s2_a - s1_a * s1_a / n_a) / NULLIF(n_a - 1, 0) AS var_a,
+         (s2_b - s1_b * s1_b / n_b) / NULLIF(n_b - 1, 0) AS var_b
   FROM wide
 ),
 welch AS (
   SELECT event_type, n_a, n_b,
-         (m_a - m_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+         (m_a - m_b) / NULLIF(sqrt(var_a / n_a + var_b / n_b), 0)
+           AS t_stat,
          (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
-           / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-              + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df,
+           / NULLIF((var_a / n_a) * (var_a / n_a) / NULLIF(n_a - 1, 0)
+              + (var_b / n_b) * (var_b / n_b) / NULLIF(n_b - 1, 0), 0)
+           AS df,
          m_a - m_b AS mean_diff
   FROM stats
 )
@@ -2025,7 +2043,10 @@ SELECT event_type, n_a, n_b,
        round(mean_diff, 6) AS mean_diff,
        round(t_stat, 4) AS t_stat,
        round(df, 2) AS df_welch,
-       abs(t_stat) > 1.96 AS reject_95
+       -- COALESCE: an undecidable verdict (degenerate group -> NULL t)
+       -- is 'no rejection'; also a rendering guard - a NULL boolean
+       -- reaches pandas as None (Spark) vs NaN (DuckDB)
+       COALESCE(abs(t_stat) > 1.96, FALSE) AS reject_95
 FROM welch
 ORDER BY event_type
 """
@@ -2233,13 +2254,13 @@ cells AS (
          MAX(CASE WHEN arm = 'B' AND period = 'post' THEN s1 / n END)
            AS m_b_post,
          MAX(CASE WHEN arm = 'A' AND period = 'pre'
-                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_a_pre,
+                  THEN (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) / n END) AS vn_a_pre,
          MAX(CASE WHEN arm = 'A' AND period = 'post'
-                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_a_post,
+                  THEN (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) / n END) AS vn_a_post,
          MAX(CASE WHEN arm = 'B' AND period = 'pre'
-                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_b_pre,
+                  THEN (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) / n END) AS vn_b_pre,
          MAX(CASE WHEN arm = 'B' AND period = 'post'
-                  THEN (s2 - s1 * s1 / n) / (n - 1) / n END) AS vn_b_post,
+                  THEN (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) / n END) AS vn_b_post,
          CAST(SUM(n) AS BIGINT) AS n_total
   FROM m GROUP BY event_type
 ),
@@ -2252,8 +2273,8 @@ did AS (
 SELECT event_type, n_total,
        round(est, 6) AS did_estimate,
        round(se, 6) AS std_error,
-       round(est / se, 4) AS z_stat,
-       abs(est / se) > 1.96 AS reject_95
+       round(est / NULLIF(se, 0), 4) AS z_stat,
+       COALESCE(abs(est / NULLIF(se, 0)) > 1.96, FALSE) AS reject_95
 FROM did
 ORDER BY event_type
 """
@@ -2389,10 +2410,12 @@ m AS (
          CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
   FROM vals GROUP BY event_type
 ),
+-- NULLIF guards: a single-event type has no variance, a zero-mean
+-- type has no relative MDE — NULL on both engines, never a throw
 stats AS (
   SELECT event_type, n,
          s1 / n AS mu,
-         (s2 - s1 * s1 / n) / (n - 1) AS var
+         (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) AS var
   FROM m
 )
 SELECT event_type, n AS n_events,
@@ -2400,9 +2423,10 @@ SELECT event_type, n AS n_events,
        round(sqrt(var), 6) AS stddev,
        round(2.8 * sqrt(2 * var / (CAST(n AS DOUBLE) / 2)), 6)
          AS mde_abs,
-       round(2.8 * sqrt(2 * var / (CAST(n AS DOUBLE) / 2)) / mu, 6)
-         AS mde_rel,
-       CAST(CEIL(2 * 2.8 * 2.8 * var / (0.01 * mu * 0.01 * mu))
+       round(2.8 * sqrt(2 * var / (CAST(n AS DOUBLE) / 2))
+             / NULLIF(mu, 0), 6) AS mde_rel,
+       CAST(CEIL(2 * 2.8 * 2.8 * var
+                 / NULLIF(0.01 * mu * 0.01 * mu, 0))
             AS BIGINT) AS n_per_arm_for_1pct
 FROM stats
 ORDER BY event_type

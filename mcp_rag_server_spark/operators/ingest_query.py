@@ -645,7 +645,11 @@ SELECT CAST(user_id % {GDPR_BUCKETS} AS BIGINT) AS user_bucket,
        COUNT(DISTINCT user_id) AS n_users,
        MAX(event_id) AS max_event_id
 FROM events
-WHERE user_id NOT IN {GDPR_DELETE_USERS!r}
+-- NULL-user events are RETAINED: erasure is keyed by user_id, and a
+-- row with no user belongs to no erasure request (it lands in the
+-- store's Hive default partition). Bare NOT IN would drop them
+-- (NULL NOT IN (...) is NULL), silently diverging from the store.
+WHERE user_id IS NULL OR user_id NOT IN {GDPR_DELETE_USERS!r}
 GROUP BY user_id % {GDPR_BUCKETS}
 ORDER BY user_bucket
 """,
@@ -684,13 +688,18 @@ def ingest_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def clean_bucket_files() -> dict[str, list[str]]:
         # enumerate the bucket dirs that actually exist (tiny fixtures
-        # may not populate all GDPR_BUCKETS values)
-        return {
-            d: sorted(os.listdir(os.path.join(store, d)))
-            for d in os.listdir(store)
-            if d.startswith("user_bucket=")
-            and int(d.split("=")[1]) not in affected
-        }
+        # may not populate all GDPR_BUCKETS values); the Hive default
+        # partition (NULL user_bucket — rows with no user) is never an
+        # erasure target, so it counts as a clean bucket
+        out = {}
+        for d in os.listdir(store):
+            if not d.startswith("user_bucket="):
+                continue
+            val = d.split("=")[1]
+            if val.isdigit() and int(val) in affected:
+                continue
+            out[d] = sorted(os.listdir(os.path.join(store, d)))
+        return out
 
     before = clean_bucket_files()
     # Materialize the survivors BEFORE overwriting: the write targets

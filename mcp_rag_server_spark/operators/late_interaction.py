@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
-from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
+from mcp_rag_server_spark.functions.vector import (
+    cosine_score,
+    duckdb_cosine,
+    valid_embedding,
+    valid_embedding_sql,
+)
 from mcp_rag_server_spark.registry import register
 
 MAXSIM_BLOCKS = 8
@@ -177,6 +182,7 @@ WITH codes AS (
          CAST({_pack_duck('embedding', 0)} AS BIGINT) AS lo,
          CAST({_pack_duck('embedding', 32)} AS BIGINT) AS hi
   FROM embeddings
+  WHERE {valid_embedding_sql('duckdb')}
 ),
 q AS (SELECT lo AS q_lo, hi AS q_hi FROM codes WHERE vec_id = {HAM_QUERY_ID})
 SELECT c.vec_id, c.label,
@@ -209,7 +215,10 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time and stored as two BIGINT columns; parquet min/max even
     gives crude pruning on the high half). Exact integer distances +
     vec_id tie-break make the top-k hash-stable."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate: 64 positional reads (ANSI-throw on short
+    # arrays in Spark, silent NULL codes in DuckDB) — invalid vectors
+    # dropped by contract on BOTH engines (sim_embedding_validate)
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     codes = emb.select(
         "vec_id",
         "label",
@@ -461,11 +470,16 @@ CR_K = 10
 def _cascade_oracle() -> str:
     cos = duckdb_cosine("e.embedding", "qv.q_embedding")
     return f"""
-WITH codes AS (
+WITH emb_v AS (
+  -- valid_embedding gate: mirrors the Spark side's filter, so pool,
+  -- rerank, and the exact-top audit all run over the same survivors
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+codes AS (
   SELECT vec_id, label,
          CAST({_pack_duck('embedding', 0)} AS BIGINT) AS lo,
          CAST({_pack_duck('embedding', 32)} AS BIGINT) AS hi
-  FROM embeddings
+  FROM emb_v
 ),
 q AS (SELECT lo AS q_lo, hi AS q_hi FROM codes WHERE vec_id = {CR_QUERY_ID}),
 pool AS (
@@ -477,11 +491,11 @@ pool AS (
   ORDER BY hamming, c.vec_id
   LIMIT {CR_POOL}
 ),
-qv AS (SELECT embedding AS q_embedding FROM embeddings
+qv AS (SELECT embedding AS q_embedding FROM emb_v
        WHERE vec_id = {CR_QUERY_ID}),
 rerank AS (
   SELECT e.vec_id, e.label, p.hamming, round({cos}, 4) AS score
-  FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id
+  FROM pool p JOIN emb_v e ON e.vec_id = p.vec_id
   CROSS JOIN qv
 ),
 cascade_top AS (
@@ -489,7 +503,7 @@ cascade_top AS (
 ),
 exact_top AS (
   SELECT e.vec_id
-  FROM embeddings e CROSS JOIN qv
+  FROM emb_v e CROSS JOIN qv
   WHERE e.vec_id <> {CR_QUERY_ID}
   ORDER BY round({cos}, 4) DESC, e.vec_id
   LIMIT {CR_K}
@@ -525,7 +539,9 @@ def sim_cascade_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall on this corpus — the audit rides the result instead of
     living in a doc. Ties break on vec_id at both the pool boundary
     and the final cut, keeping the cascade hash-deterministic."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — same contract as sim_binary_hamming_topk;
+    # every stage (codes, qv, rerank, exact_top) flows from emb
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     codes = emb.select(
         "vec_id",
         F.expr(_pack_spark("embedding", 0)).alias("lo"),

@@ -37,9 +37,13 @@ MAP_MIN_EVENTS = 15
     "ev_user_type_count_map",
     oracle=f"""
 WITH ent AS (
+  -- event_type IS NOT NULL: map keys cannot be NULL in Spark
+  -- (NULL_MAP_KEY), so a NULL-typed event is excluded from the bag by
+  -- contract on BOTH engines
   SELECT user_id, event_type, COUNT(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
 ),
 per_user AS (SELECT user_id, COUNT(*) AS n_types FROM ent GROUP BY user_id)
 SELECT e.user_id,
@@ -69,6 +73,10 @@ def ev_user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, unlike round(x, 4), which lands half-up (Spark) vs
     half-even (DuckDB) on exact .00005 boundaries."""
     ev = load_table(spark, sf_dir, "events")
+    # NULL event_type rows are excluded BEFORE the map build: a NULL
+    # map key is an engine error (NULL_MAP_KEY), so the bag's key
+    # contract is non-null by construction — mirrored in the oracle
+    ev = ev.filter(F.col("event_type").isNotNull())
     ent = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(18,6)"))

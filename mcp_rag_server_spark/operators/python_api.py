@@ -165,7 +165,15 @@ def ev_cogrouped_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     that genuinely needs both frames in one function."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # user_id IS NOT NULL: the oracle's USING(user_id) join drops the
+    # NULL-key group by SQL semantics, while cogroup() would deliver it
+    # to combine() (groupBy keeps a NULL group) and int(None) throws —
+    # the gate makes the Python path's key contract explicit
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "value")
+    )
     dim = (
         ev.select("user_id")
         .distinct()

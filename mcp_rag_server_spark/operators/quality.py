@@ -1296,7 +1296,8 @@ flags AS (
          CASE WHEN instr(text, '\u00c3\u00a9') > 0 THEN 1 ELSE 0
            END AS f_double_enc,
          CAST(round((length(text) - length({{ascii_only}})) * 100.0
-                    / length(text), 6) AS DECIMAL(18,6)) AS non_printable_pct
+                    / NULLIF(length(text), 0), 6) AS DECIMAL(18,6))
+           AS non_printable_pct
   FROM aug
 )
 SELECT source,

@@ -1415,7 +1415,10 @@ tot AS (
 )
 SELECT lang, n_docs, n_sources, pair_num,
        CAST(n_docs * (n_docs - 1) AS BIGINT) AS pair_den,
-       CAST(pair_num AS DOUBLE) / (n_docs * (n_docs - 1)) AS simpson,
+       -- NULLIF: a single-doc lang group has pair_den 0; both engines
+       -- must yield NULL (DuckDB NULLs /0 anyway, Spark ANSI throws)
+       CAST(pair_num AS DOUBLE) / NULLIF(n_docs * (n_docs - 1), 0)
+         AS simpson,
        CASE WHEN pair_num = 0 THEN NULL
             ELSE CAST(n_docs * (n_docs - 1) AS DOUBLE) / pair_num
        END AS effective_sources
@@ -1459,7 +1462,11 @@ def ta_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         "pair_num",
         pair_den.alias("pair_den"),
-        (F.col("pair_num").cast("double") / pair_den).alias("simpson"),
+        # try_divide: single-doc group → pair_den 0 → NULL, matching
+        # the oracle's NULLIF (DuckDB NULLs /0; Spark ANSI throws)
+        F.try_divide(F.col("pair_num").cast("double"), pair_den).alias(
+            "simpson"
+        ),
         F.when(F.col("pair_num") == 0, F.lit(None).cast("double"))
         .otherwise(pair_den.cast("double") / F.col("pair_num"))
         .alias("effective_sources"),
@@ -1469,7 +1476,11 @@ def ta_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_SQL = """
 WITH m AS (
   SELECT l_returnflag,
-         COUNT(*) AS n,
+         -- complete pairs only: COUNT(*) would count rows whose NULL
+         -- quantity/price the moment sums skip, silently skewing the
+         -- closed forms the moment a dirty row lands in a group
+         COUNT(CASE WHEN l_quantity IS NOT NULL
+                     AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
          CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(18,4)))
               AS DOUBLE) AS sx,
          CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
@@ -1485,12 +1496,16 @@ WITH m AS (
               AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
+-- NULLIF on every denominator: a degenerate group (single complete
+-- pair, or zero variance) must yield NULL on BOTH engines — DuckDB
+-- already NULLs x/0, Spark under ANSI throws without the guard
 SELECT l_returnflag, n,
        round((n * sxy - sx * sy)
-         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS pearson_r,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
-         AS intercept
+         / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+             9) AS pearson_r,
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 9) AS slope,
+       round((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+         / NULLIF(n, 0), 9) AS intercept
 FROM m
 ORDER BY l_returnflag
 """

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.numeric import duckdb_dsum
 from mcp_rag_server_spark.functions.vector import (
+    EMBEDDING_DIM,
     cosine_score,
     duckdb_cosine,
     duckdb_l2_dist,
@@ -1273,3 +1274,78 @@ def sim_ndcg_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+def _validate_census_sql(dialect: str) -> str:
+    """Disjoint validity classification of every embeddings row, then a
+    one-row census. Class order is a hierarchy (a NULL array is not
+    ALSO wrong-dim): null -> empty -> wrong_dim -> bad_element ->
+    valid; zero_vector is a sub-count of valid (shape-legal, scores 0
+    under the cosine epsilon contract, reference src/embeddings.ts:
+    77-92). Same fold text both engines modulo the size/len +
+    filter/list_filter token swaps."""
+    if dialect == "spark":
+        size_fn, bad = (
+            "size",
+            "exists(embedding, vz -> vz IS NULL OR isnan(vz))",
+        )
+        nonzero = "exists(embedding, vnz -> vnz <> 0)"
+    else:
+        size_fn = "len"
+        bad = (
+            "len(list_filter(embedding, vz -> vz IS NULL OR isnan(vz))) > 0"
+        )
+        nonzero = "len(list_filter(embedding, vnz -> vnz <> 0)) > 0"
+    return f"""
+WITH classed AS (
+  SELECT CASE
+           WHEN embedding IS NULL THEN 'null'
+           WHEN {size_fn}(embedding) = 0 THEN 'empty'
+           WHEN {size_fn}(embedding) <> {EMBEDDING_DIM} THEN 'wrong_dim'
+           WHEN {bad} THEN 'bad_element'
+           WHEN NOT {nonzero} THEN 'zero_vector'
+           ELSE 'valid'
+         END AS cls
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_total,
+       COUNT(CASE WHEN cls IN ('valid', 'zero_vector') THEN 1 END)
+         AS n_valid,
+       COUNT(CASE WHEN cls = 'zero_vector' THEN 1 END) AS n_zero_vector,
+       COUNT(CASE WHEN cls = 'null' THEN 1 END) AS n_null,
+       COUNT(CASE WHEN cls = 'empty' THEN 1 END) AS n_empty,
+       COUNT(CASE WHEN cls = 'wrong_dim' THEN 1 END) AS n_wrong_dim,
+       COUNT(CASE WHEN cls = 'bad_element' THEN 1 END) AS n_bad_element
+FROM classed
+"""
+
+
+@register(
+    "sim_embedding_validate",
+    oracle=_validate_census_sql("duckdb"),
+    description="embedding validity census: counts of NULL / empty /"
+    " wrong-dimension / NULL-or-NaN-element / all-zero vectors in one"
+    " scan — the documented pre-gate for every fixed-dimension vector"
+    " operator (functions/vector.valid_embedding_sql is the matching"
+    " row filter), making the gate observable instead of silent",
+    tags=("similarity", "vector", "dq", "audit"),
+)
+def sim_embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 100 TB embedding corpus WILL contain rows that violate the
+    dense-vector contract (nullable columns, upstream encoder bugs,
+    schema drift to a new dimensionality). Fixed-dim consumers cannot
+    define behavior for them: positional indexing on a short array is
+    an ANSI error in Spark and a silent NULL in DuckDB, and one NaN
+    element poisons every distance fold, so the family's contract is
+    validate -> quarantine -> operate (the IVF probe path additionally
+    fails loudly on anything that slips past — clustering.cell_probes'
+    sentinel guard). This census is the validate step: one narrow scan,
+    conditional counts, no shuffle beyond the single-row reduce; the
+    classes are disjoint by hierarchy so the counts reconcile exactly
+    to n_total. tests/test_dirty_input_parity.py pins the census on a
+    deliberately corrupted corpus AND that the gated survivors restore
+    oracle parity for a representative ANN consumer."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_validate_census_sql("spark"))

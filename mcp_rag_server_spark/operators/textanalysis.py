@@ -930,9 +930,11 @@ WITH feats AS (
   FROM documents
 ),
 graded AS (
+  -- NULLIF: a zero-word doc (empty/whitespace text) has no grade —
+  -- NULL on both engines (DuckDB NULLs /0, Spark ANSI would throw)
   SELECT lang,
          round(CAST(0.39 AS DOUBLE) * (w / sen)
-               + CAST(11.8 AS DOUBLE) * (syl / w)
+               + CAST(11.8 AS DOUBLE) * (syl / NULLIF(w, 0))
                - CAST(15.59 AS DOUBLE), 4) AS fk
   FROM feats
 )
@@ -1529,9 +1531,14 @@ def _es_sample_sql(dialect: str) -> str:
         )
     return f"""
 WITH keyed AS (
+  -- zero/NULL-weight docs are EXCLUDED, not keyed: ES gives weight-0
+  -- rows selection probability 0 (key -> -inf), and an explicit gate
+  -- is engine-identical where a NULL key's rank order is not (the
+  -- two engines default NULL ordering differently under DESC)
   SELECT source, doc_id, n_chars,
          ln(({fold} + 1) / 4294967296.0) / n_chars AS es_key
   FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
 ),
 ranked AS (
   SELECT source, doc_id, n_chars, es_key,

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
-from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
+from mcp_rag_server_spark.functions.vector import (
+    cosine_score,
+    duckdb_cosine,
+    valid_embedding_sql,
+)
 from mcp_rag_server_spark.registry import register
 from mcp_rag_server_spark.session import fanout_width
 
@@ -1025,9 +1029,11 @@ def _frontier_proj_sql(width: int = 32) -> str:
     re-ran per consumer). Identical arithmetic to the DuckDB oracle's
     inline ``proj`` CTE."""
     return f"""
-WITH elx AS (SELECT /*+ REPARTITION({width}, vec_id) */
+WITH emb_v AS (SELECT * FROM embeddings
+               WHERE {valid_embedding_sql("spark")}),
+elx AS (SELECT /*+ REPARTITION({width}, vec_id) */
                     vec_id, posexplode(embedding) AS (i0, xf)
-             FROM embeddings),
+             FROM emb_v),
 el AS (SELECT vec_id, i0 AS i, CAST(xf AS DOUBLE) AS x FROM elx),
 r AS (
   SELECT k, i, {_CF_SIGN_SPARK} AS s
@@ -1061,7 +1067,7 @@ def _frontier_hits_sql(dialect: str, staged: bool = False, width: int = 32) -> s
         dims = ("SELECT explode(sequence(0, 63)) AS i", )[0]
         ks = "SELECT explode(sequence(0, {k})) AS k"
         elx = ("SELECT vec_id, posexplode(embedding) AS (i0, xf)"
-               " FROM embeddings")
+               " FROM emb_v")
         el_fix = "SELECT vec_id, i0 AS i, CAST(xf AS DOUBLE) AS x FROM elx"
         sign = _CF_SIGN_SPARK
         bitcnt = "bit_count"
@@ -1083,7 +1089,7 @@ def _frontier_hits_sql(dialect: str, staged: bool = False, width: int = 32) -> s
     else:
         el_cte = ("el AS (SELECT vec_id, u.i,"
                   " CAST(embedding[u.i + 1] AS DOUBLE) AS x"
-                  " FROM embeddings CROSS JOIN"
+                  " FROM emb_v CROSS JOIN"
                   " (SELECT unnest(range(0, 64)) AS i) u)")
     kcte = ks.format(k=CF_JL_K if dialect == "duckdb" else CF_JL_K - 1)
     proj_block = f"""{el_cte},
@@ -1113,14 +1119,19 @@ proj AS (
     # sim_power_iteration_pc1 pattern).
     hint = f"/*+ REPARTITION({width}, vec_id) */ " if dialect == "spark" else ""
     return f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+WITH emb_v AS (
+  -- valid_embedding gate: all four rungs (exact/SQ8/JL/1-bit) read
+  -- the same survivors, both engines (census: sim_embedding_validate)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql(dialect)}
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM emb_v
            WHERE vec_id < {CF_QUERIES}),
 p AS (
   SELECT {hint}vec_id, embedding,
          CAST({'list_min' if dialect == 'duckdb' else 'array_min'}(embedding) AS DOUBLE) AS mn,
          (CAST({'list_max' if dialect == 'duckdb' else 'array_max'}(embedding) AS DOUBLE)
           - CAST({'list_min' if dialect == 'duckdb' else 'array_min'}(embedding) AS DOUBLE)) / 255.0 AS sc
-  FROM embeddings
+  FROM emb_v
 ),
 d AS (
   SELECT vec_id, embedding,
@@ -1140,7 +1151,7 @@ codes AS (
   SELECT {hint}vec_id,
          CAST({pack('embedding', 0)} AS BIGINT) AS lo,
          CAST({pack('embedding', 32)} AS BIGINT) AS hi
-  FROM embeddings
+  FROM emb_v
 ),
 qc AS (SELECT q.q_id, c.lo AS q_lo, c.hi AS q_hi
        FROM codes c JOIN q ON c.vec_id = q.q_id),

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
-from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
+from mcp_rag_server_spark.functions.vector import (
+    cosine_score,
+    duckdb_cosine,
+    valid_embedding,
+    valid_embedding_sql,
+)
 from mcp_rag_server_spark.registry import register
 
 N_PLANES = 8
@@ -75,7 +80,7 @@ def _bucket_sql(vec_col: str, dialect: str) -> str:
     oracle=f"""
 WITH b AS (
   SELECT vec_id, embedding, {_bucket_sql("embedding", "duckdb")} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE {valid_embedding_sql("duckdb")}
 )
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket,
        round({duckdb_cosine("x.embedding", "y.embedding")}, 4) AS score
@@ -89,7 +94,11 @@ ORDER BY vec_a, vec_b
     tags=("similarity", "vector", "lsh"),
 )
 def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate: the 64 positional reads in the projection
+    # throw under Spark ANSI on a short/empty array and silently NULL
+    # in DuckDB — invalid vectors are dropped by contract on BOTH
+    # engines (census: sim_embedding_validate)
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     b = emb.select(
         "vec_id",
         "embedding",
@@ -179,7 +188,7 @@ def _mp_duckdb_codes() -> str:
     return f"""b AS (
   SELECT vec_id, embedding,
          {_bucket_sql("embedding", "duckdb")} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE {valid_embedding_sql("duckdb")}
 ),
 q AS (SELECT bucket AS qb, embedding AS q_emb FROM b
       WHERE vec_id = {MP_QUERY_ID}),
@@ -215,7 +224,8 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and quintupled planning time); probes are an XOR VALUES list
     joined on the bucket key — at scale bucket = partition key, so a
     probe tier reads |probes| partitions, never a scan."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — same contract as sim_hyperplane_lsh
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     b = emb.select(
         "vec_id",
         "embedding",
