@@ -94,7 +94,10 @@ SELECT user_id,
        CASE WHEN lead(ts) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) IS NULL
             THEN 1 ELSE 0 END AS is_current
-FROM events
+-- ts IS NOT NULL: an undated change cannot be versioned into a
+-- validity interval (and NULL ts sorts FIRST in Spark's lead window
+-- vs LAST in DuckDB's, flipping which row is 'current')
+FROM events WHERE ts IS NOT NULL
 ORDER BY user_id, valid_from, state
 """,
     description="SCD-2 history build: each change becomes a validity"
@@ -109,7 +112,9 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     'state as of t' is then a range predicate valid_from <= t <
     valid_to, which parquet min/max stats prune. Same single user_id
     shuffle as ev_latest_state."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # an undated change cannot be versioned
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return (

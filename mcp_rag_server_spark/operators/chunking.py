@@ -134,7 +134,12 @@ def chunks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        array_to_string(
          list_slice(string_split(text, ' '), 3, 10), ' ') AS excerpt,
-       least(greatest(len(string_split(text, ' ')) - 2, 0), 8) AS n_tokens
+       -- CASE: NULL text slices to zero tokens. Without it the two
+       -- formulas diverge on NULL because least/greatest SKIP null
+       -- arguments in both engines, each rescuing a different operand
+       CASE WHEN text IS NULL THEN 0
+            ELSE least(greatest(len(string_split(text, ' ')) - 2, 0), 8)
+       END AS n_tokens
 FROM documents
 WHERE doc_id % 50 = 0
 """,
@@ -150,9 +155,14 @@ def read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
     toks = F.split(F.col("text"), " ")
     start, end = 3, 10
-    # slice(start, length): length = min(len, end) - (start-1), floored at 0
-    length = F.greatest(
-        F.least(F.size(toks), F.lit(end)) - F.lit(start - 1), F.lit(0)
+    # slice(start, length): length = min(len, end) - (start-1), floored
+    # at 0. The NULL-text CASE matches the oracle: Spark's least/
+    # greatest skip NULL args, so least(size(NULL), 10) would rescue 10
+    # and fabricate an 8-token range for a textless doc.
+    length = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.greatest(
+            F.least(F.size(toks), F.lit(end)) - F.lit(start - 1), F.lit(0)
+        )
     )
     return docs.select(
         "doc_id",

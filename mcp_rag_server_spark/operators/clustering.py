@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.vector import (
+    valid_embedding,
+    valid_embedding_sql,
+)
 from mcp_rag_server_spark.registry import register
 from mcp_rag_server_spark.session import fanout_width
 
@@ -105,10 +109,16 @@ def _km_duck_dist(vec: str, cvec: str) -> str:
 
 _KM_ORACLE = f"""
 WITH pos AS (SELECT unnest(range(1, {KM_DIMS} + 1)) AS i),
+emb_v AS (
+  -- valid_embedding gate: invalid vectors (NULL/empty/ragged/NaN
+  -- element) are dropped by contract on BOTH engines before any
+  -- distance fold (census: sim_embedding_validate)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
 elem AS (
   SELECT e.vec_id, e.label, CAST(p.i - 1 AS INT) AS d,
          CAST(e.embedding[p.i] AS DOUBLE) AS x
-  FROM embeddings e CROSS JOIN pos p
+  FROM emb_v e CROSS JOIN pos p
 ),
 c0e AS (
   SELECT label AS cluster, d,
@@ -119,7 +129,7 @@ c0e AS (
 c0 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM c0e GROUP BY cluster),
 d1 AS (
   SELECT e.vec_id, c.cluster, {_km_duck_dist('e.embedding', 'c.cvec')} AS dd
-  FROM embeddings e CROSS JOIN c0 c
+  FROM emb_v e CROSS JOIN c0 c
 ),
 a1 AS (
   SELECT vec_id, cluster FROM (
@@ -137,7 +147,7 @@ c1e AS (
 c1 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM c1e GROUP BY cluster),
 d2 AS (
   SELECT e.vec_id, c.cluster, {_km_duck_dist('e.embedding', 'c.cvec')} AS dd
-  FROM embeddings e CROSS JOIN c1 c
+  FROM emb_v e CROSS JOIN c1 c
 ),
 a2 AS (
   SELECT vec_id, cluster, dd FROM (
@@ -178,7 +188,8 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no join back to an element table), and each update is one
     cluster-keyed shuffle of (cluster, d, partial-sum) rows — the
     textbook distributed Lloyd layout."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     elem = emb.select(
         "vec_id",
         "label",
@@ -218,10 +229,16 @@ SEMDEDUP_THRESHOLD = 0.35
 
 _SD_ORACLE = f"""
 WITH pos AS (SELECT unnest(range(1, {KM_DIMS} + 1)) AS i),
+emb_v AS (
+  -- valid_embedding gate: invalid vectors (NULL/empty/ragged/NaN
+  -- element) are dropped by contract on BOTH engines before any
+  -- distance fold (census: sim_embedding_validate)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
 elem AS (
   SELECT e.vec_id, e.label, CAST(p.i - 1 AS INT) AS d,
          CAST(e.embedding[p.i] AS DOUBLE) AS x
-  FROM embeddings e CROSS JOIN pos p
+  FROM emb_v e CROSS JOIN pos p
 ),
 c0e AS (
   SELECT label AS cluster, d,
@@ -232,7 +249,7 @@ c0e AS (
 c0 AS (SELECT cluster, list(c ORDER BY d) AS cvec FROM c0e GROUP BY cluster),
 d1 AS (
   SELECT e.vec_id, c.cluster, {_km_duck_dist('e.embedding', 'c.cvec')} AS dd
-  FROM embeddings e CROSS JOIN c0 c
+  FROM emb_v e CROSS JOIN c0 c
 ),
 asg AS (
   SELECT vec_id, cluster FROM (
@@ -245,7 +262,7 @@ withnorm AS (
          sqrt(list_sum(list_transform(range(1, {KM_DIMS} + 1),
               sd_i -> CAST(e.embedding[sd_i] AS DOUBLE)
                       * CAST(e.embedding[sd_i] AS DOUBLE)))) AS nrm
-  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  FROM asg a JOIN emb_v e ON e.vec_id = a.vec_id
 ),
 pairs AS (
   SELECT b.vec_id AS drop_id, b.cluster
@@ -309,7 +326,8 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-4 decision contracts are unchanged. Keep-decision is the
     deterministic lowest-id rule (a vector is dropped iff a smaller-id
     neighbor scores >= threshold on the ROUNDED-4 value)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     elem = emb.select(
         "vec_id",
         "label",

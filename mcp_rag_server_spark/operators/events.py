@@ -571,6 +571,10 @@ WITH seq AS (
            PARTITION BY user_id ORDER BY ts, event_id
          ) AS to_type
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 pairs AS (
   SELECT from_type, to_type, COUNT(*) AS n_transitions
@@ -598,7 +602,9 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     two exact BIGINTs — bit-identical across engines, emitted unrounded
     (registry rule 3). At 100 TB: one user-keyed shuffle for the lead,
     one partial-agg shuffle carrying ≤|types|² combined rows."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr("user_id IS NOT NULL AND ts IS NOT NULL")  # sequence contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -635,6 +641,10 @@ WITH marked AS (
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -679,7 +689,9 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Shape: one user-keyed window pass (lag + running sum
     share it), one (user, session) aggregation, one bounded path
     aggregation."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr("user_id IS NOT NULL AND ts IS NOT NULL")  # sequence contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
@@ -807,20 +819,28 @@ WITH cond AS (
   FROM events GROUP BY event_type
 ),
 ranked AS (
+  -- coalesce to ±infinity: a NULL value is never an arg-extreme
+  -- candidate (Spark's struct comparator ranks NULL first, DuckDB's
+  -- window NULLS LAST — without the pin the engines pick different
+  -- users the moment a value is NULL)
   SELECT event_type, user_id,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY value DESC, event_id DESC) AS rmax,
+                            ORDER BY coalesce(value, CAST('-infinity'
+                              AS DOUBLE)) DESC, event_id DESC) AS rmax,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY value ASC, event_id ASC) AS rmin
+                            ORDER BY coalesce(value, CAST('infinity'
+                              AS DOUBLE)) ASC, event_id ASC) AS rmin
   FROM events
 )
 SELECT c.event_type, c.n_events, c.n_high, c.any_high, c.all_positive,
        mx.user_id AS top_value_user, mn.user_id AS bottom_value_user
 FROM cond c
+-- IS NOT DISTINCT FROM: USING(event_type) would drop the NULL-typed
+-- group that the Spark side's single groupBy naturally keeps
 JOIN (SELECT event_type, user_id FROM ranked WHERE rmax = 1) mx
-  USING (event_type)
+  ON mx.event_type IS NOT DISTINCT FROM c.event_type
 JOIN (SELECT event_type, user_id FROM ranked WHERE rmin = 1) mn
-  USING (event_type)
+  ON mn.event_type IS NOT DISTINCT FROM c.event_type
 ORDER BY c.event_type
 """,
     description="conditional/argmax aggregate pack: count_if, bool_or,"
@@ -839,7 +859,18 @@ def agg_conditional_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a per-group sort — the argmax shape that scales. count_if/
     bool_or/bool_and fold into the same single aggregation pass."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.struct("value", "event_id")
+    # NULL values are pinned to the losing end of each key: Spark's
+    # struct comparator would rank (NULL, id) FIRST (making a NULL-value
+    # row the min_by winner) while DuckDB's windows put NULLs last —
+    # ±infinity gives both engines the same never-wins semantics
+    key_max = F.struct(
+        F.expr("coalesce(value, CAST('-infinity' AS DOUBLE))").alias("v"),
+        F.col("event_id").alias("event_id"),
+    )
+    key_min = F.struct(
+        F.expr("coalesce(value, CAST('infinity' AS DOUBLE))").alias("v"),
+        F.col("event_id").alias("event_id"),
+    )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -847,8 +878,8 @@ def agg_conditional_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"count_if(value > {COND_HIGH})").alias("n_high"),
             F.expr(f"bool_or(value > {COND_HIGH})").alias("any_high"),
             F.expr("bool_and(value > 0)").alias("all_positive"),
-            F.max_by("user_id", key).alias("top_value_user"),
-            F.min_by("user_id", key).alias("bottom_value_user"),
+            F.max_by("user_id", key_max).alias("top_value_user"),
+            F.min_by("user_id", key_min).alias("bottom_value_user"),
         )
         .orderBy("event_type")
     )
@@ -1576,8 +1607,11 @@ def _ks_sql() -> str:
     )
     return f"""
 WITH tagged AS (
+  -- value IS NOT NULL: a row with no value has no place in a value
+  -- CDF (and NULL v sorts FIRST in Spark's cume window, LAST in
+  -- DuckDB's, skewing every prefix count differently per engine)
   SELECT event_type, {{arm}} AS arm, round(value, 4) AS v
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 counts AS (
   SELECT event_type,
@@ -2162,6 +2196,10 @@ WITH seq AS (
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS next_type
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 trans AS (
   SELECT event_type AS from_type, next_type, COUNT(*) AS c
@@ -2533,10 +2571,14 @@ def ev_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB) per the cross-engine overflow rule.
 _HOURLY_SEQ_CTE = """
 hourly AS (
+  -- ts IS NOT NULL: an undated event has no hour, and a NULL hour
+  -- takes ordinal t=1 in Spark's ROW_NUMBER (NULLS FIRST) but t=n in
+  -- DuckDB's (NULLS LAST), silently re-pairing (t, v) per engine
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 seq AS (
   SELECT event_type, h, v,
@@ -3473,10 +3515,13 @@ def _msprt_sql() -> str:
     ROUNDED log-lambda — deterministic by construction."""
     return f"""
 WITH rows_tagged AS (
+  -- ts IS NOT NULL: an undated event has no day in the monitoring
+  -- curve (a NULL day enters Spark's cumulative window FIRST and
+  -- DuckDB's LAST, shifting every prefix after it)
   SELECT CAST(ts AS DATE) AS day,
          {{arm}} AS arm,
          CAST(value AS DECIMAL(18,4)) AS dval
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 daily AS (
   SELECT day,
@@ -3589,6 +3634,10 @@ WITH seq AS (
            PARTITION BY user_id ORDER BY ts, event_id
          ) AS to_type
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 pairs AS (
   SELECT from_type, to_type, COUNT(*) AS n_transitions
@@ -3654,7 +3703,9 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed delta_l1 (≈3e-6 at sf0.01 after 8 steps) certifies the
     iteration actually converged rather than just ran. Same
     (ts, event_id) per-user total order as every ev_* sequence op."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr("user_id IS NOT NULL AND ts IS NOT NULL")  # sequence contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -3736,11 +3787,13 @@ def _concurrency_sql() -> str:
     without a per-row tie-break."""
     return f"""
 WITH ordered AS (
+  -- sequence contract: an undated or userless event has no place in
+  -- a session timeline (NULL ts sorts FIRST in Spark, LAST in DuckDB)
   SELECT user_id, ts,
          lag({{epoch}}(ts)) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS prev_us,
          {{epoch}}(ts) AS us
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts,
@@ -3951,8 +4004,12 @@ SELECT event_type, n1, n2,
        round(vol_effect, 4) AS volume_effect,
        round(rate_effect, 4) AS rate_effect,
        round(inter_effect, 4) AS interaction_effect,
-       (ABS(delta - (vol_effect + rate_effect + inter_effect)) < 1e-6)
-         AS decomposition_exact
+       -- COALESCE: a segment empty in one half has NULL effects — the
+       -- identity is undecidable, not exact (and a NULL boolean reaches
+       -- pandas as None from Spark vs NaN from DuckDB)
+       COALESCE(
+         ABS(delta - (vol_effect + rate_effect + inter_effect)) < 1e-6,
+         FALSE) AS decomposition_exact
 FROM fx
 ORDER BY event_type
 """
@@ -4001,9 +4058,10 @@ def _growth_sql() -> str:
     (user-partitioned lag/lead), never a calendar join."""
     return f"""
 WITH uw AS (
+  -- sequence contract: activity classification needs a user and a day
   SELECT DISTINCT user_id,
          {{epoch}}(ts) {{div}} {GA_DAY_US} AS day_index
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 seq AS (
   SELECT user_id, day_index,

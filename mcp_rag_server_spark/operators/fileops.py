@@ -235,7 +235,12 @@ _TREE_PATH_SQL = (
 
 
 def _doc_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # a doc with no source or lang has no path in the derived tree —
+    # the concat would yield a NULL path that sorts FIRST in Spark's
+    # listing order but LAST in DuckDB's, shifting the LIMIT window
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "source IS NOT NULL AND lang IS NOT NULL"
+    )
     return docs.selectExpr(
         _TREE_PATH_SQL.format(str_t="STRING") + " AS rel_path",
         "n_chars AS file_size",
@@ -246,9 +251,12 @@ def _doc_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fileops_list",
     oracle=f"""
 WITH files AS (
+  -- source/lang IS NOT NULL mirrors _doc_file_listing's pathless-doc
+  -- exclusion
   SELECT {_TREE_PATH_SQL.format(str_t="VARCHAR")} AS path,
          n_chars AS size
   FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
 ),
 dirs AS (
   -- ancestors by prefix-splitting the SAME path expression the files
@@ -292,10 +300,12 @@ _GUARD_KINDS = 6
     "fileops_read_guard",
     oracle=f"""
 WITH base AS (
+  -- pathless docs (NULL source/lang) produce no request on either side
   SELECT doc_id, doc_id % {_GUARD_KINDS} AS kind,
          {_TREE_PATH_SQL.format(str_t="VARCHAR")} AS good,
          n_chars AS size
   FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
 ),
 verdicts AS (
   -- the guard's expected decision per kind, encoded literally: the
@@ -358,6 +368,8 @@ def fileops_read_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     requests = (
         load_table(spark, sf_dir, "documents")
+        # pathless docs produce no request — mirrors the oracle's base
+        .filter("source IS NOT NULL AND lang IS NOT NULL")
         .selectExpr(
             "doc_id",
             _TREE_PATH_SQL.format(str_t="STRING") + " AS rel_path",
@@ -387,6 +399,7 @@ WITH files AS (
          n_chars AS size
   FROM documents
   WHERE CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'md' ELSE 'log' END = 'md'
+    AND source IS NOT NULL AND lang IS NOT NULL
 )
 SELECT path, 'file' AS type, size FROM files ORDER BY type, path LIMIT 100
 """,

@@ -75,6 +75,10 @@ WITH trans AS (
          lead(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS dst
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 edges AS (
   SELECT src, dst, COUNT(*) AS w
@@ -131,7 +135,9 @@ def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregates (never a driver-side count), so the plan shape is
     unchanged when the node table is a billion users instead of five
     event types."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr("user_id IS NOT NULL AND ts IS NOT NULL")  # sequence contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = ev.select(
         F.col("event_type").alias("src"),
@@ -139,6 +145,10 @@ def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     edges = trans.groupBy("src", "dst").agg(F.count("*").alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # n_edges counts the EDGE TABLE (a NULL-typed source is a real node
+    # whose edge the equi-join below drops from propagation on both
+    # engines — the oracle's ne CTE counts edges pre-join too)
+    edges = edges.localCheckpoint(eager=True)
     ewn = edges.join(outw, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -147,7 +157,7 @@ def ev_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count("*").alias("n"))
-    ne = ewn.agg(F.count("*").alias("n_edges"))
+    ne = edges.agg(F.count("*").alias("n_edges"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1).cast("double") / F.col("n")).alias("rank")
@@ -245,6 +255,10 @@ WITH trans AS (
          lead(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS dst
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 edges AS (
   SELECT src, dst, COUNT(*) AS w
@@ -291,7 +305,9 @@ def ev_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same lineage trap the determinism notes pin for .cache().
     At 100 TB: scores shuffle by node key beside a pre-bucketed edge
     table, identical to the PageRank layout argument."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr("user_id IS NOT NULL AND ts IS NOT NULL")  # sequence contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = ev.select(
         F.col("event_type").alias("src"),
@@ -387,6 +403,10 @@ WITH trans AS (
          lead(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS dst
   FROM events
+  -- sequence contract: an event with no user or no time has no
+  -- position in a per-user event-time order (and NULL ts sorts
+  -- FIRST in Spark windows vs LAST in DuckDB)
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 edges AS (
   SELECT src, dst, COUNT(*) AS w
@@ -445,7 +465,9 @@ def ev_absorbing_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorption odds. At 100 TB the state space is whatever the
     vocabulary of states is — the per-step cost is |edges|, never
     |events|."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr("user_id IS NOT NULL AND ts IS NOT NULL")  # sequence contract
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = ev.select(
         F.col("event_type").alias("src"),

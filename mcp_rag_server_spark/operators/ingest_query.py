@@ -71,9 +71,17 @@ def _doc_rel_path(source: str, lang: str, doc_id: int) -> str:
 # ~100 KB). Never point this pattern at a production-sized table: a
 # real deployment's corpus already exists on storage, so build() /
 # run_ingest_stream() read it directly and nothing is collected.
+def _writable(r) -> bool:
+    """A doc with no source, lang, or text has no deterministic corpus
+    path (str(None) would silently become a literal 'None' directory)
+    — the writers skip it and the oracle's v1/v2 CTEs exclude it with
+    the matching IS NOT NULL / length(text) > 0 predicates."""
+    return r.source is not None and r.lang is not None and r.text is not None
+
+
 def _write_corpus_v1(root: str, docs) -> None:
     for r in docs:
-        if r.doc_id % MOD_NEW[0] == MOD_NEW[1]:
+        if not _writable(r) or r.doc_id % MOD_NEW[0] == MOD_NEW[1]:
             continue
         p = os.path.join(root, _doc_rel_path(r.source, r.lang, r.doc_id))
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -83,6 +91,8 @@ def _write_corpus_v1(root: str, docs) -> None:
 
 def _mutate_corpus_v2(root: str, docs) -> None:
     for r in docs:
+        if not _writable(r):
+            continue
         p = os.path.join(root, _doc_rel_path(r.source, r.lang, r.doc_id))
         if r.doc_id % MOD_DEL[0] == MOD_DEL[1]:
             if os.path.exists(p):
@@ -117,9 +127,12 @@ _PATH_SQL = "source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.tx
 
 _ORACLE = f"""
 WITH v1 AS (
+  -- source/lang IS NOT NULL mirrors the writers' _writable skip; a
+  -- NULL rel_path would also poison the survivors' NOT IN below
   SELECT {_PATH_SQL} AS rel_path, text
   FROM documents
   WHERE doc_id % {MOD_NEW[0]} <> {MOD_NEW[1]} AND length(text) > 0
+    AND source IS NOT NULL AND lang IS NOT NULL
 ),
 v2 AS (
   SELECT {_PATH_SQL} AS rel_path,
@@ -127,6 +140,7 @@ v2 AS (
               THEN text || '{EDIT_SUFFIX}' ELSE text END AS text
   FROM documents
   WHERE doc_id % {MOD_DEL[0]} <> {MOD_DEL[1]} AND length(text) > 0
+    AND source IS NOT NULL AND lang IS NOT NULL
 ),
 oldc AS ({_chunk_cte("v1", RT_CHUNK_SIZE, RT_CHUNK_OVERLAP)}),
 old_ids AS (

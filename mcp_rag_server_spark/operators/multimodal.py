@@ -95,11 +95,15 @@ def decode_image_meta(
     "mm_image_meta",
     oracle=f"""
 SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
-       CAST(1 + octet_length(CAST(text AS BLOB)) % {FAKE_W_MOD} AS INTEGER) AS width,
-       CAST(1 + (octet_length(CAST(text AS BLOB)) * 7) % {FAKE_H_MOD} AS INTEGER) AS height,
+       -- encode(), not CAST AS BLOB: the cast REJECTS non-ASCII text
+       -- in DuckDB while Spark's encode happily emits the UTF-8 bytes
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       CAST(1 + octet_length(encode(text)) % {FAKE_W_MOD} AS INTEGER) AS width,
+       CAST(1 + (octet_length(encode(text)) * 7) % {FAKE_H_MOD} AS INTEGER) AS height,
        3 AS channels
 FROM documents
+-- a NULL blob cannot be decoded (len(None) in the Python worker)
+WHERE text IS NOT NULL
 ORDER BY doc_id
 """,
     description="binary image column → typed metadata via mapInPandas"
@@ -109,8 +113,11 @@ ORDER BY doc_id
 def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture blobs = utf-8 bytes of documents.text (no image files in
     the testdata); the decode stage is the production mapInPandas shape."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # a NULL blob cannot be decoded — mirrors the oracle's WHERE
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     )
     return decode_image_meta(docs).orderBy("doc_id")
 
@@ -137,8 +144,9 @@ def sample_frames(
     "mm_frame_sample",
     oracle=f"""
 WITH v AS (
+  -- encode(), not CAST AS BLOB: the cast rejects non-ASCII in DuckDB
   SELECT doc_id,
-         1 + octet_length(CAST(text AS BLOB)) % {FAKE_FRAME_MOD} AS n_frames
+         1 + octet_length(encode(text)) % {FAKE_FRAME_MOD} AS n_frames
   FROM documents
 )
 SELECT doc_id, CAST(unnest(range(0, n_frames, {FRAME_STRIDE})) AS INTEGER) AS frame_idx
@@ -212,7 +220,10 @@ WITH s AS (
          list_transform(range(1, length(text) + 1),
                         i -> ascii(substring(text, CAST(i AS INT), 1))) AS samp
   FROM documents
-  WHERE length(text) > 0
+  -- ASCII gate: the fake decoders read UTF-8 BYTES while the SQL
+  -- twins read ascii() CODEPOINTS — identical only for pure-ASCII
+  -- text, so the documented assumption is enforced, not assumed
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 ),
 w AS (
   SELECT doc_id, CAST(wi AS INT) AS win_idx,
@@ -244,7 +255,11 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     give exact small-denominator rationals, neither of which sits on a
     4-decimal rounding midpoint. Narrow end-to-end: scan → Arrow batches
     → explode inside Python — no shuffle before the presentation sort."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # ASCII gate — the fake PCM decode's contract (see the oracle note)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+    )
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return audio_window_features(blobs).orderBy("doc_id", "win_idx")
 
@@ -320,7 +335,12 @@ WITH samp AS (
            i -> ascii(substr(text,
                  1 + CAST(floor(i * length(text) / {PH_POINTS}.0) AS INT),
                  1))) AS v
-  FROM documents WHERE length(text) >= {PH_POINTS}
+  FROM documents
+  -- ASCII gate: the fake decoders read UTF-8 BYTES while the SQL
+  -- twins read ascii() CODEPOINTS — identical only for pure-ASCII
+  -- text, so the documented assumption is enforced, not assumed
+  WHERE length(text) >= {PH_POINTS}
+    AND octet_length(encode(text)) = length(text)
 ),
 ph AS (
   SELECT doc_id,
@@ -381,7 +401,9 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ASCII bytes, so the driver hash pins the decode arithmetic AND
     the LSH+verify plumbing."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= PH_POINTS
+        (F.length("text") >= PH_POINTS)
+        # ASCII gate — codepoint/byte identity the hash twin relies on
+        & (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
     )
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     ph = phash_bands(blobs)
@@ -491,10 +513,14 @@ def resize_images(
     oracle=f"""
 WITH dims AS (
   SELECT doc_id, text,
-         octet_length(CAST(text AS BLOB)) AS n,
-         1 + octet_length(CAST(text AS BLOB)) % {FAKE_W_MOD} AS w,
-         1 + (octet_length(CAST(text AS BLOB)) * 7) % {FAKE_H_MOD} AS h
-  FROM documents WHERE length(text) > 0
+         octet_length(encode(text)) AS n,
+         1 + octet_length(encode(text)) % {FAKE_W_MOD} AS w,
+         1 + (octet_length(encode(text)) * 7) % {FAKE_H_MOD} AS h
+  FROM documents
+  -- ASCII gate: the fake decoders read UTF-8 BYTES while the SQL
+  -- twins read ascii() CODEPOINTS — identical only for pure-ASCII
+  -- text, so the documented assumption is enforced, not assumed
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 )
 SELECT doc_id,
        CAST(w AS INTEGER) AS orig_w,
@@ -528,8 +554,10 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass, no shuffle before the presentation sort — resizing a
     100 TB image corpus is exactly this plan with a PIL decoder
     injected."""
+    # ASCII gate — the byte-indexed thumbnail sampling's contract
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
+        (F.length("text") > 0)
+        & (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
     )
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return resize_images(blobs).orderBy("doc_id")
@@ -606,7 +634,10 @@ WITH s AS (
          list_transform(range(1, length(text) + 1),
                         i -> ascii(substring(text, CAST(i AS INT), 1))) AS samp
   FROM documents
-  WHERE length(text) > 0
+  -- ASCII gate: the fake decoders read UTF-8 BYTES while the SQL
+  -- twins read ascii() CODEPOINTS — identical only for pure-ASCII
+  -- text, so the documented assumption is enforced, not assumed
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 ),
 fr AS (
   SELECT doc_id, fi,
@@ -661,8 +692,10 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold sits at ~p95 of the fixture's jump distribution
     (probed before registration), so cuts exist without firing
     everywhere."""
+    # ASCII gate — the fake byte-block energy's contract
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
+        (F.length("text") > 0)
+        & (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
     )
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return scene_cut_stats(blobs).orderBy("doc_id")

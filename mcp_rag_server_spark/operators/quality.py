@@ -1354,10 +1354,14 @@ AUC_SCORE_DECIMALS = 3
 
 _AUC_SQL = f"""{_LABELED_CTES},
 buckets AS (
+  -- p_keep IS NOT NULL: an unscorable doc (NULL text -> NULL
+  -- features) cannot be ranked in a ROC curve, and a NULL score
+  -- bucket enters the cumulative window at a different end per engine
   SELECT round(p_keep, {AUC_SCORE_DECIMALS}) AS s,
          CAST(SUM(gopher_pass) AS BIGINT) AS pos,
          CAST(COUNT(*) - SUM(gopher_pass) AS BIGINT) AS neg
   FROM labeled
+  WHERE p_keep IS NOT NULL
   GROUP BY round(p_keep, {AUC_SCORE_DECIMALS})
 ),
 cum AS (

@@ -1362,11 +1362,15 @@ def window_range_trailing30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIST_PACK_SQL = """
 WITH ranked AS (
+  -- o_totalprice IS NOT NULL: a row with no price has no place in a
+  -- price distribution (a NULL price ranks FIRST in Spark's window,
+  -- LAST in DuckDB's, shifting every pct_rank/cume in the partition)
   SELECT o_orderkey, o_orderpriority, o_totalprice,
          percent_rank() OVER w AS pct_rank,
          cume_dist() OVER w AS cume,
          ntile(4) OVER w AS quartile
   FROM orders
+  WHERE o_totalprice IS NOT NULL
   WINDOW w AS (PARTITION BY o_orderpriority
                ORDER BY o_totalprice, o_orderkey)
 )
@@ -2408,8 +2412,13 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKYLINE_SQL = """
 WITH pairs AS (
+  -- both objectives non-null: a part missing price or size has no
+  -- position in a (price, size) dominance order — and NULL prices
+  -- sort FIRST in Spark's prefix window vs LAST in DuckDB's, so an
+  -- ungated NULL silently reshapes the frontier differently per engine
   SELECT p_retailprice AS price, p_size AS sz, p_partkey
   FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
 ),
 per_price AS (
   SELECT price, MAX(sz) AS best_sz

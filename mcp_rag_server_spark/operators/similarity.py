@@ -25,6 +25,8 @@ from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.numeric import duckdb_dsum
 from mcp_rag_server_spark.functions.vector import (
     EMBEDDING_DIM,
+    valid_embedding,
+    valid_embedding_sql,
     cosine_score,
     duckdb_cosine,
     duckdb_l2_dist,
@@ -191,10 +193,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_l2_topk",
     oracle=f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+WITH emb_v AS (
+  -- valid_embedding gate: a NULL/ragged vector's distance fold is
+  -- NULL, which ranks FIRST in Spark's ascending TakeOrdered and
+  -- LAST in DuckDB's ORDER BY — gated on BOTH engines instead
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+q AS (SELECT embedding AS qv FROM emb_v WHERE vec_id = 7)
 SELECT e.vec_id, e.label,
        round({duckdb_l2_dist('e.embedding', 'q.qv')}, 4) AS dist
-FROM embeddings e CROSS JOIN q
+FROM emb_v e CROSS JOIN q
 WHERE e.vec_id <> 7
 ORDER BY dist ASC, e.vec_id ASC
 LIMIT 5
@@ -208,7 +216,8 @@ def sim_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     → codegen L2 expression → TakeOrderedAndProject(5) on (dist asc,
     vec_id asc). For L2-normalized vectors, L2² = 2 - 2·cos, so the
     ranking inverts cosine's — both metrics share one plan template."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     q = (
         emb.filter(F.col("vec_id") == 7)
         .select(F.col("embedding").alias("qv"))

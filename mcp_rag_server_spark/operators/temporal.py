@@ -38,7 +38,13 @@ GAP_FILL_USERS = 5
 @register(
     "tj_asof_last_order",
     oracle="""
-SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+-- CASE: an undated event has no as-of position — DuckDB's ASOF sort
+-- treats a NULL probe time as +infinity and matches the user's LAST
+-- order, so the match is nulled in the projection to the defined
+-- no-match semantics (the Spark union+window yields NULL natively)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN e.ts IS NOT NULL THEN o.o_orderdate END
+         AS last_order_date
 FROM events e
 ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
@@ -61,7 +67,12 @@ def tj_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("od_date"),
         F.lit(1).alias("src"),
     )
-    od = load_table(spark, sf_dir, "orders").select(
+    od = load_table(spark, sf_dir, "orders").filter(
+        # equality-join semantics: a NULL o_custkey matches no event,
+        # but the union+window would carry it into the NULL-user
+        # partition — drop it from the build side
+        F.col("o_custkey").isNotNull()
+    ).select(
         F.col("o_custkey").cast("long").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("ts"),
         F.lit(None).cast("long").alias("event_id"),
@@ -329,10 +340,13 @@ def _interval_union_sql() -> str:
     micros — exact in both engines."""
     return f"""
 WITH iv AS (
+  -- ts IS NOT NULL: an undated event opens no interval (a NULL start
+  -- sorts FIRST in Spark's prefix-max window vs LAST in DuckDB's,
+  -- fabricating a different island structure per engine)
   SELECT user_id, event_id,
          epoch_us(ts) AS s,
          epoch_us(ts) + {IU_SPAN_US} AS e
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, event_id, s, e,

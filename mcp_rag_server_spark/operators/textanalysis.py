@@ -1583,8 +1583,12 @@ def ta_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEN_DRIFT_SQL = """
 WITH pc AS (
+  -- n_chars IS NOT NULL: a doc with no length has no place in a
+  -- length CDF (NULL v sorts FIRST in Spark's prefix window, LAST in
+  -- DuckDB's, shifting every cumulative count differently)
   SELECT source, n_chars AS v, COUNT(*) AS c
-  FROM documents GROUP BY source, n_chars
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY source, n_chars
 ),
 vals AS (SELECT DISTINCT v FROM pc),
 srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src

@@ -526,12 +526,17 @@ _PQT_DIST_SQL = (
     "sim_pq_train",
     oracle=f"""
 WITH pos AS (SELECT unnest(range(1, {PQ_M * PQ_DSUB} + 1)) AS i),
+emb_v AS (
+  -- valid_embedding gate: invalid vectors are dropped by contract
+  -- on BOTH engines (census: sim_embedding_validate)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
 elem AS (
   SELECT e.vec_id, e.label,
          CAST((p.i - 1) // {PQ_DSUB} AS INT) AS m,
          CAST((p.i - 1) % {PQ_DSUB} AS INT) AS d,
          CAST(e.embedding[p.i] AS DOUBLE) AS x
-  FROM embeddings e CROSS JOIN pos p
+  FROM emb_v e CROSS JOIN pos p
 ),
 cb0 AS (
   SELECT m, label, d,
@@ -545,7 +550,7 @@ sv AS (
   SELECT e.vec_id, ms.m,
          list_slice(e.embedding, ms.m * {PQ_DSUB} + 1,
                     ms.m * {PQ_DSUB} + {PQ_DSUB}) AS svec
-  FROM embeddings e CROSS JOIN msub ms
+  FROM emb_v e CROSS JOIN msub ms
 ),
 dist0 AS (
   SELECT s.vec_id, s.m, c.label, {_PQT_DIST_SQL.format(dsub=PQ_DSUB)} AS dd
@@ -609,7 +614,10 @@ def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsub doubles) and every wide stage is keyed by (vec_id, m) or
     (m, label, d) — the same distributed-Lloyd layout clustering.py
     documents, ×M subspaces."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(valid_embedding_sql("spark"))
+    )
     cw0 = pq_codewords(emb)
     msub = emb.limit(1).select(
         F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
@@ -669,10 +677,15 @@ DRIFT_DIMS = 64
     "sim_centroid_drift",
     oracle=f"""
 WITH pos AS (SELECT unnest(range(1, {DRIFT_DIMS} + 1)) AS i),
+emb_v AS (
+  -- valid_embedding gate: invalid vectors are dropped by contract
+  -- on BOTH engines (census: sim_embedding_validate)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
 elem AS (
   SELECT e.label, e.vec_id % 2 AS half, CAST(p.i - 1 AS INT) AS d,
          CAST(e.embedding[p.i] AS DOUBLE) AS x
-  FROM embeddings e CROSS JOIN pos p
+  FROM emb_v e CROSS JOIN pos p
 ),
 means AS (
   SELECT label, half, d,
@@ -686,7 +699,7 @@ counts AS (
               AS BIGINT) AS n_first,
          CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END)
               AS BIGINT) AS n_second
-  FROM embeddings GROUP BY label
+  FROM emb_v GROUP BY label
 ),
 paired AS (
   SELECT a.label, a.d, a.c AS ca, b.c AS cb
@@ -729,7 +742,10 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter), so the drift cosine itself is hashable. Everything
     partial-aggregates: element rows → (label, half, d) means →
     64-row-per-label joins — no full-vector shuffles, no windows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(valid_embedding_sql("spark"))
+    )
     elem = emb.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),

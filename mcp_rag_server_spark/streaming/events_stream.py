@@ -79,8 +79,12 @@ def run_to_memory(
 def hourly_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1h event-time windows with a watermark — streaming twin
     of ev_hourly_windows."""
+    # event-time contract: a NULL-ts row has no window — Spark's
+    # watermark operator drops it silently; the explicit gate makes the
+    # drop engine-identical (the oracles carry ts IS NOT NULL)
     return (
-        stream.withWatermark("ts", watermark)
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", 4).alias("total_value"))
         .select(
@@ -95,7 +99,8 @@ def hourly_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
 def sliding_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """1h windows sliding every 30min — each event lands in 2 windows."""
     return (
-        stream.withWatermark("ts", watermark)
+        stream.filter(F.col("ts").isNotNull())  # event-time contract
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", 4).alias("total_value"))
         .select(
@@ -121,6 +126,8 @@ FROM (
          ]) AS ws,
          event_type, value
   FROM events
+  -- event-time contract: NULL-ts rows have no window on either engine
+  WHERE ts IS NOT NULL
 )
 GROUP BY ws, event_type
 ORDER BY window_start, event_type
@@ -139,7 +146,8 @@ def session_windows(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     engine's stateful sessionizer; batch twin is the gaps-and-islands
     ev_sessionize."""
     return (
-        stream.withWatermark("ts", watermark)
+        stream.filter(F.col("ts").isNotNull())  # event-time contract
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -159,6 +167,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        {duckdb_dsum("value", 4)} AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY window_start, event_type
 """,
@@ -179,6 +188,7 @@ WITH marked AS (
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -365,6 +375,8 @@ SELECT date_trunc('hour', e.ts) AS window_start,
        COUNT(*) AS n_events,
        {duckdb_dsum("e.value", 4)} AS total_value
 FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+-- event-time contract: NULL-ts rows have no window on either engine
+WHERE e.ts IS NOT NULL
 GROUP BY date_trunc('hour', e.ts), COALESCE(c.c_mktsegment, 'UNKNOWN')
 ORDER BY window_start, segment
 """,
@@ -401,7 +413,8 @@ def st_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     agg = (
-        enriched.withWatermark("ts", "2 hours")
+        enriched.filter(F.col("ts").isNotNull())  # event-time contract
+        .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), "segment")
         .agg(
             F.count("*").alias("n_events"),

@@ -149,6 +149,9 @@ SELECT date_trunc('hour', ts) AS h,
        CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
          AS total_value
 FROM events
+-- event-time contract: an undated event is on NEITHER side of an
+-- event-time cutover (both Spark halves' ts predicates drop it)
+WHERE ts IS NOT NULL
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY h, event_type
 """,

@@ -1,0 +1,204 @@
+"""Oracle parity on ADVERSARIAL input (tools/dirty_fixture.py).
+
+Every other correctness modality runs on the clean driver fixtures;
+this suite pins the engine's dirty-input contract, established in
+round 11 by sweeping all registered queries over a corrupted variant
+of sf0.001 (tools/dirty_sweep.py — 299/303 MATCH, 4 documented-loud):
+
+1. PARITY — a representative query per fixed failure class must still
+   hash-match its DuckDB oracle when the tables contain NULL join
+   keys, NULL/empty/whitespace/unicode text, NULL/zero/ragged/
+   NaN-element embeddings, malformed JSON, and NULL timestamps.
+   (The full-registry dirty replay is a per-round tool run, not a
+   pytest: `python tools/dirty_sweep.py`.)
+2. LOUD — the IVF probe family (clustering.cell_probes consumers)
+   has a documented non-null input contract and must RAISE its
+   sentinel guard on a corpus with a NaN/NULL-element embedding,
+   never emit LONG_MAX as a cell id (advice r10; c3d09b9).
+3. GATED RECOVERY — the documented pipeline for dirty corpora is
+   validate -> quarantine -> operate: after filtering embeddings with
+   functions/vector.valid_embedding_sql, the SAME loud consumer runs
+   green and hash-matches its oracle.
+4. The sim_embedding_validate census itself reconciles exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from mcp_rag_server_spark.catalog import TABLES
+from mcp_rag_server_spark.registry import load_all
+
+from test_oracle_parity import canon_rows
+
+#: One representative per failure class fixed in round 11, plus one
+#: per untouched family as a canary. Kept small: each entry runs the
+#: Spark query AND the DuckDB oracle on the dirty tables.
+PARITY_QUERIES = (
+    # divide-by-zero class (NULLIF guards)
+    "agg_pearson_corr",
+    "ev_welch_ttest",
+    "ta_readability_fk",
+    # NULL-boolean-verdict class (COALESCE FALSE)
+    "ev_did_estimator",
+    # element_at-on-short-array class (valid_embedding gate)
+    "sim_hyperplane_lsh",
+    "sim_binary_hamming_topk",
+    # malformed-JSON oracle asymmetry (json_valid CASE)
+    "ev_json_extract",
+    # NULL map key (pre-build gate)
+    "ev_user_type_count_map",
+    # NULL-ordering-in-sequence class (user/ts gate)
+    "ev_transition_matrix",
+    "ev_scd2_intervals",
+    # ASOF NULL-probe-time divergence
+    "tj_asof_last_order",
+    # distribution/CDF NULL-ordering class
+    "ev_ks_test",
+    "window_distribution_pack",
+    # corpus-writer NULL-path class
+    "ingest_roundtrip",
+    "fileops_list",
+    # multimodal ASCII-gate class
+    "mm_audio_windows",
+    "mm_image_meta",
+    # Lloyd/assignment class (valid_embedding gate)
+    "sim_kmeans_refine",
+    "dd_semdedup",
+    # untouched-family canaries (matched from the first sweep)
+    "tpch_q1",
+    "dd_minhash_lsh",
+    "ta_gopher_rules",
+    "agg_percentile_audit",
+    # the census op itself
+    "sim_embedding_validate",
+)
+
+#: cell_probes consumers: documented LOUD on contract-violating input.
+LOUD_QUERIES = (
+    "sim_knn_graph",
+    "sim_kcore_decompose",
+    "sim_graph_greedy_search",
+    "dd_embedding_neardup",
+)
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(tmp_path_factory):
+    from tools.dirty_fixture import build_dirty
+
+    d = tmp_path_factory.mktemp("dirty_sf")
+    return build_dirty("/root/testdata/sf0.001", str(d))
+
+
+@pytest.fixture(scope="module")
+def dirty_duck(dirty_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _compare(spark, con, name, sf_dir):
+    spec = load_all()[name]
+    spdf = spec.spark_fn(spark, sf_dir).toPandas()
+    ddf = con.execute(spec.oracle).fetchdf()
+    s = canon_rows(
+        list(spdf.columns),
+        [tuple(r) for r in spdf.itertuples(index=False, name=None)],
+    )
+    d = canon_rows(
+        list(ddf.columns),
+        [tuple(r) for r in ddf.itertuples(index=False, name=None)],
+    )
+    assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
+    assert s == d, f"{name}: canonical values diverge on dirty input"
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_dirty_parity(name, spark, dirty_dir, dirty_duck):
+    _compare(spark, dirty_duck, name, dirty_dir)
+
+
+@pytest.mark.parametrize("name", LOUD_QUERIES)
+def test_probe_family_raises_loudly_on_bad_embedding(
+    name, spark, dirty_dir
+):
+    """The sentinel guard, not a silent LONG_MAX cell and not a silent
+    row drop — the probe family's documented answer to input that
+    slipped past validation."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    spec = load_all()[name]
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="sentinel survived"
+    ):
+        spec.spark_fn(spark, dirty_dir).collect()
+
+
+def test_validate_census_reconciles(spark, dirty_dir, dirty_duck):
+    """The injected corruption is counted class-exactly, and the
+    disjoint classes sum to the total."""
+    row = (
+        load_all()["sim_embedding_validate"]
+        .spark_fn(spark, dirty_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert row == {
+        "n_total": 506,
+        "n_valid": 502,  # 500 clean + the zero vector + null-label row
+        "n_zero_vector": 1,
+        "n_null": 1,
+        "n_empty": 1,
+        "n_wrong_dim": 1,
+        "n_bad_element": 1,
+    }
+    assert (
+        row["n_valid"] + row["n_null"] + row["n_empty"]
+        + row["n_wrong_dim"] + row["n_bad_element"]
+    ) == row["n_total"]
+
+
+def test_gated_survivors_restore_ann_parity(
+    spark, dirty_dir, tmp_path_factory
+):
+    """validate -> quarantine -> operate: filtering embeddings with the
+    published gate makes the loud consumer run AND hash-match its
+    oracle — the documented recovery pipeline, demonstrated end to
+    end on the corrupted corpus."""
+    import shutil
+
+    from mcp_rag_server_spark.functions.vector import valid_embedding_sql
+
+    gated = tmp_path_factory.mktemp("gated_sf")
+    for t in TABLES:
+        shutil.copy(
+            os.path.join(dirty_dir, f"{t}.parquet"),
+            os.path.join(str(gated), f"{t}.parquet"),
+        )
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{dirty_dir}/embeddings.parquet')"
+        f" WHERE {valid_embedding_sql('duckdb')})"
+        f" TO '{gated}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{gated}/{t}.parquet')"
+        )
+    try:
+        _compare(spark, con, "sim_knn_graph", str(gated))
+    finally:
+        con.close()
