@@ -200,9 +200,17 @@ def valid_embedding_sql(
     rows each clause would drop, so the gate is observable, not silent.
     """
     if dialect == "spark":
+        # Non-lambda form on the hot side: lambda HOFs (exists/filter)
+        # are interpreted row-at-a-time with no codegen, and this gate
+        # sits on corpus scans. size(array_compact(x)) = dim detects
+        # NULL elements; array_contains(x, NaN) detects NaN because
+        # Spark SQL's equality treats NaN = NaN as TRUE (as does
+        # DuckDB's) — classification verified identical to the lambda
+        # form on the dirty fixture including a NaN-element row.
         return (
             f"({col} IS NOT NULL AND size({col}) = {dim} "
-            f"AND NOT exists({col}, ve_x -> ve_x IS NULL OR isnan(ve_x)))"
+            f"AND size(array_compact({col})) = {dim} "
+            f"AND NOT array_contains({col}, CAST('NaN' AS FLOAT)))"
         )
     return (
         f"({col} IS NOT NULL AND len({col}) = {dim} "
