@@ -71,70 +71,72 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 11 rotation): the driver checks a
-#: 50-query prefix of this ordering. Steady-state cadence (COVERAGE.md
-#: "Rotation cadence"): NOT-GREEN rows first unconditionally, then
-#: stale logic chains, then oldest driver evidence. This window =
-#: `agg_percentile_audit` (the r10 red row — decimal-typed output, fix
-#: landed at sketches.py:143) and `ta_gains_chart` (same class,
-#: CAST(depth AS DOUBLE) fix) at positions 1-2, the chains staled by
-#: the r11 fixes (the probe-fold consumers re-touched by the sentinel
-#: guard), the r4/r5-vintage streaming + tpch_q7/8/14-19 block, then
-#: the oldest-evidence remainder. Exactly 50 entries.
+#: Driver-evidence priority (round 11 rotation, regenerated at round
+#: END after the dirty-input batch): the driver checks a 50-query
+#: prefix of this ordering. Steady-state cadence (COVERAGE.md
+#: "Rotation cadence"): NOT-GREEN rows first unconditionally
+#: (`agg_percentile_audit`, red at r10, fix landed this round), then
+#: never-checked (`sim_embedding_validate`, registered this round),
+#: then the chains staled by the round-11 dirty-input fixes — the
+#: sequence/window NULL gates, the valid_embedding-gated vector ops,
+#: the corpus-writer path gates, the multimodal ASCII gates — oldest
+#: evidence first. Exactly 50 entries.
 #: Regenerate with `python3 tools/rotation_audit.py`, do not
 #: hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_percentile_audit",
-    "ta_gains_chart",
-    "dd_embedding_neardup",
-    "sim_graph_greedy_search",
-    "sim_kcore_decompose",
-    "sim_knn_graph",
+    "sim_embedding_validate",
     "st_sessionize",
     "st_sliding_windows",
-    "st_stateful_user_stats",
-    "st_stream_stream_join",
-    "ta_mix_temperature",
-    "ta_shard_assign",
-    "ta_unigram_logprob",
-    "ta_vocab_growth",
-    "top_parts_by_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "window_lag_orders",
-    "agg_exact_percentiles",
-    "agg_stats_lineitem",
-    "agg_string_concat_nations",
-    "dd_exact_stats",
     "ev_props_map_stats",
     "ev_user_type_count_map",
     "fileops_list_ext",
     "fileops_read_guard",
-    "grouping_sets_sales",
-    "pivot_status_by_priority",
-    "rag_topk",
-    "sim_ann_topk",
     "sim_hyperplane_lsh",
-    "sim_ivf_topk",
     "sim_l2_topk",
-    "sim_label_centroids",
-    "sim_radius_search",
-    "sql_rag_topk",
-    "st_latest_state",
-    "ta_bigram_top",
-    "ta_dedup_budget_pipeline",
-    "ta_filter_pipeline",
-    "ta_lang_profile",
-    "ta_langid_heuristic",
-    "ta_quality_score",
-    "ta_repetition_stats",
-    "ta_stratified_sample",
+    "tj_asof_last_order",
+    "agg_conditional_argmax",
+    "agg_pearson_corr",
+    "dd_semdedup",
+    "ev_ks_test",
+    "ev_pagerank_types",
+    "ev_session_paths",
+    "ev_transition_matrix",
+    "ev_trend_forecast",
+    "ingest_gdpr_delete",
+    "mm_image_resize",
+    "mm_phash_neardup",
+    "agg_skyline_2d",
+    "ev_absorbing_conversion_prob",
+    "ev_changepoint",
+    "ev_concurrency_curve",
+    "ev_delta_decomposition",
+    "ev_did_estimator",
+    "ev_entropy_rate",
+    "ev_forecast_backtest",
+    "ev_growth_accounting",
+    "ev_hits_scores",
+    "ev_markov_stationary",
+    "ev_msprt_sequential",
+    "ev_power_mde",
+    "st_enrich_static",
+    "st_lambda_cutover",
+    "ev_welch_ttest",
+    "mm_scene_cuts",
+    "sim_binary_hamming_topk",
+    "sim_cascade_rerank",
+    "sim_centroid_drift",
+    "sim_multiprobe_lsh",
+    "sim_pq_train",
+    "ta_gains_chart",
+    "fileops_list",
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "read_range",
 )
+
+
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry re-keyed so DRIVER_PRIORITY names come first (in that
     order), then every remaining query in registration order."""
