@@ -15,6 +15,16 @@ the total back to DOUBLE.
 At 100 TB this costs nothing extra: decimal partial aggregation is
 still a map-side combine + single shuffle, identical plan shape to a
 double sum.
+
+Non-finite contract (round 11): NaN and ±Infinity are EXCLUDED from
+the decimal-exact aggregates, on both engines, explicitly. A plain
+double SUM is poisoned to NaN by one bad row; the decimal path is
+worse — and silently divergent: Spark's double→decimal cast yields
+NULL for non-finite values (so they just vanish from the sum) while
+DuckDB's CAST *and its try_cast* raise. The finite-gate CASE makes
+the exclusion a stated rule instead of an engine accident, and davg's
+denominator counts the same finite set so one NaN row cannot dilute a
+mean it contributed nothing to.
 """
 
 from __future__ import annotations
@@ -27,20 +37,46 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _finite(c: Column) -> Column:
+    """NULL out non-finite doubles (NaN, ±Inf) — the pre-aggregate gate.
+    isnan() carries the NaN case; abs(x) = Inf carries ±Inf (NaN = Inf
+    is false under Spark's NaN ordering, so the clauses are disjoint).
+    Spark has no isfinite(), hence the two-clause form of DuckDB's
+    isfinite()."""
+    inf = F.expr("CAST('Infinity' AS DOUBLE)")
+    return F.when(F.isnan(c) | (F.abs(c) == inf), F.lit(None)).otherwise(c)
+
+
 def dsum(c: Column | str, scale: int = 4) -> Column:
-    """Order-independent SUM of a double column, returned as double."""
-    return F.sum(_col(c).cast(f"decimal(18,{scale})")).cast("double")
+    """Order-independent SUM of a double column, returned as double.
+    Non-finite inputs are excluded (module docstring contract)."""
+    return F.sum(_finite(_col(c)).cast(f"decimal(18,{scale})")).cast(
+        "double"
+    )
 
 
 def davg(c: Column | str, scale: int = 6) -> Column:
-    """Order-independent AVG: exact decimal sum, double division by count."""
-    return dsum(c, scale) / F.count(_col(c)).cast("double")
+    """Order-independent AVG over the FINITE values: exact decimal sum,
+    double division by the matching finite count."""
+    return dsum(c, scale) / F.count(_finite(_col(c))).cast("double")
+
+
+def duckdb_isfinite(expr: str) -> str:
+    """DuckDB finite-gate: NULL for NaN/±Inf, else the value."""
+    return f"(CASE WHEN isfinite({expr}) THEN {expr} END)"
 
 
 def duckdb_dsum(expr: str, scale: int = 4) -> str:
-    """The DuckDB twin of :func:`dsum` (identical decimal discipline)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    """The DuckDB twin of :func:`dsum` (identical decimal discipline +
+    finite gate — DuckDB's decimal CAST errors on non-finite input)."""
+    return (
+        f"CAST(SUM(CAST({duckdb_isfinite(expr)} AS DECIMAL(18,{scale})))"
+        f" AS DOUBLE)"
+    )
 
 
 def duckdb_davg(expr: str, scale: int = 6) -> str:
-    return f"({duckdb_dsum(expr, scale)} / CAST(COUNT({expr}) AS DOUBLE))"
+    return (
+        f"({duckdb_dsum(expr, scale)}"
+        f" / CAST(COUNT({duckdb_isfinite(expr)}) AS DOUBLE))"
+    )

@@ -146,7 +146,7 @@ tagged AS (
   SELECT e.user_id,
          CASE WHEN e.event_type = '{IVM_RETRACT_TYPE}' THEN -1 ELSE 1 END
            AS sgn,
-         CAST(e.value AS DECIMAL(18,4)) AS dval,
+         CAST(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END AS DECIMAL(18,4)) AS dval,
          (epoch_us(e.ts) >= b.lo + (b.hi - b.lo) * {IVM_NUM} // {IVM_DEN})
            AS is_delta
   FROM events e CROSS JOIN bounds b

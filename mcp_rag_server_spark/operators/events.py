@@ -282,8 +282,14 @@ def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_id,
        row_number() OVER w AS seq,
-       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS run_max_value
+       -- finite gate + -Infinity identity: NaN/Inf carry no magnitude
+       -- (numeric.py contract), and max-of-no-finite-values is the
+       -- max identity, so leading non-finite rows render identically
+       -- on both engines instead of NULL-vs-NaN
+       COALESCE(MAX(CASE WHEN isfinite(value) THEN value END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING),
+                CAST('-Infinity' AS DOUBLE)) AS run_max_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, seq
@@ -316,9 +322,22 @@ def ev_grouped_map_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def running(pdf):
+        import numpy as np
+
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         pdf["seq"] = range(1, len(pdf) + 1)
-        pdf["run_max_value"] = pdf["value"].cummax()
+        # finite contract: mask NaN/Inf before cummax (pandas skipna
+        # keeps Inf, SQL MAX ranks NaN largest), fill the leading
+        # no-finite-yet prefix with the max identity -Infinity to
+        # match the oracle's COALESCE
+        # cummax leaves NaN AT masked positions (it skips them for the
+        # running state but does not emit the carry) — ffill carries
+        # the last finite max over them, like the SQL window does
+        pdf["run_max_value"] = (
+            pdf["value"].where(np.isfinite(pdf["value"])).cummax()
+            .ffill()
+            .fillna(float("-inf"))
+        )
         return pdf[["user_id", "event_id", "seq", "run_max_value"]]
 
     out = ev.groupBy("user_id").applyInPandas(
@@ -1077,7 +1096,7 @@ def _ewma_sql() -> str:
     return f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h, event_type,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
   FROM events GROUP BY date_trunc('hour', ts), event_type
 ),
 lagged AS (
@@ -1222,7 +1241,7 @@ def _cusum_sql() -> str:
     return f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -1309,7 +1328,7 @@ def _trend_sql() -> str:
     return """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(19,4)) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -1401,7 +1420,7 @@ attributed AS (
 )
 SELECT click_hour,
        COUNT(*) AS n_purchases,
-       CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+       CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
          AS attributed_value
 FROM attributed
 GROUP BY click_hour
@@ -1450,7 +1469,7 @@ WITH feat AS (
            AS views_24h,
          COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER pit
            AS clicks_24h,
-         CAST(COALESCE(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(COALESCE(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
                        OVER pit, 0) AS DOUBLE) AS value_24h,
          COUNT(*) OVER pit AS events_24h
   FROM events
@@ -1755,7 +1774,7 @@ def _mad_sql() -> str:
     return f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
 med AS (
@@ -1846,7 +1865,7 @@ def _acf_sql() -> str:
     return f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
 lagged AS (
@@ -1901,7 +1920,7 @@ _SEASONAL_SQL = """
 WITH hourly AS (
   SELECT event_type,
          CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
-         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+         CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)) AS v
   FROM events
 ),
 prof AS (
@@ -1964,7 +1983,7 @@ rfm AS (
          COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END)
            AS frequency,
          CAST(SUM(CASE WHEN e.event_type = 'purchase'
-                       THEN CAST(round(e.value, 4) AS DECIMAL(18,4)) END)
+                       THEN CAST(round(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END, 4) AS DECIMAL(18,4)) END)
               AS DOUBLE) AS monetary
   FROM events e CROSS JOIN obs o
   GROUP BY e.user_id, o.tmax
@@ -2031,7 +2050,7 @@ def _welch_sql() -> str:
     return """
 WITH tagged AS (
   SELECT event_type, {arm} AS arm,
-         CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+         CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)) AS v
   FROM events
 ),
 m AS (
@@ -2271,7 +2290,7 @@ tagged AS (
   SELECT event_type, {{arm}} AS arm,
          CASE WHEN epoch_us(e.ts) >= c.cut THEN 'post' ELSE 'pre' END
            AS period,
-         CAST(round(e.value, 4) AS DECIMAL(18,4)) AS v
+         CAST(round(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END, 4) AS DECIMAL(18,4)) AS v
   FROM events e CROSS JOIN cutoff c
 ),
 m AS (
@@ -2438,7 +2457,7 @@ def ev_bot_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POWER_SQL = """
 WITH vals AS (
-  SELECT event_type, CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+  SELECT event_type, CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)) AS v
   FROM events
 ),
 m AS (
@@ -2513,7 +2532,7 @@ def _rolling_median_sql(dialect: str) -> str:
     return f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DOUBLE) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -2575,7 +2594,7 @@ hourly AS (
   -- takes ordinal t=1 in Spark's ROW_NUMBER (NULLS FIRST) but t=n in
   -- DuckDB's (NULLS LAST), silently re-pairing (t, v) per engine
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
   FROM events WHERE ts IS NOT NULL
   GROUP BY event_type, date_trunc('hour', ts)
@@ -2832,7 +2851,7 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RATIO_CI_SQL = """
 WITH peruser AS (
   SELECT event_type, user_id,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v,
          COUNT(*) AS n
   FROM events GROUP BY event_type, user_id
@@ -2851,10 +2870,10 @@ m AS (
 iid AS (
   SELECT event_type,
          COUNT(*) AS ne,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
            AS isv,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(19,4))
-                  * CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(19,4))
+                  * CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
            AS isvv
   FROM events GROUP BY event_type
 ),
@@ -2985,7 +3004,7 @@ DECOMP_HALF_W = 12
 _DECOMP_SQL = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -3112,7 +3131,7 @@ def _ltv_sql(dialect: str) -> str:
 WITH days AS (
   SELECT user_id, event_type,
          CAST(FLOOR({us}(ts) / 86400000000.0) AS BIGINT) AS day_idx,
-         CAST(round(value, 4) AS DECIMAL(18,4)) AS val
+         CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)) AS val
   FROM events
 ),
 cohorted AS (
@@ -3176,7 +3195,7 @@ _SEAS_ANOM_SQL = f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(EXTRACT(HOUR FROM date_trunc('hour', ts)) AS INT) AS hod,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ),
@@ -3326,7 +3345,7 @@ def _bootstrap_sql(dialect: str) -> str:
     return f"""
 WITH drawn AS (
   SELECT event_type, b,
-         CAST(round(value, 4) AS DECIMAL(18,4)) AS v,
+         CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)) AS v,
          {_POIS_LADDER.replace("u", f"({fold})")} AS wgt
   FROM events {bgen}
 ),
@@ -3345,7 +3364,7 @@ boot AS (
 ),
 point AS (
   SELECT event_type,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
            / COUNT(*) AS mu
   FROM events GROUP BY event_type
 )
@@ -3411,7 +3430,7 @@ per_user AS (
                        AS DECIMAL(18,4)), 0) AS pre,
          COALESCE(CAST(SUM(CASE WHEN NOT is_pre THEN dval END)
                        AS DECIMAL(18,4)), 0) AS post
-  FROM (SELECT e.user_id, CAST(e.value AS DECIMAL(18,4)) AS dval,
+  FROM (SELECT e.user_id, CAST(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END AS DECIMAL(18,4)) AS dval,
                ({epoch}(e.ts) < b.lo + (b.hi - b.lo) {div} 2) AS is_pre
         FROM events e CROSS JOIN bounds b) t
   GROUP BY user_id
@@ -3520,7 +3539,7 @@ WITH rows_tagged AS (
   -- DuckDB's LAST, shifting every prefix after it)
   SELECT CAST(ts AS DATE) AS day,
          {{arm}} AS arm,
-         CAST(value AS DECIMAL(18,4)) AS dval
+         CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,4)) AS dval
   FROM events WHERE ts IS NOT NULL
 ),
 daily AS (
@@ -3978,7 +3997,7 @@ WITH bounds AS (
 tagged AS (
   SELECT e.event_type,
          ({{epoch}}(e.ts) >= b.lo + (b.hi - b.lo) {{div}} 2) AS is_h2,
-         CAST(e.value AS DECIMAL(18,4)) AS dval
+         CAST(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END AS DECIMAL(18,4)) AS dval
   FROM events e CROSS JOIN bounds b
 ),
 seg AS (
@@ -4140,7 +4159,7 @@ u AS (
                THEN 1 END) AS BIGINT) AS n_pre,
     CAST(COALESCE(SUM(CASE WHEN {{epoch}}(e.ts)
                             < b.lo + (b.hi - b.lo) {{div}} 2
-                  THEN CAST(e.value AS DECIMAL(18,4)) END), 0)
+                  THEN CAST(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END AS DECIMAL(18,4)) END), 0)
          AS DOUBLE) AS v_pre,
     CASE WHEN COUNT(CASE WHEN {{epoch}}(e.ts)
                           < b.lo + (b.hi - b.lo) {{div}} 2
@@ -4148,7 +4167,7 @@ u AS (
               >= {IPW_TREAT_MIN_PURCHASES} THEN 1 ELSE 0 END AS t,
     CAST(COALESCE(SUM(CASE WHEN {{epoch}}(e.ts)
                             >= b.lo + (b.hi - b.lo) {{div}} 2
-                  THEN CAST(e.value AS DECIMAL(18,4)) END), 0)
+                  THEN CAST(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END AS DECIMAL(18,4)) END), 0)
          AS DOUBLE) AS y
   FROM events e CROSS JOIN b
   GROUP BY e.user_id
@@ -4358,7 +4377,7 @@ def _ohlc_sql() -> str:
     return """
 WITH based AS (
   SELECT {epoch}(ts) {div} 3600000000 AS eh, ts, event_id,
-         CAST(value AS DECIMAL(18,4)) AS v
+         CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,4)) AS v
   FROM events
 ),
 ranked AS (

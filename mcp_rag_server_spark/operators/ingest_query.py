@@ -417,7 +417,7 @@ PT_KEEP = ("click", "purchase")
 SELECT event_type,
        CAST(user_id % 10 AS BIGINT) AS user_bucket,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        MAX(event_id) AS max_event_id
 FROM events
 WHERE event_type IN {PT_KEEP!r}
@@ -483,7 +483,7 @@ WITH src AS (
 agg AS (
   SELECT event_type,
          COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         CAST(SUM(CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
          MAX(event_id) AS max_event_id,
          MAX(ts) AS max_ts
   FROM src GROUP BY event_type
@@ -993,7 +993,7 @@ WITH src AS (
 )
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
        MAX(event_id) AS max_event_id,
        MAX(ts) AS max_ts
 FROM src
@@ -1071,7 +1071,7 @@ WITH src AS (
 good AS (
   SELECT event_type,
          COUNT(*) AS n_rows,
-         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         CAST(SUM(CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,4))) AS DOUBLE) AS total_value
   FROM src GROUP BY event_type
 )
 SELECT event_type, n_rows, total_value FROM good

@@ -41,7 +41,7 @@ WITH ent AS (
   -- (NULL_MAP_KEY), so a NULL-typed event is excluded from the bag by
   -- contract on BOTH engines
   SELECT user_id, event_type, COUNT(*) AS cnt,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         CAST(SUM(CAST(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
   FROM events WHERE event_type IS NOT NULL
   GROUP BY user_id, event_type
 ),

@@ -132,7 +132,9 @@ WITH dim AS (
 ),
 agg AS (
   SELECT user_id, COUNT(*) AS n_events,
-         MIN(value) AS min_value, MAX(value) AS max_value
+         -- finite gate: matches combine()'s np.isfinite mask
+         MIN(CASE WHEN isfinite(value) THEN value END) AS min_value,
+         MAX(CASE WHEN isfinite(value) THEN value END) AS max_value
   FROM events GROUP BY user_id
 )
 SELECT a.user_id, a.n_events, a.min_value, a.max_value,
@@ -193,12 +195,18 @@ def ev_cogrouped_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         quota = int(right["quota"].iloc[0])
+        # finite contract (functions/numeric.py): mask NaN/Inf so the
+        # pandas min/max match the oracle's isfinite-gated MIN/MAX
+        # (pandas skipna keeps Inf and skips NaN; SQL ranks NaN largest)
+        import numpy as np
+
+        fv = left["value"][np.isfinite(left["value"])]
         return pd.DataFrame(
             {
                 "user_id": [int(left["user_id"].iloc[0])],
                 "n_events": [len(left)],
-                "min_value": [float(left["value"].min())],
-                "max_value": [float(left["value"].max())],
+                "min_value": [float(fv.min()) if len(fv) else None],
+                "max_value": [float(fv.max()) if len(fv) else None],
                 "tier": [int(right["tier"].iloc[0])],
                 "over_quota": [len(left) > quota],
             }

@@ -1727,7 +1727,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GINI_SQL = """
 WITH per_user AS (
   SELECT event_type, user_id,
-         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4)))
+         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS x
   FROM events GROUP BY event_type, user_id
 ),

@@ -95,7 +95,7 @@ def run_rollup_stream(spark: SparkSession, src_dir: str, target_dir: str) -> str
 SELECT date_trunc('hour', ts) AS h,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+       CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
          AS total_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
@@ -146,7 +146,7 @@ CUTOVER_HEAD_HOURS = 72
 SELECT date_trunc('hour', ts) AS h,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+       CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
          AS total_value
 FROM events
 -- event-time contract: an undated event is on NEITHER side of an

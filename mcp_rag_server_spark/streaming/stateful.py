@@ -50,8 +50,15 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             n, mx = 0, None
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                m = float(pdf["value"].max())
+            # finite contract (functions/numeric.py): NaN/Inf carry no
+            # usable magnitude — pandas' skipna-max would keep Inf and
+            # skip NaN while SQL MAX ranks NaN largest; the mask makes
+            # the accumulator match the finite-gated oracle exactly
+            import numpy as np
+
+            fv = pdf["value"][np.isfinite(pdf["value"])]
+            if len(fv):
+                m = float(fv.max())
                 mx = m if mx is None else max(mx, m)
         state.update((n, mx))
         yield pd.DataFrame(
@@ -70,7 +77,9 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
 @register(
     "st_stateful_user_stats",
     oracle="""
-SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+SELECT user_id, COUNT(*) AS n_events,
+       -- finite gate: matches the accumulator's np.isfinite mask
+       MAX(CASE WHEN isfinite(value) THEN value END) AS max_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id

@@ -30,8 +30,11 @@ are identifiable; every injected value is either NULL or a boundary):
   denominator), one NULL element mid-vector, a short (ragged) vector,
   NULL label.
 - events: NULL user_id, NULL value, NULL event_type, NULL ts,
-  malformed JSON props, empty-object props, NULL props, and a
-  DUPLICATE event_id with different payload (dedup-key collision).
+  malformed JSON props, empty-object props, NULL props, a DUPLICATE
+  event_id with different payload (dedup-key collision), a NaN value,
+  and a +Infinity value (non-finite doubles: Spark's decimal cast
+  silently NULLs them, DuckDB's errors — the class the finite-gated
+  dsum/davg discipline exists for).
 - orders: NULL o_custkey (join key!), NULL o_totalprice,
   NULL o_orderdate, NULL o_orderpriority, NULL o_orderstatus.
 - lineitem: NULL l_partkey / l_suppkey (join keys), NULL l_quantity,
@@ -166,6 +169,12 @@ def _dirty_events(t: pa.Table) -> pa.Table:
             ev(7, props=None),
             # duplicate event_id, different payload: dedup-key collision
             {**proto, "event_id": max_id + 7, "value": 2.0},
+            # non-finite doubles: a NaN poisons double sums on both
+            # engines, and the decimal-exact discipline diverges HARD —
+            # Spark's decimal cast silently NULLs non-finite values
+            # while DuckDB's CAST (and even try_cast) ERRORS on them
+            ev(8, value=float("nan")),
+            ev(9, value=float("inf")),
         ],
     )
 
