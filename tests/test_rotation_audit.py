@@ -81,8 +81,13 @@ def test_chain_is_revision_sensitive():
     assert query_chain(snap, path, "sim_knn_graph") != _chain(
         path, "sim_knn_graph"
     )
-    rel = "mcp_rag_server_spark/operators/relational.py"
-    assert query_chain(snap, rel, "tpch_q6") == _chain(rel, "tpch_q6")
+    # untouched exemplar: rag_topk's chain has no edits since r8 AND no
+    # dependency on functions/numeric.py (tpch_q6, the previous
+    # exemplar, became legitimately stale when the r11 non-finite
+    # contract changed duckdb_dsum — the audit catching that is the
+    # behavior under test, so the exemplar moved, not the assert)
+    rag = "mcp_rag_server_spark/operators/rag.py"
+    assert query_chain(snap, rag, "rag_topk") == _chain(rag, "rag_topk")
 
 
 def test_free_name_loads_respects_python_scoping():
