@@ -68,6 +68,11 @@ PARITY_QUERIES = (
     # Lloyd/assignment class (valid_embedding gate)
     "sim_kmeans_refine",
     "dd_semdedup",
+    # non-finite contract class (NaN/Inf excluded from decimal-exact
+    # aggregates and min/max — functions/numeric.py)
+    "ev_hourly_windows",
+    "ev_grouped_map_running",
+    "st_stateful_user_stats",
     # untouched-family canaries (matched from the first sweep)
     "tpch_q1",
     "dd_minhash_lsh",
