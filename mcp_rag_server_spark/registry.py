@@ -71,70 +71,69 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 11 rotation, regenerated at round
-#: END after the final logic-touching batch): the driver checks a
-#: 50-query prefix of this ordering. Steady-state cadence (COVERAGE.md
-#: "Rotation cadence"): NOT-GREEN rows first unconditionally
-#: (`agg_percentile_audit`, red at r10, fix landed this round), then
-#: never-checked (`sim_embedding_validate`, registered this round),
-#: then the chains staled by this round's dirty-input + non-finite
-#: contract fixes — the sequence/window NULL gates, the
-#: valid_embedding-gated vector ops, the finite-gated dsum users
-#: (the TPC-H revenue block rides on duckdb_dsum, hence its presence),
-#: the corpus-writer path gates — oldest evidence first. 50 entries.
-#: Regenerate with `python3 tools/rotation_audit.py`, do not
-#: hand-maintain.
+#: Driver-evidence priority (round 12 rotation, regenerated at round
+#: START per the cadence — CORRECTNESS_r11 landed after r11's final
+#: commit, so the r11 window is scored and retired): the driver checks
+#: a 50-query prefix of this ordering. Steady-state cadence
+#: (COVERAGE.md "Rotation cadence"): NOT-GREEN rows first (none — r11
+#: closed 50/50), then never-checked (none), then stale chains oldest
+#: evidence first — the r12 window takes 50 of the 75 chains staled by
+#: the r11 dirty-input/non-finite batches (r6–r9 evidence: the
+#: events.py stat pack, multimodal fakes, streaming twins, vector
+#: audit/LSH families, quality/textanalysis rows). The remaining ~25
+#: r10-evidence chains enter the r13 window. 50 entries. Regenerate
+#: with `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "agg_percentile_audit",
-    "sim_embedding_validate",
-    "st_sessionize",
-    "st_sliding_windows",
-    "st_stateful_user_stats",
-    "top_parts_by_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "ev_props_map_stats",
-    "ev_user_type_count_map",
-    "fileops_list_ext",
-    "fileops_read_guard",
-    "sim_hyperplane_lsh",
-    "sim_ivf_topk",
-    "sim_l2_topk",
-    "sim_label_centroids",
-    "ta_lang_profile",
-    "tj_asof_last_order",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q20_excess_shippers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q9_product_profit",
-    "agg_conditional_argmax",
-    "agg_gini_index",
-    "agg_pearson_corr",
-    "dd_semdedup",
-    "ev_anomaly_mad",
-    "ev_attribution_last_touch",
-    "ev_autocorr",
-    "ev_cusum_drift",
-    "ev_ewma_value",
-    "ev_gap_fill",
-    "ev_hypertable_rollup",
-    "ev_ks_test",
-    "ev_pagerank_types",
-    "ev_pit_features",
-    "ev_rfm_segments",
-    "ev_seasonal_profile",
-    "ev_session_paths",
-    "ev_transition_matrix",
-    "ev_trend_forecast",
-    "ingest_gdpr_delete",
-    "ingest_partitioned_scan",
-    "ingest_text_formats",
+    "mm_image_resize",
+    "mm_phash_neardup",
+    "agg_skyline_2d",
+    "ev_absorbing_conversion_prob",
+    "ev_anomaly_seasonal_zscore",
+    "ev_bootstrap_ci",
+    "ev_changepoint",
+    "ev_cohort_ltv_curve",
+    "ev_concurrency_curve",
+    "ev_cuped_adjustment",
+    "ev_delta_decomposition",
+    "ev_did_estimator",
+    "ev_entropy_rate",
+    "ev_forecast_backtest",
+    "ev_growth_accounting",
+    "ev_hits_scores",
+    "ev_ivm_delta_rollup",
+    "ev_markov_stationary",
+    "ev_msprt_sequential",
+    "ev_ohlc_bars",
+    "ev_power_mde",
+    "ev_propensity_ipw",
+    "ev_ratio_metric_ci",
+    "st_enrich_static",
+    "st_incremental_rollup",
+    "st_lambda_cutover",
+    "ev_rolling_median",
+    "ev_seasonal_decompose",
+    "ev_welch_ttest",
+    "ingest_csv_malformed",
+    "ingest_orc_roundtrip",
+    "mm_scene_cuts",
+    "sim_binary_hamming_topk",
+    "sim_cascade_rerank",
+    "sim_centroid_drift",
+    "sim_multiprobe_lsh",
+    "sim_pq_train",
+    "ta_gains_chart",
+    "fileops_list",
+    "mm_audio_windows",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "read_range",
+    "rollup_sales_by_region",
+    "sim_ivf_recall",
+    "ta_length_drift",
+    "ta_mojibake_detect",
+    "ta_quality_auc",
+    "ta_readability_fk",
+    "ta_simpson_diversity",
 )
 
 
