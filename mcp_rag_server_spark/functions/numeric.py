@@ -47,6 +47,14 @@ def _finite(c: Column) -> Column:
     return F.when(F.isnan(c) | (F.abs(c) == inf), F.lit(None)).otherwise(c)
 
 
+#: Public name for the per-row finite gate: operators whose oracle
+#: texts gate non-finite values explicitly must state the SAME
+#: exclusion on the Spark side instead of riding Spark's silent
+#: double→decimal NULL cast for NaN/±Inf (the "engine accident" this
+#: module's contract exists to replace).
+finite_col = _finite
+
+
 def dsum(c: Column | str, scale: int = 4) -> Column:
     """Order-independent SUM of a double column, returned as double.
     Non-finite inputs are excluded (module docstring contract)."""

@@ -1260,7 +1260,9 @@ stats AS (
            / COUNT(*) OVER (PARTITION BY event_type) AS m2,
          CAST(SUM(v) OVER (PARTITION BY event_type) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY event_type) AS m1
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
 ),
 prefix AS (
   SELECT event_type, h, v, mu, m1, m2,
@@ -1337,7 +1339,9 @@ idx AS (
          CAST(round(CAST(epoch_us(h) - MIN(epoch_us(h)) OVER (
              PARTITION BY event_type) AS DOUBLE)
            / 3600000000.0, 0) AS BIGINT) AS t
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
 ),
 m AS (
   SELECT event_type,
@@ -1785,6 +1789,9 @@ dev AS (
   SELECT h.event_type, h.h, h.v, m.med,
          round(ABS(h.v - m.med), 6) AS adev
   FROM hourly h JOIN med m ON h.event_type = m.event_type
+  -- finite-valued hours only (support parity: n_hours must
+  -- count the hours the median/MAD census actually judges)
+  WHERE h.v IS NOT NULL
 ),
 mad AS (
   SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
@@ -1871,7 +1878,9 @@ WITH hourly AS (
 lagged AS (
   SELECT event_type, h, v,
          {lag_cols}
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
 ),
 m AS (
   SELECT event_type,
@@ -2054,8 +2063,12 @@ WITH tagged AS (
   FROM events
 ),
 m AS (
+  -- COUNT(v), not COUNT(*): the finite/NULL gate above nulls v for
+  -- NaN/Inf/NULL rows, so n must count exactly the rows s1/s2
+  -- aggregate — COUNT(*) diluted the means on dirty data while parity
+  -- still held (shared text; r11 advice)
   SELECT event_type, arm,
-         COUNT(*) AS n,
+         COUNT(v) AS n,
          CAST(SUM(v) AS DOUBLE) AS s1,
          CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
   FROM tagged GROUP BY event_type, arm
@@ -2461,8 +2474,11 @@ WITH vals AS (
   FROM events
 ),
 m AS (
+  -- COUNT(v), not COUNT(*): n must match the rows the finite-gated
+  -- sums aggregate, or dirty rows dilute mu/var (r11 advice, same
+  -- class as ev_welch_ttest)
   SELECT event_type,
-         COUNT(*) AS n,
+         COUNT(v) AS n,
          CAST(SUM(v) AS DOUBLE) AS s1,
          CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
   FROM vals GROUP BY event_type
@@ -2541,7 +2557,9 @@ roll AS (
          {med} OVER (PARTITION BY event_type ORDER BY h
              ROWS BETWEEN {RM_WINDOW_H - 1} PRECEDING AND CURRENT ROW)
            AS med
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
 )
 SELECT event_type,
        COUNT(*) AS n_hours,
@@ -2611,7 +2629,9 @@ seq AS (
          SUM(v) OVER (PARTITION BY event_type) AS stot,
          SUM(CAST(v AS DECIMAL(19,4)) * v)
              OVER (PARTITION BY event_type) AS qtot
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
 )"""
 
 #: Minimum segment length (hours) on each side of a changepoint.
@@ -2849,12 +2869,23 @@ def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RATIO_CI_SQL = """
-WITH peruser AS (
+WITH fin AS (
+  -- finite-valued events only, gated ONCE at the scan: the ratio
+  -- metric's numerator (Σv) and denominator (Σn) must share one row
+  -- support, and every delta-method moment must aggregate the same
+  -- per-user pairs — a dirty row counted in n but absent from v
+  -- skews R and its SE while shared-text parity still holds
   SELECT event_type, user_id,
-         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
-              AS DECIMAL(18,4)) AS v,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS fv
+  FROM events
+  WHERE NOT (value IS NULL OR isnan(value)
+             OR abs(value) = CAST('Infinity' AS DOUBLE))
+),
+peruser AS (
+  SELECT event_type, user_id,
+         CAST(SUM(fv) AS DECIMAL(18,4)) AS v,
          COUNT(*) AS n
-  FROM events GROUP BY event_type, user_id
+  FROM fin GROUP BY event_type, user_id
 ),
 m AS (
   SELECT event_type,
@@ -2870,12 +2901,9 @@ m AS (
 iid AS (
   SELECT event_type,
          COUNT(*) AS ne,
-         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
-           AS isv,
-         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(19,4))
-                  * CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
-           AS isvv
-  FROM events GROUP BY event_type
+         CAST(SUM(fv) AS DOUBLE) AS isv,
+         CAST(SUM(CAST(fv AS DECIMAL(19,4)) * fv) AS DOUBLE) AS isvv
+  FROM fin GROUP BY event_type
 ),
 est AS (
   SELECT event_type, u, n_events,
@@ -3012,7 +3040,9 @@ trend AS (
   SELECT event_type, h, v,
          CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w AS tr,
          CAST(EXTRACT(HOUR FROM h) AS INT) AS hod
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
   WINDOW w AS (PARTITION BY event_type ORDER BY h
                ROWS BETWEEN {DECOMP_HALF_W} PRECEDING
                         AND {DECOMP_HALF_W} FOLLOWING)
@@ -3209,7 +3239,9 @@ scored AS (
          CAST(SUM(v) OVER wg AS DOUBLE) / COUNT(*) OVER wg AS mu_g,
          CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) OVER wg AS DOUBLE)
            / COUNT(*) OVER wg AS m2_g
-  FROM hourly
+  -- finite-valued hours only: a NULL-total hour (all its rows non-finite)
+  -- must not enter counts/ranks its value is absent from (support parity)
+  FROM hourly WHERE v IS NOT NULL
   WINDOW ws AS (PARTITION BY event_type, hod),
          wg AS (PARTITION BY event_type)
 ),
@@ -3350,10 +3382,12 @@ WITH drawn AS (
   FROM events {bgen}
 ),
 resample_means AS (
+  -- finite-valued events only: a NULL-v row's weight must not enter
+  -- the denominator of a mean its value is absent from (support parity)
   SELECT event_type, b,
          CAST(round(CAST(SUM(wgt * v) AS DOUBLE)
                     / NULLIF(SUM(wgt), 0), 6) AS DECIMAL(18,6)) AS m
-  FROM drawn GROUP BY event_type, b
+  FROM drawn WHERE v IS NOT NULL GROUP BY event_type, b
 ),
 boot AS (
   SELECT event_type,
@@ -3363,10 +3397,16 @@ boot AS (
   FROM resample_means GROUP BY event_type
 ),
 point AS (
+  -- WHERE-gated so COUNT(*) counts exactly the rows the sum
+  -- aggregates — COUNT(*) over the NULL-gate form diluted mu on
+  -- dirty data (support parity)
   SELECT event_type,
-         CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE)
+         CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
            / COUNT(*) AS mu
-  FROM events GROUP BY event_type
+  FROM events
+  WHERE NOT (value IS NULL OR isnan(value)
+             OR abs(value) = CAST('Infinity' AS DOUBLE))
+  GROUP BY event_type
 )
 SELECT p.event_type,
        round(p.mu, 6) AS point_mean,
@@ -3544,11 +3584,13 @@ WITH rows_tagged AS (
 ),
 daily AS (
   SELECT day,
-         CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a_d,
+         -- COUNT over dval, not THEN 1: n must count exactly the rows
+         -- the finite-gated sums aggregate (support parity)
+         CAST(COUNT(CASE WHEN arm = 'A' THEN dval END) AS BIGINT) AS n_a_d,
          SUM(CASE WHEN arm = 'A' THEN dval END) AS s_a_d,
          SUM(CASE WHEN arm = 'A'
              THEN dval * CAST(dval AS DECIMAL(19,4)) END) AS s2_a_d,
-         CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b_d,
+         CAST(COUNT(CASE WHEN arm = 'B' THEN dval END) AS BIGINT) AS n_b_d,
          SUM(CASE WHEN arm = 'B' THEN dval END) AS s_b_d,
          SUM(CASE WHEN arm = 'B'
              THEN dval * CAST(dval AS DECIMAL(19,4)) END) AS s2_b_d
@@ -4386,7 +4428,10 @@ ranked AS (
                             ORDER BY ts, event_id) AS rn_open,
          row_number() OVER (PARTITION BY eh
                             ORDER BY ts DESC, event_id DESC) AS rn_close
-  FROM based
+  -- bars are over FINITE ticks only: a non-finite first/last tick
+  -- must not claim the open/close rank nor pad n_events (support
+  -- parity with the high/low/volume aggregates, which skip NULL v)
+  FROM based WHERE v IS NOT NULL
 ),
 oc AS (
   SELECT eh,

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import finite_col
 from mcp_rag_server_spark.functions.text import chunk_stride
 from mcp_rag_server_spark.registry import register
 from mcp_rag_server_spark.sources.ingest import (
@@ -458,7 +459,7 @@ def ingest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
+            F.sum(finite_col(F.col("value")).cast("decimal(18,4)"))
             .cast("double")
             .alias("total_value"),
             F.max("event_id").alias("max_event_id"),
@@ -542,7 +543,7 @@ def ingest_text_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def agg(df: DataFrame, fmt: str, with_ts: bool) -> DataFrame:
         cols = [
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
+            F.sum(finite_col(F.col("value")).cast("decimal(18,4)"))
             .cast("double")
             .alias("total_value"),
             F.max("event_id").alias("max_event_id"),
@@ -1043,7 +1044,7 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
+            F.sum(finite_col(F.col("value")).cast("decimal(18,4)"))
             .cast("double")
             .alias("total_value"),
             F.max("event_id").alias("max_event_id"),
@@ -1137,7 +1138,7 @@ def ingest_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
+            F.sum(finite_col(F.col("value")).cast("decimal(18,4)"))
             .cast("double")
             .alias("total_value"),
         )

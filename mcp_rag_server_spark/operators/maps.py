@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import finite_col
 from mcp_rag_server_spark.registry import register
 
 #: A (user, event_type) pair is "frequent" at or above this many events.
@@ -79,7 +80,7 @@ def ev_user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.filter(F.col("event_type").isNotNull())
     ent = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        F.sum(finite_col(F.col("value")).cast("decimal(18,6)"))
         .cast("double")
         .alias("sum_value"),
     )

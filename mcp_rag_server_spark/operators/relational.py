@@ -1478,27 +1478,28 @@ def ta_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORR_SQL = """
-WITH m AS (
+WITH pairs AS (
+  -- complete pairs only, enforced ONCE at the scan so every moment
+  -- (n, Σx, Σy, Σxy, Σx², Σy²) aggregates the SAME row support: a
+  -- one-sided-NULL row counted in some sums but not others pushes
+  -- pearson_r outside [-1,1] and skews slope/intercept (r11 advice —
+  -- the n-only CASE gate was the half-applied version of this fix).
+  -- WHERE, not per-SUM CASEs: one predicate, pushed to the scan.
   SELECT l_returnflag,
-         -- complete pairs only: COUNT(*) would count rows whose NULL
-         -- quantity/price the moment sums skip, silently skewing the
-         -- closed forms the moment a dirty row lands in a group
-         COUNT(CASE WHEN l_quantity IS NOT NULL
-                     AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
-         CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(18,4)))
-              AS DOUBLE) AS sx,
-         CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
-              AS DOUBLE) AS sy,
-         CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(19,4))
-                  * CAST(round(l_extendedprice, 4) AS DECIMAL(19,4)))
-              AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(round(l_quantity, 4) AS DECIMAL(19,4))
-                  * CAST(round(l_quantity, 4) AS DECIMAL(19,4)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(round(l_extendedprice, 4) AS DECIMAL(19,4))
-                  * CAST(round(l_extendedprice, 4) AS DECIMAL(19,4)))
-              AS DOUBLE) AS syy
-  FROM lineitem GROUP BY l_returnflag
+         CAST(round(l_quantity, 4) AS DECIMAL(19,4)) AS x,
+         CAST(round(l_extendedprice, 4) AS DECIMAL(19,4)) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY l_returnflag
 )
 -- NULLIF on every denominator: a degenerate group (single complete
 -- pair, or zero variance) must yield NULL on BOTH engines — DuckDB
@@ -1735,7 +1736,11 @@ ranked AS (
   SELECT event_type, x,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY x, user_id) AS i
-  FROM per_user
+  -- finite-valued users only: a NULL x must not take a Lorenz rank
+  -- (support parity for n/sx/six), and a NULL ORDER BY key ranks
+  -- NULLS-FIRST in Spark vs NULLS-LAST in DuckDB — the ordered-
+  -- computation NULL-gate rule
+  FROM per_user WHERE x IS NOT NULL
 ),
 m AS (
   SELECT event_type,

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_rag_server_spark.catalog import load_table
+from mcp_rag_server_spark.functions.numeric import finite_col
 from mcp_rag_server_spark.registry import register
 from mcp_rag_server_spark.streaming.cdc_stream import (
     N_SPLIT_FILES,
@@ -47,7 +48,7 @@ def _rollup_snapshot(batch: DataFrame) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).cast(
+        F.sum(F.round(finite_col(F.col("value")), 4).cast("decimal(18,4)")).cast(
             "decimal(18,4)"
         ).alias("total_value"),
     )
@@ -193,7 +194,7 @@ def st_lambda_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            F.sum(F.round(finite_col(F.col("value")), 4).cast("decimal(18,4)"))
             .cast("decimal(18,4)")
             .alias("total_value"),
         )

@@ -159,13 +159,15 @@ def test_validate_census_reconciles(spark, dirty_dir, dirty_duck):
         .asDict()
     )
     assert row == {
-        "n_total": 506,
+        "n_total": 507,
         "n_valid": 502,  # 500 clean + the zero vector + null-label row
         "n_zero_vector": 1,
         "n_null": 1,
         "n_empty": 1,
         "n_wrong_dim": 1,
-        "n_bad_element": 1,
+        # NULL element + NaN element — the NaN row pins the Spark
+        # array_contains-NaN vs DuckDB isnan parity (r11 advice)
+        "n_bad_element": 2,
     }
     assert (
         row["n_valid"] + row["n_null"] + row["n_empty"]
@@ -207,3 +209,75 @@ def test_gated_survivors_restore_ann_parity(
         _compare(spark, con, "sim_knn_graph", str(gated))
     finally:
         con.close()
+
+
+def test_pearson_moments_use_complete_pair_support(spark, tmp_path):
+    """agg_pearson_corr on perfect linear data PLUS one-sided-NULL rows:
+    every moment (n, Σx, Σy, Σxy, Σx², Σy²) must aggregate only the
+    complete pairs. The half-gated r11 form (n gated, sums not) pushed
+    pearson_r outside [-1,1] on exactly this input (r11 advice
+    counterexample: perfect positive data read r ≈ -1.77)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    q = [float(i) for i in range(1, 21)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": ["X"] * 22,
+                "l_quantity": q + [100.0, None],
+                "l_extendedprice": [2.0 * x + 1.0 for x in q]
+                + [None, 500.0],
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    row = (
+        load_all()["agg_pearson_corr"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert row["n"] == 20
+    assert abs(row["pearson_r"] - 1.0) <= 1e-9
+    assert abs(row["slope"] - 2.0) <= 1e-9
+    assert abs(row["intercept"] - 1.0) <= 1e-9
+
+
+def test_abtest_moment_support_excludes_nonfinite(spark, dirty_dir):
+    """ev_welch_ttest / ev_power_mde: per-arm/per-type n must count
+    exactly the FINITE-valued rows the moment sums aggregate — the
+    COUNT(*) form diluted means/variances on dirty data while
+    shared-text parity held (r11 advice)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(os.path.join(dirty_dir, "events.parquet"))
+    fin = ev[np.isfinite(ev["value"].astype(float))]
+    finite_by_type = fin.groupby("event_type")["value"].count().to_dict()
+
+    welch = {
+        r["event_type"]: r
+        for r in load_all()["ev_welch_ttest"]
+        .spark_fn(spark, dirty_dir)
+        .collect()
+    }
+    # the NULL-typed dirty row forms its own group (defined; an arm
+    # with no rows reads n NULL) — the support pin is per named type
+    for t, r in welch.items():
+        if t is None:
+            continue
+        assert (r["n_a"] or 0) + (r["n_b"] or 0) == finite_by_type[t]
+
+    power = {
+        r["event_type"]: r
+        for r in load_all()["ev_power_mde"]
+        .spark_fn(spark, dirty_dir)
+        .collect()
+    }
+    for t, r in power.items():
+        if t is None:
+            continue
+        assert r["n_events"] == finite_by_type[t]
+        # the mean over the finite support, not the diluted one
+        mu = np.round(fin[fin["event_type"] == t]["value"], 4).mean()
+        assert abs(r["mean_value"] - mu) <= 1e-6

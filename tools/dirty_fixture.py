@@ -135,6 +135,15 @@ def _dirty_embeddings(t: pa.Table) -> pa.Table:
             emb(4, [0.1] * (dim // 2) + [None] + [0.1] * (dim - dim // 2 - 1)),
             emb(5, [0.5, -0.5]),  # ragged: wrong dimensionality
             emb(6, [0.25] * dim, label=None),
+            # NaN element: pins the Spark array_contains-NaN vs DuckDB
+            # isnan classification parity (r11 advice — the census had
+            # a bad_element isnan clause no fixture row exercised)
+            emb(
+                7,
+                [0.1] * (dim // 2)
+                + [float("nan")]
+                + [0.1] * (dim - dim // 2 - 1),
+            ),
         ],
     )
 
