@@ -4616,3 +4616,49 @@ def ev_interpurchase_burstiness(
     single-row reduce."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BURSTINESS_SQL.format(epoch="unix_micros"))
+
+
+_VALUE_VALIDATE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_total,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null,
+       COUNT(CASE WHEN isnan(value) THEN 1 END) AS n_nan,
+       COUNT(CASE WHEN value = CAST('Infinity' AS DOUBLE) THEN 1 END)
+         AS n_pos_inf,
+       COUNT(CASE WHEN value = CAST('-Infinity' AS DOUBLE) THEN 1 END)
+         AS n_neg_inf,
+       COUNT(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                   AND abs(value) <> CAST('Infinity' AS DOUBLE)
+             THEN 1 END) AS n_finite
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ev_value_validate",
+    oracle=_VALUE_VALIDATE_SQL,
+    description="numeric validity census per event type: counts of"
+    " NULL / NaN / +Inf / -Inf / finite values in events.value — the"
+    " observable twin of the functions/numeric finite gate, so the"
+    " rows dsum/davg exclude by contract are COUNTED, never silently"
+    " vanished (the metric-column analogue of sim_embedding_validate)",
+    tags=("events", "dq", "audit", "census"),
+)
+def ev_value_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-finite contract (functions/numeric.py) EXCLUDES NaN/±Inf
+    from every decimal-exact aggregate on both engines — correct, but
+    at 100 TB a silent exclusion must be countable or an upstream bug
+    (a service suddenly emitting NaN) hides inside stable-looking
+    sums. This census is the validate step for the numeric gate:
+    per-type conditional counts in one scan, classes disjoint by
+    construction (NULL / NaN / +Inf / −Inf / finite partition the
+    column exactly, so n_total reconciles), one bounded-key shuffle.
+    isnan(NULL) is NULL in both engines, so the clauses never double
+    count; ±Inf equality comparisons are IEEE-exact. The dirty-fixture
+    test pins that each injected non-finite row lands in exactly its
+    class; ONE shared SQL text is both the Spark query and the DuckDB
+    oracle (parity by construction)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_VALUE_VALIDATE_SQL)

@@ -3,7 +3,7 @@
 Every other correctness modality runs on the clean driver fixtures;
 this suite pins the engine's dirty-input contract, established in
 round 11 by sweeping all registered queries over a corrupted variant
-of sf0.001 (tools/dirty_sweep.py — 299/303 MATCH, 4 documented-loud):
+of sf0.001 (tools/dirty_sweep.py — 300/304 MATCH, 4 documented-loud):
 
 1. PARITY — a representative query per fixed failure class must still
    hash-match its DuckDB oracle when the tables contain NULL join
@@ -78,8 +78,9 @@ PARITY_QUERIES = (
     "dd_minhash_lsh",
     "ta_gopher_rules",
     "agg_percentile_audit",
-    # the census op itself
+    # the census ops themselves
     "sim_embedding_validate",
+    "ev_value_validate",
 )
 
 #: cell_probes consumers: documented LOUD on contract-violating input.
@@ -281,3 +282,47 @@ def test_abtest_moment_support_excludes_nonfinite(spark, dirty_dir):
         # the mean over the finite support, not the diluted one
         mu = np.round(fin[fin["event_type"] == t]["value"], 4).mean()
         assert abs(r["mean_value"] - mu) <= 1e-6
+
+
+def test_value_census_counts_injected_nonfinite_exactly(
+    spark, dirty_dir
+):
+    """ev_value_validate: each injected non-finite/NULL event lands in
+    exactly its class, the classes partition the column, and the
+    finite count is what the numeric gate (functions/numeric._finite)
+    actually keeps — the observability directive for the silent
+    dsum/davg exclusion."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    # pyarrow, NOT pandas: a float64 pandas column conflates parquet
+    # NULL with NaN; arrow keeps the validity bitmap separate
+    col = pq.read_table(
+        os.path.join(dirty_dir, "events.parquet"), columns=["value"]
+    ).column("value")
+    n_null = col.null_count
+    vals = col.drop_null().to_numpy(zero_copy_only=False)
+
+    rows = (
+        load_all()["ev_value_validate"]
+        .spark_fn(spark, dirty_dir)
+        .collect()
+    )
+    tot = {
+        k: sum((r[k] or 0) for r in rows)
+        for k in (
+            "n_total", "n_null", "n_nan", "n_pos_inf", "n_neg_inf",
+            "n_finite",
+        )
+    }
+    assert tot["n_total"] == len(col)
+    assert tot["n_null"] == n_null == 1  # the injected NULL row
+    assert tot["n_nan"] == int(np.isnan(vals).sum()) == 1
+    assert tot["n_pos_inf"] == int((vals == np.inf).sum()) == 1
+    assert tot["n_neg_inf"] == int((vals == -np.inf).sum()) == 1
+    assert tot["n_finite"] == int(np.isfinite(vals).sum())
+    # the classes partition the column exactly
+    assert (
+        tot["n_null"] + tot["n_nan"] + tot["n_pos_inf"]
+        + tot["n_neg_inf"] + tot["n_finite"]
+    ) == tot["n_total"]

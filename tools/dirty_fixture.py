@@ -184,6 +184,9 @@ def _dirty_events(t: pa.Table) -> pa.Table:
             # while DuckDB's CAST (and even try_cast) ERRORS on them
             ev(8, value=float("nan")),
             ev(9, value=float("inf")),
+            # −Inf: exercises the n_neg_inf census clause
+            # (ev_value_validate) — no clause without a fixture row
+            ev(10, value=float("-inf")),
         ],
     )
 
