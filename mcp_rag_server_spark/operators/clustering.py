@@ -718,7 +718,14 @@ def _probe_reference_list(emb: DataFrame, cent: DataFrame) -> DataFrame:
     tools/probe_path_stress.py can prove the shipped per-row fold
     emits the identical probe table through an independently-shaped
     plan — do not use in operators (its aggregation state is nlist
-    structs per key, quadratic in N total under the sizing law)."""
+    structs per key, quadratic in N total under the sizing law).
+
+    The cross-form identity holds ONLY on contract-clean input: on a
+    NULL/NaN-element embedding the shipped fold RAISES its sentinel
+    guard while this list form silently DROPS the row (NULL dd sorts
+    away) — acceptable because the guard fires before any consumer
+    sees divergent output (tests/test_scale_patterns.py::
+    test_cell_probes_raises_on_null_embedding_element)."""
     dd = F.round(
         F.expr(
             "aggregate(zip_with(embedding, cvec, (cp_x, cp_c) -> "

@@ -6029,7 +6029,10 @@ def test_cell_probe_fold_matches_reference_list(spark):
     + collect_list sort-slice) at both fixture SFs — same distance
     arithmetic, same (dd, cell) tie-break, through two independently
     shaped plans. The same identity holds at real large-nlist sizing
-    via tools/probe_path_stress.py."""
+    via tools/probe_path_stress.py. CONTRACT-CLEAN INPUT ONLY: on a
+    NULL/NaN-element embedding the fold raises its sentinel guard
+    while the list form silently drops the row — the loud side is
+    pinned by test_cell_probes_raises_on_null_embedding_element."""
     from mcp_rag_server_spark import catalog
     from mcp_rag_server_spark.operators import clustering
 
