@@ -38,18 +38,23 @@ sys.path.insert(0, REPO)
 from mcp_rag_server_spark.registry import load_all  # noqa: E402
 from mcp_rag_server_spark.session import get_spark  # noqa: E402
 
-#: (query, pinned idle min-of-3 seconds at sf0.1 local[32]) — all four
+#: (query, pinned idle min-of-5 seconds at sf0.1 local[32]) — all four
 #: untouched since early rounds, spanning the cost classes a box
 #: slowdown shows up in: codegen scan-agg (tpch_q6), shuffle-free
 #: top-k with a HOF fold (rag_topk), explode-heavy SQL (chunk_split),
-#: Arrow batch boundary (ta_token_stats). Pinned from the round-10
-#: round-start idle run (BENCH_NOTES "Round-10 opening
-#: adjudications").
+#: Arrow batch boundary (ta_token_stats). Re-pinned round 12 from the
+#: tool's OWN warmed protocol on an idle box (load 0.09; same-day full
+#: bench 30.75 s, in-band vs the r11 artifacts) — the r10 pins came
+#: from a bench-context recording, which centered chunk_split at 0.47
+#: while this protocol reads ~0.24, scattering per-sentinel ratios
+#: 0.56–1.23 on a healthy box (BENCH_NOTES "Round-12 sentinel
+#: re-pin"). With protocol-native pins each sentinel can localize
+#: drift on its own, not only through the geomean.
 SENTINEL_REF: dict[str, float] = {
-    "tpch_q6": 0.201,
-    "rag_topk": 0.237,
-    "chunk_split": 0.467,
-    "ta_token_stats": 0.265,
+    "tpch_q6": 0.221,
+    "rag_topk": 0.258,
+    "chunk_split": 0.240,
+    "ta_token_stats": 0.259,
 }
 
 #: Bench-like JVM warm-up before measuring (r11 finding, BENCH_NOTES
