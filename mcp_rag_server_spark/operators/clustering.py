@@ -757,15 +757,29 @@ def duckdb_cell_probes_cte() -> str:
     assignment, then round-7-decimal per-cell element means — the
     _KM_ORACLE c1e discipline) before the final top-CELL_PROBES
     assignment."""
-    return f"""cp_seeds AS (
+    return f"""cp_in AS (
+  -- DESIGNED loud twin of the Spark fold's sentinel guard (r12): an
+  -- embedding violating the non-null/fixed-dim contract raises the
+  -- SAME named refusal here instead of an accidental NaN-cast error,
+  -- so both engines refuse dirty probe input by contract
+  SELECT vec_id,
+         CASE WHEN {valid_embedding_sql('duckdb')}
+              THEN embedding
+              ELSE error('cell_probes: top-2 sentinel contract — an'
+                         ' embedding is NULL/wrong-dim or contains'
+                         ' NULL/NaN, violating the non-null input'
+                         ' contract') END AS embedding
+  FROM embeddings
+),
+cp_seeds AS (
   SELECT cell, cvec FROM (
     SELECT vec_id AS cell, embedding AS cvec,
            row_number() OVER (
              ORDER BY md5('{CELL_SALT}:' || CAST(vec_id AS VARCHAR))
            ) AS cp_sr
-    FROM embeddings)
+    FROM cp_in)
   WHERE cp_sr <= GREATEST({CELL_SEEDS},
-    CEIL((SELECT COUNT(*) FROM embeddings) / {TARGET_CELL_SIZE}.0))
+    CEIL((SELECT COUNT(*) FROM cp_in) / {TARGET_CELL_SIZE}.0))
 ),
 cp_d0 AS (
   SELECT e.vec_id, s.cell,
@@ -773,7 +787,7 @@ cp_d0 AS (
            (CAST(e.embedding[cp_i] AS DOUBLE) - CAST(s.cvec[cp_i] AS DOUBLE))
            * (CAST(e.embedding[cp_i] AS DOUBLE)
               - CAST(s.cvec[cp_i] AS DOUBLE)))), 6) AS dd
-  FROM embeddings e CROSS JOIN cp_seeds s
+  FROM cp_in e CROSS JOIN cp_seeds s
 ),
 cp_a0 AS (
   SELECT vec_id, cell FROM (
@@ -788,7 +802,7 @@ cp_cent AS MATERIALIZED (
            CAST(SUM(CAST(round(CAST(e.embedding[cp_u.d + 1] AS DOUBLE), 7)
                          AS DECIMAL(18,7))) AS DOUBLE)
              / COUNT(*) AS c
-    FROM cp_a0 a JOIN embeddings e USING (vec_id)
+    FROM cp_a0 a JOIN cp_in e USING (vec_id)
     CROSS JOIN (SELECT unnest(range(0, {KM_DIMS})) AS d) cp_u
     GROUP BY a.cell, cp_u.d)
   GROUP BY cell
@@ -805,7 +819,7 @@ cp_dist AS (
            (CAST(e.embedding[cp_i] AS DOUBLE) - s.cvec[cp_i])
            * (CAST(e.embedding[cp_i] AS DOUBLE)
               - s.cvec[cp_i]))), 6) AS dd
-  FROM embeddings e CROSS JOIN cp_centf s
+  FROM cp_in e CROSS JOIN cp_centf s
 ),
 probed AS (
   SELECT vec_id, cell FROM (
@@ -855,8 +869,13 @@ v{i} AS (
 
 
 _PC1_ORACLE = f"""
-WITH samp AS (
-  SELECT vec_id, embedding FROM embeddings
+WITH emb_v AS (
+  -- valid_embedding gate: a NaN element otherwise reaches the moment
+  -- sums (DuckDB's decimal cast errors, Spark NULLs silently)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+samp AS (
+  SELECT vec_id, embedding FROM emb_v
   ORDER BY md5('pc1:' || CAST(vec_id AS VARCHAR)) LIMIT {PC1_SAMPLE}
 ),
 el AS (
@@ -935,7 +954,8 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     while convergence quality is what lambda_est/explained_share
     report honestly. At 100 TB: one corpus pass, then driver-free
     64×64 algebra."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     samp = (
         emb.orderBy(
             F.md5(F.concat(F.lit("pc1:"), F.col("vec_id").cast("string")))

@@ -30,6 +30,8 @@ from mcp_rag_server_spark.functions.vector import (
     cosine_score,
     cosine_sql,
     duckdb_cosine,
+    valid_embedding,
+    valid_embedding_sql,
 )
 from mcp_rag_server_spark.registry import register
 
@@ -152,11 +154,16 @@ MMR_LAMBDA = 0.7
 @register(
     "rag_mmr_topk",
     oracle=f"""
-WITH RECURSIVE cand AS (
+WITH RECURSIVE emb_v AS (
+  -- valid_embedding gate: a NaN-element vector otherwise enters the
+  -- pool with a NaN relevance and the engines' NaN orderings diverge
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+cand AS (
   SELECT e.vec_id, e.embedding,
          round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS rel
-  FROM embeddings e
-  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  FROM emb_v e
+  CROSS JOIN (SELECT embedding AS qv FROM emb_v WHERE vec_id = 0) q
   WHERE e.vec_id <> 0
   ORDER BY rel DESC, e.vec_id ASC
   LIMIT {MMR_POOL}
@@ -213,7 +220,8 @@ def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks, so the selection sequence is engine-identical; the mmr
     doubles are emitted raw ("compared as-is", registry rule 3).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cand = (
         # The query document itself is excluded from the pool: a
@@ -330,15 +338,19 @@ def mmr_rerank(
 @register(
     "rag_mmr_batch",
     oracle=f"""
-WITH RECURSIVE ranked AS (
+WITH RECURSIVE emb_v AS (
+  -- valid_embedding gate (same contract as rag_mmr_topk)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+ranked AS (
   SELECT q.qid, e.vec_id, e.embedding,
          round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS rel,
          row_number() OVER (
            PARTITION BY q.qid
            ORDER BY round({duckdb_cosine('e.embedding', 'q.qv')}, 4) DESC,
                     e.vec_id ASC) AS rn
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  FROM emb_v e
+  CROSS JOIN (SELECT vec_id AS qid, embedding AS qv FROM emb_v
               WHERE vec_id IN (0, 1, 2)) q
   WHERE e.vec_id <> q.qid
 ),
@@ -384,7 +396,8 @@ def rag_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     working set — every query advances one rank per recursion step, so
     batch semantics (not just the single-query case) are hash-pinned
     across engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),

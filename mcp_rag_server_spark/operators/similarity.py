@@ -1142,14 +1142,19 @@ def _ndcg_case(rank_col: str) -> str:
 @register(
     "sim_ndcg_sq8_eval",
     oracle=f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+WITH emb_v AS (
+  -- valid_embedding gate: a NaN element otherwise reaches the SQ8
+  -- min/max scale (DuckDB errors on round(NaN), Spark NULLs silently)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM emb_v
            WHERE vec_id < {NDCG_QUERIES}),
 p AS (
   SELECT vec_id, embedding,
          CAST(list_min(embedding) AS DOUBLE) AS mn,
          (CAST(list_max(embedding) AS DOUBLE)
           - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS sc
-  FROM embeddings
+  FROM emb_v
 ),
 d AS (
   SELECT vec_id, embedding,
@@ -1219,7 +1224,10 @@ def sim_ndcg_sq8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking damage."""
     from mcp_rag_server_spark.functions.vector import cosine
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(valid_embedding_sql("spark"))
+    )
     q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )

@@ -260,14 +260,22 @@ def pq_adc_scores(assign: DataFrame, qdot: DataFrame) -> DataFrame:
 
 #: Shared oracle CTE chain for the PQ family (q, elements, codebook,
 #: assignment, qdot) — each query appends its own tail.
-_PQ_CTES = f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+_PQ_CTES = f"""emb_v AS (
+  -- valid_embedding gate: invalid vectors (NULL / wrong-dim /
+  -- NULL-or-NaN-element) are dropped by contract on BOTH engines
+  -- (census: sim_embedding_validate) — ungated, a NaN element flowed
+  -- into the codeword means and DuckDB's decimal cast errored while
+  -- Spark silently NULLed (r12 dirty sweep, NaN-element fixture row)
+  SELECT * FROM embeddings WHERE {valid_embedding_sql('duckdb')}
+),
+q AS (SELECT embedding AS qv FROM emb_v WHERE vec_id = 0),
 pos AS (SELECT unnest(range(1, {PQ_M * PQ_DSUB} + 1)) AS i),
 elem AS (
   SELECT e.vec_id, e.label,
          CAST((p.i - 1) // {PQ_DSUB} AS INT) AS m,
          CAST((p.i - 1) % {PQ_DSUB} AS INT) AS d,
          CAST(e.embedding[p.i] AS DOUBLE) AS x
-  FROM embeddings e CROSS JOIN pos p
+  FROM emb_v e CROSS JOIN pos p
 ),
 cb AS (
   SELECT m, label, d,
@@ -281,7 +289,7 @@ sv AS (
   SELECT e.vec_id, ms.m,
          list_slice(e.embedding, ms.m * {PQ_DSUB} + 1,
                     ms.m * {PQ_DSUB} + {PQ_DSUB}) AS svec
-  FROM embeddings e CROSS JOIN msub ms
+  FROM emb_v e CROSS JOIN msub ms
 ),
 dist AS (
   SELECT s.vec_id, s.m, c.label,
@@ -318,7 +326,7 @@ adc AS (
 SELECT e.vec_id, e.label,
        round(adc.adc_raw, 4) AS adc_score,
        round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS exact_score
-FROM adc JOIN embeddings e USING (vec_id) CROSS JOIN q
+FROM adc JOIN emb_v e USING (vec_id) CROSS JOIN q
 ORDER BY adc_score DESC, e.vec_id ASC
 LIMIT {PQ_K}
 """,
@@ -344,7 +352,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codebook and qdot tables stay broadcast-sized (k_codebooks ×
     256 rows) no matter the corpus; the only big operand is the
     narrow N×M assignment pass, done once at index build."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE (a NaN
+    # element otherwise reaches the codeword means: silent NULL on
+    # Spark's decimal cast, an error on DuckDB's)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(valid_embedding_sql("spark"))
+    )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cw = pq_codewords(emb)
     adc = pq_adc_scores(pq_assign(emb, cw), pq_qdot(cw, q))
@@ -388,7 +401,7 @@ cellrank AS (
   ) WHERE rnk <= {PQ_NPROBE}
 ),
 cand AS (
-  SELECT e.vec_id, e.label FROM embeddings e
+  SELECT e.vec_id, e.label FROM emb_v e
   JOIN cellrank cr ON e.label = cr.label
 ),
 adc AS (
@@ -401,7 +414,7 @@ adc AS (
 SELECT e.vec_id, e.label,
        round(adc.adc_raw, 4) AS adc_score,
        round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS exact_score
-FROM adc JOIN embeddings e USING (vec_id) CROSS JOIN q
+FROM adc JOIN emb_v e USING (vec_id) CROSS JOIN q
 ORDER BY adc_score DESC, e.vec_id ASC
 LIMIT {PQ_K}
 """,
@@ -421,7 +434,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is the partition key (partition pruning IS the cell prune),
     codes are the only bytes the query touches, and both the centroid
     and qdot tables stay broadcast-sized."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # valid_embedding gate — mirrors the oracle's emb_v CTE
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(valid_embedding_sql("spark"))
+    )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     means = label_dim_means(emb)  # shared with the PQ codebook below
     cent = means.groupBy("label").agg(

@@ -3,7 +3,8 @@
 Every other correctness modality runs on the clean driver fixtures;
 this suite pins the engine's dirty-input contract, established in
 round 11 by sweeping all registered queries over a corrupted variant
-of sf0.001 (tools/dirty_sweep.py — 300/304 MATCH, 4 documented-loud):
+of sf0.001 (tools/dirty_sweep.py — 300/304 MATCH, 4 documented-loud
+BOTH_ERR: the probe quartet refuses on BOTH engines by name):
 
 1. PARITY — a representative query per fixed failure class must still
    hash-match its DuckDB oracle when the tables contain NULL join
@@ -326,3 +327,13 @@ def test_value_census_counts_injected_nonfinite_exactly(
         tot["n_null"] + tot["n_nan"] + tot["n_pos_inf"]
         + tot["n_neg_inf"] + tot["n_finite"]
     ) == tot["n_total"]
+
+
+def test_probe_oracle_raises_same_named_refusal(dirty_duck):
+    """The DuckDB side of the probe family is loud BY DESIGN too (r12):
+    the cp_in guard raises the same named refusal as the Spark fold's
+    sentinel, not an accidental NaN-cast error — symmetric refusal is
+    the quartet's dirty contract (census class: BOTH_ERR)."""
+    spec = load_all()["sim_knn_graph"]
+    with pytest.raises(Exception, match="cell_probes: top-2 sentinel"):
+        dirty_duck.execute(spec.oracle).fetchdf()
