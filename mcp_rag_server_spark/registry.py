@@ -72,18 +72,20 @@ def register(
 
 
 #: Driver-evidence priority (round 12 rotation, regenerated at round
-#: START per the cadence — CORRECTNESS_r11 landed after r11's final
-#: commit, so the r11 window is scored and retired): the driver checks
-#: a 50-query prefix of this ordering. Steady-state cadence
-#: (COVERAGE.md "Rotation cadence"): NOT-GREEN rows first (none — r11
-#: closed 50/50), then never-checked (none), then stale chains oldest
-#: evidence first — the r12 window takes 50 of the 75 chains staled by
-#: the r11 dirty-input/non-finite batches (r6–r9 evidence: the
-#: events.py stat pack, multimodal fakes, streaming twins, vector
-#: audit/LSH families, quality/textanalysis rows). The remaining ~25
-#: r10-evidence chains enter the r13 window. 50 entries. Regenerate
-#: with `python3 tools/rotation_audit.py`, do not hand-maintain.
+#: END after the last logic-touching commit): the driver checks a
+#: 50-query prefix of this ordering. Steady-state cadence (COVERAGE.md
+#: "Rotation cadence"): NOT-GREEN rows first (none), then
+#: never-checked (`ev_value_validate`, the non-finite census
+#: registered this round), then stale chains oldest evidence first —
+#: the chains staled by the r11 dirty/non-finite batches (events.py
+#: stat pack, multimodal fakes, streaming twins, vector-audit/LSH
+#: families) plus this round's support-parity and NaN-element-gate
+#: edits (`sim_ndcg_sq8_eval`, `sim_pq_train` via the shared PQ
+#: chain). The remaining stale chains enter the r13 window. 50
+#: entries. Regenerate with `python3 tools/rotation_audit.py`, do not
+#: hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "ev_value_validate",
     "mm_image_resize",
     "mm_phash_neardup",
     "agg_skyline_2d",
@@ -120,6 +122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_cascade_rerank",
     "sim_centroid_drift",
     "sim_multiprobe_lsh",
+    "sim_ndcg_sq8_eval",
     "sim_pq_train",
     "ta_gains_chart",
     "fileops_list",
@@ -132,8 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ta_length_drift",
     "ta_mojibake_detect",
     "ta_quality_auc",
-    "ta_readability_fk",
-    "ta_simpson_diversity",
 )
 
 
