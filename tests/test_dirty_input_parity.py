@@ -337,3 +337,36 @@ def test_probe_oracle_raises_same_named_refusal(dirty_duck):
     spec = load_all()["sim_knn_graph"]
     with pytest.raises(Exception, match="cell_probes: top-2 sentinel"):
         dirty_duck.execute(spec.oracle).fetchdf()
+
+
+def test_numeric_finite_gate_unit_contract(spark, dirty_duck):
+    """functions/numeric unit pin: finite_col NULLs exactly NaN/±Inf
+    (never 0.0 or NULL pass-through changes), dsum/davg aggregate the
+    finite set only, and the DuckDB twins agree on the same six-row
+    input — the stated contract both engines' texts rely on."""
+    from pyspark.sql import functions as F
+
+    from mcp_rag_server_spark.functions.numeric import (
+        davg,
+        dsum,
+        duckdb_davg,
+        duckdb_dsum,
+        finite_col,
+    )
+
+    rows = [(1.0,), (float("nan"),), (float("inf",),), (float("-inf"),),
+            (None,), (2.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    gated = [r["g"] for r in
+             df.select(finite_col(F.col("v")).alias("g")).collect()]
+    assert gated == [1.0, None, None, None, None, 2.0]
+    agg = df.agg(dsum("v").alias("s"), davg("v").alias("a")).collect()[0]
+    assert agg["s"] == 3.0 and agg["a"] == 1.5
+
+    got = dirty_duck.execute(
+        "SELECT " + duckdb_dsum("v") + " AS s, "
+        + duckdb_davg("v") + " AS a FROM (SELECT unnest(["
+        "1.0, 'nan'::DOUBLE, 'inf'::DOUBLE, '-inf'::DOUBLE, NULL, 2.0"
+        "]) AS v)"
+    ).fetchone()
+    assert got == (3.0, 1.5)
