@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mcp_rag_server_spark.registry import load_all
 from mcp_rag_server_spark.session import get_spark
+from tools.box_probe import _WARMUP, measure_index
 
 
 def main() -> None:
@@ -39,7 +40,18 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session bring-up (the driver's interest is throughput).
-    bench_specs["rag_topk"].spark_fn(spark, sf_dir).collect()
+    # The warm-up is box_probe's bench-like sequence because the probe
+    # sentinels are only meaningful on a fully-warmed JVM (all twelve
+    # warm-up queries are themselves in the timed set, re-timed
+    # min-of-N below, so this changes no reported number).
+    for w in _WARMUP:
+        bench_specs[w].spark_fn(spark, sf_dir).collect()
+
+    # Self-adjudication (r12 verdict item 4): bracket the timed set
+    # with the four box_probe sentinels so an artifact recorded on a
+    # degraded box carries its own invalidation evidence. Index ~1.0 =
+    # trustworthy; >1.15 on either side = machine-contaminated numbers.
+    probe_before = round(measure_index(spark, registry, sf_dir), 3)
 
     # Min-of-3 by default: two consecutive rounds recorded a
     # load-contaminated official bench (r6/r7 verdicts) — a third
@@ -57,6 +69,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    probe_after = round(measure_index(spark, registry, sf_dir), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +80,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "probe_before": probe_before,
+                "probe_after": probe_after,
             }
         )
     )

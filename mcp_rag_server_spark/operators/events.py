@@ -4655,8 +4655,9 @@ def ev_value_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type conditional counts in one scan, classes disjoint by
     construction (NULL / NaN / +Inf / −Inf / finite partition the
     column exactly, so n_total reconciles), one bounded-key shuffle.
-    isnan(NULL) is NULL in both engines, so the clauses never double
-    count; ±Inf equality comparisons are IEEE-exact. The dirty-fixture
+    Spark's isnan(NULL) is FALSE and DuckDB's is NULL — both fall
+    through the CASE, so the clauses never double count; ±Inf equality
+    comparisons are IEEE-exact. The dirty-fixture
     test pins that each injected non-finite row lands in exactly its
     class; ONE shared SQL text is both the Spark query and the DuckDB
     oracle (parity by construction)."""

@@ -71,70 +71,72 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 12 rotation, regenerated at round
-#: END after the last logic-touching commit): the driver checks a
-#: 50-query prefix of this ordering. Steady-state cadence (COVERAGE.md
-#: "Rotation cadence"): NOT-GREEN rows first (none), then
-#: never-checked (`ev_value_validate`, the non-finite census
-#: registered this round), then stale chains oldest evidence first —
-#: the chains staled by the r11 dirty/non-finite batches (events.py
-#: stat pack, multimodal fakes, streaming twins, vector-audit/LSH
-#: families) plus this round's support-parity and NaN-element-gate
-#: edits (`sim_ndcg_sq8_eval`, `sim_pq_train` via the shared PQ
-#: chain). The remaining stale chains enter the r13 window. 50
-#: entries. Regenerate with `python3 tools/rotation_audit.py`, do not
-#: hand-maintain.
+#: Driver-evidence priority (round 13 rotation, regenerated at round
+#: START per the r12 verdict): the driver checks a 50-query prefix of
+#: this ordering. Steady-state cadence (COVERAGE.md "Rotation
+#: cadence"): NOT-GREEN rows first (none), then never-checked (none),
+#: then stale chains oldest evidence first — this window takes ALL 41
+#: chains whose text changed after their evidence round (the r11
+#: dirty/non-finite batches plus the r12 gate edits: events.py stat
+#: pack, rag MMR, vector-audit PQ/IVFPQ chain, tpch_q1/q6,
+#: ingest/streaming twins) plus the 9 oldest-evidence fresh rows.
+#: NOTE: the window reflects staleness as of its regeneration commit;
+#: any later logic-touching commit in the same round can re-stale
+#: chains outside it — the round-close full-registry battery
+#: (verify_contract + dirty_sweep) covers that gap, and the next
+#: round's regeneration picks the chains up. Regenerate with
+#: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ev_value_validate",
-    "mm_image_resize",
-    "mm_phash_neardup",
-    "agg_skyline_2d",
-    "ev_absorbing_conversion_prob",
-    "ev_anomaly_seasonal_zscore",
-    "ev_bootstrap_ci",
-    "ev_changepoint",
-    "ev_cohort_ltv_curve",
-    "ev_concurrency_curve",
-    "ev_cuped_adjustment",
-    "ev_delta_decomposition",
-    "ev_did_estimator",
-    "ev_entropy_rate",
-    "ev_forecast_backtest",
-    "ev_growth_accounting",
-    "ev_hits_scores",
-    "ev_ivm_delta_rollup",
-    "ev_markov_stationary",
-    "ev_msprt_sequential",
-    "ev_ohlc_bars",
-    "ev_power_mde",
-    "ev_propensity_ipw",
-    "ev_ratio_metric_ci",
-    "st_enrich_static",
-    "st_incremental_rollup",
-    "st_lambda_cutover",
-    "ev_rolling_median",
-    "ev_seasonal_decompose",
-    "ev_welch_ttest",
-    "ingest_csv_malformed",
-    "ingest_orc_roundtrip",
-    "mm_scene_cuts",
-    "sim_binary_hamming_topk",
-    "sim_cascade_rerank",
-    "sim_centroid_drift",
-    "sim_multiprobe_lsh",
-    "sim_ndcg_sq8_eval",
-    "sim_pq_train",
-    "ta_gains_chart",
-    "fileops_list",
-    "mm_audio_windows",
-    "mm_frame_sample",
-    "mm_image_meta",
-    "read_range",
-    "rollup_sales_by_region",
-    "sim_ivf_recall",
-    "ta_length_drift",
-    "ta_mojibake_detect",
-    "ta_quality_auc",
+    "ta_readability_fk",
+    "ta_simpson_diversity",
+    "ta_weighted_sample_es",
+    "tj_interval_union",
+    "window_distribution_pack",
+    "dd_embedding_neardup",
+    "ev_anomaly_zscore",
+    "ev_cogrouped_quota",
+    "ev_grouped_map_running",
+    "ev_hourly_windows",
+    "ev_json_extract",
+    "ev_salted_hot_key_join",
+    "ev_scd2_intervals",
+    "ev_theil_sen",
+    "ev_top_users_by_value",
+    "ev_type_value_stats",
+    "ingest_compacted",
+    "ingest_roundtrip",
+    "rag_mmr_batch",
+    "rag_mmr_topk",
+    "sim_compression_frontier",
+    "sim_graph_greedy_search",
+    "sim_ivfpq_topk",
+    "sim_kcore_decompose",
+    "sim_kmeans_refine",
+    "sim_knn_graph",
+    "sim_power_iteration_pc1",
+    "sim_pq_adc_topk",
+    "st_hourly_windows",
+    "st_ingest_roundtrip",
+    "tpch_q1",
+    "tpch_q6",
+    "agg_gini_index",
+    "agg_pearson_corr",
+    "ev_anomaly_mad",
+    "ev_autocorr",
+    "ev_cusum_drift",
+    "ev_trend_forecast",
+    "ev_user_type_count_map",
+    "ingest_partitioned_scan",
+    "ingest_text_formats",
+    "st_stream_stream_join",
+    "ta_mix_temperature",
+    "ta_shard_assign",
+    "ta_unigram_logprob",
+    "ta_vocab_growth",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "window_lag_orders",
+    "agg_exact_percentiles",
 )
 
 

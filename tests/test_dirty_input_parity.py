@@ -21,6 +21,20 @@ BOTH_ERR: the probe quartet refuses on BOTH engines by name):
    functions/vector.valid_embedding_sql, the SAME loud consumer runs
    green and hash-matches its oracle.
 4. The sim_embedding_validate census itself reconciles exactly.
+
+Contract choice — GAP COMPRESSION in the hourly series (r12 advice):
+the `WHERE v IS NOT NULL` support gates drop all-NULL / all-non-finite
+hours from the hourly series ENTIRELY rather than keeping NULL-valued
+rows. Consequence: lag/adjacency statistics (ev_autocorr lag pairs,
+the changepoint / theil_sen t index, rolling windows) treat hours
+across a removed gap as adjacent, not as separated by the gap's true
+wall-clock span. This is a deliberate decision, not an accident:
+(a) parity holds by shared text — both engines compress identically;
+(b) clean data has no empty hours, so the clean-fixture semantics are
+unchanged; (c) the alternative (NULL-preserving rows) would push NULL
+order keys into every window frame, the exact class the dirty
+contract gates out (Spark NULLS FIRST vs DuckDB NULLS LAST). The
+excluded rows stay countable via ev_value_validate.
 """
 
 from __future__ import annotations

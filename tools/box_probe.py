@@ -73,6 +73,27 @@ _WARMUP = (
 )
 
 
+def measure_index(spark, reg, sf_dir: str, verbose: bool = False) -> float:
+    """Time the four sentinels (min-of-5) against their pinned refs and
+    return the geomean condition index. The caller is responsible for a
+    bench-like warm JVM (see _WARMUP) — on a cold session the ratios
+    read JIT, not box condition."""
+    ratios = []
+    if verbose:
+        print(f"{'sentinel':16s} {'ref':>7s} {'now':>7s} {'ratio':>6s}")
+    for name, ref in SENTINEL_REF.items():
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            reg[name].spark_fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        r = best / ref
+        ratios.append(r)
+        if verbose:
+            print(f"{name:16s} {ref:7.3f} {best:7.3f} {r:6.2f}")
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="box-probe")
@@ -84,19 +105,7 @@ def main() -> int:
     for w in _WARMUP:
         reg[w].spark_fn(spark, sf_dir).collect()
 
-    ratios = []
-    print(f"{'sentinel':16s} {'ref':>7s} {'now':>7s} {'ratio':>6s}")
-    for name, ref in SENTINEL_REF.items():
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            reg[name].spark_fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        r = best / ref
-        ratios.append(r)
-        print(f"{name:16s} {ref:7.3f} {best:7.3f} {r:6.2f}")
-
-    index = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    index = measure_index(spark, reg, sf_dir, verbose=True)
     verdict = (
         "box matches reference recordings"
         if index < 1.15

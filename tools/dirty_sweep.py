@@ -107,6 +107,7 @@ def main() -> int:
         else:
             oracle_err = "no oracle registered"
 
+        dump = None
         if spark_err and oracle_err:
             cls = "BOTH_ERR"
         elif spark_err:
@@ -115,7 +116,24 @@ def main() -> int:
             cls = "ORACLE_ERR"
         else:
             try:
-                ok = canon_rows(scols, srows) == canon_rows(dcols, drows)
+                scanon = canon_rows(scols, srows)
+                dcanon = canon_rows(dcols, drows)
+                ok = scanon == dcanon
+                if not ok:
+                    # Forensics: a MISMATCH without the diverging values
+                    # is undiagnosable from the artifact (r12 verdict
+                    # item 2). Canonical rows are pipe-joined strings in
+                    # sorted-column order, so a plain set diff names the
+                    # exact cells that moved.
+                    only_s = [r for r in scanon if r not in set(dcanon)]
+                    only_d = [r for r in dcanon if r not in set(scanon)]
+                    dump = {
+                        "columns_sorted": sorted(scols or []),
+                        "spark_only": only_s[:50],
+                        "oracle_only": only_d[:50],
+                        "spark_canon": scanon[:200],
+                        "oracle_canon": dcanon[:200],
+                    }
             except Exception as e:  # noqa: BLE001 — canon itself can choke
                 ok = False
                 spark_err = f"canon: {type(e).__name__}: {e}"
@@ -127,6 +145,13 @@ def main() -> int:
             "spark_err": spark_err,
             "oracle_err": oracle_err,
         }
+        if dump is not None:
+            results[name]["mismatch_dump"] = dump
+            print(f"  -- MISMATCH {name}: cols {dump['columns_sorted']}")
+            for r in dump["spark_only"][:6]:
+                print(f"     spark_only : {r}")
+            for r in dump["oracle_only"][:6]:
+                print(f"     oracle_only: {r}")
         print(f"{cls:10s} {name}")
 
     by_cls: dict[str, list[str]] = {}
