@@ -1095,9 +1095,12 @@ def _ewma_sql() -> str:
     )
     return f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: a NULL hour in the ORDER BY h lag windows is
+  -- engine-divergent and DuckDB-thread-nondeterministic (r13)
   SELECT date_trunc('hour', ts) AS h, event_type,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
-  FROM events GROUP BY date_trunc('hour', ts), event_type
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY date_trunc('hour', ts), event_type
 ),
 lagged AS (
   SELECT event_type, h, v,
@@ -1240,10 +1243,13 @@ def _cusum_sql() -> str:
     recursion in both engines."""
     return f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: a NULL hour in the ORDER BY h prefix windows is
+  -- engine-divergent and DuckDB-thread-nondeterministic (r13)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 stats AS (
   SELECT event_type, h, v,
@@ -1871,9 +1877,12 @@ def _acf_sql() -> str:
     )
     return f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: a NULL hour in the ORDER BY h lag windows is
+  -- engine-divergent and DuckDB-thread-nondeterministic (r13)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 lagged AS (
   SELECT event_type, h, v,
@@ -2547,10 +2556,16 @@ def _rolling_median_sql(dialect: str) -> str:
     med = "percentile(v, 0.5)" if dialect == "spark" else "quantile_cont(v, 0.5)"
     return f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: an undated event has no hour, and a NULL hour
+  -- entering the ORDER BY h window is engine-divergent (Spark NULLS
+  -- FIRST, DuckDB NULLS LAST) AND nondeterministic in DuckDB's
+  -- multithreaded window sort (r13 jitter-sweep finding — the r12
+  -- roving dirty-sweep MISMATCH)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DOUBLE) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 roll AS (
   SELECT event_type, h, v,
@@ -3031,10 +3046,13 @@ DECOMP_HALF_W = 12
 
 _DECOMP_SQL = f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: a NULL hour in the ORDER BY h trend window is
+  -- engine-divergent and DuckDB-thread-nondeterministic (r13)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 trend AS (
   SELECT event_type, h, v,

@@ -96,6 +96,31 @@ PARITY_QUERIES = (
     # the census ops themselves
     "sim_embedding_validate",
     "ev_value_validate",
+    # NULL-hour-in-ordered-window class (r13: ts IS NOT NULL gate —
+    # the r12 roving dirty-sweep MISMATCH family)
+    "ev_rolling_median",
+    "ev_seasonal_decompose",
+    "ev_ewma_value",
+    "ev_cusum_drift",
+    "ev_autocorr",
+)
+
+#: The r13 jitter class: queries whose window ORDER BY key could go
+#: NULL on dirty input. DuckDB's MULTITHREADED window sort places a
+#: NULL order key nondeterministically (4 distinct value sets in 12
+#: runs of the unfixed ev_rolling_median oracle; threads=1 is stable),
+#: and the most common placement coincides with Spark's NULLS FIRST —
+#: which is why dirty_sweep usually read MATCH and the r12 full sweeps
+#: mismatched a roving victim. The ts IS NOT NULL gate removes the
+#: NULL hour from the series entirely (same gap-compression contract
+#: as _HOURLY_SEQ_CTE); this pin asserts thread-count invariance, the
+#: detector for the whole class (tools/oracle_jitter_sweep.py).
+JITTER_QUERIES = (
+    "ev_rolling_median",
+    "ev_seasonal_decompose",
+    "ev_ewma_value",
+    "ev_cusum_drift",
+    "ev_autocorr",
 )
 
 #: cell_probes consumers: documented LOUD on contract-violating input.
@@ -146,6 +171,20 @@ def _compare(spark, con, name, sf_dir):
 @pytest.mark.parametrize("name", PARITY_QUERIES)
 def test_dirty_parity(name, spark, dirty_dir, dirty_duck):
     _compare(spark, dirty_duck, name, dirty_dir)
+
+
+@pytest.mark.parametrize("name", JITTER_QUERIES)
+def test_oracle_thread_count_invariant_on_dirty(name, dirty_dir):
+    from tools.oracle_jitter_sweep import _run
+
+    spec = load_all()[name]
+    multi = _run(spec.oracle, dirty_dir, None)
+    single = _run(spec.oracle, dirty_dir, 1)
+    assert multi == single, (
+        f"{name}: oracle output varies with DuckDB thread count — a "
+        "NULL (or tied) window ORDER BY key is reaching the parallel "
+        "window sort; gate it out of the series in BOTH engine texts"
+    )
 
 
 @pytest.mark.parametrize("name", LOUD_QUERIES)

@@ -65,12 +65,20 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Same contract as verify_contract.py: SPARK_GRAFT_EXTRA_CONFS="k=v,…"
+    # lets bisects replay the sweep under e.g. the interpreted
+    # (NO_CODEGEN) expression path.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        print(f"extra conf: {k.strip()}={v.strip()}")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = mod.queries()
