@@ -71,15 +71,17 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 13 rotation, regenerated at round
-#: START per the r12 verdict): the driver checks a 50-query prefix of
+#: Driver-evidence priority (round 13 rotation, re-regenerated at
+#: round END after the last logic-touching commit — the NULL-hour
+#: window gates, 63f0031): the driver checks a 50-query prefix of
 #: this ordering. Steady-state cadence (COVERAGE.md "Rotation
 #: cadence"): NOT-GREEN rows first (none), then never-checked (none),
-#: then stale chains oldest evidence first — this window takes ALL 41
-#: chains whose text changed after their evidence round (the r11
-#: dirty/non-finite batches plus the r12 gate edits: events.py stat
-#: pack, rag MMR, vector-audit PQ/IVFPQ chain, tpch_q1/q6,
-#: ingest/streaming twins) plus the 9 oldest-evidence fresh rows.
+#: then stale chains oldest evidence first — this window takes ALL 45
+#: stale chains (the 41 carried from r11/r12 plus the five r13
+#: NULL-hour-gate edits: ev_rolling_median, ev_seasonal_decompose,
+#: ev_ewma_value, ev_cusum_drift, ev_autocorr — autocorr/cusum were
+#: already stale, and ev_value_validate's chain shares the edited
+#: module) plus the 5 oldest-evidence fresh rows.
 #: NOTE: the window reflects staleness as of its regeneration commit;
 #: any later logic-touching commit in the same round can re-stale
 #: chains outside it — the round-close full-registry battery
@@ -124,19 +126,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ev_anomaly_mad",
     "ev_autocorr",
     "ev_cusum_drift",
+    "ev_ewma_value",
     "ev_trend_forecast",
     "ev_user_type_count_map",
     "ingest_partitioned_scan",
     "ingest_text_formats",
+    "ev_rolling_median",
+    "ev_seasonal_decompose",
+    "ev_value_validate",
     "st_stream_stream_join",
     "ta_mix_temperature",
     "ta_shard_assign",
     "ta_unigram_logprob",
     "ta_vocab_growth",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "window_lag_orders",
-    "agg_exact_percentiles",
 )
 
 
