@@ -71,74 +71,68 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 13 rotation, re-regenerated at
-#: round END after the last logic-touching commit — the NULL-hour
-#: window gates, 63f0031): the driver checks a 50-query prefix of
-#: this ordering. Steady-state cadence (COVERAGE.md "Rotation
-#: cadence"): NOT-GREEN rows first (none), then never-checked (none),
-#: then stale chains oldest evidence first — this window takes ALL 45
-#: stale chains (the 41 carried from r11/r12 plus the five r13
-#: NULL-hour-gate edits: ev_rolling_median, ev_seasonal_decompose,
-#: ev_ewma_value, ev_cusum_drift, ev_autocorr — autocorr/cusum were
-#: already stale, and ev_value_validate's chain shares the edited
-#: module) plus the 5 oldest-evidence fresh rows.
-#: NOTE: the window reflects staleness as of its regeneration commit;
-#: any later logic-touching commit in the same round can re-stale
-#: chains outside it — the round-close full-registry battery
-#: (verify_contract + dirty_sweep) covers that gap, and the next
-#: round's regeneration picks the chains up. Regenerate with
+#: Driver-evidence priority (round 14 rotation at round START): the
+#: driver checks a 50-query prefix of this ordering. Steady-state
+#: cadence (COVERAGE.md "Rotation cadence"): NOT-GREEN rows first
+#: (none), then never-checked (none), then stale chains oldest
+#: evidence first (none at r13 close — the evidence debt is zero) —
+#: so this window is the first pure freshness refresh: the 50
+#: oldest-evidence fresh rows, led by the r4/r5-vintage TPC-H /
+#: window / agg / ta pack. Regenerated again at round END after the
+#: last logic-touching commit (any r14 logic edit re-stales its
+#: chain and moves it to the window head). Regenerate with
 #: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ta_readability_fk",
-    "ta_simpson_diversity",
-    "ta_weighted_sample_es",
-    "tj_interval_union",
-    "window_distribution_pack",
-    "dd_embedding_neardup",
-    "ev_anomaly_zscore",
-    "ev_cogrouped_quota",
-    "ev_grouped_map_running",
-    "ev_hourly_windows",
-    "ev_json_extract",
-    "ev_salted_hot_key_join",
-    "ev_scd2_intervals",
-    "ev_theil_sen",
-    "ev_top_users_by_value",
-    "ev_type_value_stats",
-    "ingest_compacted",
-    "ingest_roundtrip",
-    "rag_mmr_batch",
-    "rag_mmr_topk",
-    "sim_compression_frontier",
-    "sim_graph_greedy_search",
-    "sim_ivfpq_topk",
-    "sim_kcore_decompose",
-    "sim_kmeans_refine",
-    "sim_knn_graph",
-    "sim_power_iteration_pc1",
-    "sim_pq_adc_topk",
-    "st_hourly_windows",
-    "st_ingest_roundtrip",
-    "tpch_q1",
-    "tpch_q6",
-    "agg_gini_index",
-    "agg_pearson_corr",
-    "ev_anomaly_mad",
-    "ev_autocorr",
-    "ev_cusum_drift",
-    "ev_ewma_value",
-    "ev_trend_forecast",
-    "ev_user_type_count_map",
-    "ingest_partitioned_scan",
-    "ingest_text_formats",
-    "ev_rolling_median",
-    "ev_seasonal_decompose",
-    "ev_value_validate",
-    "st_stream_stream_join",
-    "ta_mix_temperature",
-    "ta_shard_assign",
-    "ta_unigram_logprob",
-    "ta_vocab_growth",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "window_lag_orders",
+    "agg_exact_percentiles",
+    "agg_stats_lineitem",
+    "agg_string_concat_nations",
+    "dd_exact_stats",
+    "grouping_sets_sales",
+    "pivot_status_by_priority",
+    "rag_topk",
+    "sim_ann_topk",
+    "sim_radius_search",
+    "sql_rag_topk",
+    "st_latest_state",
+    "ta_bigram_top",
+    "ta_dedup_budget_pipeline",
+    "ta_filter_pipeline",
+    "ta_langid_heuristic",
+    "ta_quality_score",
+    "ta_repetition_stats",
+    "ta_stratified_sample",
+    "ta_tfidf_top",
+    "ta_token_stats",
+    "tj_range_pairs_5min",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_part_count",
+    "tpch_q21_waiting_orders",
+    "tpch_q2_min_cost_supplier",
+    "unpivot_lineitem_metrics",
+    "window_moving_avg",
+    "window_rank_analytics",
+    "agg_benford_audit",
+    "agg_column_profile",
+    "agg_histogram_equiwidth",
+    "agg_table_fingerprint",
+    "agg_weighted_median",
+    "dd_cluster_aware_sample",
+    "dd_connected_components",
+    "dd_graph_triangles",
+    "dd_incremental_minhash",
+    "dd_jaccard_same_source",
+    "dd_keep_canonical",
+    "dd_substring_runs",
+    "ev_abtest_ztest",
+    "ev_cep_conversion",
+    "ev_purchase_streaks",
+    "ev_survival_km",
+    "ingest_bucketed_join",
+    "ingest_mor_deletes",
 )
 
 
