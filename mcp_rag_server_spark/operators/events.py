@@ -1335,10 +1335,15 @@ def _trend_sql() -> str:
     as agg_pearson_corr / ta_zipf_fit)."""
     return """
 WITH hourly AS (
+  -- ts IS NOT NULL: an undated event must not mint an h=NULL "hour"
+  -- whose v reaches SUM(v) while epoch_us(NULL) keeps its t out of
+  -- SUM(t)/SUM(t*t)/SUM(t*v) — OLS moments on mismatched support
+  -- (gap-compression contract, r14: same gate as the r13 five)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(19,4)) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 idx AS (
   SELECT event_type, v,
@@ -1783,9 +1788,13 @@ MAD_CONSISTENCY = 1.4826
 def _mad_sql() -> str:
     return f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: an undated event's h=NULL row otherwise enters
+  -- n_hours and the per-type median/MAD census as a phantom "hour"
+  -- (gap-compression contract, r14: same gate as the r13 five)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4))) AS DOUBLE) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 med AS (
   SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
@@ -2313,11 +2322,18 @@ tagged AS (
          CASE WHEN epoch_us(e.ts) >= c.cut THEN 'post' ELSE 'pre' END
            AS period,
          CAST(round(CASE WHEN isnan(e.value) OR abs(e.value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE e.value END, 4) AS DECIMAL(18,4)) AS v
+  -- ts IS NOT NULL: an undated event cannot be assigned a pre/post
+  -- period (NULL >= cut fell through to 'pre' silently); the
+  -- event-time contract drops it, same as st_lambda_cutover's cut
   FROM events e CROSS JOIN cutoff c
+  WHERE e.ts IS NOT NULL
 ),
 m AS (
+  -- COUNT(v), not COUNT(*): n divides the cell means and variances,
+  -- so it must count the rows the finite-gated SUMs actually include
+  -- (r12 support-parity rule; same fix as ev_welch_ttest)
   SELECT event_type, arm, period,
-         COUNT(*) AS n,
+         COUNT(v) AS n,
          CAST(SUM(v) AS DOUBLE) AS s1,
          CAST(SUM(CAST(v AS DECIMAL(19,4)) * v) AS DOUBLE) AS s2
   FROM tagged GROUP BY event_type, arm, period
@@ -3241,11 +3257,16 @@ SEAS_Z_THRESHOLD = 3.0
 
 _SEAS_ANOM_SQL = f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: an undated event's h=NULL row (hod NULL, its own
+  -- stratum) otherwise counts in n_hours and shifts the per-type
+  -- global baseline — a per-hour statistic must not include a
+  -- phantom hour (gap-compression contract, r14 criterion extension)
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(EXTRACT(HOUR FROM date_trunc('hour', ts)) AS INT) AS hod,
          CAST(SUM(CAST(round(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END, 4) AS DECIMAL(18,4)))
               AS DECIMAL(18,4)) AS v
-  FROM events GROUP BY event_type, date_trunc('hour', ts)
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
 ),
 scored AS (
   SELECT event_type, h, hod,

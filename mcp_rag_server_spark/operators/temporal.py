@@ -151,10 +151,13 @@ def tj_range_pairs_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_gap_fill",
     oracle=f"""
 WITH hourly AS (
+  -- ts IS NOT NULL: an h=NULL hourly row is provably inert here (MIN/
+  -- MAX skip it, the timeline equi-join never matches it) — the gate
+  -- makes the gap-compression exclusion explicit instead of emergent
   SELECT user_id, date_trunc('hour', ts) AS hour_ts,
          COUNT(*) AS hr_events,
          {duckdb_dsum('value', 4)} AS hr_value
-  FROM events WHERE user_id < {GAP_FILL_USERS}
+  FROM events WHERE user_id < {GAP_FILL_USERS} AND ts IS NOT NULL
   GROUP BY user_id, date_trunc('hour', ts)
 ),
 span AS (
@@ -204,7 +207,7 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     data), so filled_value is never NULL — both engines agree on the
     NULL-free ffill result, sidestepping IGNORE NULLS edge semantics."""
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") < GAP_FILL_USERS
+        (F.col("user_id") < GAP_FILL_USERS) & F.col("ts").isNotNull()
     )
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")

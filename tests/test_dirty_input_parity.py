@@ -103,6 +103,15 @@ PARITY_QUERIES = (
     "ev_ewma_value",
     "ev_cusum_drift",
     "ev_autocorr",
+    # NULL-hour-in-per-hour-statistic class (r14: the criterion
+    # extended beyond ORDER-BY-h windows — a phantom h=NULL "hour"
+    # must not enter OLS moments, median/MAD censuses, seasonal
+    # baselines, or a pre/post period split; ev_gap_fill's gate is
+    # explicitness only, its NULL hour was provably inert)
+    "ev_trend_forecast",
+    "ev_anomaly_mad",
+    "ev_anomaly_seasonal_zscore",
+    "ev_gap_fill",
 )
 
 #: The r13 jitter class: queries whose window ORDER BY key could go
@@ -423,3 +432,65 @@ def test_numeric_finite_gate_unit_contract(spark, dirty_duck):
         "]) AS v)"
     ).fetchone()
     assert got == (3.0, 1.5)
+
+
+def test_hourly_statistic_support_excludes_undated(spark, dirty_dir):
+    """r14 criterion extension: per-hour statistics must compute on
+    exactly the DATED, finite-supported hours. The undated (NULL-ts)
+    finite-value dirty event previously minted a phantom h=NULL hour
+    whose v entered SUM(v) while epoch_us(NULL) kept its t out of the
+    t-moments (ev_trend_forecast), inflated n_hours/median support
+    (ev_anomaly_mad), and fell silently into the 'pre' period with a
+    COUNT(*) divisor over NULL-v rows (ev_did_estimator)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(os.path.join(dirty_dir, "events.parquet"))
+    dated = ev[ev["ts"].notna()].copy()
+    dated["finite"] = np.isfinite(dated["value"].astype(float))
+    dated["h"] = dated["ts"].dt.floor("h")
+    # hours with >= 1 finite value: the v IS NOT NULL support
+    hours_by_type = (
+        dated[dated["finite"]]
+        .groupby("event_type")["h"]
+        .nunique()
+        .to_dict()
+    )
+
+    trend = {
+        r["event_type"]: r
+        for r in load_all()["ev_trend_forecast"]
+        .spark_fn(spark, dirty_dir)
+        .collect()
+    }
+    for t, r in trend.items():
+        if t is None:
+            continue
+        assert r["n"] == hours_by_type[t], f"trend n support for {t}"
+
+    mad = {
+        r["event_type"]: r
+        for r in load_all()["ev_anomaly_mad"]
+        .spark_fn(spark, dirty_dir)
+        .collect()
+    }
+    for t, r in mad.items():
+        if t is None:
+            continue
+        assert r["n_hours"] == hours_by_type[t], f"mad n_hours for {t}"
+
+    # DiD: n_total counts the dated, finite-valued rows per type —
+    # the rows whose v the cell moments actually aggregate
+    finite_dated_by_type = (
+        dated[dated["finite"]].groupby("event_type")["value"].count().to_dict()
+    )
+    did = {
+        r["event_type"]: r
+        for r in load_all()["ev_did_estimator"]
+        .spark_fn(spark, dirty_dir)
+        .collect()
+    }
+    for t, r in did.items():
+        if t is None:
+            continue
+        assert r["n_total"] == finite_dated_by_type[t], f"did n_total for {t}"

@@ -237,3 +237,46 @@ def test_every_query_has_oracle_or_documented_rows_only():
     # genuinely non-SQL-expressible op lands, list it explicitly here so
     # the downgrade to rows-only is a reviewed decision, not an accident.
     assert no_oracle == [], no_oracle
+
+
+#: Queries whose oracle reads an hourly truncation of events.ts but is
+#: ALLOWED to skip the `ts IS NOT NULL` gate: the hour is a pure output
+#: GROUP BY key, so an undated event yields one visible, deterministic
+#: NULL-hour census row on BOTH engines (no ordered window touches it,
+#: no second-level statistic aggregates over the hourly rows). Any
+#: statistic computed OVER the hourly series — windows ordered by h,
+#: medians/OLS/z-baselines/counts-of-hours — must gate instead: an
+#: h=NULL phantom hour either jitters DuckDB's parallel window sort
+#: (r13 root cause) or skews the statistic's support (r14 extension,
+#: ev_trend_forecast / ev_anomaly_mad / ev_anomaly_seasonal_zscore).
+HOURLY_CENSUS_ALLOWLIST = frozenset(
+    {
+        "ev_hourly_windows",
+        "ev_hypertable_rollup",
+        "st_incremental_rollup",
+    }
+)
+
+
+def test_hourly_statistics_gate_null_ts():
+    """Static scan (r13, extended r14): every oracle that buckets
+    events by date_trunc('hour', ts) must carry a `ts IS NOT NULL`
+    gate unless it is a pure per-hour census (allowlist above). The
+    gate is the gap-compression contract: undated events are excluded
+    from series statistics and stay countable via ev_value_validate
+    (tests/test_dirty_input_parity.py header)."""
+    reg = load_all()
+    offenders = []
+    for name, spec in sorted(reg.items()):
+        o = spec.oracle or ""
+        if "date_trunc('hour', ts)" not in o and "date_trunc('hour', e.ts)" not in o:
+            continue
+        if name in HOURLY_CENSUS_ALLOWLIST:
+            continue
+        if "ts IS NOT NULL" not in o:
+            offenders.append(name)
+    assert offenders == [], (
+        "hourly statistic over events lacks the ts IS NOT NULL "
+        "gap-compression gate (or an explicit census allowlist entry "
+        f"with the NULL-hour-row justification): {offenders}"
+    )
