@@ -133,8 +133,12 @@ def main() -> int:
                     # item 2). Canonical rows are pipe-joined strings in
                     # sorted-column order, so a plain set diff names the
                     # exact cells that moved.
-                    only_s = [r for r in scanon if r not in set(dcanon)]
-                    only_d = [r for r in dcanon if r not in set(scanon)]
+                    # prebuilt sets: membership inside the comprehension
+                    # rebuilt set(...) per row, stalling exactly on large
+                    # mismatching results (r13 advice)
+                    dset, sset = set(dcanon), set(scanon)
+                    only_s = [r for r in scanon if r not in dset]
+                    only_d = [r for r in dcanon if r not in sset]
                     dump = {
                         "columns_sorted": sorted(scols or []),
                         "spark_only": only_s[:50],

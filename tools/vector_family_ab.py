@@ -100,13 +100,26 @@ def main() -> int:
             f"{n:20s} {ref:6.3f} {best[n]:6.3f} {raw:5.2f} "
             f"{norm:5.2f} {GATE_COST[n]:5.2f} {resid:6.2f}"
         )
-    verdict = (
-        "residual within band — environmental, no code action"
-        if worst <= 1.3
-        else "code-attributed residual >1.3 — checkpoint/hoist the PQ subtree"
-    )
+    # 1.2 is the documented ACTION threshold (docstring, BENCH_NOTES);
+    # 1.2-1.3 is the ambiguous band — interleaving bounds load skew but
+    # not perfectly, so a residual there warrants a re-run before code
+    # action. Nonzero exit above 1.2 makes the tool gateable (r13
+    # advice: the verdict cut and the documented threshold disagreed,
+    # and the tool always exited 0).
+    if worst <= 1.2:
+        verdict = "residual within band — environmental, no code action"
+        rc = 0
+    elif worst <= 1.3:
+        verdict = (
+            "residual in the 1.2-1.3 ambiguous band — re-run on an idle"
+            " box; code action only if it reproduces"
+        )
+        rc = 1
+    else:
+        verdict = "code-attributed residual >1.3 — checkpoint/hoist the PQ subtree"
+        rc = 1
     print(f"worst gate-adjusted residual: {worst:.2f} — {verdict}")
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
