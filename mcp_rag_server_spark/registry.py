@@ -71,18 +71,23 @@ def register(
     return deco
 
 
-#: Driver-evidence priority (round 14 rotation at round START): the
-#: driver checks a 50-query prefix of this ordering. Steady-state
-#: cadence (COVERAGE.md "Rotation cadence"): NOT-GREEN rows first
-#: (none), then never-checked (none), then stale chains oldest
-#: evidence first (none at r13 close — the evidence debt is zero) —
-#: so this window is the first pure freshness refresh: the 50
-#: oldest-evidence fresh rows, led by the r4/r5-vintage TPC-H /
-#: window / agg / ta pack. Regenerated again at round END after the
-#: last logic-touching commit (any r14 logic edit re-stales its
-#: chain and moves it to the window head). Regenerate with
+#: Driver-evidence priority (round 14 rotation, re-regenerated at
+#: round END after the last logic-touching commit — the per-hour-
+#: statistic NULL-hour gates, 807384a): the driver checks a 50-query
+#: prefix of this ordering. Steady-state cadence (COVERAGE.md
+#: "Rotation cadence"): NOT-GREEN rows first (none), then
+#: never-checked (none), then stale chains oldest evidence first —
+#: the five r14-gated queries (ev_gap_fill, ev_anomaly_seasonal_
+#: zscore, ev_did_estimator, ev_anomaly_mad, ev_trend_forecast) —
+#: then the freshness refresh: the oldest-evidence fresh rows
+#: (r4/r5-vintage TPC-H / window / agg / ta pack). Regenerate with
 #: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "ev_gap_fill",
+    "ev_anomaly_seasonal_zscore",
+    "ev_did_estimator",
+    "ev_anomaly_mad",
+    "ev_trend_forecast",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "window_lag_orders",
@@ -128,11 +133,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dd_keep_canonical",
     "dd_substring_runs",
     "ev_abtest_ztest",
-    "ev_cep_conversion",
-    "ev_purchase_streaks",
-    "ev_survival_km",
-    "ingest_bucketed_join",
-    "ingest_mor_deletes",
 )
 
 
