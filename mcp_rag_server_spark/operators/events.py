@@ -103,10 +103,15 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_sessionize",
     oracle=f"""
 WITH marked AS (
+  -- ts IS NOT NULL: an undated event has no place in an inactivity-
+  -- gap sequence — boundary NULL placements cancel (NULL gap -> 0),
+  -- but a mid-sequence placement under DuckDB's parallel sort NULLs
+  -- out a REAL gap and can swallow a session boundary (r14, r13
+  -- jitter class)
   SELECT user_id, event_id, ts,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
@@ -124,7 +129,8 @@ ORDER BY user_id
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap detection uses integer epoch-microseconds so the comparison is
     exact in both engines (no interval/float coercion)."""
-    ev = load_table(spark, sf_dir, "events")
+    # sequence contract (r14): mirror of the oracle's ts gate
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
@@ -290,7 +296,11 @@ SELECT user_id, event_id,
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING),
                 CAST('-Infinity' AS DOUBLE)) AS run_max_value
-FROM events
+-- ts IS NOT NULL: the sequence contract excludes undated events —
+-- pandas NaT-last happened to coincide with DuckDB NULLS LAST, but
+-- the oracle's parallel window sort can place a NULL key anywhere
+-- (r13 jitter class), renumbering every seq after it (r14)
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, seq
 """,
@@ -317,8 +327,11 @@ def ev_grouped_map_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     reserve it for logic a window/aggregate genuinely cannot express."""
     import pandas as pd  # noqa: F401 (documents the dependency)
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        # sequence contract (r14): mirror of the oracle's ts gate
+        .filter(F.col("ts").isNotNull())
     )
 
     def running(pdf):
@@ -759,10 +772,14 @@ REACH_MAX_HOPS = 4
 _REACH_EDGES_SQL = f"""
 SELECT from_type, to_type FROM (
   SELECT from_type, to_type, COUNT(*) AS n FROM (
+    -- ts IS NOT NULL: an undated event sits FIRST in Spark's lead
+    -- order and LAST in DuckDB's, so the engines would count
+    -- DIFFERENT transition edges (hidden today only by the >= {REACH_MIN_TRANSITIONS}
+    -- threshold) — sequence contract, r14
     SELECT event_type AS from_type,
            lead(event_type) OVER (
              PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-    FROM {{src}}
+    FROM {{src}} WHERE ts IS NOT NULL
   ) WHERE to_type IS NOT NULL
   GROUP BY from_type, to_type
 ) WHERE n >= {REACH_MIN_TRANSITIONS}
@@ -917,7 +934,11 @@ WITH seq AS (
          lead(event_type, 1) OVER w AS t1,
          lead(event_type, 2) OVER w AS t2,
          epoch_us(lead(ts, 2) OVER w) - epoch_us(ts) AS span_us
-  FROM events
+  -- ts IS NOT NULL: a trailing undated purchase under DuckDB's
+  -- NULLS LAST would complete a view->click pattern with a NULL
+  -- span (counted in n_patterns, absent from n_within_24h) that
+  -- Spark's NULLS FIRST never forms (r14, sequence contract)
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 hits AS (
@@ -951,7 +972,8 @@ def ev_cep_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     eventually B with conditions) escalate to
     applyInPandasWithState/transformWithState, already registered in
     the streaming pack."""
-    ev = load_table(spark, sf_dir, "events")
+    # sequence contract (r14): mirror of the oracle's ts gate
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -1727,8 +1749,12 @@ def ev_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAK_SQL = """
 WITH days AS (
+  -- ts IS NOT NULL: an undated purchase would put a NULL d into the
+  -- ORDER BY d row_number below — the r13 engine-divergent /
+  -- DuckDB-thread-jittery class, on the DAY axis (r14; the dirty
+  -- fixture's undated-purchase row materializes this path)
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 grp AS (
   SELECT user_id, d,
@@ -2424,10 +2450,14 @@ BOT_CV_MAX = 0.87
 
 _BOT_SQL = f"""
 WITH seq AS (
+  -- ts IS NOT NULL: boundary NULL placements cancel (the epoch diff
+  -- NULLs out either way), but a mid-sequence placement under
+  -- DuckDB's parallel sort would NULL out BOTH adjacent gaps,
+  -- silently losing a real inter-arrival (r14, r13 jitter class)
   SELECT user_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id) AS gap
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 gaps AS (
   SELECT user_id,
@@ -4591,10 +4621,15 @@ def ev_conversion_window_sensitivity(
 
 _BURSTINESS_SQL = """
 WITH pp AS (
+  -- ts IS NOT NULL: an undated purchase diverges the engines — under
+  -- Spark's NULLS FIRST its lag pair is filtered (prev NULL), under
+  -- DuckDB's NULLS LAST it mints a NULL gap row that COUNT(*) counts
+  -- and the sums skip (n_gaps off by one, diluted mean) — the r14
+  -- undated-purchase fixture row caught exactly this
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id) AS prev
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 g AS (
   SELECT round(({epoch}(ts) - {epoch}(prev))

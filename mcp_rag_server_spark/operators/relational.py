@@ -2350,12 +2350,16 @@ def _running_distinct_sql(dialect: str) -> str:
         )
     return f"""
 WITH firsts AS (
+  -- ts IS NOT NULL: an undated event in the ORDER BY ts windows is
+  -- engine-divergent (Spark NULLS FIRST claims the first-occurrence
+  -- flag and shifts every prefix sum; DuckDB NULLS LAST doesn't) —
+  -- the r13 class, surfaced by the r14 undated-purchase fixture row
   SELECT user_id, ts, event_id,
          CASE WHEN ROW_NUMBER() OVER (
                 PARTITION BY user_id, event_type
                 ORDER BY ts, event_id) = 1
               THEN 1 ELSE 0 END AS is_first
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 running AS (
   SELECT user_id, ts,

@@ -251,13 +251,18 @@ def _nearest_sql(dialect: str = "duckdb") -> str:
     out = "" if dialect == "duckdb" else "IGNORE NULLS"
     return f"""
 WITH unioned AS (
+  -- ts IS NOT NULL both branches: an undated probe has no temporal
+  -- neighbors (its own prior/next diverge with the engines' NULL
+  -- sort placement — latently, since the %100 sample happened to
+  -- skip the fixture's undated ids), and an undated order is
+  -- IGNORE-NULLS-invisible anyway (r14, sequence contract)
   SELECT user_id, ts, event_id,
          CAST(NULL AS TIMESTAMP) AS od_date, 1 AS src
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT o_custkey AS user_id, o_orderdate AS ts,
          CAST(NULL AS BIGINT) AS event_id, o_orderdate AS od_date, 0 AS src
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ),
 carried AS (
   SELECT user_id, ts, event_id, src,

@@ -112,6 +112,26 @@ PARITY_QUERIES = (
     "ev_anomaly_mad",
     "ev_anomaly_seasonal_zscore",
     "ev_gap_fill",
+    # NULL-DAY-key class (r14): the undated-purchase fixture row puts
+    # a NULL d into the purchase-filtered day series; ungated it
+    # reaches row_number() OVER (ORDER BY d) — the r13 class on the
+    # day axis
+    "ev_purchase_streaks",
+    # ts-ordered-window class (r14): the undated-purchase row flipped
+    # the first two to REAL dirty-sweep MISMATCHes (lag-pair filtered
+    # under Spark's NULLS FIRST vs a NULL gap row counted under
+    # DuckDB's NULLS LAST; a first-occurrence flag claimed at the
+    # front shifting every prefix sum); the rest were latently
+    # divergent or DuckDB-thread-jittery for the same reason —
+    # TS_WINDOW_ALLOWLIST in test_registry_invariants.py documents
+    # the three structurally safe exceptions
+    "ev_interpurchase_burstiness",
+    "window_running_distinct",
+    "ev_sessionize",
+    "ev_cep_conversion",
+    "ev_bot_heuristics",
+    "sql_recursive_reach",
+    "tj_nearest_order",
 )
 
 #: The r13 jitter class: queries whose window ORDER BY key could go
@@ -130,6 +150,9 @@ JITTER_QUERIES = (
     "ev_ewma_value",
     "ev_cusum_drift",
     "ev_autocorr",
+    # day-axis member (r14): NULL d from an undated purchase would
+    # reach row_number() OVER (ORDER BY d) ungated
+    "ev_purchase_streaks",
 )
 
 #: cell_probes consumers: documented LOUD on contract-violating input.

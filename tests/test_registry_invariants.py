@@ -8,6 +8,8 @@ set drifts (numbers stop being comparable across rounds). Pin them.
 
 from __future__ import annotations
 
+import re
+
 from mcp_rag_server_spark.registry import DRIVER_PRIORITY, load_all
 
 from conftest import SF001
@@ -239,44 +241,125 @@ def test_every_query_has_oracle_or_documented_rows_only():
     assert no_oracle == [], no_oracle
 
 
-#: Queries whose oracle reads an hourly truncation of events.ts but is
-#: ALLOWED to skip the `ts IS NOT NULL` gate: the hour is a pure output
-#: GROUP BY key, so an undated event yields one visible, deterministic
-#: NULL-hour census row on BOTH engines (no ordered window touches it,
-#: no second-level statistic aggregates over the hourly rows). Any
-#: statistic computed OVER the hourly series — windows ordered by h,
-#: medians/OLS/z-baselines/counts-of-hours — must gate instead: an
-#: h=NULL phantom hour either jitters DuckDB's parallel window sort
-#: (r13 root cause) or skews the statistic's support (r14 extension,
-#: ev_trend_forecast / ev_anomaly_mad / ev_anomaly_seasonal_zscore).
-HOURLY_CENSUS_ALLOWLIST = frozenset(
+#: Queries whose oracle reads a calendar truncation of events.ts but
+#: are ALLOWED to skip the `ts IS NOT NULL` gate: the bucket is a pure
+#: output GROUP BY key, so an undated event yields one visible,
+#: deterministic NULL-bucket census row on BOTH engines (no ordered
+#: window touches it, no second-level statistic aggregates over the
+#: bucketed rows). Any statistic computed OVER the bucketed series —
+#: windows ordered by the bucket, medians/OLS/z-baselines/counts-of-
+#: buckets, period splits — must gate instead: a NULL phantom bucket
+#: either jitters DuckDB's parallel window sort (r13 root cause) or
+#: skews the statistic's support (r14 extension: ev_trend_forecast /
+#: ev_anomaly_mad / ev_anomaly_seasonal_zscore on the hour axis,
+#: ev_purchase_streaks on the day axis).
+CALENDAR_CENSUS_ALLOWLIST = frozenset(
     {
+        # hour is the output group key; NULL-hour row is the census row
         "ev_hourly_windows",
-        "ev_hypertable_rollup",
         "st_incremental_rollup",
+        # minute->hour->day rollup lattice: every level keys its output
+        # by the bucket; the NULL bucket propagates as one visible row
+        # per level and n_minute_rows/n_hour_rows count it as such
+        "ev_hypertable_rollup",
+        # cohort_day comes from a NULL-skipping MIN(ts); never-dated
+        # users drop deterministically at the cohort_sizes equi-join
+        # (NULL = NULL is not true on either engine), and a NULL
+        # day_offset is a visible output group row — no ordered window
+        "ev_cohort_retention",
     }
 )
 
+#: Calendar-unit truncations of events.ts the scan looks for (both the
+#: bare and the aliased form the oracle texts use).
+_TS_TRUNC_TOKENS = tuple(
+    f"date_trunc('{unit}', {col})"
+    for unit in ("minute", "hour", "day", "week", "month")
+    for col in ("ts", "e.ts")
+)
 
-def test_hourly_statistics_gate_null_ts():
-    """Static scan (r13, extended r14): every oracle that buckets
-    events by date_trunc('hour', ts) must carry a `ts IS NOT NULL`
-    gate unless it is a pure per-hour census (allowlist above). The
-    gate is the gap-compression contract: undated events are excluded
-    from series statistics and stay countable via ev_value_validate
+
+def test_calendar_statistics_gate_null_ts():
+    """Static scan (r13, extended r14 to every per-bucket statistic on
+    every calendar unit): an oracle that buckets events by
+    date_trunc(<unit>, ts) must carry a `ts IS NOT NULL` gate unless
+    it is a pure per-bucket census (allowlist above). The gate is the
+    gap-compression contract: undated events are excluded from series
+    statistics and stay countable via ev_value_validate
     (tests/test_dirty_input_parity.py header)."""
     reg = load_all()
     offenders = []
     for name, spec in sorted(reg.items()):
         o = spec.oracle or ""
-        if "date_trunc('hour', ts)" not in o and "date_trunc('hour', e.ts)" not in o:
+        if not any(tok in o for tok in _TS_TRUNC_TOKENS):
             continue
-        if name in HOURLY_CENSUS_ALLOWLIST:
+        if name in CALENDAR_CENSUS_ALLOWLIST:
             continue
         if "ts IS NOT NULL" not in o:
             offenders.append(name)
     assert offenders == [], (
-        "hourly statistic over events lacks the ts IS NOT NULL "
+        "per-bucket statistic over events lacks the ts IS NOT NULL "
         "gap-compression gate (or an explicit census allowlist entry "
-        f"with the NULL-hour-row justification): {offenders}"
+        f"with the NULL-bucket-row justification): {offenders}"
+    )
+
+
+#: Oracles with a ts-ordered window over events that are SAFE without
+#: the `ts IS NOT NULL` gate, each for a verified structural reason —
+#: not "the sweep happened to match" (window_running_distinct taught
+#: that lesson: its MATCH was coincidental until the r14 undated-
+#: purchase fixture row flipped it).
+TS_WINDOW_ALLOWLIST = frozenset(
+    {
+        # ORDER BY ts DESC, event_id DESC: both engines place NULLs
+        # LAST under DESC (Spark rule; DuckDB default null order), and
+        # the event_id tiebreak makes the order total even among
+        # all-NULL keys — the latest-state winner is engine-identical
+        # and thread-stable
+        "ev_latest_state",
+        "st_latest_state",
+        # hour partition key is epoch(ts): NULL ts isolates into the
+        # NULL-hour partition where every ts is NULL and event_id
+        # makes the order total; real partitions cannot contain a
+        # NULL ts at all. The undated bar is a visible census row
+        # (same contract as ev_hourly_windows)
+        "ev_ohlc_bars",
+    }
+)
+
+_TS_WINDOW_RE = re.compile(
+    r"(?:OVER|AS)\s*\(([^()]*ORDER BY[^()]*)\)", re.S
+)
+
+
+def test_ts_ordered_windows_gate_null_ts():
+    """Static scan (r14): a window ordered by events.ts must not admit
+    a NULL order key — Spark sorts NULLS FIRST where DuckDB's default
+    is NULLS LAST (engine divergence), and DuckDB's MULTITHREADED
+    window sort places NULL keys nondeterministically (r13 root
+    cause). Any oracle reading events with an OVER/WINDOW clause
+    ordered by ts needs the `ts IS NOT NULL` gate or a structural
+    justification in TS_WINDOW_ALLOWLIST."""
+    reg = load_all()
+    offenders = []
+    for name, spec in sorted(reg.items()):
+        o = spec.oracle or ""
+        if "events" not in o:
+            continue
+        ts_wins = [
+            w
+            for w in _TS_WINDOW_RE.findall(o)
+            if re.search(r"ORDER BY\s+(?:e\.)?ts\b", w)
+        ]
+        if not ts_wins:
+            continue
+        if name in TS_WINDOW_ALLOWLIST:
+            continue
+        if "ts IS NOT NULL" not in o:
+            offenders.append(name)
+    assert offenders == [], (
+        "ts-ordered window over events admits a NULL order key "
+        "(engine-divergent and DuckDB-thread-jittery) — gate with "
+        "ts IS NOT NULL in both texts or justify in "
+        f"TS_WINDOW_ALLOWLIST: {offenders}"
     )

@@ -29,7 +29,9 @@ are identifiable; every injected value is either NULL or a boundary):
 - embeddings: NULL embedding, empty array, all-zero vector (cosine
   denominator), one NULL element mid-vector, a short (ragged) vector,
   NULL label.
-- events: NULL user_id, NULL value, NULL event_type, NULL ts,
+- events: NULL user_id, NULL value, NULL event_type, NULL ts (one
+  'click', one 'purchase' — the undated purchase materializes the
+  NULL-day-key path in purchase-filtered day series, r14),
   malformed JSON props, empty-object props, NULL props, a DUPLICATE
   event_id with different payload (dedup-key collision), a NaN value,
   and a +Infinity value (non-finite doubles: Spark's decimal cast
@@ -187,6 +189,12 @@ def _dirty_events(t: pa.Table) -> pa.Table:
             # −Inf: exercises the n_neg_inf census clause
             # (ev_value_validate) — no clause without a fixture row
             ev(10, value=float("-inf")),
+            # undated PURCHASE (r14): the NULL-ts row above is a
+            # 'click', so purchase-filtered day-series paths
+            # (ev_purchase_streaks' ORDER BY d window) never saw a
+            # NULL day key — the exact class the r13 gates fixed on
+            # the hour axis stayed untested on the day axis
+            ev(11, ts=None, event_type="purchase"),
         ],
     )
 
