@@ -72,21 +72,30 @@ def register(
 
 
 #: Driver-evidence priority (round 14 rotation, re-regenerated at
-#: round END after the last logic-touching commit — the per-hour-
-#: statistic NULL-hour gates, 807384a): the driver checks a 50-query
-#: prefix of this ordering. Steady-state cadence (COVERAGE.md
-#: "Rotation cadence"): NOT-GREEN rows first (none), then
-#: never-checked (none), then stale chains oldest evidence first —
-#: the five r14-gated queries (ev_gap_fill, ev_anomaly_seasonal_
-#: zscore, ev_did_estimator, ev_anomaly_mad, ev_trend_forecast) —
-#: then the freshness refresh: the oldest-evidence fresh rows
-#: (r4/r5-vintage TPC-H / window / agg / ta pack). Regenerate with
+#: round END after the last logic-touching commit — the ts-ordered-
+#: window NULL-key class closure, caa8cc2): the driver checks a
+#: 50-query prefix of this ordering. Steady-state cadence
+#: (COVERAGE.md "Rotation cadence"): NOT-GREEN rows first (none),
+#: then never-checked (none), then stale chains oldest evidence
+#: first — the fourteen r14-gated queries (the per-hour-statistic
+#: five and the ts-ordered-window eight, plus ev_grouped_map_running
+#: whose module chain the edits share) — then the freshness refresh
+#: (r4/r5-vintage TPC-H / window / agg pack). Regenerate with
 #: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "ev_cep_conversion",
+    "ev_purchase_streaks",
+    "ev_bot_heuristics",
+    "ev_interpurchase_burstiness",
+    "sql_recursive_reach",
+    "tj_nearest_order",
+    "window_running_distinct",
+    "ev_sessionize",
     "ev_gap_fill",
     "ev_anomaly_seasonal_zscore",
     "ev_did_estimator",
     "ev_anomaly_mad",
+    "ev_grouped_map_running",
     "ev_trend_forecast",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
@@ -124,15 +133,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_column_profile",
     "agg_histogram_equiwidth",
     "agg_table_fingerprint",
-    "agg_weighted_median",
-    "dd_cluster_aware_sample",
-    "dd_connected_components",
-    "dd_graph_triangles",
-    "dd_incremental_minhash",
-    "dd_jaccard_same_source",
-    "dd_keep_canonical",
-    "dd_substring_runs",
-    "ev_abtest_ztest",
 )
 
 
