@@ -35,7 +35,7 @@ from mcp_rag_server_spark.functions.vector import (
     valid_embedding_sql,
 )
 from mcp_rag_server_spark.registry import register
-from mcp_rag_server_spark.session import fanout_width
+from mcp_rag_server_spark.session import fanout_width, spread_scan
 
 KM_DIMS = 64
 KM_ITERS = 2
@@ -187,9 +187,14 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned vectors ride along so the update explodes them directly
     (no join back to an element table), and each update is one
     cluster-keyed shuffle of (cluster, d, partial-sum) rows — the
-    textbook distributed Lloyd layout."""
+    textbook distributed Lloyd layout. r14: the gated corpus is
+    spread_scan'd on vec_id so the element explode and both per-row
+    argmin distance folds parallelize on single-row-group fixture
+    layouts (guide §2.5); no-op on multi-split production layouts."""
     # valid_embedding gate — mirrors the oracle's emb_v CTE
-    emb = load_table(spark, sf_dir, "embeddings").filter(valid_embedding())
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).filter(valid_embedding())
     elem = emb.select(
         "vec_id",
         "label",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from mcp_rag_server_spark.catalog import load_table
 from mcp_rag_server_spark.functions.vector import cosine_score, duckdb_cosine
 from mcp_rag_server_spark.registry import register
-from mcp_rag_server_spark.session import fanout_width
+from mcp_rag_server_spark.session import fanout_width, spread_scan
 
 N_MINHASH = 8
 #: Default banding: 2 bands x 4 rows, P(candidate) = 1-(1-j^4)^2.
@@ -135,7 +135,14 @@ def _spark_shingle_values(docs: DataFrame) -> DataFrame:
     the shingle's combined hash value (the DuckDB twin is the ``sh``
     CTE). Docs with fewer than 3 tokens produce no rows."""
     c0, c1, c2 = SHINGLE_C
-    ex = docs.select(
+    # r14: spread the single-row-group fixture scan on doc_id BEFORE the
+    # explode — the per-token md5 fold then parallelizes, and the
+    # doc_id-keyed exchange this adds is the SAME one the lead() window
+    # below would otherwise insert (EnsureRequirements reuses it), so
+    # the signature still costs exactly one shuffle — now of raw docs,
+    # not exploded tokens (guide §2.3/§2.5). Measured x0.78 at sf0.1;
+    # no-op on multi-split layouts.
+    ex = spread_scan(docs, "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).select(
         "doc_id",
@@ -637,8 +644,12 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash = sign-aggregated token-hash bits; near-dups differ in few
     bits, so the value buckets Hamming-ball candidate search. Shape:
     explode → 16 conditional partial sums per doc — one shuffle on
-    doc_id."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    doc_id (r14: spread_scan'd on doc_id so the token explode + 16
+    md5-digit votes parallelize on single-row-group fixture layouts;
+    the doc_id exchange it adds replaces the groupBy's)."""
+    spread_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).createOrReplaceTempView("documents")
     return spark.sql(_simhash_sql("spark"))
 
 
@@ -2717,8 +2728,11 @@ def dd_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny LSH/exact sides), localCheckpoint'd as one stats row before
     the 3-row ladder reads it three times. Together: 9.7 s → ~2 s
     steady at sf0.1; the DuckDB oracle keeps the generic tagged-census
-    derivation as the independent check of the counting identities."""
-    docs = load_table(spark, sf_dir, "documents")
+    derivation as the independent check of the counting identities.
+    r14: the registered view is spread_scan'd on doc_id so the serial
+    fixture-scan stages (simhash token votes, md5(text) groups) and
+    the minhash signature behind lsh_pairs_v all parallelize."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     docs.createOrReplaceTempView("documents")
     _jaccard_pair_edges(docs).localCheckpoint(
         eager=True

@@ -31,6 +31,7 @@ from mcp_rag_server_spark.functions.numeric import (
     duckdb_dsum,
 )
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import spread_scan
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -61,8 +62,16 @@ ORDER BY l_returnflag, l_linestatus
     bench=True,
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    """r14: the single-row-group fixture scan made the 11 decimal
+    partial sums run as ONE task (~2 s serial at sf0.1); spread_scan
+    re-spreads the filtered scan on l_orderkey so the partial
+    aggregation parallelizes (guide §2.5 input skew) — measured x0.44
+    interleaved A/B; a no-op on multi-split production layouts."""
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+        ),
+        "l_orderkey",
     )
     charge = _revenue() * (1 + F.col("l_tax"))
     return (
@@ -611,8 +620,12 @@ LIMIT 15
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate lineitem BEFORE joining part (pre-aggregation shrinks the
     join input from |lineitem| to |parts| rows — at 100 TB this is the
-    difference between shuffling 100 TB and broadcasting a dim)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    difference between shuffling 100 TB and broadcasting a dim). r14:
+    spread_scan on the groupBy key so the decimal partial aggregation
+    parallelizes on single-row-group fixture layouts — keyed on
+    l_partkey, the exchange it adds REPLACES the groupBy's (measured
+    x0.66 interleaved A/B at sf0.1); no-op on multi-split layouts."""
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"), "l_partkey")
     p = load_table(spark, sf_dir, "part")
     agg = li.groupBy("l_partkey").agg(
         dsum(_revenue(), 6).alias("revenue"), F.count("*").alias("n_lines")

@@ -21,6 +21,7 @@ from mcp_rag_server_spark.functions.text import (
     word_shingles_sql,
 )
 from mcp_rag_server_spark.registry import register
+from mcp_rag_server_spark.session import spread_scan
 
 #: Tiny English stopword list for ratio features (the fixture vocabulary
 #: is shared word soup, FIXTURES.md A1 — the *ratios* are what matters).
@@ -1114,7 +1115,10 @@ BPE_ITERS = 3
 
 
 def _bpe_sql(
-    dialect: str, keep_word: bool = False, final_select: str | None = None
+    dialect: str,
+    keep_word: bool = False,
+    final_select: str | None = None,
+    s0_view: str | None = None,
 ) -> str:
     """Unrolled distributed BPE merge learning (Sennrich et al.
     ACL'16): word-frequency table → space-separated symbol strings →
@@ -1125,7 +1129,10 @@ def _bpe_sql(
     threads the word column through the symbol chain so ``s{N}`` is a
     word→encoding dictionary (used by ``ta_bpe_apply``; the pair
     aggregation ignores the extra column, so the learned merges are
-    identical either way)."""
+    identical either way). ``s0_view`` (spark side, r14) replaces the
+    words/s0 CTEs with a reference to a pre-checkpointed view so the
+    CTE re-inlining above it stays vocabulary-cost — the SQL from s0
+    up is byte-identical either way."""
     if dialect == "spark":
         chars = "array_join(split(word, ''), ' ')"
 
@@ -1191,8 +1198,10 @@ c{i} AS (
     )
     s0_cols = "word, freq" if keep_word else "freq"
     final = final_select or f"{selects}\nORDER BY merge_rank"
-    return f"""
-WITH words AS (
+    if s0_view is not None:
+        head = f"WITH s0 AS (SELECT * FROM {s0_view})"
+    else:
+        head = f"""WITH words AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT {ex}({_bpe_split(dialect, "text")}) AS word FROM documents)
   WHERE word <> ''
@@ -1200,7 +1209,9 @@ WITH words AS (
 ),
 s0 AS (
   SELECT {s0_cols}, {chars} || ' </w>' AS sym FROM words
-),{",".join(iters)}
+)"""
+    return f"""
+{head},{",".join(iters)}
 {final}
 """
 
@@ -1209,6 +1220,44 @@ def _bpe_split(dialect: str, col: str) -> str:
     if dialect == "spark":
         return f"split({col}, ' ')"
     return f"string_split({col}, ' ')"
+
+
+# --- r14: checkpoint the corpus-cost stage of the BPE chain ------------
+#
+# The single-statement form re-inlines every CTE per consumer: each
+# s{i} is read by p{i+1}, s{i+1} AND c{i}, so the words/s0 lineage
+# fans out multiplicatively and the formatted plan of ta_bpe_apply
+# held EIGHTEEN corpus scans at BPE_ITERS=3 (plans/r14/ta_bpe_apply_
+# before.txt). Only the word-frequency stage is corpus-cost, so ONLY
+# it is checkpointed (one eager localCheckpoint, view ``bpe_s0_v``);
+# the merge chain above it stays one statement — its re-inlined
+# copies are vocabulary-sized, and Spark runs the independent
+# subtrees as CONCURRENT stages, which a fully-staged sequential
+# checkpoint chain measurably loses to (interleaved A/B this round:
+# full staging 3.06 s vs 1.97 s baseline at sf0.1 — the guide §1.1
+# "ideal plan is usually slower at first" case; checkpointing s0
+# alone keeps the concurrency AND removes the corpus rescans).
+
+def _bpe_words_s0_sql(keep_word: bool) -> str:
+    """words + s0 in one statement (the only corpus-cost stage of the
+    BPE chain; spark dialect)."""
+    chars = "array_join(split(word, ''), ' ')"
+    s0_cols = "word, freq" if keep_word else "freq"
+    return f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)
+SELECT {s0_cols}, {chars} || ' </w>' AS sym FROM words"""
+
+
+def _bpe_checkpoint_s0(spark: SparkSession, keep_word: bool) -> None:
+    """Materialize words+s0 once under view ``bpe_s0_v``."""
+    spark.sql(_bpe_words_s0_sql(keep_word)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("bpe_s0_v")
 
 
 @register(
@@ -1235,14 +1284,19 @@ def ta_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join. At 100 TB the word-frequency table is the only
     state (Heaps-sublinear), so hundreds of merge iterations run at
     vocabulary cost, not corpus cost — the reason every production
-    BPE trainer works from word counts."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    return spark.sql(_bpe_sql("spark"))
+    BPE trainer works from word counts. r14: the corpus-cost
+    words/s0 stage is checkpointed once (``_bpe_checkpoint_s0``) and
+    the merge chain reads it via ``s0_view`` — the re-inlined CTE
+    copies above s0 are vocabulary-sized and stay one concurrent
+    statement."""
+    spread_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).createOrReplaceTempView("documents")
+    _bpe_checkpoint_s0(spark, keep_word=False)
+    return spark.sql(_bpe_sql("spark", s0_view="bpe_s0_v"))
 
 
-def _bpe_apply_sql(dialect: str) -> str:
+def _bpe_apply_sql(dialect: str, s0_view: str | None = None) -> str:
     """Encode the corpus with the merges ``ta_bpe_train`` learns: the
     word-keyed symbol chain (keep_word=True) IS the word→encoding
     dictionary, so application is a word join, never a per-token
@@ -1277,7 +1331,9 @@ SELECT d.source,
 FROM docw d JOIN enc e ON e.word = d.word
 GROUP BY d.source
 ORDER BY d.source"""
-    return _bpe_sql(dialect, keep_word=True, final_select=final)
+    return _bpe_sql(
+        dialect, keep_word=True, final_select=final, s0_view=s0_view
+    )
 
 
 @register(
@@ -1305,11 +1361,17 @@ def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the character baseline (chars + </w> per word) — the quality
     metrics tokenizer changes are judged by. Costs: the training
     chain (vocab-sized shuffles) + one word explode + one dictionary
-    join + a source-keyed aggregate."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    return spark.sql(_bpe_apply_sql("spark"))
+    join + a source-keyed aggregate. r14: the corpus-cost words/s0
+    stage is checkpointed once (the single-statement form re-inlined
+    it into EIGHTEEN corpus scans — plans/r14/ta_bpe_apply_before
+    .txt) and the registered view is spread_scan'd on doc_id so the
+    two remaining corpus explodes (word counts, docw) run parallel
+    on single-row-group fixture layouts."""
+    spread_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).createOrReplaceTempView("documents")
+    _bpe_checkpoint_s0(spark, keep_word=True)
+    return spark.sql(_bpe_apply_sql("spark", s0_view="bpe_s0_v"))
 
 
 #: Winnowing parameters: k-gram size (tokens) and window width (number
@@ -1428,10 +1490,14 @@ def ta_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     any drift in fold, packing, or window framing fails the driver
     hash. Shape: one doc-keyed window pass for k-grams, one for the
     running min, one distinct + aggregate — all on the same doc_id
-    shuffle; nothing global, nothing quadratic."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
+    shuffle; nothing global, nothing quadratic. r14: the registered
+    view is spread_scan'd on doc_id so the tokenize/explode/md5 stage
+    parallelizes on single-row-group fixture layouts — the added
+    exchange is the doc_id one the k-gram window needed anyway
+    (measured x0.68 interleaved A/B at sf0.1)."""
+    spread_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).createOrReplaceTempView("documents")
     return spark.sql(_winnow_sql("spark"))
 
 

@@ -27,7 +27,7 @@ from mcp_rag_server_spark.functions.vector import (
     valid_embedding_sql,
 )
 from mcp_rag_server_spark.registry import register
-from mcp_rag_server_spark.session import fanout_width
+from mcp_rag_server_spark.session import fanout_width, spread_scan
 
 #: Prefix widths audited (the last is the full fixture width = exact).
 MAT_DIMS = (8, 16, 32, 64)
@@ -353,13 +353,16 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-rounded doubles, no vector math at query time. At 100 TB
     the codebook and qdot tables stay broadcast-sized (k_codebooks ×
     256 rows) no matter the corpus; the only big operand is the
-    narrow N×M assignment pass, done once at index build."""
+    narrow N×M assignment pass, done once at index build. r14: the
+    gated corpus is spread_scan'd on vec_id so the codebook element
+    explode and the N×M nearest-codeword folds parallelize on
+    single-row-group fixture layouts (guide §2.5)."""
     # valid_embedding gate — mirrors the oracle's emb_v CTE (a NaN
     # element otherwise reaches the codeword means: silent NULL on
     # Spark's decimal cast, an error on DuckDB's)
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.expr(valid_embedding_sql("spark"))
-    )
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).filter(F.expr(valid_embedding_sql("spark")))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cw = pq_codewords(emb)
     adc = pq_adc_scores(pq_assign(emb, cw), pq_qdot(cw, q))
@@ -445,11 +448,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and this gate is a no-op scan predicate. At 100 TB the cell
     column is the partition key (partition pruning IS the cell prune),
     codes are the only bytes the query touches, and both the centroid
-    and qdot tables stay broadcast-sized."""
+    and qdot tables stay broadcast-sized. r14: spread_scan on vec_id
+    (same rationale as sim_pq_adc_topk — parallel codebook/assignment
+    passes over the single-row-group fixture scan)."""
     # valid_embedding gate — mirrors the oracle's emb_v CTE
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.expr(valid_embedding_sql("spark"))
-    )
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).filter(F.expr(valid_embedding_sql("spark")))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     means = label_dim_means(emb)  # shared with the PQ codebook below
     cent = means.groupBy("label").agg(

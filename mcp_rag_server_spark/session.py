@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 #: Shuffle partitions default. On the test rig we size to the CPU count;
 #: on a real cluster this is overridden (rule of thumb: 2-3x total cores,
@@ -66,6 +66,46 @@ def fanout_width(spark: SparkSession, floor: int = 8) -> int:
     width-independent by construction.
     """
     return max(int(spark.sparkContext.defaultParallelism), floor)
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive de-collapse of a scan whose FILE LAYOUT yields
+    fewer tasks than the cluster has cores (optimization guide §2.5
+    "input skew": one huge unsplittable file → repartition immediately
+    after the read).
+
+    The comparison fixtures are single-file single-row-group parquet
+    (BASELINE.md caveat), so EVERY scan is one task and everything
+    pipelined on top of it — explodes, md5 folds, decimal partial
+    aggregates — runs serially no matter the core count. A production
+    layout has many splits and gets that parallelism for free; this
+    helper only restores it where the layout denies it, and is a no-op
+    whenever the scan already fans out to >= the cluster width:
+
+      - partition deficit is MEASURED from the scan's own RDD layout,
+        never assumed (``df.rdd.getNumPartitions()`` is file-split
+        math, no job runs);
+      - the re-spread is a deterministic HASH repartition on caller-
+        chosen high-cardinality ``keys`` — never round-robin, so no
+        sort-before-repartition pass and no SPARK-38388 retry hazard;
+      - width comes from :func:`fanout_width` (cluster-derived), and
+        the explicit numPartitions pins it against AQE re-coalescing
+        the tiny fixture shuffle back to one task (the r8 finding on
+        ENSURE_REQUIREMENTS exchanges);
+      - keyed on the downstream window/groupBy key where one exists,
+        the added exchange REPLACES the one EnsureRequirements would
+        insert later (same total shuffle count, but it now carries the
+        narrow pre-explode rows and everything above it parallelizes).
+
+    Values are partition-independent by the registry's determinism
+    rules (per-row math, order-free aggregates), so results are
+    bit-identical with and without the spread.
+    """
+    spark = df.sparkSession
+    width = fanout_width(spark)
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, *keys)
 
 
 def get_spark(
