@@ -232,7 +232,17 @@ def ev_ivm_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"(hi - lo) * {IVM_NUM} DIV {IVM_DEN}")
             ).alias("is_delta"),
         )
+        # `tagged` feeds base, delta AND the recompute check, and the
+        # census ladder below re-reads their descendants — Catalyst
+        # re-inlines the events scan + bounds cross join into every
+        # branch (the re-inlined-CTE trap: the r14 before-plan shows
+        # THIRTY-SIX parquet scans). One eager checkpoint of the
+        # corpus-cost stage (narrow 4-column rows) cuts that to the
+        # two real scans (bounds + tagged); the downstream aggregates
+        # are group-count-sized and stay as concurrent stages
+        # (r14 interleaved A/B: x0.86).
     )
+    tagged = tagged.localCheckpoint(eager=True)
 
     def signed_agg(df):
         return df.groupBy("user_id").agg(

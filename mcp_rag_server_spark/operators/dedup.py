@@ -23,6 +23,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2734,12 +2736,23 @@ def dd_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minhash signature behind lsh_pairs_v all parallelize."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     docs.createOrReplaceTempView("documents")
-    _jaccard_pair_edges(docs).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("lsh_pairs_v")
-    spark.sql(_simhash_sql("spark")).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("simhash_v")
+    # The two checkpointed inputs are INDEPENDENT (LSH pairs need the
+    # minhash signature chain, simhash needs the token-vote aggregate;
+    # neither reads the other), so materialize them as overlapping
+    # jobs (guide §2.6): the second job's tasks back-fill the executor
+    # slots the first job's straggler stages leave idle. FIFO
+    # scheduling keeps job 1 first-priority; values are unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lsh_f = pool.submit(
+            lambda: _jaccard_pair_edges(docs).localCheckpoint(eager=True)
+        )
+        sim_f = pool.submit(
+            lambda: spark.sql(_simhash_sql("spark")).localCheckpoint(
+                eager=True
+            )
+        )
+        lsh_f.result().createOrReplaceTempView("lsh_pairs_v")
+        sim_f.result().createOrReplaceTempView("simhash_v")
     spark.sql(_agreement_counts_sql()).localCheckpoint(
         eager=True
     ).createOrReplaceTempView("agreement_stats_v")

@@ -235,6 +235,10 @@ def rag_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_POOL)
         .select(F.lit(0).alias("qid"), "vec_id", "embedding", "rel")
     )
+    # NOT checkpointed, unlike mmr_topk_batch below: the pool does feed
+    # three plan consumers, but for the single-qid pool the re-inlined
+    # scoring subtrees run as CONCURRENT stages and beat one serialized
+    # checkpoint (r14 interleaved A/B: ckpt x1.11 — rejected).
     return mmr_rerank(cand, mmr_pairs(cand)).drop("qid").orderBy("rank")
 
 
@@ -435,6 +439,15 @@ def mmr_topk_batch(
         .filter(F.col("rn") <= pool)
         .select("qid", "vec_id", "embedding", "rel")
     )
+    # The pool feeds THREE plan consumers (rerank's cogroup left side +
+    # both sides of the pair self-join) and Catalyst re-inlines the
+    # corpus scoring scan + per-qid rank window into each (the
+    # re-inlined-CTE trap, guide §3.3). One eager checkpoint of the
+    # M×pool-row pool (tiny: qid + id + 64-float embedding + rel) runs
+    # the scoring once (r14 interleaved A/B: x0.88); selection math is
+    # unchanged. rag_mmr_topk's single-qid pool is NOT checkpointed —
+    # there the concurrent re-inlined stages win (x1.11).
+    cand = cand.localCheckpoint(eager=True)
     return mmr_rerank(cand, mmr_pairs(cand), k=k, lam=lam)
 
 
