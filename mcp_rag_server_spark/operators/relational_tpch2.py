@@ -485,6 +485,22 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sup") > 1)
         .select("a_ok")
     )
+    # `late` feeds TWO consumers (blamed's base + the multi_late
+    # aggregate) and Catalyst re-inlines the lineitem⋈orders join +
+    # distinct into each (the re-inlined-CTE trap, guide §3.3);
+    # `multi_sup` shares no lineage with `late`, so the two
+    # checkpoints materialize as overlapping FIFO jobs (guide §2.6).
+    # r14 interleaved A/B: x0.90; both frames are aggregate-sized
+    # (order-key rows), never lineitem-sized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _late_f = _pool.submit(lambda: late.localCheckpoint(eager=True))
+        _msup_f = _pool.submit(
+            lambda: multi_sup.localCheckpoint(eager=True)
+        )
+        late = _late_f.result()
+        multi_sup = _msup_f.result()
     multi_late = (
         late.groupBy(F.col("l_orderkey").alias("t_ok"))
         .agg(F.count_distinct("l_suppkey").alias("n_late_sup"))
