@@ -72,67 +72,69 @@ def register(
 
 
 #: Driver-evidence priority (round 14 rotation, re-regenerated at
-#: round END after the last logic-touching commit — the ts-ordered-
-#: window NULL-key class closure, caa8cc2): the driver checks a
+#: round END after the optimization phase's last logic-touching
+#: commit — the tpch_q21 checkpoint overlap): the driver checks a
 #: 50-query prefix of this ordering. Steady-state cadence
 #: (COVERAGE.md "Rotation cadence"): NOT-GREEN rows first (none),
 #: then never-checked (none), then stale chains oldest evidence
-#: first — the fourteen r14-gated queries (the per-hour-statistic
-#: five and the ts-ordered-window eight, plus ev_grouped_map_running
-#: whose module chain the edits share) — then the freshness refresh
-#: (r4/r5-vintage TPC-H / window / agg pack). Regenerate with
+#: first — the 45 queries whose logic chains the r14 optimization
+#: edits touched (the shared spread_scan / minhash-signature /
+#: cell-blocked stages put whole dd_/ev_ families here, plus the
+#: checkpointed ev_ivm/rag_mmr/ta_bpe/tpch_q1/q21 and the
+#: NULL-hour-gated five) — then the freshness refresh (the five
+#: oldest fresh rows). Regenerate with
 #: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "tpch_q21_waiting_orders",
+    "dd_cluster_aware_sample",
+    "dd_connected_components",
+    "dd_graph_triangles",
+    "dd_incremental_minhash",
+    "dd_jaccard_same_source",
+    "dd_keep_canonical",
     "ev_cep_conversion",
     "ev_purchase_streaks",
+    "dd_cluster_size_hist",
+    "dd_cross_source_matrix",
+    "dd_graph_degree_stats",
+    "dd_minhash_bbit_audit",
+    "dd_minhash_est_audit",
+    "dd_soft_dedup_weights",
+    "dd_threshold_sweep",
     "ev_bot_heuristics",
     "ev_interpurchase_burstiness",
     "sql_recursive_reach",
+    "ta_bpe_apply",
+    "ta_bpe_train",
+    "ta_dataset_card",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "ta_leakage_safe_split",
+    "ta_winnowing_fingerprint",
     "tj_nearest_order",
     "window_running_distinct",
+    "dd_lsh_band_audit",
+    "dd_method_agreement",
     "ev_sessionize",
     "ev_gap_fill",
+    "top_parts_by_revenue",
     "ev_anomaly_seasonal_zscore",
     "ev_did_estimator",
+    "ev_ivm_delta_rollup",
     "ev_anomaly_mad",
     "ev_grouped_map_running",
     "ev_trend_forecast",
+    "rag_mmr_batch",
+    "rag_mmr_topk",
+    "sim_ivfpq_topk",
+    "sim_kmeans_refine",
+    "sim_pq_adc_topk",
+    "tpch_q1",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "window_lag_orders",
     "agg_exact_percentiles",
     "agg_stats_lineitem",
-    "agg_string_concat_nations",
-    "dd_exact_stats",
-    "grouping_sets_sales",
-    "pivot_status_by_priority",
-    "rag_topk",
-    "sim_ann_topk",
-    "sim_radius_search",
-    "sql_rag_topk",
-    "st_latest_state",
-    "ta_bigram_top",
-    "ta_dedup_budget_pipeline",
-    "ta_filter_pipeline",
-    "ta_langid_heuristic",
-    "ta_quality_score",
-    "ta_repetition_stats",
-    "ta_stratified_sample",
-    "ta_tfidf_top",
-    "ta_token_stats",
-    "tj_range_pairs_5min",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q16_supplier_part_count",
-    "tpch_q21_waiting_orders",
-    "tpch_q2_min_cost_supplier",
-    "unpivot_lineitem_metrics",
-    "window_moving_avg",
-    "window_rank_analytics",
-    "agg_benford_audit",
-    "agg_column_profile",
-    "agg_histogram_equiwidth",
-    "agg_table_fingerprint",
 )
 
 
