@@ -1,0 +1,80 @@
+"""Round-14 optimization pins.
+
+The r14 optimization round added eager localCheckpoints for re-inlined
+CTE stages (ev_ivm_delta_rollup, rag_mmr_batch/mmr_topk_batch,
+tpch_q21_waiting_orders) and materializes independent checkpoint inputs
+from a 2-thread pool (dd_method_agreement, tpch_q21_waiting_orders —
+guide §2.6 job overlap). These tests pin the two properties those
+changes must preserve:
+
+1. DOUBLE-INVOCATION DETERMINISM: running the operator twice in one
+   session returns identical rows — guards the threaded materialization
+   against any ordering/race sensitivity and the checkpoint against
+   stale-state leaks between invocations (the values themselves are
+   oracle-pinned by PARITY_QUERIES / the driver window; this pin is
+   about the new execution machinery, so it compares run-to-run).
+2. CHECKPOINT ACTIVE: the final plan reads a checkpointed RDD (Scan
+   ExistingRDD) instead of re-inlining the stage — the structural claim
+   OPTIMIZATION_r14.md makes for each (36→2 / 12→2 parquet scans).
+"""
+
+from __future__ import annotations
+
+from conftest import SF0001
+
+from mcp_rag_server_spark.registry import load_all
+
+#: operator → checkpoint expected visible in the FINAL plan. The
+#: dd_method_agreement final statement reads its checkpointed views, so
+#: ExistingRDD shows there too; rag_mmr_batch's checkpoint sits below
+#: the rerank cogroup (also final-plan-visible).
+CKPT_QUERIES = (
+    "ev_ivm_delta_rollup",
+    "rag_mmr_batch",
+    "dd_method_agreement",
+    "tpch_q21_waiting_orders",
+)
+
+#: operators whose checkpoint inputs materialize from a thread pool.
+THREADED_QUERIES = ("dd_method_agreement", "tpch_q21_waiting_orders")
+
+
+def test_checkpointed_operators_are_run_to_run_deterministic(spark):
+    reg = load_all()
+    for name in set(CKPT_QUERIES) | set(THREADED_QUERIES):
+        fn = reg[name].spark_fn
+        first = fn(spark, SF0001).collect()
+        second = fn(spark, SF0001).collect()
+        assert first == second, name
+        assert len(first) > 0, name
+
+
+def test_final_plans_read_checkpointed_stage(spark):
+    reg = load_all()
+    for name in CKPT_QUERIES:
+        df = reg[name].spark_fn(spark, SF0001)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, name
+        # the re-inlined form this replaced scanned parquet many times
+        # in ONE statement; the checkpointed final statement must not
+        # (tpch_q21 keeps its supplier-dim scan, ev_ivm its bounds;
+        # the bound asserts the blow-up is gone, not zero scans)
+        n_scans = plan.count("FileScan parquet") + plan.count(
+            "Scan parquet"
+        )
+        assert n_scans <= 3, (name, n_scans)
+
+
+def test_threaded_materialization_matches_sequential_form(spark):
+    """The thread-pool overlap must be a pure scheduling change: the
+    checkpointed frames it produces are the same frames the sequential
+    form would checkpoint, so collecting the operator twice (fresh
+    thread pools each call) and comparing against a sorted canonical
+    form is stable across arbitrary job interleavings."""
+    reg = load_all()
+    for name in THREADED_QUERIES:
+        rows = [
+            sorted(map(tuple, reg[name].spark_fn(spark, SF0001).collect()))
+            for _ in range(2)
+        ]
+        assert rows[0] == rows[1], name
