@@ -1331,6 +1331,12 @@ def sim_compression_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
+    # r15: sizing these hints like spread_scan (width 16 for this
+    # table) was tried and MEASURED x1.12 SLOWER interleaved — unlike
+    # the table's other consumers, each corpus row here fans into
+    # CF_QUERIES pair-folds (6 HOF folds × 10 queries), so per-task
+    # work is an order heavier and full cluster width is the optimum.
+    # Full width stays (OPTIMIZATION_r15.md frontier section).
     spark.sql(_frontier_proj_sql(width=fanout_width(spark))).localCheckpoint(
         eager=True
     ).createOrReplaceTempView("cf_proj_v")

@@ -18,6 +18,7 @@ tests/test_cache_lifecycle.py, where the contract is spelled out.
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,6 +69,74 @@ def fanout_width(spark: SparkSession, floor: int = 8) -> int:
     return max(int(spark.sparkContext.defaultParallelism), floor)
 
 
+#: On-disk input bytes one spread task should own, in the deficit
+#: regime only (input too small for the file-split math to reach the
+#: cluster width). The r15 width A/B (OPTIMIZATION_r15.md, min-of-5
+#: interleaved at sf0.1/local[32]) put the optimum at ~50 KB/task
+#: across three input sizes: documents 594 KB → 8-16 best (w32 up to
+#: +26% slower on dd_method_agreement), embeddings 799 KB → 16 best
+#: (w32 +26%/+33% slower on sim_kmeans_refine / sim_pq_adc_topk),
+#: lineitem 10.8 MB → 32 best. Spread tasks are compute-bound
+#: (explodes, md5/HOF folds over compressed columnar input), so the
+#: per-task byte target is far below the 128 MB scan-split target;
+#: parameterized for production re-tuning.
+_SPREAD_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", str(50 * 1024))
+)
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A byte-valued session conf, tolerating k/m/g-suffixed forms."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(raw[-1]) + 1)
+        raw = raw[:-1]
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _scan_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the files feeding ``df``'s scan, or None
+    when the lineage has no statable file source. Pure file-listing —
+    no Spark job runs."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = unquote(urlparse(path).path)
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def spread_width(df: DataFrame) -> int:
+    """The width :func:`spread_scan` would pick for ``df`` — for SQL
+    REPARTITION-hint call sites (mid-statement spreads that cannot go
+    through spread_scan). Same sizing: one task per
+    :data:`_SPREAD_TASK_BYTES` of on-disk scan input, floored at 8,
+    capped at the cluster width; full cluster width when the input is
+    not a statable file scan."""
+    spark = df.sparkSession
+    cap = fanout_width(spark)
+    nbytes = _scan_input_bytes(df)
+    if nbytes is None:
+        return cap
+    return min(cap, max(8, -(-nbytes // _SPREAD_TASK_BYTES)))
+
+
 def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     """Scale-adaptive de-collapse of a scan whose FILE LAYOUT yields
     fewer tasks than the cluster has cores (optimization guide §2.5
@@ -79,19 +148,28 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     pipelined on top of it — explodes, md5 folds, decimal partial
     aggregates — runs serially no matter the core count. A production
     layout has many splits and gets that parallelism for free; this
-    helper only restores it where the layout denies it, and is a no-op
-    whenever the scan already fans out to >= the cluster width:
+    helper only restores it where the layout denies it:
 
-      - partition deficit is MEASURED from the scan's own RDD layout,
-        never assumed (``df.rdd.getNumPartitions()`` is file-split
-        math, no job runs);
+      - the spread fires only in the DEFICIT regime — when the scan's
+        estimated split count (on-disk bytes over
+        ``spark.sql.files.maxPartitionBytes``, the same quantity the
+        scan's file-split math uses) is below the cluster width — so
+        a production multi-split layout makes it a no-op;
+      - the width is SIZE-AWARE (r15): one task per
+        :data:`_SPREAD_TASK_BYTES` of input, floored at 8 and capped
+        at the cluster width, so a small input is not fanned into
+        sub-useful tasks (the r14 driver's c8/c32 scaling showed full
+        cluster width anti-scaling on sub-MB inputs) and the width
+        grows with the input until the layout takes over;
       - the re-spread is a deterministic HASH repartition on caller-
         chosen high-cardinality ``keys`` — never round-robin, so no
-        sort-before-repartition pass and no SPARK-38388 retry hazard;
-      - width comes from :func:`fanout_width` (cluster-derived), and
-        the explicit numPartitions pins it against AQE re-coalescing
-        the tiny fixture shuffle back to one task (the r8 finding on
-        ENSURE_REQUIREMENTS exchanges);
+        sort-before-repartition pass and no SPARK-38388 retry hazard
+        (zero keys is therefore a refused call, not a silent
+        degradation);
+      - a frame whose lineage ALREADY carries a RepartitionByExpression
+        (a caller upstream spread it) is returned untouched: no double
+        exchange, and no ``.rdd`` inspection that would finalize an
+        AQE plan and run the upstream shuffle at construction time;
       - keyed on the downstream window/groupBy key where one exists,
         the added exchange REPLACES the one EnsureRequirements would
         insert later (same total shuffle count, but it now carries the
@@ -99,12 +177,34 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
 
     Values are partition-independent by the registry's determinism
     rules (per-row math, order-free aggregates), so results are
-    bit-identical with and without the spread.
+    bit-identical with and without the spread at any width.
     """
+    if not keys:
+        raise ValueError(
+            "spread_scan requires at least one hash key; keyless "
+            "repartition is round-robin (sort-before-repartition cost "
+            "and the SPARK-38388 retry hazard this helper avoids)"
+        )
     spark = df.sparkSession
-    width = fanout_width(spark)
-    if df.rdd.getNumPartitions() >= width:
+    cap = fanout_width(spark)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "RepartitionByExpression" in plan:
         return df
+    nbytes = _scan_input_bytes(df)
+    if nbytes is None:
+        # No statable file scan (checkpointed / in-memory lineage):
+        # the layout is whatever the materialization produced; measure
+        # it directly (safe here — no file-backed AQE exchange below).
+        if df.rdd.getNumPartitions() >= cap:
+            return df
+        width = cap
+    else:
+        max_split = _conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+        )
+        if -(-nbytes // max_split) >= cap:
+            return df
+        width = min(cap, max(8, -(-nbytes // _SPREAD_TASK_BYTES)))
     return df.repartition(width, *keys)
 
 
