@@ -346,6 +346,11 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = _assign(emb, c0, keep_embedding=True).select(
         "vec_id", "cluster", "embedding", F.expr(_SD_NORM).alias("nrm")
     )
+    # r15: eager-checkpointing asg (it feeds both self-join sides +
+    # sizes) measured x1.55 SLOWER interleaved — the re-inlined
+    # argmin subtrees run as CONCURRENT stages in the single
+    # statement (the rag_mmr_topk lesson), and ReuseExchange already
+    # dedupes the self-join's exchange. Inline form stays.
     a, b = asg.alias("a"), asg.alias("b")
     score = F.round(
         F.expr(_SD_DOT)

@@ -466,6 +466,12 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the join, so the self-join sides carry one row per order, not
     per line. The reference's deleted-file anti join (indexer.ts:431-443)
     is the same anti shape on path keys."""
+    # r15 re-check (verdict item 6): spreading the lineitem scan on
+    # l_orderkey inside the two checkpoint jobs measured x1.13 SLOWER
+    # interleaved — orders broadcasts, so the scan pipelines straight
+    # into the broadcast probe + partial distinct, and the added
+    # raw-row exchange is reused by neither consumer (late's distinct
+    # keys on (l_orderkey, l_suppkey)). Unspread stays.
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
