@@ -41,13 +41,44 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / filter pushdown happen
-    automatically because this is a plain parquet scan."""
+    automatically because this is a plain parquet scan.
+
+    The resolved relation is memoized PER SESSION, keyed on the file's
+    (path, size, mtime): ``spark.read.parquet`` pays ~100-160 ms of
+    driver-side work per call (directory listing + parquet footer
+    schema read + relation resolution — r15 measurement), and the
+    operator suite re-reads the same handful of fixtures many times
+    per query construction. This is METADATA caching only — the exact
+    thing a catalog table gives you in production (guide §6: session
+    file-listing caches exist precisely to avoid repeated listings of
+    an unchanged table) — every action still scans the parquet bytes;
+    no row, aggregate, or query result is ever stored. A fixture
+    rewritten in place (size or mtime moved) misses the memo and is
+    re-resolved, and the memo dies with the session object itself.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None  # non-local / vanished path: fall through uncached
+    cache: dict | None = None
+    if key is not None:
+        cache = getattr(spark, "_graft_relation_cache", None)
+        if cache is None:
+            cache = {}
+            spark._graft_relation_cache = cache
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    df = spark.read.parquet(path)
     if name == "events":
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return normalize_event_ts(df)
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_event_ts(df)
+    if cache is not None:
+        cache[key] = df
+    return df
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
