@@ -85,56 +85,56 @@ def register(
 #: oldest fresh rows). Regenerate with
 #: `python3 tools/rotation_audit.py`, do not hand-maintain.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "tpch_q21_waiting_orders",
+    "dd_semdedup",
+    "sim_compression_frontier",
     "dd_cluster_aware_sample",
+    "dd_cluster_size_hist",
     "dd_connected_components",
+    "dd_cross_source_matrix",
+    "dd_graph_degree_stats",
     "dd_graph_triangles",
     "dd_incremental_minhash",
     "dd_jaccard_same_source",
     "dd_keep_canonical",
-    "ev_cep_conversion",
-    "ev_purchase_streaks",
-    "dd_cluster_size_hist",
-    "dd_cross_source_matrix",
-    "dd_graph_degree_stats",
-    "dd_minhash_bbit_audit",
-    "dd_minhash_est_audit",
-    "dd_soft_dedup_weights",
-    "dd_threshold_sweep",
-    "ev_bot_heuristics",
-    "ev_interpurchase_burstiness",
-    "sql_recursive_reach",
-    "ta_bpe_apply",
-    "ta_bpe_train",
-    "ta_dataset_card",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "ta_leakage_safe_split",
-    "ta_winnowing_fingerprint",
-    "tj_nearest_order",
-    "window_running_distinct",
     "dd_lsh_band_audit",
     "dd_method_agreement",
-    "ev_sessionize",
-    "ev_gap_fill",
-    "top_parts_by_revenue",
-    "ev_anomaly_seasonal_zscore",
-    "ev_did_estimator",
-    "ev_ivm_delta_rollup",
-    "ev_anomaly_mad",
-    "ev_grouped_map_running",
-    "ev_trend_forecast",
-    "rag_mmr_batch",
-    "rag_mmr_topk",
+    "dd_minhash_bbit_audit",
+    "dd_minhash_est_audit",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_soft_dedup_weights",
+    "dd_threshold_sweep",
     "sim_ivfpq_topk",
     "sim_kmeans_refine",
     "sim_pq_adc_topk",
+    "ta_bpe_apply",
+    "ta_bpe_train",
+    "ta_dataset_card",
+    "ta_leakage_safe_split",
+    "ta_winnowing_fingerprint",
+    "top_parts_by_revenue",
     "tpch_q1",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "window_lag_orders",
-    "agg_exact_percentiles",
-    "agg_stats_lineitem",
+    "tpch_q21_waiting_orders",
+    "agg_string_concat_nations",
+    "dd_exact_stats",
+    "grouping_sets_sales",
+    "pivot_status_by_priority",
+    "rag_topk",
+    "sim_ann_topk",
+    "sim_radius_search",
+    "sql_rag_topk",
+    "st_latest_state",
+    "ta_bigram_top",
+    "ta_dedup_budget_pipeline",
+    "ta_filter_pipeline",
+    "ta_langid_heuristic",
+    "ta_quality_score",
+    "ta_repetition_stats",
+    "ta_stratified_sample",
+    "ta_tfidf_top",
+    "ta_token_stats",
+    "tj_range_pairs_5min",
+    "tpch_q12_late_shipment_priority",
 )
 
 
